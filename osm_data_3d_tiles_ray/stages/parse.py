@@ -1,0 +1,231 @@
+"""Span parser: ``documents`` (interleaved spans) → decoded buildings view.
+
+The Ray-Data analog of the reference's MVT decode
+(``/root/reference/src/b3dmGenerator.ts:102-107``) + VectorArea assembly
+(``/root/reference/src/ring/ring-builder.ts:51-94``):
+
+* ``tag`` spans (``key=value``) → nullable tag columns
+  (mirrors ``BuildingProperties``, ``/root/reference/src/building/type.ts:29-71``);
+* ``geom`` spans (one per ring, ``"x y;x y;..."``, outer first then holes —
+  the ring-order invariant of ``ring-builder.ts:83-88``) → flat coords +
+  ring offsets + winding-derived ring roles (``ring-builder.ts:12-29``);
+* closed-ring validation (``/root/reference/src/ring/ring-helper.ts:16-21``)
+  → ``geom_valid`` dead-letter flag instead of a throw;
+* ``media`` spans → ``media_refs:list<string>``;
+* the input ``spans`` column is carried through **unmodified** (per-row
+  span-sequence invariant, BASELINE.json ``input_hint``) unless
+  ``keep_spans=False``.
+
+Stateless — use as ``ds.map_batches(parse_documents, batch_format="pyarrow")``.
+All hot paths are Arrow/numpy kernels; no per-row Python in the tag or
+coordinate decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geom.rings import classify_winding, rings_closed
+
+_FLOAT_TAGS = [
+    "height", "levels", "min_height", "min_level", "roof_height", "roof_levels",
+    "roof_direction", "elevation",
+] + [f"ombb{i}{j}" for i in range(4) for j in range(2)]
+_STRING_TAGS = [
+    "osm_type", "roof_type", "roof_material", "roof_orientation", "roof_color",
+    "material", "color", "building_type", "name", "skeleton",
+]
+_BOOL_TAGS = ["windows", "is_part"]
+_INT_TAGS = ["osm_id"]
+
+
+def _parse_coord_blob(ring_texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """All ring texts → (flat xy float64, per-ring vertex counts)."""
+    if len(ring_texts) == 0:
+        return np.empty((0, 2)), np.empty(0, np.int64)
+    nverts = pc.add(pc.count_substring(ring_texts, ";"), 1).to_numpy(zero_copy_only=False)
+    blob = pc.replace_substring(ring_texts, ";", " ")
+    joined = " ".join(blob.to_numpy(zero_copy_only=False))
+    flat = np.fromstring(joined, dtype=np.float64, sep=" ")  # noqa: NPY201 — fast C parse
+    return flat.reshape(-1, 2), nverts.astype(np.int64)
+
+
+def parse_documents(batch: pa.Table, keep_spans: bool = True) -> pa.Table:
+    """Decode one Arrow batch of documents into building columns."""
+    batch = batch.combine_chunks()
+    n = len(batch)
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    values = spans.values
+    list_offsets = np.asarray(spans.offsets)
+    counts = np.diff(list_offsets)
+    span_row = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    kind = values.field("kind")
+    text = values.field("text")
+    media_ref = values.field("media_ref")
+
+    # ---- tag spans ------------------------------------------------------
+    tag_mask = pc.equal(kind, "tag").to_numpy(zero_copy_only=False)
+    tag_rows = span_row[tag_mask]
+    tag_texts = text.filter(pa.array(tag_mask))
+    split = pc.split_pattern(tag_texts, "=", max_splits=1)
+    split_off = np.asarray(split.offsets)
+    split_flat = split.values
+    keys = split_flat.take(pa.array(split_off[:-1]))
+    # second element of each 2-list; lists of length 1 (no '=') yield key only
+    has_val = np.diff(split_off) == 2
+    val_idx = split_off[:-1] + 1
+    vals_all = split_flat.take(pa.array(np.where(has_val, val_idx, split_off[:-1])))
+
+    keys_np = keys.to_numpy(zero_copy_only=False)
+    out: dict[str, pa.Array | pa.ChunkedArray] = {"doc_id": batch.column("doc_id")}
+    if keep_spans:
+        out["spans"] = spans
+
+    def scatter(tag: str, caster) -> pa.Array:
+        sel = (keys_np == tag) & has_val
+        rows = tag_rows[sel]
+        col = np.full(n, None, dtype=object)
+        if sel.any():
+            vals = vals_all.filter(pa.array(sel))
+            col[rows] = caster(vals)
+        return col
+
+    for t in _INT_TAGS:
+        col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False).astype(np.int64))
+        out[t] = pa.array(col.tolist(), type=pa.int64())
+    for t in _FLOAT_TAGS:
+        col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False).astype(np.float64))
+        out[t] = pa.array(col.tolist(), type=pa.float64())
+    for t in _STRING_TAGS:
+        col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False))
+        out[t] = pa.array(col.tolist(), type=pa.string())
+    for t in _BOOL_TAGS:
+        col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False) == "true")
+        out[t] = pa.array(col.tolist(), type=pa.bool_())
+
+    # ---- geom spans -----------------------------------------------------
+    geom_mask = pc.equal(kind, "geom").to_numpy(zero_copy_only=False)
+    ring_rows = span_row[geom_mask]
+    ring_texts = text.filter(pa.array(geom_mask))
+    coords, ring_nverts = _parse_coord_blob(ring_texts)
+    ring_offsets = np.concatenate([[0], np.cumsum(ring_nverts)])
+    roles = classify_winding(coords, ring_offsets)
+    closed = rings_closed(coords, ring_offsets)
+
+    rings_per_row = np.bincount(ring_rows, minlength=n)
+    verts_per_row = np.zeros(n, dtype=np.int64)
+    np.add.at(verts_per_row, ring_rows, ring_nverts)
+
+    row_vert_offsets = np.concatenate([[0], np.cumsum(verts_per_row)])
+    out["coords"] = pa.ListArray.from_arrays(
+        pa.array(row_vert_offsets * 2, type=pa.int32()),
+        pa.array(coords.reshape(-1), type=pa.float64()),
+    )
+    # per-row ring start indices (vertex units), relative to the row
+    row_of_ring_start = np.repeat(row_vert_offsets[:-1], rings_per_row)
+    rel_ring_starts = (ring_offsets[:-1] - row_of_ring_start).astype(np.int32)
+    row_ring_offsets = np.concatenate([[0], np.cumsum(rings_per_row)])
+    out["ring_offsets"] = pa.ListArray.from_arrays(
+        pa.array(row_ring_offsets, type=pa.int32()),
+        pa.array(rel_ring_starts, type=pa.int32()),
+    )
+    out["ring_roles"] = pa.ListArray.from_arrays(
+        pa.array(row_ring_offsets, type=pa.int32()),
+        pa.array(roles, type=pa.int8()),
+    )
+    out["n_rings"] = pa.array(rings_per_row.astype(np.int32))
+    out["n_vertices"] = pa.array(verts_per_row)
+
+    valid = np.ones(n, dtype=bool)
+    # a row is invalid if any ring is unclosed or has < 4 vertices (3 + close)
+    bad = (~closed) | (ring_nverts < 4)
+    if bad.any():
+        np.logical_and.at(valid, ring_rows, ~bad)
+    valid &= rings_per_row > 0
+    out["geom_valid"] = pa.array(valid)
+
+    # ---- geometry summaries (bit-exact vs generator truth) --------------
+    minx = np.full(n, np.nan)
+    miny = np.full(n, np.nan)
+    maxx = np.full(n, np.nan)
+    maxy = np.full(n, np.nan)
+    centx = np.full(n, np.nan)
+    centy = np.full(n, np.nan)
+    has_geom = rings_per_row > 0
+    if has_geom.any():
+        # outer ring of each row = its FIRST ring (ring-order invariant)
+        first_ring = row_ring_offsets[:-1][has_geom]
+        fr_start = ring_offsets[first_ring]
+        fr_len_open = ring_nverts[first_ring] - closed[first_ring].astype(np.int64)
+        ends = fr_start + fr_len_open
+        # segmented reduce over open outer ring (same op order as generator)
+        ox = coords[:, 0]
+        oy = coords[:, 1]
+        minx[has_geom] = _seg_reduce(np.minimum, ox, fr_start, ends)
+        maxx[has_geom] = _seg_reduce(np.maximum, ox, fr_start, ends)
+        miny[has_geom] = _seg_reduce(np.minimum, oy, fr_start, ends)
+        maxy[has_geom] = _seg_reduce(np.maximum, oy, fr_start, ends)
+        centx[has_geom] = _seg_reduce(np.add, ox, fr_start, ends) / fr_len_open
+        centy[has_geom] = _seg_reduce(np.add, oy, fr_start, ends) / fr_len_open
+    out["minx"] = pa.array(minx)
+    out["miny"] = pa.array(miny)
+    out["maxx"] = pa.array(maxx)
+    out["maxy"] = pa.array(maxy)
+    out["centroid_x"] = pa.array(centx)
+    out["centroid_y"] = pa.array(centy)
+
+    # ---- media spans ----------------------------------------------------
+    media_mask = pc.equal(kind, "media").to_numpy(zero_copy_only=False)
+    media_rows = span_row[media_mask]
+    refs = media_ref.filter(pa.array(media_mask))
+    media_per_row = np.bincount(media_rows, minlength=n)
+    media_offsets = np.concatenate([[0], np.cumsum(media_per_row)])
+    out["media_refs"] = pa.ListArray.from_arrays(
+        pa.array(media_offsets, type=pa.int32()), refs
+    )
+    return pa.table(out)
+
+
+def _seg_reduce(ufunc, arr: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Segmented ufunc.reduceat over [start, end) windows (non-tiling segments).
+
+    ``np.ufunc.reduceat`` with interleaved (start, end) index pairs evaluates
+    every window plus junk windows in between; take every other slot.
+    """
+    if len(starts) == 0:
+        return np.empty(0, dtype=arr.dtype)
+    idx = np.empty(2 * len(starts), dtype=np.int64)
+    idx[0::2] = starts
+    idx[1::2] = ends
+    # reduceat requires indices < len(arr); an end index == len(arr) is allowed
+    # only as the implicit final bound, so clamp and fix up the tail.
+    last_end = idx[-1]
+    if last_end >= len(arr):
+        idx[-1] = len(arr) - 1
+        res = ufunc.reduceat(arr, idx)[0::2]
+        # recompute the final window exactly
+        res[-1] = ufunc.reduce(arr[starts[-1] : ends[-1]])
+        return res
+    return ufunc.reduceat(arr, idx)[0::2]
+
+
+def span_signature(table: pa.Table) -> pa.Array:
+    """Per-row canonical signature of the span sequence (kind, text,
+    media_ref, order) — the invariant-checking helper used by tests at every
+    materialization boundary (SURVEY.md §5.4)."""
+    spans = table.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    values = spans.values
+    sig_parts = pc.binary_join_element_wise(
+        values.field("kind"), values.field("text"), values.field("media_ref"), "\x1f"
+    )
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(spans.offsets, sig_parts), "\x1e"
+    )
+    return joined

@@ -1,0 +1,19 @@
+import warnings
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    """One Ray session for the whole pytest run (driver contract)."""
+    warnings.filterwarnings("ignore")
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    yield
+    ray.shutdown()
