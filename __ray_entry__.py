@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship documents→3D-tiles pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data companions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL.  Geo queries run over the deterministic synthetic
+spans corpus mandated by FIXTURES.md (materialized idempotently under
+/tmp/osm3d_synth — the driver's DuckDB reads it via ``read_parquet``);
+text/ANN/event queries run over the driver's pre-registered views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,316 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from osm_data_3d_tiles_ray.synth.generator import ensure_synth
+
+# Materialize the synthetic geo corpus for the driver's scales up front so
+# oracle SQL can read it even if the oracle runs before the Ray query.
+for _sf in (0.001, 0.01):
+    ensure_synth(_sf)
+
+_SYNTH_001 = str(ensure_synth(0.01))
+
+_W = "20037508.342789244"
+_T = "(40075016.685578488 / 65536.0)"
+
+_TILE_SQL = f"""
+SELECT osm_id,
+       CAST(FLOOR((minx + {_W}) / {_T}) AS INTEGER) AS tile_x,
+       CAST(FLOOR(({_W} - maxy) / {_T}) AS INTEGER) AS tile_y,
+       CAST(FLOOR((maxx + {_W}) / {_T}) AS INTEGER) AS tile_x1,
+       CAST(FLOOR(({_W} - miny) / {_T}) AS INTEGER) AS tile_y1
+FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+"""
+
+# hand-derived parse results of the generator's color vocabulary
+# (COLOR_VALUES in synth/generator.py) per the reference's ColorParser
+# (/root/reference/src/building/color-parser.ts:157-189)
+_COLOR_CASE = """CASE {col}
+    WHEN 'red' THEN 16711680
+    WHEN 'dark_red' THEN 9109504
+    WHEN 'light blue' THEN 11393254
+    WHEN '#ff0000' THEN 16711680
+    WHEN '#a0B1c2' THEN 10531266
+    WHEN 'Slate-Gray' THEN 7372944
+    WHEN '#ff0000;blue' THEN 16711680
+    WHEN 'yellowgreen' THEN 10145074
+    ELSE NULL END"""
+
+
+def _norm_params_sql() -> str:
+    rc_case = _COLOR_CASE.format(col="roof_color")
+    fc_case = _COLOR_CASE.format(col="color")
+    return f"""
+WITH b AS (SELECT * FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')),
+t1 AS (
+  SELECT *,
+    COALESCE(building_type, '') = 'roof' AS is_roof,
+    CASE roof_type
+      WHEN 'flat' THEN 'flat' WHEN 'hipped' THEN 'hipped' WHEN 'gabled' THEN 'gabled'
+      WHEN 'gambrel' THEN 'gambrel' WHEN 'pyramidal' THEN 'pyramidal'
+      WHEN 'onion' THEN 'onion' WHEN 'dome' THEN 'dome' WHEN 'round' THEN 'round'
+      WHEN 'skillion' THEN 'skillion' WHEN 'mansard' THEN 'mansard'
+      WHEN 'quadruple_saltbox' THEN 'quadrupleSaltbox' WHEN 'saltbox' THEN 'saltbox'
+      ELSE 'flat' END AS rtype,
+    COALESCE(building_type, '~') NOT IN
+      ('roof','stadium','houseboat','castle','greenhouse','storage_tank','silo',
+       'ship','bridge','digester','water_tower','shed') AS supports_default,
+    CASE roof_material
+      WHEN 'tile' THEN 'tiles' WHEN 'tiles' THEN 'tiles' WHEN 'roof_tiles' THEN 'tiles'
+      WHEN 'slate' THEN 'tiles' WHEN 'metal' THEN 'metal' WHEN 'metal_sheet' THEN 'metal'
+      WHEN 'metal sheet' THEN 'metal' WHEN 'tin' THEN 'metal' WHEN 'copper' THEN 'metal'
+      WHEN 'zinc' THEN 'metal' WHEN 'concrete' THEN 'concrete' WHEN 'asphalt' THEN 'concrete'
+      WHEN 'eternit' THEN 'eternit' WHEN 'asbestos' THEN 'eternit' WHEN 'thatch' THEN 'thatch'
+      WHEN 'grass' THEN 'grass' WHEN 'glass' THEN 'glass' WHEN 'tar_paper' THEN 'tar'
+      ELSE 'default' END AS rmat0,
+    {rc_case} AS rc_parsed,
+    {fc_case} AS fc_parsed
+  FROM b
+),
+t2 AS (
+  SELECT *,
+    ((NOT supports_default) OR rtype <> 'flat') AS no_default,
+    CASE WHEN (rc_parsed IS NOT NULL OR ((NOT supports_default) OR rtype <> 'flat'))
+              AND rmat0 = 'default'
+         THEN 'concrete' ELSE rmat0 END AS rmat,
+    CASE WHEN roof_levels <= 0 THEN CAST(0.6 AS DOUBLE)
+         WHEN roof_levels IS NULL THEN (CASE WHEN rtype = 'flat' THEN 0.0 ELSE 1.0 END)
+         ELSE roof_levels END AS rlevels
+  FROM t1
+),
+t3 AS (
+  SELECT *,
+    COALESCE(rc_parsed,
+      CASE rmat
+        WHEN 'concrete' THEN 12303291
+        WHEN 'metal' THEN (CASE WHEN roof_material = 'copper' THEN 10734269 ELSE 12833501 END)
+        WHEN 'tiles' THEN (CASE WHEN roof_material = 'slate' THEN 9211031 ELSE 13335908 END)
+        ELSE 16777215 END) AS rcolor,
+    CASE WHEN height IS NOT NULL
+         THEN LEAST(COALESCE(roof_height, rlevels * 4), height - COALESCE(min_height, 0))
+         ELSE COALESCE(roof_height, rlevels * 4) END AS rh
+  FROM t2
+),
+t4 AS (
+  SELECT *,
+    CASE WHEN height IS NULL AND levels IS NULL THEN COALESCE(min_level, 1.0)
+         ELSE levels END AS levels1
+  FROM t3
+),
+t5 AS (
+  SELECT *, CASE WHEN height IS NULL THEN levels1 * 4 + rh ELSE height END AS height1
+  FROM t4
+),
+t6 AS (
+  SELECT *,
+    CASE WHEN levels1 IS NULL
+         THEN GREATEST(1.0, FLOOR((height1 - rh) / 4 + 0.5))
+         ELSE levels1 END AS levels2
+  FROM t5
+),
+t7 AS (
+  SELECT *,
+    COALESCE(min_level,
+      CASE WHEN min_height IS NOT NULL
+           THEN LEAST(levels2 - 1.0, FLOOR(min_height / 4 + 0.5))
+           ELSE 0.0 END) AS minlev
+  FROM t6
+),
+t8 AS (
+  SELECT *, COALESCE(min_height, LEAST(minlev * 4, height1)) AS minh
+  FROM t7
+)
+SELECT osm_id,
+  CAST(levels2 - minlev AS DOUBLE) AS building_levels,
+  CAST(height1 AS DOUBLE) AS building_height,
+  CAST(CASE WHEN is_roof THEN height1 - rh ELSE minh END AS DOUBLE) AS building_min_height,
+  CAST(rh AS DOUBLE) AS building_roof_height,
+  rtype AS roof_type,
+  CASE material
+    WHEN 'brick' THEN 'brick' WHEN 'cement_block' THEN 'cementBlock'
+    WHEN 'block' THEN 'cementBlock' WHEN 'wood' THEN 'wood'
+    WHEN 'plaster' THEN 'plaster' WHEN 'plastered' THEN 'plaster'
+    WHEN 'concrete' THEN 'plaster' WHEN 'hard' THEN 'plaster'
+    WHEN 'glass' THEN 'glass' WHEN 'mirror' THEN 'glass'
+    ELSE 'plaster' END AS facade_material,
+  CAST(COALESCE(fc_parsed,
+    CASE material WHEN 'brick' THEN 9193524
+                  WHEN 'concrete' THEN 14540253 WHEN 'hard' THEN 14540253
+                  ELSE 16777215 END) AS BIGINT) AS facade_color,
+  rmat AS roof_material,
+  CAST(rcolor AS BIGINT) AS roof_color,
+  CASE WHEN height1 - minh - rh < 2 THEN FALSE
+       ELSE COALESCE(windows,
+         COALESCE(building_type, '~') NOT IN
+           ('garage','garages','greenhouse','storage_tank','bunker','silo','stadium',
+            'ship','castle','service','digester','water_tower','shed','ger','barn',
+            'slurry_tank','container','carport')) END AS windows,
+  ((NOT is_roof) AND levels IS NULL AND min_level IS NULL
+    AND height IS NULL AND min_height IS NULL) AS foundation
+FROM t8
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: documents (spans) → parse → ownership dedup →
+    per-tile stats, at sf0.001."""
+    from osm_data_3d_tiles_ray.pipelines.geo import q_tile_stats
+
+    return q_tile_stats("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_data_3d_tiles_ray.pipelines import ann, events, geo, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # geo engine core (SURVEY.md §2: S2/M1-M12, J1, A1, G18-adjacent)
+        "geo_parse": geo.q_parse,
+        "geo_assignments": geo.q_assignments,
+        "geo_tile_stats": geo.q_tile_stats,
+        "geo_norm_params": geo.q_norm_params,
+        "geo_cell_cover": geo.q_cell_cover,
+        "geo_knn": geo.q_knn,
+        "geo_dem_sample": geo.q_dem_sample,
+        # training-data companions
+        "dedup_exact": textops.dedup_exact,
+        "text_stats": textops.text_stats,
+        "lang_quality": textops.lang_quality,
+        "minhash_near_dup": textops.minhash_near_dup,
+        "ann_topk": ann.ann_topk,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        "events_hourly": events.hourly_by_type,
+        "events_user_daily": events.user_daily_activity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    b = f"read_parquet('{_SYNTH_001}/buildings/*.parquet')"
+    dem = f"read_parquet('{_SYNTH_001}/dem.parquet')"
+    qp = f"read_parquet('{_SYNTH_001}/query_points.parquet')"
+    return {
+        "geo_parse": f"""
+SELECT 'doc_' || lpad(CAST(osm_id AS VARCHAR), 12, '0') AS doc_id,
+       osm_id, osm_type,
+       CAST(len(ring_offsets) AS INTEGER) AS n_rings,
+       CAST(len(coords) / 2 AS BIGINT) AS n_vertices,
+       height, levels, roof_type, name,
+       minx, miny, maxx, maxy, centroid_x, centroid_y
+FROM {b}
+""",
+        "geo_assignments": f"""
+SELECT osm_id, CAST(16 AS INTEGER) AS tile_z, tile_x, tile_y
+FROM ({_TILE_SQL})
+""",
+        "geo_tile_stats": f"""
+SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS batch_length
+FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
+""",
+        "geo_norm_params": _norm_params_sql(),
+        "geo_cell_cover": f"""
+SELECT osm_id,
+       CAST((tile_x1 - tile_x + 1) * (tile_y1 - tile_y + 1) AS BIGINT) AS n_cells
+FROM ({_TILE_SQL})
+""",
+        "geo_knn": f"""
+WITH d AS (
+  SELECT q.qid, b.osm_id, q.k,
+         sqrt((b.centroid_x - q.x) * (b.centroid_x - q.x)
+              + (b.centroid_y - q.y) * (b.centroid_y - q.y)) AS dist
+  FROM {qp} q CROSS JOIN {b} b
+),
+r AS (
+  SELECT qid, osm_id, k,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, osm_id) AS rn
+  FROM d
+)
+SELECT qid, osm_id, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= k
+""",
+        "geo_dem_sample": f"""
+WITH p AS (SELECT osm_id, centroid_x, centroid_y FROM {b}),
+m AS (SELECT any_value(x0) AS x0, any_value(y0) AS y0,
+             any_value(dx) AS dx, any_value(dy) AS dy,
+             MAX(row) + 1 AS n FROM {dem}),
+g AS (SELECT p.osm_id,
+             (p.centroid_x - m.x0) / m.dx - 0.5 AS gx,
+             (p.centroid_y - m.y0) / m.dy - 0.5 AS gy, m.n
+      FROM p, m),
+i AS (SELECT osm_id, gx, gy, n,
+             CAST(LEAST(GREATEST(FLOOR(gx), 0), n - 2) AS INTEGER) AS i0,
+             CAST(LEAST(GREATEST(FLOOR(gy), 0), n - 2) AS INTEGER) AS j0
+      FROM g),
+f AS (SELECT osm_id, i0, j0,
+             LEAST(GREATEST(gx - i0, 0), 1) AS fx,
+             LEAST(GREATEST(gy - j0, 0), 1) AS fy
+      FROM i)
+SELECT f.osm_id,
+       ROUND((1 - fx) * (1 - fy) * z00.z + fx * (1 - fy) * z10.z
+             + (1 - fx) * fy * z01.z + fx * fy * z11.z, 6) AS elevation
+FROM f
+JOIN {dem} z00 ON z00.row = f.j0     AND z00.col = f.i0
+JOIN {dem} z10 ON z10.row = f.j0     AND z10.col = f.i0 + 1
+JOIN {dem} z01 ON z01.row = f.j0 + 1 AND z01.col = f.i0
+JOIN {dem} z11 ON z11.row = f.j0 + 1 AND z11.col = f.i0 + 1
+""",
+        "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+""",
+        "text_stats": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space
+FROM documents
+""",
+        "lang_quality": r"""
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text) END AS alpha_ratio,
+       CAST(len(regexp_extract_all(lower(text), '\bthe\b'))
+          + len(regexp_extract_all(lower(text), '\band\b'))
+          + len(regexp_extract_all(lower(text), '\bof\b'))
+          + len(regexp_extract_all(lower(text), '\bto\b'))
+          + len(regexp_extract_all(lower(text), '\bin\b'))
+          + len(regexp_extract_all(lower(text), '\bis\b'))
+          + len(regexp_extract_all(lower(text), '\bfor\b')) AS BIGINT) AS n_stopwords
+FROM documents
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ee
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+),
+un AS (
+  SELECT qid, vec_id,
+         CAST(UNNEST(qe) AS DOUBLE) AS qa, CAST(UNNEST(ee) AS DOUBLE) AS ea
+  FROM pairs
+),
+sims AS (
+  SELECT qid, vec_id,
+         SUM(qa * ea) / (sqrt(SUM(qa * qa)) * sqrt(SUM(ea * ea))) AS sim
+  FROM un GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT qid, vec_id, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 5
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_micro
+FROM events GROUP BY 1, 2
+""",
+        "events_user_daily": """
+SELECT date_trunc('day', ts) AS day, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,177 @@
+"""Similarity search over the ``embeddings`` table
+(``vec_id:int64, embedding:list<float>, label:int32``).
+
+Brute-force cosine top-k is the exact baseline (per-batch numpy matmul
+against a broadcast query matrix + a small groupby refine); an LSH-bucketed
+variant (:func:`ann_lsh_topk`) is the scale path: random-hyperplane
+signatures bucket the vectors so only same-bucket candidates are scored —
+the shuffle key is a small int, never the embedding payload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+N_QUERIES = 10  # queries = the first N vectors (vec_id < N) of the table
+TOP_K = 5
+
+
+def _embeddings(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy()
+    sel = vid < N_QUERIES
+    emb = t.column("embedding").combine_chunks()
+    dims = len(emb[0])
+    mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(-1, dims)
+    return vid[sel], mat[sel]
+
+
+class _CosinePartial:
+    """Constructor args are stored in the object store once and shared by
+    every actor in the pool (broadcast semantics)."""
+
+    def __init__(self, qid, qmat):
+        self.qid = qid
+        self.qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(vid) == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        dims = self.qn.shape[1]
+        m = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+            -1, dims
+        )
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = self.qn @ mn.T  # (n_q, n_b)
+        k = min(TOP_K + 1, sims.shape[1])  # +1: a query matches itself
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.qid, k)
+        cols = part.reshape(-1)
+        return pa.table(
+            {
+                "qid": pa.array(rows.astype(np.int64)),
+                "vec_id": pa.array(vid[cols].astype(np.int64)),
+                "sim": pa.array(sims[np.repeat(np.arange(len(self.qid)), k), cols]),
+            }
+        )
+
+
+def ann_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Exact cosine top-k neighbors (excluding self) for the first
+    ``N_QUERIES`` vectors.  Output: (qid, vec_id, rank)."""
+    qid, qmat = _load_queries(sf_dir)
+    partials = _embeddings(sf_dir).select_columns(["vec_id", "embedding"]).map_batches(
+        _CosinePartial,
+        fn_constructor_args=(qid, qmat),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+
+    def refine(group: pa.Table) -> pa.Table:
+        qid_g = group.column("qid").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        mask = vid != qid_g[0]  # exclude self-match
+        vid, sim = vid[mask], sim[mask]
+        order = np.lexsort((vid, -sim))[:TOP_K]
+        return pa.table(
+            {
+                "qid": pa.array(np.full(len(order), qid_g[0], dtype=np.int64)),
+                "vec_id": pa.array(vid[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")
+
+
+def ann_lsh_topk(sf_dir: str, n_planes: int = 12) -> "ray.data.Dataset":
+    """LSH-bucketed approximate variant (scale path): random-hyperplane
+    signature per vector, exact scoring only within the query's bucket
+    neighborhood (bucket + Hamming-1 probes)."""
+    qid, qmat = _load_queries(sf_dir)
+    rng = np.random.default_rng(0xC0FFEE)
+    dims = qmat.shape[1]
+    planes = rng.standard_normal((n_planes, dims))
+
+    def signature(m: np.ndarray) -> np.ndarray:
+        bits = (m @ planes.T) > 0
+        return (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+
+    q_sig = signature(qmat)
+    # multiprobe: query bucket + all Hamming-1 neighbors
+    probe = {int(s) for s in q_sig}
+    for s in q_sig:
+        for b in range(n_planes):
+            probe.add(int(s) ^ (1 << b))
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+
+    class Partial(_CosinePartial):
+        def __init__(self, qid, qmat, probe):
+            super().__init__(qid, qmat)
+            self.probe = probe
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            dims_ = self.qn.shape[1]
+            m = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+                -1, dims_
+            )
+            sig = signature(m)
+            keep = np.isin(sig, self.probe)
+            sub = pa.table(
+                {
+                    "vec_id": pa.array(vid[keep]),
+                    "embedding": emb.take(pa.array(np.nonzero(keep)[0])),
+                }
+            )
+            return super().__call__(sub)
+
+    partials = _embeddings(sf_dir).select_columns(["vec_id", "embedding"]).map_batches(
+        Partial,
+        fn_constructor_args=(qid, qmat, probe_arr),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=4096,
+    )
+
+    def refine(group: pa.Table) -> pa.Table:
+        qid_g = group.column("qid").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        mask = vid != qid_g[0]
+        vid, sim = vid[mask], sim[mask]
+        order = np.lexsort((vid, -sim))[:TOP_K]
+        return pa.table(
+            {
+                "qid": pa.array(np.full(len(order), qid_g[0], dtype=np.int64)),
+                "vec_id": pa.array(vid[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")

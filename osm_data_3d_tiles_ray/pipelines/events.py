@@ -1,0 +1,124 @@
+"""Windowed aggregation over the driver's ``events`` stream table
+(``event_id, ts, user_id, event_type, value, props``).
+
+Tumbling-window aggregates use the combiner-before-shuffle pattern: the
+window key + partial sums are computed per batch, then a small groupby
+merges partials — the shuffle carries one row per (window, type) per
+block, never per event.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _events(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def hourly_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour window per event_type: count + sum(value)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = pc.floor_temporal(ts, unit="hour")
+        t = pa.table(
+            {
+                "window_start": hour,
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+        # per-batch combine
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "window_start": g.column("window_start"),
+                "event_type": g.column("event_type"),
+                "p_sum": g.column("value_sum"),
+                "p_cnt": pc.cast(g.column("value_count"), pa.int64()),
+            }
+        )
+
+    partials = _events(sf_dir).select_columns(["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    merged = partials.groupby(["window_start", "event_type"]).aggregate(
+        ray.data.aggregate.Sum("p_sum", alias_name="sum_value"),
+        ray.data.aggregate.Sum("p_cnt", alias_name="n_events"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # integer micro-units: float summation order differs between the
+        # partial-combine tree and the oracle's single-pass sum, so compare
+        # round(sum * 1e6) as int64 (robust to 1e-15 association noise)
+        s = batch.column("sum_value").to_numpy(zero_copy_only=False)
+        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "window_start": batch.column("window_start"),
+                "event_type": batch.column("event_type"),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+                "sum_value_micro": pa.array(micro),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def user_daily_activity(sf_dir: str) -> "ray.data.Dataset":
+    """Per (user, day): event count + distinct event types (set-like agg)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pc.floor_temporal(ts, unit="day")
+        t = pa.table(
+            {
+                "day": day,
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+        g = t.group_by(["day", "user_id", "event_type"]).aggregate([("event_type", "count")])
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "p_cnt": pc.cast(g.column("event_type_count"), pa.int64()),
+            }
+        )
+
+    partials = _events(sf_dir).select_columns(["ts", "user_id", "event_type"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def per_user_day(group: pa.Table) -> pa.Table:
+        n = int(pc.sum(group.column("p_cnt")).as_py() or 0)
+        n_types = len(
+            pc.unique(
+                group.column("event_type").combine_chunks()
+                if isinstance(group.column("event_type"), pa.ChunkedArray)
+                else group.column("event_type")
+            )
+        )
+        return pa.table(
+            {
+                "day": group.column("day").slice(0, 1),
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_events": pa.array([n], type=pa.int64()),
+                "n_types": pa.array([n_types], type=pa.int64()),
+            }
+        )
+
+    return partials.groupby(["day", "user_id"]).map_groups(per_user_day, batch_format="pyarrow")

