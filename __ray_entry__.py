@@ -168,11 +168,26 @@ FROM t8
 
 
 def entry() -> Any:
-    """Flagship pipeline: documents (spans) → parse → ownership dedup →
-    per-tile stats, at sf0.001."""
-    from osm_data_3d_tiles_ray.pipelines.geo import q_tile_stats
+    """Flagship pipeline at sf0.001: documents (spans) → parse → per-building
+    3D geometry (actor pool: walls + roof dispatch) → per-tile stats
+    (batch_length, vertex counts, bbox union)."""
+    import ray.data
 
-    return q_tile_stats("/root/testdata/sf0.001")
+    from osm_data_3d_tiles_ray.pipelines.buildings import geometry_stats
+
+    root = ensure_synth(0.001)
+    docs = ray.data.read_parquet(str(root / "documents"))
+    return geometry_stats(docs)
+
+
+def _q_geometry_stats(sf_dir: str) -> Any:
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import geometry_stats
+    from osm_data_3d_tiles_ray.synth.generator import sf_from_dir
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    return geometry_stats(ray.data.read_parquet(str(root / "documents")))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -187,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_cell_cover": geo.q_cell_cover,
         "geo_knn": geo.q_knn,
         "geo_dem_sample": geo.q_dem_sample,
+        # full geometry build (vertex counts not SQL-expressible → rows-only
+        # check here; pytest goldens cover the kernels, SURVEY.md §5.1)
+        "geo_geometry_stats": _q_geometry_stats,
         # training-data companions
         "dedup_exact": textops.dedup_exact,
         "text_stats": textops.text_stats,

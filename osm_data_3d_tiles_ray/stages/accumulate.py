@@ -1,0 +1,165 @@
+"""Per-tile geometry accumulation (A2/A3) + tile payload encoding.
+
+Reference semantics: merge each tile's per-building SoA buffers into one
+buffer set with a per-vertex ``batchId`` and per-building offsets
+(``/root/reference/src/build3dBuilding.ts:95-112``,
+``src/building/tile3d-features-to-buffers-converter.ts:334-388``), union
+bounding boxes (``:576-585``), and record ``BATCH_LENGTH``
+(``src/b3dmGenerator.ts:242``).
+
+Two paths:
+
+* :func:`tile_geometry_stats` — scalable stats (batch_length, vertex sums,
+  bbox union) via per-batch partial combine + small groupby, never moving
+  the vertex payload through the shuffle;
+* :func:`accumulate_tiles` — the full payload merge, an explicit
+  ``groupby(cell_id)`` shuffle + ``map_groups`` producing one b3dm-style
+  row per tile (buffers + columnar batch-table equivalents).  At 100 TB the
+  groupby key is the uint64 Morton cell; skew from dense urban cells is
+  bounded by the z16 cell size, with salting (cell_id ⊕ salt of osm_id)
+  available for pathological cells (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..geom.transforms import cell_to_tile
+
+
+def _partial_tile_geom_stats(batch: pa.Table) -> pa.Table:
+    cells = batch.column("cell_id").to_numpy(zero_copy_only=False)
+    verts = batch.column("vertex_count").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(cells, return_inverse=True)
+    cnt = np.bincount(inv)
+    vsum = np.bincount(inv, weights=verts).astype(np.int64)
+    mins = np.full((len(uniq), 3), np.inf)
+    maxs = np.full((len(uniq), 3), -np.inf)
+    for j, name in enumerate(["min_x", "min_y", "min_z"]):
+        col = batch.column(name).to_numpy(zero_copy_only=False)
+        np.minimum.at(mins[:, j], inv, np.where(np.isnan(col), np.inf, col))
+    for j, name in enumerate(["max_x", "max_y", "max_z"]):
+        col = batch.column(name).to_numpy(zero_copy_only=False)
+        np.maximum.at(maxs[:, j], inv, np.where(np.isnan(col), -np.inf, col))
+    return pa.table(
+        {
+            "cell_id": pa.array(uniq, type=pa.uint64()),
+            "p_count": pa.array(cnt.astype(np.int64)),
+            "p_verts": pa.array(vsum),
+            "p_min_x": pa.array(mins[:, 0]),
+            "p_min_y": pa.array(mins[:, 1]),
+            "p_min_z": pa.array(mins[:, 2]),
+            "p_max_x": pa.array(maxs[:, 0]),
+            "p_max_y": pa.array(maxs[:, 1]),
+            "p_max_z": pa.array(maxs[:, 2]),
+        }
+    )
+
+
+def tile_geometry_stats(built: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-building geometry rows → per-tile stats (combiner + tiny shuffle)."""
+    partial = built.map_batches(_partial_tile_geom_stats, batch_format="pyarrow")
+    merged = partial.groupby("cell_id").aggregate(
+        ray.data.aggregate.Sum("p_count", alias_name="batch_length"),
+        ray.data.aggregate.Sum("p_verts", alias_name="vertex_count"),
+        ray.data.aggregate.Min("p_min_x", alias_name="min_x"),
+        ray.data.aggregate.Min("p_min_y", alias_name="min_y"),
+        ray.data.aggregate.Min("p_min_z", alias_name="min_z"),
+        ray.data.aggregate.Max("p_max_x", alias_name="max_x"),
+        ray.data.aggregate.Max("p_max_y", alias_name="max_y"),
+        ray.data.aggregate.Max("p_max_z", alias_name="max_z"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        zoom, tx, ty = cell_to_tile(cells)
+        cols = {
+            "cell_id": batch.column("cell_id"),
+            "tile_z": pa.array(zoom),
+            "tile_x": pa.array(tx),
+            "tile_y": pa.array(ty),
+            "batch_length": pa.compute.cast(batch.column("batch_length"), pa.int64()),
+            "vertex_count": pa.compute.cast(batch.column("vertex_count"), pa.int64()),
+        }
+        for name in ["min_x", "min_y", "min_z", "max_x", "max_y", "max_z"]:
+            cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def _merge_tile_group(group: pa.Table) -> pa.Table:
+    """One tile's buildings → one merged-payload row (A2)."""
+    n = len(group)
+    osm = group.column("osm_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(osm, kind="stable")  # deterministic building order
+    group = group.take(pa.array(order))
+    osm = osm[order]
+
+    def merged_list(colname: str) -> tuple[np.ndarray, np.ndarray]:
+        col = group.column(colname)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.values)
+        lens = np.diff(np.asarray(col.offsets))
+        return flat, lens
+
+    pos_flat, pos_lens = merged_list("position")
+    uv_flat, _ = merged_list("uv")
+    nrm_flat, _ = merged_list("normal")
+    tid_flat, tid_lens = merged_list("texture_id")
+
+    vert_counts = (pos_lens // 3).astype(np.int64)
+    batch_ids = np.repeat(np.arange(n, dtype=np.uint16), vert_counts)
+    offsets = np.concatenate([[0], np.cumsum(vert_counts)]).astype(np.uint32)
+
+    cell = group.column("cell_id")[0].as_py()
+    verts_total = int(vert_counts.sum())
+    mins = np.array(
+        [group.column(c).to_numpy(zero_copy_only=False) for c in ("min_x", "min_y", "min_z")]
+    )
+    maxs = np.array(
+        [group.column(c).to_numpy(zero_copy_only=False) for c in ("max_x", "max_y", "max_z")]
+    )
+    with np.errstate(invalid="ignore"):
+        bb_min = np.nanmin(mins, axis=1)
+        bb_max = np.nanmax(maxs, axis=1)
+
+    def one_list(flat: np.ndarray, typ) -> pa.LargeListArray:
+        return pa.LargeListArray.from_arrays(
+            pa.array([0, len(flat)], type=pa.int64()), pa.array(flat, type=typ)
+        )
+
+    return pa.table(
+        {
+            "cell_id": pa.array([cell], type=pa.uint64()),
+            "batch_length": pa.array([n], type=pa.int32()),
+            "vertex_count": pa.array([verts_total], type=pa.int64()),
+            "osm_ids": pa.LargeListArray.from_arrays(
+                pa.array([0, n], type=pa.int64()), pa.array(osm, type=pa.int64())
+            ),
+            "vertex_offsets": pa.LargeListArray.from_arrays(
+                pa.array([0, n + 1], type=pa.int64()),
+                pa.array(offsets, type=pa.uint32()),
+            ),
+            "position": one_list(pos_flat, pa.float32()),
+            "uv": one_list(uv_flat, pa.float32()),
+            "normal": one_list(nrm_flat, pa.float32()),
+            "texture_id": one_list(tid_flat, pa.uint8()),
+            "batch_id": one_list(batch_ids, pa.uint16()),
+            "min_x": pa.array([bb_min[0]]),
+            "min_y": pa.array([bb_min[1]]),
+            "min_z": pa.array([bb_min[2]]),
+            "max_x": pa.array([bb_max[0]]),
+            "max_y": pa.array([bb_max[1]]),
+            "max_z": pa.array([bb_max[2]]),
+        }
+    )
+
+
+def accumulate_tiles(built: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Shuffle #2: groupby(cell_id) → one merged b3dm-equivalent row per tile."""
+    return built.groupby("cell_id").map_groups(_merge_tile_group, batch_format="pyarrow")

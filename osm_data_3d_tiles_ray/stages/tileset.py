@@ -1,0 +1,172 @@
+"""Tileset tree construction (A6 + S5 + M18).
+
+Reference: root tileset lists z12 cells over the extent, each z12 JSON lists
+its z16 ``.b3dm`` children (``/root/reference/generate-tileset.ts:18-74``,
+``src/tileset/tileset.ts:9-50``), with ``geometricError: 512``,
+``refine: 'ADD'``, ``TILE_HEIGHT = 300`` (``src/tileset/utils.ts:3``) and a
+Mercator box or ECEF region bounding volume per node
+(``src/tileset/box.ts:7-80``, ``src/tileset/region.ts:7-95``).
+
+Ray-native restatement: the per-tile metadata is an aggregated Dataset
+(small — one row per NON-EMPTY z16 cell); the JSON fan-in happens driver
+side from that aggregate (A6 is a metadata aggregate, not a data shuffle).
+Only non-empty tiles get children (the reference enumerates the full grid
+and 404s empty tiles; emitting only non-empty children is the batch-mode
+equivalent and is documented).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..constants import GEOMETRIC_ERROR, REFINE, ROOT_ZOOM, TILE_HEIGHT
+from ..geom.transforms import (
+    enu_basis_ecef,
+    lonlat_to_ecef,
+    mercator_to_lonlat,
+    tile_extent,
+)
+
+
+def _box_volume(ext: np.ndarray, min_z: float = 0.0, max_z: float = TILE_HEIGHT) -> list:
+    """3D Tiles oriented box [cx, cy, cz, xhalf..., yhalf..., zhalf...] in a
+    Mercator-local frame (reference: src/tileset/box.ts:57-80)."""
+    cx = (ext[0] + ext[2]) / 2.0
+    cy = (ext[1] + ext[3]) / 2.0
+    cz = (min_z + max_z) / 2.0
+    hx = (ext[2] - ext[0]) / 2.0
+    hy = (ext[3] - ext[1]) / 2.0
+    hz = (max_z - min_z) / 2.0
+    return [cx, cy, cz, hx, 0, 0, 0, hy, 0, 0, 0, hz]
+
+
+def _region_volume(ext: np.ndarray, min_z: float = 0.0, max_z: float = TILE_HEIGHT) -> list:
+    """3D Tiles region [west, south, east, north] in radians + heights
+    (reference: src/tileset/region.ts:81-95)."""
+    lon0, lat0 = mercator_to_lonlat(ext[0], ext[1])
+    lon1, lat1 = mercator_to_lonlat(ext[2], ext[3])
+    return [
+        float(np.radians(lon0)), float(np.radians(lat0)),
+        float(np.radians(lon1)), float(np.radians(lat1)),
+        min_z, max_z,
+    ]
+
+
+def ecef_transform_at(ext: np.ndarray) -> list[float]:
+    """Column-major 4x4 ENU placement matrix at the extent center
+    (reference: src/tileset/region.ts:36-79 — ENU basis + ECEF origin)."""
+    clon, clat = mercator_to_lonlat((ext[0] + ext[2]) / 2.0, (ext[1] + ext[3]) / 2.0)
+    lon_r, lat_r = np.radians(clon), np.radians(clat)
+    basis = enu_basis_ecef(lon_r, lat_r)  # rows E, N, U
+    origin = lonlat_to_ecef(lon_r, lat_r, 0.0)
+    m = np.eye(4)
+    m[:3, 0] = basis[0]
+    m[:3, 1] = basis[1]
+    m[:3, 2] = basis[2]
+    m[:3, 3] = origin
+    return [float(v) for v in m.reshape(16, order="F")]
+
+
+def build_tileset_tree(
+    tile_stats_df: pd.DataFrame,
+    projection: str = "mercator",
+    uri_pattern: str = "{z}/{x}/{y}.b3dm",
+) -> dict[str, dict]:
+    """Per-tile stats (tile_z/tile_x/tile_y/batch_length[,max_z]) → the full
+    tileset JSON dict tree: ``{"tileset.json": root, "<z12 key>.json": ...}``.
+    """
+    df = tile_stats_df
+    leaf_z = int(df["tile_z"].iloc[0]) if len(df) else 16
+    shift = leaf_z - ROOT_ZOOM
+    df = df.assign(
+        parent_x=df["tile_x"].to_numpy() >> shift,
+        parent_y=df["tile_y"].to_numpy() >> shift,
+    ).sort_values(["parent_x", "parent_y", "tile_x", "tile_y"])
+
+    out: dict[str, dict] = {}
+    root_children = []
+    for (px, py), g in df.groupby(["parent_x", "parent_y"], sort=True):
+        pext = tile_extent(np.array([px]), np.array([py]), ROOT_ZOOM)[0]
+        children = []
+        for row in g.itertuples():
+            ext = tile_extent(np.array([row.tile_x]), np.array([row.tile_y]), leaf_z)[0]
+            max_z = getattr(row, "max_z", None)
+            vol_h = float(max_z) if max_z is not None and np.isfinite(max_z) else TILE_HEIGHT
+            child = {
+                "boundingVolume": (
+                    {"box": _box_volume(ext, 0.0, vol_h)}
+                    if projection == "mercator"
+                    else {"region": _region_volume(ext, 0.0, vol_h)}
+                ),
+                "geometricError": 0,
+                "refine": REFINE,
+                "content": {
+                    "uri": uri_pattern.format(z=leaf_z, x=row.tile_x, y=row.tile_y)
+                },
+            }
+            children.append(child)
+        node_name = f"{ROOT_ZOOM}_{px}_{py}.json"
+        node = {
+            "asset": {"version": "1.0"},
+            "geometricError": GEOMETRIC_ERROR,
+            "root": {
+                "boundingVolume": (
+                    {"box": _box_volume(pext)}
+                    if projection == "mercator"
+                    else {"region": _region_volume(pext)}
+                ),
+                "geometricError": GEOMETRIC_ERROR,
+                "refine": REFINE,
+                "children": children,
+            },
+        }
+        if projection == "ecef":
+            node["root"]["transform"] = ecef_transform_at(pext)
+        out[node_name] = node
+        root_children.append(
+            {
+                "boundingVolume": (
+                    {"box": _box_volume(pext)}
+                    if projection == "mercator"
+                    else {"region": _region_volume(pext)}
+                ),
+                "geometricError": GEOMETRIC_ERROR,
+                "refine": REFINE,
+                "content": {"uri": node_name},
+            }
+        )
+    all_ext = None
+    if len(df):
+        pxs = df["parent_x"].to_numpy()
+        pys = df["parent_y"].to_numpy()
+        e0 = tile_extent(pxs, pys, ROOT_ZOOM)
+        all_ext = np.array(
+            [e0[:, 0].min(), e0[:, 1].min(), e0[:, 2].max(), e0[:, 3].max()]
+        )
+    root = {
+        "asset": {"version": "1.0"},
+        "geometricError": GEOMETRIC_ERROR,
+        "root": {
+            "boundingVolume": (
+                {"box": _box_volume(all_ext)}
+                if all_ext is not None
+                else {"box": _box_volume(np.zeros(4))}
+            ),
+            "geometricError": GEOMETRIC_ERROR,
+            "refine": REFINE,
+            "children": root_children,
+        },
+    }
+    out["tileset.json"] = root
+    return out
+
+
+def write_tileset(tree: dict[str, dict], out_dir: str) -> None:
+    p = Path(out_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    for name, payload in tree.items():
+        (p / name).write_text(json.dumps(payload, sort_keys=True))
