@@ -14,12 +14,12 @@ building row,
 4. SoA accumulation: position/uv/normal/texture_id buffers + per-building
    stats (vertex counts, bbox union, G15 ``building-builder.ts:418-459``).
 
-This is a CLASS for ``map_batches(..., concurrency=N)`` — the roof-builder
-registry and texture tables are constructed once per actor (the reference
-loads skeleton WASM + texture atlases once per worker,
-``seed-b3dm.ts:18-21``).  Output buffers are float32/uint8 Arrow lists
-(zero-copy into the per-tile merge); stats-only mode skips buffer
-materialization for count/bbox queries.
+Hot-path layout: the coordinate offset, winding normalization and ALL wall
+geometry are whole-batch numpy (see geom/walls_batch.py); only the roof
+build (earcut / skeleton loft) runs per building.  This is a CLASS for
+``map_batches(..., concurrency=N)`` — the roof-builder registry is
+per-actor state (the reference loads skeleton WASM + texture atlases once
+per worker, ``seed-b3dm.ts:18-21``).
 """
 
 from __future__ import annotations
@@ -28,7 +28,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..constants import WINDOW_WIDTH
-from ..geom.rings import RingBatch, normalize_winding
 from ..geom.roofs import (
     build_flat_roof,
     build_hipped_roof,
@@ -36,12 +35,13 @@ from ..geom.roofs import (
     build_skillion_roof,
 )
 from ..geom.transforms import cell_id as cell_id_of, mercator_to_tile, tile_center
-from ..geom.walls import build_walls
+from ..geom.walls_batch import build_walls_batch
 from .normalize import normalize_params
 
 # engine texture-id registry (reference: ExtrudedTextures enum,
 # src/building/roof/textures.ts; ids are engine-stable, atlas-agnostic)
 FACADE_TEXTURE = {"plaster": 0, "glass": 1, "brick": 2, "wood": 3, "cementBlock": 4}
+FACADE_WINDOW_OFFSET = 100
 ROOF_TEXTURE = {
     "default": 10, "tiles": 11, "metal": 12, "concrete": 13, "thatch": 14,
     "eternit": 15, "grass": 16, "glass": 17, "tar": 18,
@@ -53,7 +53,6 @@ class Build3D:
 
     def __init__(self, emit_buffers: bool = True):
         self.emit_buffers = emit_buffers
-        # per-actor state: dispatch registry (built once, reference S4/G3 analog)
         self.roof_registry = {
             "flat": self._roof_flat,
             "hipped": self._roof_hipped,
@@ -61,8 +60,8 @@ class Build3D:
             "skillion": self._roof_skillion,
         }
 
-    # --- per-roof builders (bound methods so the registry is state) -------
-    def _roof_flat(self, ctx) -> tuple[dict, np.ndarray | None]:
+    # --- per-roof builders ------------------------------------------------
+    def _roof_flat(self, ctx):
         return (
             build_flat_roof(
                 ctx["coords"], ctx["ring_starts"], ctx["ring_roles"],
@@ -115,21 +114,50 @@ class Build3D:
         cx, cy = tile_center(tx, ty)
         cells = cell_id_of(tx, ty)
 
-        coords_col = batch.column("coords")
-        if isinstance(coords_col, pa.ChunkedArray):
-            coords_col = coords_col.combine_chunks()
-        ring_off_col = batch.column("ring_offsets")
-        if isinstance(ring_off_col, pa.ChunkedArray):
-            ring_off_col = ring_off_col.combine_chunks()
-        ring_role_col = batch.column("ring_roles")
-        if isinstance(ring_role_col, pa.ChunkedArray):
-            ring_role_col = ring_role_col.combine_chunks()
+        def list_col(name):
+            col = batch.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return np.asarray(col.values), np.asarray(col.offsets).astype(np.int64)
 
-        flat_coords = np.asarray(coords_col.values)
-        coord_offsets = np.asarray(coords_col.offsets) // 2
-        flat_ring_starts = np.asarray(ring_off_col.values)
-        ring_offsets_per_row = np.asarray(ring_off_col.offsets)
-        flat_roles = np.asarray(ring_role_col.values)
+        flat_coords_xy, coord_offs = list_col("coords")
+        flat_ring_starts, ring_offs = list_col("ring_offsets")
+        flat_roles, _ = list_col("ring_roles")
+        coords = flat_coords_xy.reshape(-1, 2).copy()
+        vert_offs = coord_offs // 2  # per-row vertex start
+        verts_per_row = np.diff(vert_offs)
+        rings_per_row = np.diff(ring_offs)
+
+        # ---- M3: tile-frame offset, whole batch ------------------------
+        coords[:, 0] -= np.repeat(cx, verts_per_row)
+        coords[:, 1] -= np.repeat(cy, verts_per_row)
+
+        # ---- global per-ring vertex offsets -----------------------------
+        row_of_ring = np.repeat(np.arange(n), rings_per_row)
+        g_ring_starts = flat_ring_starts + vert_offs[row_of_ring]
+        total_verts = len(coords)
+        g_ring_ends = np.empty_like(g_ring_starts)
+        g_ring_ends[:-1] = g_ring_starts[1:]
+        if len(g_ring_ends):
+            g_ring_ends[-1] = total_verts
+        # rows' last ring ends at the row's vertex end
+        last_ring_of_row = np.cumsum(rings_per_row) - 1
+        valid_rows = rings_per_row > 0
+        g_ring_ends[last_ring_of_row[valid_rows]] = vert_offs[1:][valid_rows]
+        ring_nverts = g_ring_ends - g_ring_starts
+
+        # ---- M4: winding normalization, whole batch ---------------------
+        areas = _ring_areas(coords, g_ring_starts, g_ring_ends)
+        is_cw = areas > 0
+        want_cw = flat_roles == 0
+        flip = is_cw != want_cw
+        if flip.any():
+            intra = np.arange(total_verts) - np.repeat(g_ring_starts, ring_nverts)
+            flip_v = np.repeat(flip, ring_nverts)
+            nv = np.repeat(ring_nverts, ring_nverts)
+            base = np.repeat(g_ring_starts, ring_nverts)
+            gather = np.where(flip_v, base + nv - 1 - intra, base + intra)
+            coords = coords[gather]
 
         heights = params.column("building_height").to_numpy(zero_copy_only=False)
         min_heights = params.column("building_min_height").to_numpy(zero_copy_only=False)
@@ -143,123 +171,139 @@ class Build3D:
         skeletons = batch.column("skeleton").to_numpy(zero_copy_only=False)
         geom_valid = batch.column("geom_valid").to_numpy(zero_copy_only=False)
 
-        out_rows = {
-            "osm_id": batch.column("osm_id"),
-            "cell_id": pa.array(cells, type=pa.uint64()),
-            "tile_x": pa.array(tx),
-            "tile_y": pa.array(ty),
-        }
-        wall_counts = np.zeros(n, dtype=np.int64)
-        roof_counts = np.zeros(n, dtype=np.int64)
+        # ---- roofs: per-building (earcut / skeleton loft) ---------------
+        roof_geoms: list[dict] = []
         roof_used = np.empty(n, dtype=object)
-        bboxes = np.full((n, 6), np.nan)
-        positions: list[np.ndarray] = []
-        uvs: list[np.ndarray] = []
-        normals: list[np.ndarray] = []
-        tex_ids: list[np.ndarray] = []
-
+        roof_counts = np.zeros(n, dtype=np.int64)
+        height_points_flat: np.ndarray | None = None
         for i in range(n):
-            if not geom_valid[i]:
+            if not geom_valid[i] or rings_per_row[i] == 0:
                 roof_used[i] = "invalid"
-                if self.emit_buffers:
-                    positions.append(np.empty((0, 3), np.float32))
-                    uvs.append(np.empty((0, 2), np.float32))
-                    normals.append(np.empty((0, 3), np.float32))
-                    tex_ids.append(np.empty(0, np.uint8))
+                roof_geoms.append(None)
                 continue
-            c0, c1 = coord_offsets[i], coord_offsets[i + 1]
-            coords = flat_coords[c0 * 2 : c1 * 2].reshape(-1, 2).copy()
-            # M3: offset to tile frame
-            coords[:, 0] -= cx[i]
-            coords[:, 1] -= cy[i]
-            r0, r1 = ring_offsets_per_row[i], ring_offsets_per_row[i + 1]
-            ring_starts = flat_ring_starts[r0:r1].astype(np.int64)
-            roles = flat_roles[r0:r1]
-            # M4: winding normalization
-            rb = RingBatch(
-                coords,
-                np.concatenate([ring_starts, [len(coords)]]),
-                roles,
-                np.array([0, len(ring_starts)]),
-            )
-            rb = normalize_winding(rb)
-            coords = rb.coords
-
-            h = heights[i]
-            mh = min_heights[i]
-            rh = roof_heights[i]
-            lv = levels[i]
-            roof_tex = ROOF_TEXTURE.get(roof_mats[i], 13)
-            wall_tex = FACADE_TEXTURE.get(fac_mats[i], 0)
-            win_tex = wall_tex if not windows[i] else wall_tex + 100
-
-            ends = np.concatenate([ring_starts[1:], [len(coords)]])
-            outer_ring = coords[ring_starts[0] : ends[0]]
+            r0, r1 = ring_offs[i], ring_offs[i + 1]
+            local_starts = flat_ring_starts[r0:r1].astype(np.int64)
+            local_roles = flat_roles[r0:r1]
+            c0, c1 = vert_offs[i], vert_offs[i + 1]
+            bcoords = coords[c0:c1]
+            ends = np.concatenate([local_starts[1:], [len(bcoords)]])
             ctx = {
-                "coords": coords,
-                "ring_starts": ring_starts,
-                "ring_roles": roles,
-                "outer_ring": outer_ring,
-                "height": h,
-                "roof_height": rh,
+                "coords": bcoords,
+                "ring_starts": local_starts,
+                "ring_roles": local_roles,
+                "outer_ring": bcoords[local_starts[0] : ends[0]],
+                "height": heights[i],
+                "roof_height": roof_heights[i],
                 "roof_direction": None if np.isnan(roof_dirs[i]) else roof_dirs[i],
-                "roof_tex": roof_tex,
+                "roof_tex": ROOF_TEXTURE.get(roof_mats[i], 13),
                 "skeleton": skeletons[i],
             }
             builder = self.roof_registry.get(roof_types[i], self._roof_flat)
             result = builder(ctx)
             used = roof_types[i] if roof_types[i] in self.roof_registry else "flat"
-            if result is None:  # fallback to flat (reference semantics)
+            if result is None:
                 result = self._roof_flat(ctx)
                 used = "flat"
-            roof_geom, height_points_all = result
+            geom, hps = result
             roof_used[i] = used
+            roof_counts[i] = len(geom["position"])
+            roof_geoms.append(geom)
+            if hps is not None:
+                if height_points_flat is None:
+                    height_points_flat = np.full(total_verts, np.nan)
+                height_points_flat[c0:c1] = hps
 
-            parts = [roof_geom]
-            wall_height = h - rh
-            for r in range(len(ring_starts)):
-                ring = coords[ring_starts[r] : ends[r]]
-                hp = None
-                if height_points_all is not None:
-                    hp = height_points_all[ring_starts[r] : ends[r]]
-                parts.append(
-                    build_walls(
-                        ring,
-                        min_height=mh,
-                        height=wall_height if hp is None else wall_height,
-                        levels=lv,
-                        window_width=WINDOW_WIDTH,
-                        texture_id_window=win_tex % 256,
-                        texture_id_wall=wall_tex,
-                        height_points=hp,
-                    )
-                )
-            pos = np.concatenate([p["position"] for p in parts])
-            uv = np.concatenate([p["uv"] for p in parts])
-            nrm = np.concatenate([p["normal"] for p in parts])
-            tid = np.concatenate([p["texture_id"] for p in parts])
-            roof_counts[i] = len(roof_geom["position"])
-            wall_counts[i] = len(pos) - roof_counts[i]
-            if len(pos):
-                bboxes[i, :3] = pos.min(axis=0)
-                bboxes[i, 3:] = pos.max(axis=0)
-            if self.emit_buffers:
-                positions.append(pos)
-                uvs.append(uv)
-                normals.append(nrm)
-                tex_ids.append(tid)
+        # ---- walls: one whole-batch call --------------------------------
+        ring_valid = geom_valid[row_of_ring]
+        # per-ring params (skip invalid rows by zeroing levels)
+        r_levels = np.where(ring_valid, levels[row_of_ring], 0.0)
+        r_minh = min_heights[row_of_ring]
+        r_wallh = (heights - roof_heights)[row_of_ring]
+        wall_tex = np.array(
+            [FACADE_TEXTURE.get(m, 0) for m in fac_mats], dtype=np.int64
+        )
+        win_tex = np.where(windows, (wall_tex + FACADE_WINDOW_OFFSET) % 256, wall_tex)
+        walls, wall_counts_per_ring = build_walls_batch(
+            coords,
+            np.concatenate([g_ring_starts, [total_verts]]),
+            r_minh,
+            r_wallh,
+            r_levels,
+            WINDOW_WIDTH,
+            wall_tex[row_of_ring],
+            win_tex[row_of_ring],
+            height_points=height_points_flat,
+        )
+        wall_counts = np.zeros(n, dtype=np.int64)
+        np.add.at(wall_counts, row_of_ring, wall_counts_per_ring)
 
-        out_rows["roof_type_used"] = pa.array(roof_used, type=pa.string())
-        out_rows["wall_vertices"] = pa.array(wall_counts)
-        out_rows["roof_vertices"] = pa.array(roof_counts)
-        out_rows["vertex_count"] = pa.array(wall_counts + roof_counts)
+        # ---- assemble per-building [roof, walls...] order ---------------
+        row_wall_start = np.concatenate([[0], np.cumsum(wall_counts)])
+
+        bboxes = np.full((n, 6), np.nan)
+        out_rows = {
+            "osm_id": batch.column("osm_id"),
+            "cell_id": pa.array(cells, type=pa.uint64()),
+            "tile_x": pa.array(tx),
+            "tile_y": pa.array(ty),
+            "roof_type_used": pa.array(roof_used, type=pa.string()),
+            "wall_vertices": pa.array(wall_counts),
+            "roof_vertices": pa.array(roof_counts),
+            "vertex_count": pa.array(wall_counts + roof_counts),
+        }
+
+        pieces_pos: list[np.ndarray] = []
+        pieces_uv: list[np.ndarray] = []
+        pieces_nrm: list[np.ndarray] = []
+        pieces_tid: list[np.ndarray] = []
+        for i in range(n):
+            rg = roof_geoms[i]
+            w0, w1 = row_wall_start[i], row_wall_start[i + 1]
+            if rg is not None and len(rg["position"]):
+                pieces_pos.append(rg["position"])
+                pieces_uv.append(rg["uv"])
+                pieces_nrm.append(rg["normal"])
+                pieces_tid.append(rg["texture_id"])
+            if w1 > w0:
+                pieces_pos.append(walls["position"][w0:w1])
+                pieces_uv.append(walls["uv"][w0:w1])
+                pieces_nrm.append(walls["normal"][w0:w1])
+                pieces_tid.append(walls["texture_id"][w0:w1])
+        flat_pos = (
+            np.concatenate(pieces_pos) if pieces_pos else np.empty((0, 3), np.float32)
+        )
+        counts_total = wall_counts + roof_counts
+        # per-building bbox from the assembled flat positions
+        bstarts = np.concatenate([[0], np.cumsum(counts_total)])
+        nonempty = counts_total > 0
+        if nonempty.any():
+            s = bstarts[:-1][nonempty]
+            e = bstarts[1:][nonempty]
+            for j in range(3):
+                colv = flat_pos[:, j].astype(np.float64)
+                bboxes[nonempty, j] = _seg_min(colv, s, e)
+                bboxes[nonempty, 3 + j] = _seg_max(colv, s, e)
         for j, name in enumerate(["min_x", "min_y", "min_z", "max_x", "max_y", "max_z"]):
             out_rows[name] = pa.array(bboxes[:, j])
+
         if self.emit_buffers:
-            out_rows["position"] = _list_of_f32(positions, 3)
-            out_rows["uv"] = _list_of_f32(uvs, 2)
-            out_rows["normal"] = _list_of_f32(normals, 3)
-            out_rows["texture_id"] = _list_of_u8(tex_ids)
+            offs64 = bstarts
+            out_rows["position"] = _wrap_list(flat_pos.reshape(-1), offs64 * 3, pa.float32())
+            out_rows["uv"] = _wrap_list(
+                (np.concatenate(pieces_uv) if pieces_uv else np.empty((0, 2), np.float32)).reshape(-1),
+                offs64 * 2,
+                pa.float32(),
+            )
+            out_rows["normal"] = _wrap_list(
+                (np.concatenate(pieces_nrm) if pieces_nrm else np.empty((0, 3), np.float32)).reshape(-1),
+                offs64 * 3,
+                pa.float32(),
+            )
+            out_rows["texture_id"] = _wrap_list(
+                np.concatenate(pieces_tid) if pieces_tid else np.empty(0, np.uint8),
+                offs64,
+                pa.uint8(),
+            )
         return pa.table(out_rows)
 
 
@@ -271,23 +315,43 @@ class Build3DStats(Build3D):
         super().__init__(emit_buffers=False)
 
 
-def _list_of_f32(arrays: list[np.ndarray], width: int) -> pa.ListArray:
-    lens = np.array([a.size for a in arrays], dtype=np.int64)
-    flat = (
-        np.concatenate([a.reshape(-1) for a in arrays])
-        if arrays
-        else np.empty(0, np.float32)
-    )
-    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-    return pa.LargeListArray.from_arrays(
-        pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.float32())
-    )
+def _ring_areas(coords: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Signed areas for rings given [start, end) windows (reference formula)."""
+    x = coords[:, 0]
+    y = coords[:, 1]
+    nxt = np.arange(1, len(coords) + 1)
+    nxt[ends - 1] = starts
+    cross = (x[nxt] - x) * (y[nxt] + y)
+    csum = np.concatenate([[0.0], np.cumsum(cross)])
+    return (csum[ends] - csum[starts]) / 2.0
 
 
-def _list_of_u8(arrays: list[np.ndarray]) -> pa.ListArray:
-    lens = np.array([len(a) for a in arrays], dtype=np.int64)
-    flat = np.concatenate(arrays) if arrays else np.empty(0, np.uint8)
-    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+def _seg_min(arr: np.ndarray, s: np.ndarray, e: np.ndarray) -> np.ndarray:
+    idx = np.empty(2 * len(s), dtype=np.int64)
+    idx[0::2] = s
+    idx[1::2] = e
+    if idx[-1] >= len(arr):
+        idx[-1] = len(arr) - 1
+        res = np.minimum.reduceat(arr, idx)[0::2]
+        res[-1] = arr[s[-1] : e[-1]].min()
+        return res
+    return np.minimum.reduceat(arr, idx)[0::2]
+
+
+def _seg_max(arr: np.ndarray, s: np.ndarray, e: np.ndarray) -> np.ndarray:
+    idx = np.empty(2 * len(s), dtype=np.int64)
+    idx[0::2] = s
+    idx[1::2] = e
+    if idx[-1] >= len(arr):
+        idx[-1] = len(arr) - 1
+        res = np.maximum.reduceat(arr, idx)[0::2]
+        res[-1] = arr[s[-1] : e[-1]].max()
+        return res
+    return np.maximum.reduceat(arr, idx)[0::2]
+
+
+def _wrap_list(flat: np.ndarray, offsets: np.ndarray, typ) -> pa.LargeListArray:
     return pa.LargeListArray.from_arrays(
-        pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.uint8())
+        pa.array(offsets.astype(np.int64), type=pa.int64()),
+        pa.array(flat, type=typ),
     )
