@@ -190,6 +190,12 @@ def _q_geometry_stats(sf_dir: str) -> Any:
     return geometry_stats(ray.data.read_parquet(str(root / "documents")))
 
 
+def _q_media_features(sf_dir: str) -> Any:
+    from osm_data_3d_tiles_ray.stages.media import media_features
+
+    return media_features(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osm_data_3d_tiles_ray.pipelines import ann, events, geo, textops
 
@@ -210,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": textops.text_stats,
         "lang_quality": textops.lang_quality,
         "minhash_near_dup": textops.minhash_near_dup,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "media_features": _q_media_features,
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "events_hourly": events.hourly_by_type,

@@ -1,0 +1,144 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "...", "value": <flagship sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, "num_cpus": 32,
+     "docs_per_sec": ...}
+
+``--scaling``: run the flagship pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 over the same input and report throughput at
+both plus efficiency = (T8/T32)/4 — the sandbox stand-in for the north
+rule's N vs 4N-node clusters (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _flagship(sf_dir: str) -> tuple[int, float]:
+    """Full documents→tiles geometry pipeline; returns (n_docs, seconds)."""
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import geometry_stats
+    from osm_data_3d_tiles_ray.synth.generator import ensure_synth, n_docs_for_sf, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    root = ensure_synth(sf)  # cached; generation excluded from timing
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    docs = ray.data.read_parquet(str(root / "documents"))
+    t0 = time.time()
+    stats = geometry_stats(docs, concurrency=(1, num_cpus), batch_size=1024)
+    n_tiles = stats.count()
+    dt = time.time() - t0
+    assert n_tiles > 0
+    return n_docs_for_sf(sf), dt
+
+
+def _run_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as e
+
+    import ray.data
+
+    out: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # consume the stream
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus), "GRAFT_SF_DIR": sf_dir},
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        t8 = results[8]["value"]
+        t32 = results[32]["value"]
+        eff = (t8 / t32) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship scaling 8->32 cpus (docs/sec, efficiency)",
+                    "sf": results[32]["sf"],
+                    "t_8cpu_sec": t8,
+                    "t_32cpu_sec": t32,
+                    "docs_per_sec_8cpu": results[8]["docs_per_sec"],
+                    "docs_per_sec_32cpu": results[32]["docs_per_sec"],
+                    "speedup_8_to_32": round(t8 / t32, 3),
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    if "--flagship-only" in sys.argv:
+        n_docs, dt = _flagship(sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "end-to-end buildings->3D-tiles throughput",
+                    "value": round(dt, 3),
+                    "unit": "sec",
+                    "sf": _sf(sf_dir),
+                    "num_cpus": num_cpus,
+                    "n_docs": n_docs,
+                    "docs_per_sec": round(n_docs / dt, 1),
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
+    n_docs, dt = _flagship(sf_dir)
+    queries = _run_queries(sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end buildings->3D-tiles throughput (docs/sec)",
+                "value": round(dt, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf(sf_dir),
+                "num_cpus": num_cpus,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / dt, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def _sf(sf_dir: str) -> float:
+    from osm_data_3d_tiles_ray.synth.generator import sf_from_dir
+
+    return sf_from_dir(sf_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -204,8 +204,8 @@ def build_walls_batch(
     y0t = minh + h0 * v1
     y1t = minh + h1 * v1
 
-    # ---- assemble 6 vertices per block
-    pos = np.empty((S, 6, 3), dtype=np.float64)
+    # ---- assemble 6 vertices per block (float32 directly: no f64 copy)
+    pos = np.empty((S, 6, 3), dtype=np.float32)
     pos[:, 0, :2] = p1
     pos[:, 0, 2] = y1b
     pos[:, 1, :2] = p0
@@ -219,14 +219,14 @@ def build_walls_batch(
     pos[:, 5, :2] = p1
     pos[:, 5, 2] = y1t
 
-    uv = np.empty((S, 6, 2), dtype=np.float64)
+    uv = np.empty((S, 6, 2), dtype=np.float32)
     uv[:, [1, 2, 4], 0] = f0[:, None]
     uv[:, [0, 3, 5], 0] = f1[:, None]
     uv[:, [0, 1, 3], 1] = 0.0
     uv[:, [2, 4, 5], 1] = 1.0
 
     nrm2 = np.stack([-(seg_vec[:, 1]), seg_vec[:, 0]], axis=1) / seg_len[:, None]
-    normal = np.zeros((S, 6, 3), dtype=np.float64)
+    normal = np.zeros((S, 6, 3), dtype=np.float32)
     normal[:, :, 0] = nrm2[seg_i, 0][:, None]
     normal[:, :, 1] = nrm2[seg_i, 1][:, None]
 
@@ -239,9 +239,9 @@ def build_walls_batch(
 
     return (
         {
-            "position": pos.reshape(-1, 3).astype(np.float32),
-            "uv": uv.reshape(-1, 2).astype(np.float32),
-            "normal": normal.reshape(-1, 3).astype(np.float32),
+            "position": pos.reshape(-1, 3),
+            "uv": uv.reshape(-1, 2),
+            "normal": normal.reshape(-1, 3),
             "texture_id": texture_id,
         },
         out_counts,

@@ -49,6 +49,92 @@ def geometry_stats(documents: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     return tile_geometry_stats(built_ds(documents, emit_buffers=False, **kw))
 
 
+def seed_tiles(
+    documents: "ray.data.Dataset",
+    out_dir: str,
+    projection: str = "mercator",
+    **kw,
+) -> dict:
+    """Resumable seed run (the reference's ``seed-b3dm`` path, checkpointed).
+
+    Output partition = one z12 parent cell; each partition is one parquet
+    file of merged z16 tile payloads + a lineage record (state/lineage.py).
+    Re-running after a kill SKIPS completed partitions; finishes with a
+    ``_manifest.json`` commit log and the tileset JSON tree.
+    Returns the manifest dict.
+    """
+    import numpy as np
+
+    from ..constants import LEAF_ZOOM, ROOT_ZOOM
+    from ..geom.transforms import cell_to_tile
+    from ..state.lineage import PartitionWriter, finalize_manifest
+
+    shift = LEAF_ZOOM - ROOT_ZOOM
+    built = built_ds(documents, emit_buffers=True, **kw)
+
+    def add_parent(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = batch.column("tile_y").to_numpy(zero_copy_only=False)
+        parent = (
+            (tx.astype(np.int64) >> shift) << np.int64(32)
+        ) | (ty.astype(np.int64) >> shift)
+        return batch.append_column("parent_cell", pa.array(parent))
+
+    writer = PartitionWriter(out_dir)
+
+    def write_parent(group: pa.Table) -> pa.Table:
+        parent = int(group.column("parent_cell")[0].as_py())
+        px, py = parent >> 32, parent & 0xFFFFFFFF
+        pid = f"{ROOT_ZOOM}_{px}_{py}"
+        rows_in = len(group)
+        if writer.is_done(pid):
+            rec = writer.record(pid, rows_in, 0, 0, "skipped", "")
+            return pa.table({k: [v] for k, v in _manifest_row(rec).items()})
+        from ..stages.accumulate import _merge_tile_group
+
+        cells = group.column("cell_id").to_numpy(zero_copy_only=False)
+        merged = []
+        for c in np.unique(cells):
+            sub = group.filter(pa.compute.equal(group.column("cell_id"), pa.scalar(c, pa.uint64())))
+            merged.append(_merge_tile_group(sub.drop_columns(["parent_cell"])))
+        table = pa.concat_tables(merged)
+        fingerprint = f"n={rows_in}"
+        rec = writer.write(pid, table, rows_in, fingerprint)
+        return pa.table({k: [v] for k, v in _manifest_row(rec).items()})
+
+    manifest_ds = (
+        built.map_batches(add_parent, batch_format="pyarrow")
+        .groupby("parent_cell")
+        .map_groups(write_parent, batch_format="pyarrow")
+    )
+    manifest_ds.count()  # drive the stream
+    manifest = finalize_manifest(out_dir)
+
+    # tileset tree from the committed fragments
+    frag_paths = [f"{out_dir}/{f}" for f in manifest["fragments"]]
+    if frag_paths:
+        stats = ray.data.read_parquet(
+            frag_paths, columns=["cell_id", "batch_length", "vertex_count", "max_z"]
+        ).to_pandas()
+        z, tx, ty = cell_to_tile(stats["cell_id"].to_numpy().astype("uint64"))
+        stats["tile_z"] = z
+        stats["tile_x"] = tx
+        stats["tile_y"] = ty
+        from ..stages.tileset import build_tileset_tree, write_tileset
+
+        write_tileset(build_tileset_tree(stats, projection=projection), out_dir)
+    return manifest
+
+
+def _manifest_row(rec: dict) -> dict:
+    return {
+        "partition_id": rec["partition_id"],
+        "rows_in": rec["rows_in"],
+        "rows_out": rec["rows_out"],
+        "status": rec["status"],
+    }
+
+
 def full_pipeline(
     documents: "ray.data.Dataset",
     out_dir: str | None = None,

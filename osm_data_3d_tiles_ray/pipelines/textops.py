@@ -119,6 +119,46 @@ def lang_quality(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    """Winnowing-style rolling-hash fingerprint per document: min/max of
+    k-gram rolling hashes → a compact content signature (doc_id,
+    fp_min, fp_max, fp_xor)."""
+    K = 8
+    B = np.uint64(257)
+    BK = B ** np.uint64(K - 1)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_numpy(zero_copy_only=False)
+        mn = np.empty(len(texts), dtype=np.int64)
+        mx = np.empty(len(texts), dtype=np.int64)
+        xr = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < K:
+                h = np.zeros(1, dtype=np.uint64)
+            else:
+                # rolling polynomial hash via cumulative products (vectorized)
+                powers = B ** np.arange(K, dtype=np.uint64)
+                w = np.lib.stride_tricks.sliding_window_view(b, K)
+                h = (w * powers[::-1]).sum(axis=1)
+            mn[i] = np.int64(h.min().astype(np.int64))
+            mx[i] = np.int64(h.max().astype(np.int64))
+            xr[i] = np.int64(np.bitwise_xor.reduce(h).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp_min": pa.array(mn),
+                "fp_max": pa.array(mx),
+                "fp_xor": pa.array(xr),
+            }
+        )
+
+    _ = BK  # (kept for the classic rolling update form)
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate detection
 

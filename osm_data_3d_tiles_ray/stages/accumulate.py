@@ -59,18 +59,43 @@ def _partial_tile_geom_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+def _combine_partials(batch: pa.Table) -> pa.Table:
+    """Merge partial stat rows sharing a cell (associative combine)."""
+    cells = batch.column("cell_id").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(cells, return_inverse=True)
+    out = {"cell_id": pa.array(uniq, type=pa.uint64())}
+    for name, op in [("p_count", "sum"), ("p_verts", "sum")]:
+        col = batch.column(name).to_numpy(zero_copy_only=False)
+        acc = np.bincount(inv, weights=col).astype(np.int64)
+        out[name] = pa.array(acc)
+    for name in ["p_min_x", "p_min_y", "p_min_z"]:
+        col = batch.column(name).to_numpy(zero_copy_only=False)
+        acc = np.full(len(uniq), np.inf)
+        np.minimum.at(acc, inv, col)
+        out[name] = pa.array(acc)
+    for name in ["p_max_x", "p_max_y", "p_max_z"]:
+        col = batch.column(name).to_numpy(zero_copy_only=False)
+        acc = np.full(len(uniq), -np.inf)
+        np.maximum.at(acc, inv, col)
+        out[name] = pa.array(acc)
+    return pa.table(out)
+
+
 def tile_geometry_stats(built: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Per-building geometry rows → per-tile stats (combiner + tiny shuffle)."""
+    """Per-building geometry rows → per-tile stats.
+
+    Combiner tree instead of a sort-based groupby: per-block partials →
+    coalesce → associative combine → final combine in one block.  The
+    partial rows are bounded by the number of DISTINCT z16 cells touched
+    (≤ ~67M globally), so the final combine block stays small even at
+    100 TB input; a hash groupby would shuffle the same rows with sort
+    overhead on top."""
     partial = built.map_batches(_partial_tile_geom_stats, batch_format="pyarrow")
-    merged = partial.groupby("cell_id").aggregate(
-        ray.data.aggregate.Sum("p_count", alias_name="batch_length"),
-        ray.data.aggregate.Sum("p_verts", alias_name="vertex_count"),
-        ray.data.aggregate.Min("p_min_x", alias_name="min_x"),
-        ray.data.aggregate.Min("p_min_y", alias_name="min_y"),
-        ray.data.aggregate.Min("p_min_z", alias_name="min_z"),
-        ray.data.aggregate.Max("p_max_x", alias_name="max_x"),
-        ray.data.aggregate.Max("p_max_y", alias_name="max_y"),
-        ray.data.aggregate.Max("p_max_z", alias_name="max_z"),
+    level1 = partial.repartition(8).map_batches(
+        _combine_partials, batch_format="pyarrow", batch_size=None
+    )
+    final = level1.repartition(1).map_batches(
+        _combine_partials, batch_format="pyarrow", batch_size=None
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -81,14 +106,18 @@ def tile_geometry_stats(built: "ray.data.Dataset") -> "ray.data.Dataset":
             "tile_z": pa.array(zoom),
             "tile_x": pa.array(tx),
             "tile_y": pa.array(ty),
-            "batch_length": pa.compute.cast(batch.column("batch_length"), pa.int64()),
-            "vertex_count": pa.compute.cast(batch.column("vertex_count"), pa.int64()),
+            "batch_length": batch.column("p_count"),
+            "vertex_count": batch.column("p_verts"),
+            "min_x": batch.column("p_min_x"),
+            "min_y": batch.column("p_min_y"),
+            "min_z": batch.column("p_min_z"),
+            "max_x": batch.column("p_max_x"),
+            "max_y": batch.column("p_max_y"),
+            "max_z": batch.column("p_max_z"),
         }
-        for name in ["min_x", "min_y", "min_z", "max_x", "max_y", "max_z"]:
-            cols[name] = batch.column(name)
         return pa.table(cols)
 
-    return merged.map_batches(finish, batch_format="pyarrow")
+    return final.map_batches(finish, batch_format="pyarrow")
 
 
 def _merge_tile_group(group: pa.Table) -> pa.Table:

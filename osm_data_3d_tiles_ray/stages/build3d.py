@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..constants import WINDOW_WIDTH
+from ..geom.earcut import triangulate_multipolygon
 from ..geom.roofs import (
     build_flat_roof,
     build_hipped_roof,
@@ -171,47 +172,132 @@ class Build3D:
         skeletons = batch.column("skeleton").to_numpy(zero_copy_only=False)
         geom_valid = batch.column("geom_valid").to_numpy(zero_copy_only=False)
 
-        # ---- roofs: per-building (earcut / skeleton loft) ---------------
-        roof_geoms: list[dict] = []
+        # ---- roofs ------------------------------------------------------
+        # flat roofs (the default + every fallback) are assembled for the
+        # WHOLE batch in one numpy pass; convex hole-free footprints skip
+        # earcut via a fan triangulation (valid for convex polygons); only
+        # hipped/pyramidal/skillion and concave/holed flats loop per row.
+        roof_geoms: list[dict | None] = [None] * n
         roof_used = np.empty(n, dtype=object)
         roof_counts = np.zeros(n, dtype=np.int64)
         height_points_flat: np.ndarray | None = None
+
+        # convexity per ring (vectorized): all cross products one sign
+        convex = np.ones(len(g_ring_starts), dtype=bool)
+        if total_verts:
+            x = coords[:, 0]
+            y = coords[:, 1]
+            # cross product at each vertex of the OPEN ring with wraparound
+            base_r = np.repeat(g_ring_starts, np.maximum(ring_nverts - 1, 0))
+            intra_r = np.arange(len(base_r)) - np.repeat(
+                np.concatenate([[0], np.cumsum(np.maximum(ring_nverts - 1, 0))[:-1]]),
+                np.maximum(ring_nverts - 1, 0),
+            )
+            nv_r = np.repeat(np.maximum(ring_nverts - 1, 0), np.maximum(ring_nverts - 1, 0))
+            i0 = base_r + intra_r
+            i1 = base_r + (intra_r + 1) % nv_r
+            i2 = base_r + (intra_r + 2) % nv_r
+            cr = (x[i1] - x[i0]) * (y[i2] - y[i1]) - (y[i1] - y[i0]) * (x[i2] - x[i1])
+            ring_of_v = np.repeat(
+                np.arange(len(g_ring_starts)), np.maximum(ring_nverts - 1, 0)
+            )
+            pos_any = np.zeros(len(g_ring_starts), dtype=bool)
+            neg_any = np.zeros(len(g_ring_starts), dtype=bool)
+            np.logical_or.at(pos_any, ring_of_v, cr > 1e-12)
+            np.logical_or.at(neg_any, ring_of_v, cr < -1e-12)
+            convex = ~(pos_any & neg_any)
+
+        first_ring_of_row = ring_offs[:-1]
+        flat_tri_chunks: list[np.ndarray] = []
+        flat_tri_counts = np.zeros(n, dtype=np.int64)
+        flat_z = np.empty(n)
+
         for i in range(n):
             if not geom_valid[i] or rings_per_row[i] == 0:
                 roof_used[i] = "invalid"
-                roof_geoms.append(None)
                 continue
-            r0, r1 = ring_offs[i], ring_offs[i + 1]
-            local_starts = flat_ring_starts[r0:r1].astype(np.int64)
-            local_roles = flat_roles[r0:r1]
-            c0, c1 = vert_offs[i], vert_offs[i + 1]
-            bcoords = coords[c0:c1]
-            ends = np.concatenate([local_starts[1:], [len(bcoords)]])
-            ctx = {
-                "coords": bcoords,
-                "ring_starts": local_starts,
-                "ring_roles": local_roles,
-                "outer_ring": bcoords[local_starts[0] : ends[0]],
-                "height": heights[i],
-                "roof_height": roof_heights[i],
-                "roof_direction": None if np.isnan(roof_dirs[i]) else roof_dirs[i],
-                "roof_tex": ROOF_TEXTURE.get(roof_mats[i], 13),
-                "skeleton": skeletons[i],
-            }
-            builder = self.roof_registry.get(roof_types[i], self._roof_flat)
-            result = builder(ctx)
-            used = roof_types[i] if roof_types[i] in self.roof_registry else "flat"
-            if result is None:
-                result = self._roof_flat(ctx)
-                used = "flat"
-            geom, hps = result
-            roof_used[i] = used
-            roof_counts[i] = len(geom["position"])
-            roof_geoms.append(geom)
-            if hps is not None:
-                if height_points_flat is None:
-                    height_points_flat = np.full(total_verts, np.nan)
-                height_points_flat[c0:c1] = hps
+            rt = roof_types[i]
+            builder = self.roof_registry.get(rt)
+            use_flat = builder is None or builder == self._roof_flat
+            result = None
+            if not use_flat:
+                r0, r1 = ring_offs[i], ring_offs[i + 1]
+                local_starts = flat_ring_starts[r0:r1].astype(np.int64)
+                c0, c1 = vert_offs[i], vert_offs[i + 1]
+                bcoords = coords[c0:c1]
+                ends = np.concatenate([local_starts[1:], [len(bcoords)]])
+                ctx = {
+                    "coords": bcoords,
+                    "ring_starts": local_starts,
+                    "ring_roles": flat_roles[r0:r1],
+                    "outer_ring": bcoords[local_starts[0] : ends[0]],
+                    "height": heights[i],
+                    "roof_height": roof_heights[i],
+                    "roof_direction": None if np.isnan(roof_dirs[i]) else roof_dirs[i],
+                    "roof_tex": ROOF_TEXTURE.get(roof_mats[i], 13),
+                    "skeleton": skeletons[i],
+                }
+                result = builder(ctx)
+                if result is not None:
+                    geom, hps = result
+                    roof_used[i] = rt
+                    roof_counts[i] = len(geom["position"])
+                    roof_geoms[i] = geom
+                    if hps is not None:
+                        if height_points_flat is None:
+                            height_points_flat = np.full(total_verts, np.nan)
+                        height_points_flat[c0:c1] = hps
+                    continue
+            # flat roof path (either chosen or fallback — reference semantics)
+            roof_used[i] = "flat"
+            gr = first_ring_of_row[i]
+            s = g_ring_starts[gr]
+            k = ring_nverts[gr] - 1  # open vertex count (rings are closed)
+            if rings_per_row[i] == 1 and convex[gr] and k >= 3:
+                j = np.arange(1, k - 1, dtype=np.int64)
+                tris = np.stack([np.full(k - 2, s), s + j, s + j + 1], axis=1)
+            else:
+                r0, r1 = ring_offs[i], ring_offs[i + 1]
+                local_starts = flat_ring_starts[r0:r1].astype(np.int64)
+                c0, c1 = vert_offs[i], vert_offs[i + 1]
+                tris = triangulate_multipolygon(
+                    coords[c0:c1], local_starts, flat_roles[r0:r1]
+                )
+                tris = tris + c0
+            flat_tri_chunks.append(tris)
+            flat_tri_counts[i] = len(tris)
+            flat_z[i] = heights[i]
+            roof_counts[i] = len(tris) * 3
+
+        # assemble all flat roofs at once
+        flat_roof_pos = np.empty((0, 3), np.float32)
+        flat_roof_uv = np.empty((0, 2), np.float32)
+        flat_roof_nrm = np.empty((0, 3), np.float32)
+        flat_roof_tid = np.empty(0, np.uint8)
+        flat_spans = np.concatenate([[0], np.cumsum(flat_tri_counts * 3)])
+        if flat_tri_chunks:
+            tri_idx = np.concatenate(flat_tri_chunks)
+            pts2 = coords[tri_idx]  # (T, 3, 2)
+            zs = np.repeat(flat_z, flat_tri_counts)
+            # upward orientation (flat roofs face +z)
+            crz = (pts2[:, 1, 0] - pts2[:, 0, 0]) * (pts2[:, 2, 1] - pts2[:, 0, 1]) - (
+                pts2[:, 1, 1] - pts2[:, 0, 1]
+            ) * (pts2[:, 2, 0] - pts2[:, 0, 0])
+            wrong = crz < 0
+            pts2[wrong] = pts2[wrong][:, ::-1, :]
+            tri_pts = np.concatenate(
+                [pts2, np.broadcast_to(zs[:, None, None], (*pts2.shape[:2], 1))], axis=2
+            )
+            m = tri_pts.reshape(-1, 3)
+            flat_roof_pos = m.astype(np.float32)
+            flat_roof_uv = (m[:, :2] * 0.1).astype(np.float32)
+            flat_roof_nrm = np.zeros((len(m), 3), np.float32)
+            flat_roof_nrm[:, 2] = 1.0
+            row_of_tri = np.repeat(np.arange(n), flat_tri_counts)
+            tid_row = np.array(
+                [ROOF_TEXTURE.get(mt, 13) for mt in roof_mats], dtype=np.uint8
+            )
+            flat_roof_tid = np.repeat(tid_row[row_of_tri], 3)
 
         # ---- walls: one whole-batch call --------------------------------
         ring_valid = geom_valid[row_of_ring]
@@ -264,6 +350,12 @@ class Build3D:
                 pieces_uv.append(rg["uv"])
                 pieces_nrm.append(rg["normal"])
                 pieces_tid.append(rg["texture_id"])
+            elif flat_spans[i + 1] > flat_spans[i]:
+                f0, f1 = flat_spans[i], flat_spans[i + 1]
+                pieces_pos.append(flat_roof_pos[f0:f1])
+                pieces_uv.append(flat_roof_uv[f0:f1])
+                pieces_nrm.append(flat_roof_nrm[f0:f1])
+                pieces_tid.append(flat_roof_tid[f0:f1])
             if w1 > w0:
                 pieces_pos.append(walls["position"][w0:w1])
                 pieces_uv.append(walls["uv"][w0:w1])
