@@ -28,7 +28,10 @@ import numpy as np
 
 from .earcut import triangulate_multipolygon
 
-ROOF_TYPES_IMPLEMENTED = {"flat", "hipped", "pyramidal", "skillion"}
+ROOF_TYPES_IMPLEMENTED = {
+    "flat", "hipped", "pyramidal", "skillion", "dome", "onion", "round",
+    "gabled", "gambrel", "saltbox", "mansard",
+}  # quadrupleSaltbox falls back to flat in round 1
 
 
 def _empty() -> dict[str, np.ndarray]:
@@ -114,14 +117,33 @@ def _dist_to_ring_edges(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return np.sqrt((ex * ex + ey * ey).min(axis=1))
 
 
+def mansard_remap(p: np.ndarray) -> np.ndarray:
+    """Mansard depth→height remap (reference: mansard-roof-builder.ts:7-8,
+    79-85 — splitProgress 0.3, edgeBumpFactor 0.3, bottom/top piecewise)."""
+    split, bump = 0.3, 0.3
+    bottom = p + (p / split) * bump
+    top = p + ((1.0 - p) / (1.0 - split)) * bump
+    return np.where(p < split, bottom, top)
+
+
+def gambrel_remap(p: np.ndarray) -> np.ndarray:
+    """Gambrel skeleton-variant remap (gambrel-roof-builder.ts:9-10)."""
+    split, bump = 0.1, 0.1
+    bottom = p + (p / split) * bump
+    top = p + ((1.0 - p) / (1.0 - split)) * bump
+    return np.where(p < split, bottom, top)
+
+
 def build_hipped_roof(
     outer_ring: np.ndarray,
     skeleton_json: str,
     min_height: float,
     roof_height: float,
     texture_id: int,
+    remap=None,
 ) -> dict[str, np.ndarray] | None:
-    """Skeleton faces lofted: vertex z = minH + dist-to-edge / maxDist × roofH.
+    """Skeleton faces lofted: vertex z = minH + dist-to-edge / maxDist × roofH
+    (optionally remapped — mansard/gambrel piecewise profiles).
 
     Returns None if the skeleton is unusable (caller falls back to flat —
     reference semantics)."""
@@ -134,7 +156,10 @@ def build_hipped_roof(
     max_d = depth.max()
     if max_d <= 0:
         return None
-    z = min_height + depth / max_d * roof_height
+    frac = depth / max_d
+    if remap is not None:
+        frac = np.clip(remap(frac), 0.0, 1.0)
+    z = min_height + frac * roof_height
     tris: list[np.ndarray] = []
     for poly in polys:
         if len(poly) < 3 or max(poly) >= len(verts):
@@ -167,6 +192,221 @@ def build_pyramidal_roof(
     tri_pts = np.stack([a, b, np.tile(apex, (n, 1))], axis=1)
     nrm = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     wrong = nrm[:, 2] < 0
+    tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
+    return _pack(tri_pts, texture_id)
+
+
+# profile constants — verbatim from the reference's data-driven subclasses
+# (SURVEY.md §2.7: profiles are data, not code)
+PROFILE_GABLED = [(0.0, 0.0), (0.5, 1.0), (1.0, 0.0)]  # oriented-gabled-roof-builder.ts:5-9
+PROFILE_GAMBREL = [  # oriented-gambrel-roof-builder.ts:5-11
+    (0.0, 0.0), (0.15, 0.8), (0.5, 1.0), (0.85, 0.8), (1.0, 0.0),
+]
+PROFILE_SALTBOX = [(0.0, 0.0), (0.7, 1.0), (1.0, 0.2)]  # oriented-saltbox-roof-builder.ts:5-9
+PROFILE_ROUND = [  # oriented-round-roof-builder.ts:5-25 (19-point sine arc)
+    (0.0, 0.0),
+    (0.00759612349389599, 0.17364817766693041),
+    (0.03015368960704584, 0.3420201433256688),
+    (0.0669872981077807, 0.5000000000000001),
+    (0.116977778440511, 0.6427876096865394),
+    (0.17860619515673037, 0.766044443118978),
+    (0.25, 0.8660254037844387),
+    (0.32898992833716567, 0.9396926207859084),
+    (0.41317591116653485, 0.984807753012208),
+    (0.5, 1.0),
+    (0.5868240888334652, 0.984807753012208),
+    (0.6710100716628343, 0.9396926207859084),
+    (0.75, 0.8660254037844387),
+    (0.8213938048432696, 0.766044443118978),
+    (0.883022221559489, 0.6427876096865394),
+    (0.9330127018922193, 0.5000000000000001),
+    (0.9698463103929542, 0.3420201433256688),
+    (0.9924038765061041, 0.17364817766693041),
+    (1.0, 0.0),
+]
+# curved (lathe) profiles: (radius fraction from center, height fraction)
+PROFILE_DOME = [  # dome-roof-builder.ts:5-16 (quarter circle)
+    (0.0, 1.0),
+    (0.17364817766693033, 0.984807753012208),
+    (0.3420201433256687, 0.9396926207859084),
+    (0.49999999999999994, 0.8660254037844387),
+    (0.6427876096865393, 0.766044443118978),
+    (0.766044443118978, 0.6427876096865394),
+    (0.8660254037844386, 0.5000000000000001),
+    (0.9396926207859083, 0.3420201433256688),
+    (0.984807753012208, 0.17364817766693041),
+    (1.0, 0.0),
+]
+PROFILE_ONION = [  # onion-roof-builder.ts:5-16
+    (0.0, 1.0),
+    (0.1111111111111111, 1.1470588235294117),
+    (0.2222222222222222, 1.1764705882352942),
+    (0.3333333333333333, 1.1470588235294117),
+    (0.4444444444444444, 1.0),
+    (0.5555555555555556, 0.7647058823529411),
+    (0.6666666666666666, 0.4117647058823529),
+    (0.7777777777777778, 0.15882352941176472),
+    (0.8888888888888888, 0.03529411764705882),
+    (1.0, 0.0),
+]
+
+
+def _is_convex(ring: np.ndarray) -> bool:
+    k = len(ring)
+    if k < 3:
+        return False
+    nxt = np.roll(ring, -1, axis=0)
+    nxt2 = np.roll(ring, -2, axis=0)
+    cr = (nxt[:, 0] - ring[:, 0]) * (nxt2[:, 1] - nxt[:, 1]) - (
+        nxt[:, 1] - ring[:, 1]
+    ) * (nxt2[:, 0] - nxt[:, 0])
+    return not ((cr > 1e-12).any() and (cr < -1e-12).any())
+
+
+def _clip_halfplane(poly: np.ndarray, t: np.ndarray, tmin: float, tmax: float):
+    """Sutherland–Hodgman clip of a convex polygon to the slab
+    ``tmin <= t <= tmax`` where t is a per-vertex linear coordinate.
+    Returns (clipped polygon, clipped t values) or None."""
+    def clip(poly, tv, bound, keep_leq):
+        out_p: list[np.ndarray] = []
+        out_t: list[float] = []
+        k = len(poly)
+        for i in range(k):
+            a, ta = poly[i], tv[i]
+            b, tb = poly[(i + 1) % k], tv[(i + 1) % k]
+            a_in = (ta <= bound) if keep_leq else (ta >= bound)
+            b_in = (tb <= bound) if keep_leq else (tb >= bound)
+            if a_in:
+                out_p.append(a)
+                out_t.append(ta)
+            if a_in != b_in and tb != ta:
+                f = (bound - ta) / (tb - ta)
+                out_p.append(a + (b - a) * f)
+                out_t.append(bound)
+        if len(out_p) < 3:
+            return None
+        return np.asarray(out_p), np.asarray(out_t)
+
+    r = clip(poly, t, tmax, True)
+    if r is None:
+        return None
+    r = clip(r[0], r[1], tmin, False)
+    return r
+
+
+def build_oriented_profile_roof(
+    outer_ring: np.ndarray,
+    min_height: float,
+    roof_height: float,
+    texture_id: int,
+    profile: list[tuple[float, float]],
+    orientation: str | None = None,
+    direction_deg: float | None = None,
+    respect_direction: bool = False,
+) -> tuple[dict[str, np.ndarray], np.ndarray] | None:
+    """Profile-extruded roof over a CONVEX footprint (G11).
+
+    The profile spans the footprint's across-axis (OMBB shorter extent by
+    default; ``orientation='across'`` swaps; an explicit ``direction`` wins
+    when ``respect_direction``).  The footprint is sliced into slabs at the
+    profile's t-breaks (reference ``splitPolygon``,
+    ``src/building/roof/utils.ts:112-218``); each slab is planar-lofted.
+
+    Returns (geometry, per-outer-vertex height points for the skirt walls)
+    or None for concave footprints (caller falls back to flat).
+    """
+    from .hull import ombb as _ombb
+
+    ring = (
+        outer_ring[:-1]
+        if len(outer_ring) > 1 and (outer_ring[0] == outer_ring[-1]).all()
+        else outer_ring
+    )
+    if not _is_convex(ring):
+        return None
+    if respect_direction and direction_deg is not None:
+        d = math.radians(direction_deg)
+        axis = np.array([math.sin(d), math.cos(d)])
+    else:
+        corners, _ = _ombb(ring)
+        e0 = corners[1] - corners[0]
+        e1 = corners[3] - corners[0]
+        l0, l1 = np.linalg.norm(e0), np.linalg.norm(e1)
+        # ridge along the longer box edge ⇒ profile across the shorter
+        axis = e1 / l1 if l0 >= l1 else e0 / l0
+        if orientation == "across":
+            axis = e0 / l0 if l0 >= l1 else e1 / l1
+    proj = ring @ axis
+    pmin, pmax = proj.min(), proj.max()
+    span = (pmax - pmin) or 1.0
+    t = (proj - pmin) / span
+
+    tris: list[np.ndarray] = []
+    for (t0, h0), (t1, h1) in zip(profile[:-1], profile[1:]):
+        band = _clip_halfplane(ring, t, t0, t1)
+        if band is None:
+            continue
+        poly, tv = band
+        dz = t1 - t0 or 1.0
+        z = min_height + (h0 + (tv - t0) / dz * (h1 - h0)) * roof_height
+        p3 = np.column_stack([poly, z])
+        for i in range(1, len(poly) - 1):
+            tris.append(np.stack([p3[0], p3[i], p3[i + 1]]))
+    if not tris:
+        return None
+    tri_pts = np.stack(tris)
+    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    wrong = n[:, 2] < 0
+    tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
+
+    # skirt: walls rise to the roof surface at each footprint vertex
+    hp_ring = min_height + np.interp(t, [p[0] for p in profile], [p[1] for p in profile]) * roof_height
+    if len(outer_ring) != len(ring):  # closed input: restore the duplicate
+        hp_ring = np.concatenate([hp_ring, hp_ring[:1]])
+    return _pack(tri_pts, texture_id), hp_ring
+
+
+def build_curved_roof(
+    outer_ring: np.ndarray,
+    center: np.ndarray,
+    min_height: float,
+    roof_height: float,
+    texture_id: int,
+    profile: list[tuple[float, float]],
+) -> dict[str, np.ndarray]:
+    """Lathe-style curved roof (G12): the footprint ring is scaled toward
+    ``center`` by each profile step's radius fraction and lofted
+    (dome/onion/pyramidal — reference curved-roof-builder.ts:15-315)."""
+    ring = (
+        outer_ring[:-1]
+        if len(outer_ring) > 1 and (outer_ring[0] == outer_ring[-1]).all()
+        else outer_ring
+    )
+    k = len(ring)
+    rel = ring - center
+    # profile ordered center→rim: (0, htop) ... (1, 0); loft rim-inward
+    tris: list[np.ndarray] = []
+    for (r0, h0), (r1, h1) in zip(profile[:-1], profile[1:]):
+        ra = center + rel * r0
+        rb = center + rel * r1
+        za = min_height + h0 * roof_height
+        zb = min_height + h1 * roof_height
+        a = np.column_stack([ra, np.full(k, za)])
+        b = np.column_stack([rb, np.full(k, zb)])
+        a2 = np.roll(a, -1, axis=0)
+        b2 = np.roll(b, -1, axis=0)
+        if r0 == 0.0:
+            tris.append(np.stack([a, b, b2], axis=1))
+        else:
+            tris.append(np.stack([a, b, b2], axis=1))
+            tris.append(np.stack([a, b2, a2], axis=1))
+    tri_pts = np.concatenate(tris, axis=0)
+    # drop degenerate triangles
+    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    keep = np.linalg.norm(n, axis=1) > 1e-12
+    tri_pts = tri_pts[keep]
+    n = n[keep]
+    wrong = n[:, 2] < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
     return _pack(tri_pts, texture_id)
 

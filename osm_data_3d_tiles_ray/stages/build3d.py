@@ -30,10 +30,20 @@ import pyarrow as pa
 from ..constants import WINDOW_WIDTH
 from ..geom.earcut import triangulate_multipolygon
 from ..geom.roofs import (
+    PROFILE_DOME,
+    PROFILE_GABLED,
+    PROFILE_GAMBREL,
+    PROFILE_ONION,
+    PROFILE_ROUND,
+    PROFILE_SALTBOX,
+    build_curved_roof,
     build_flat_roof,
     build_hipped_roof,
+    build_oriented_profile_roof,
     build_pyramidal_roof,
     build_skillion_roof,
+    gambrel_remap,
+    mansard_remap,
 )
 from ..geom.transforms import cell_id as cell_id_of, mercator_to_tile, tile_center
 from ..geom.walls_batch import build_walls_batch
@@ -54,11 +64,21 @@ class Build3D:
 
     def __init__(self, emit_buffers: bool = True):
         self.emit_buffers = emit_buffers
+        # dispatch mirrors building-builder.ts:145-212; quadrupleSaltbox and
+        # unknown types fall back to flat (engine round-1 coverage; the
+        # reference's own skeleton-failure fallback is flat too, :385-393)
         self.roof_registry = {
             "flat": self._roof_flat,
             "hipped": self._roof_hipped,
             "pyramidal": self._roof_pyramidal,
             "skillion": self._roof_skillion,
+            "dome": self._roof_dome,
+            "onion": self._roof_onion,
+            "round": self._roof_round,
+            "gabled": self._roof_gabled,
+            "gambrel": self._roof_gambrel,
+            "saltbox": self._roof_saltbox,
+            "mansard": self._roof_mansard,
         }
 
     # --- per-roof builders ------------------------------------------------
@@ -102,6 +122,84 @@ class Build3D:
             roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
         )
         return geom, zs
+
+    def _curved(self, ctx, profile):
+        ring = ctx["outer_ring"]
+        open_ring = ring[:-1] if len(ring) > 1 and (ring[0] == ring[-1]).all() else ring
+        if len(open_ring) < 3:
+            return None
+        center = open_ring.mean(axis=0)
+        return (
+            build_curved_roof(
+                ring, center,
+                min_height=ctx["height"] - ctx["roof_height"],
+                roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
+                profile=profile,
+            ),
+            None,
+        )
+
+    def _roof_dome(self, ctx):
+        return self._curved(ctx, PROFILE_DOME)
+
+    def _roof_onion(self, ctx):
+        return self._curved(ctx, PROFILE_ONION)
+
+    def _oriented(self, ctx, profile, respect_direction=False):
+        out = build_oriented_profile_roof(
+            ctx["outer_ring"],
+            min_height=ctx["height"] - ctx["roof_height"],
+            roof_height=ctx["roof_height"],
+            texture_id=ctx["roof_tex"],
+            profile=profile,
+            orientation=ctx.get("roof_orientation"),
+            direction_deg=ctx["roof_direction"],
+            respect_direction=respect_direction,
+        )
+        if out is None:
+            return None
+        geom, hp_ring = out
+        # expand the outer-ring height points to the full coord span
+        hps = np.full(len(ctx["coords"]), np.nan)
+        s = ctx["ring_starts"][0]
+        hps[s : s + len(hp_ring)] = hp_ring
+        return geom, hps
+
+    def _roof_round(self, ctx):
+        return self._oriented(ctx, PROFILE_ROUND)
+
+    def _roof_gabled(self, ctx):
+        return self._oriented(ctx, PROFILE_GABLED)
+
+    def _roof_saltbox(self, ctx):
+        return self._oriented(ctx, PROFILE_SALTBOX, respect_direction=True)
+
+    def _roof_gambrel(self, ctx):
+        # reference: oriented variant when an orientation tag is present,
+        # else the skeleton-split variant (gambrel-roof-builder.ts)
+        if ctx.get("roof_orientation") in ("along", "across"):
+            return self._oriented(ctx, PROFILE_GAMBREL)
+        if ctx["skeleton"]:
+            out = build_hipped_roof(
+                ctx["outer_ring"], ctx["skeleton"],
+                min_height=ctx["height"] - ctx["roof_height"],
+                roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
+                remap=gambrel_remap,
+            )
+            if out is not None:
+                return out, None
+        return self._oriented(ctx, PROFILE_GAMBREL)
+
+    def _roof_mansard(self, ctx):
+        if not ctx["skeleton"]:
+            return None
+        out = build_hipped_roof(
+            ctx["outer_ring"], ctx["skeleton"],
+            min_height=ctx["height"] - ctx["roof_height"],
+            roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
+            remap=mansard_remap,
+        )
+        return None if out is None else (out, None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -166,6 +264,7 @@ class Build3D:
         levels = params.column("building_levels").to_numpy(zero_copy_only=False)
         roof_types = params.column("roof_type").to_numpy(zero_copy_only=False)
         roof_dirs = params.column("roof_direction").to_numpy(zero_copy_only=False)
+        roof_orients = params.column("roof_orientation").to_numpy(zero_copy_only=False)
         roof_mats = params.column("roof_material").to_numpy(zero_copy_only=False)
         fac_mats = params.column("facade_material").to_numpy(zero_copy_only=False)
         windows = params.column("windows").to_numpy(zero_copy_only=False)
@@ -234,6 +333,7 @@ class Build3D:
                     "height": heights[i],
                     "roof_height": roof_heights[i],
                     "roof_direction": None if np.isnan(roof_dirs[i]) else roof_dirs[i],
+                    "roof_orientation": roof_orients[i],
                     "roof_tex": ROOF_TEXTURE.get(roof_mats[i], 13),
                     "skeleton": skeletons[i],
                 }

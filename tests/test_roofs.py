@@ -1,0 +1,127 @@
+"""Roof builder geometry tests: area/height invariants per builder."""
+
+import numpy as np
+import pytest
+
+from osm_data_3d_tiles_ray.geom.roofs import (
+    PROFILE_DOME,
+    PROFILE_GABLED,
+    PROFILE_ONION,
+    PROFILE_ROUND,
+    PROFILE_SALTBOX,
+    build_curved_roof,
+    build_flat_roof,
+    build_hipped_roof,
+    build_oriented_profile_roof,
+    build_pyramidal_roof,
+    build_skillion_roof,
+    mansard_remap,
+)
+
+
+def regular_ring(k=8, r=10.0, closed=True):
+    ang = -np.arange(k) / k * 2 * np.pi
+    ring = np.stack([np.cos(ang) * r, np.sin(ang) * r], 1)
+    return np.vstack([ring, ring[:1]]) if closed else ring
+
+
+def rect_ring(w=10.0, h=4.0):
+    ring = np.array([[0, 0], [0, h], [w, h], [w, 0]], float)
+    return np.vstack([ring, ring[:1]])
+
+
+def horiz_area(pos):
+    t = pos.reshape(-1, 3, 3)
+    a, b, c = t[:, 0], t[:, 1], t[:, 2]
+    return (
+        0.5
+        * np.abs(
+            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        ).sum()
+    )
+
+
+def test_flat_roof_area_and_height():
+    ring = rect_ring()
+    out = build_flat_roof(ring, np.array([0]), np.array([0], np.int8), z=7.0, texture_id=1)
+    assert horiz_area(out["position"]) == pytest.approx(40.0)
+    assert (out["position"][:, 2] == 7.0).all()
+    assert (out["normal"][:, 2] > 0).all()
+
+
+def test_gabled_covers_footprint_and_peaks_at_ridge():
+    ring = rect_ring(w=12, h=6)
+    out, hp = build_oriented_profile_roof(
+        ring, min_height=8.0, roof_height=4.0, texture_id=1, profile=PROFILE_GABLED
+    )
+    pos = out["position"]
+    assert horiz_area(pos) == pytest.approx(72.0)  # projected area = footprint
+    assert pos[:, 2].max() == pytest.approx(12.0)
+    assert pos[:, 2].min() == pytest.approx(8.0)
+    # skirt points: corners at base (t=0/1 of profile)
+    assert hp.min() == pytest.approx(8.0)
+
+
+def test_gabled_concave_returns_none():
+    L = np.array([[0, 0], [0, 2], [1, 2], [1, 1], [2, 1], [2, 0], [0, 0]], float)
+    assert (
+        build_oriented_profile_roof(
+            L, min_height=0, roof_height=2, texture_id=1, profile=PROFILE_GABLED
+        )
+        is None
+    )
+
+
+@pytest.mark.parametrize("profile", [PROFILE_ROUND, PROFILE_SALTBOX])
+def test_oriented_profiles_projected_area(profile):
+    ring = rect_ring(w=20, h=8)
+    out, _ = build_oriented_profile_roof(
+        ring, min_height=5.0, roof_height=3.0, texture_id=1, profile=profile
+    )
+    assert horiz_area(out["position"]) == pytest.approx(160.0, rel=1e-6)
+    z = out["position"][:, 2]
+    assert z.max() == pytest.approx(8.0)
+
+
+@pytest.mark.parametrize("profile,peak", [(PROFILE_DOME, 1.0), (PROFILE_ONION, 1.1764705882352942)])
+def test_curved_roofs(profile, peak):
+    ring = regular_ring(k=12, r=6)
+    out = build_curved_roof(
+        ring, np.array([0.0, 0.0]), min_height=10.0, roof_height=5.0,
+        texture_id=2, profile=profile,
+    )
+    pos = out["position"]
+    # projected area ≈ footprint of the 12-gon
+    foot = 0.5 * 12 * np.sin(2 * np.pi / 12) * 36
+    assert horiz_area(pos) == pytest.approx(foot, rel=1e-6)
+    assert pos[:, 2].max() == pytest.approx(10.0 + 5.0 * peak)
+    assert np.isfinite(pos).all()
+
+
+def test_pyramidal_fan():
+    ring = regular_ring(k=6, r=4)
+    out = build_pyramidal_roof(ring, np.array([0.0, 0.0]), 3.0, 2.0, 1)
+    foot = 0.5 * 6 * np.sin(2 * np.pi / 6) * 16
+    assert horiz_area(out["position"]) == pytest.approx(foot, rel=1e-6)
+    assert out["position"][:, 2].max() == pytest.approx(5.0)
+
+
+def test_hipped_with_mansard_remap_monotone():
+    p = np.linspace(0, 1, 100)
+    h = mansard_remap(p)
+    assert (np.diff(h) > -1e-9).all()
+    assert h[0] == 0.0
+    assert h[-1] == pytest.approx(1.0)
+
+
+def test_skillion_slope_and_heightpoints():
+    ring = rect_ring(w=10, h=10)
+    coords = ring
+    out, zs = build_skillion_roof(
+        coords, np.array([0]), np.array([0], np.int8),
+        direction_deg=0.0, min_height=4.0, roof_height=3.0, texture_id=1,
+    )
+    assert out["position"][:, 2].max() == pytest.approx(7.0)
+    assert out["position"][:, 2].min() == pytest.approx(4.0)
+    assert zs.max() == pytest.approx(7.0)
