@@ -206,8 +206,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_stats": geo.q_tile_stats,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
+        "geo_cell_cover_exact": geo.q_cell_cover_exact,
         "geo_knn": geo.q_knn,
         "geo_dem_sample": geo.q_dem_sample,
+        "geo_batch_table": geo.q_batch_table,
+        "geo_labels": geo.q_labels,
+        "geo_lod_sample": geo.q_lod_sample,
         # full geometry build (vertex counts not SQL-expressible → rows-only
         # check here; pytest goldens cover the kernels, SURVEY.md §5.1)
         "geo_geometry_stats": _q_geometry_stats,
@@ -216,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": textops.text_stats,
         "lang_quality": textops.lang_quality,
         "minhash_near_dup": textops.minhash_near_dup,
+        "simhash_near_dup": textops.simhash_near_dup,
+        "jaccard_ngram_pairs": textops.jaccard_ngram_pairs,
+        "embedding_near_dup": ann.embedding_near_dup,
         "doc_fingerprint": textops.doc_fingerprint,
         "media_features": _q_media_features,
         "ann_topk": ann.ann_topk,
@@ -248,6 +255,13 @@ SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS batch_length
 FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
 """,
         "geo_norm_params": _norm_params_sql(),
+        "geo_batch_table": f"""
+SELECT osm_id,
+       'https://www.openstreetmap.org/' || osm_type || '/' || CAST(osm_id AS VARCHAR) AS osm_url,
+       CAST(FLOOR(((minx + maxx) / 2) / {_W} * 180 * 1000000 + 0.5) AS BIGINT) AS box_center_lon_micro,
+       CAST(FLOOR((DEGREES(2 * ATAN(EXP(((miny + maxy) / 2) / {_W} * PI()))) - 90) * 1000000 + 0.5) AS BIGINT) AS box_center_lat_micro
+FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+""",
         "geo_cell_cover": f"""
 SELECT osm_id,
        CAST((tile_x1 - tile_x + 1) * (tile_y1 - tile_y + 1) AS BIGINT) AS n_cells

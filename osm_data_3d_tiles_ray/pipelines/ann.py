@@ -106,6 +106,65 @@ def ann_topk(sf_dir: str) -> "ray.data.Dataset":
     return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")
 
 
+def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 8) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    buckets + exact within-bucket verification (the scale path: the
+    all-pairs matrix never materializes; the shuffle key is the bucket id).
+    Output: (vec_id, dup_of, sim_pct:int) with vec_id > dup_of."""
+    rng = np.random.default_rng(0xD0B)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dims = len(t.column("embedding")[0])
+    planes = rng.standard_normal((n_planes, dims))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+            -1, dims
+        )
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sig = ((mn @ planes.T) > 0) @ (1 << np.arange(n_planes))
+        flat = pa.array(mn.reshape(-1), type=pa.float64())
+        return pa.table(
+            {
+                "bucket": pa.array(sig.astype(np.int64)),
+                "vec_id": pa.array(vid),
+                "nemb": pa.FixedSizeListArray.from_arrays(flat, dims),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = group.column("nemb")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(-1, dims)
+        sims = m @ m.T
+        a, b = np.nonzero((sims >= threshold) & (vid[:, None] > vid[None, :]))
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[a]),
+                "dup_of": pa.array(vid[b]),
+                "sim_pct": pa.array(np.round(sims[a, b] * 100).astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        _embeddings(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    return pairs.groupby(["vec_id", "dup_of"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
 def ann_lsh_topk(sf_dir: str, n_planes: int = 12) -> "ray.data.Dataset":
     """LSH-bucketed approximate variant (scale path): random-hyperplane
     signature per vector, exact scoring only within the query's bucket

@@ -92,6 +92,180 @@ def q_cell_cover(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(cover, batch_format="pyarrow")
 
 
+def q_batch_table(sf_dir: str) -> "ray.data.Dataset":
+    """b3dm batch-table projection (M14/M15): osm_url + boxCenter lon/lat
+    (reference: ``src/b3dmGenerator.ts:223-247`` — feature midpoint
+    3857→4326 + openstreetmap.org URL)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        from ..geom.transforms import mercator_to_lonlat
+
+        osm_id = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        osm_type = batch.column("osm_type").to_numpy(zero_copy_only=False)
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        lon, lat = mercator_to_lonlat((minx + maxx) / 2.0, (miny + maxy) / 2.0)
+        urls = np.char.add(
+            np.char.add("https://www.openstreetmap.org/", osm_type.astype(str)),
+            np.char.add("/", osm_id.astype(str)),
+        )
+        # integer micro-degrees with floor(x+0.5): same rounding RULE as the SQL
+        # oracle, and coarse enough that DuckDB-vs-numpy libm ulp differences
+        # (~3e-14 deg) cannot flip the floor
+        return pa.table(
+            {
+                "osm_id": batch.column("osm_id"),
+                "osm_url": pa.array(urls.astype(object), type=pa.string()),
+                "box_center_lon_micro": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64)),
+                "box_center_lat_micro": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return parsed_ds(sf_dir).select_columns(
+        ["osm_id", "osm_type", "minx", "miny", "maxx", "maxy"]
+    ).map_batches(project, batch_format="pyarrow")
+
+
+def q_labels(sf_dir: str) -> "ray.data.Dataset":
+    """Label features (G21): pole-of-inaccessibility anchor, height + 5,
+    priority = interior distance (reference: ``src/building/builder.ts:174-185``)."""
+    from ..geom.polylabel import pole_of_inaccessibility
+    from ..stages.normalize import normalize_params
+
+    def labels(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        named = batch.filter(pc.is_valid(batch.column("name")))
+        params = normalize_params(named)
+        coords_col = named.column("coords")
+        if isinstance(coords_col, pa.ChunkedArray):
+            coords_col = coords_col.combine_chunks()
+        ring_off = named.column("ring_offsets")
+        if isinstance(ring_off, pa.ChunkedArray):
+            ring_off = ring_off.combine_chunks()
+        heights = params.column("building_height").to_numpy(zero_copy_only=False)
+        out = {
+            "osm_id": [], "label": [], "x": [], "y": [], "z": [], "priority": [],
+        }
+        for i in range(len(named)):
+            flat = np.asarray(coords_col[i].as_py()).reshape(-1, 2)
+            starts = np.asarray(ring_off[i].as_py())
+            rings = [
+                flat[s:e]
+                for s, e in zip(starts, np.concatenate([starts[1:], [len(flat)]]))
+            ]
+            px, py, d = pole_of_inaccessibility(rings, precision=0.5)
+            out["osm_id"].append(named.column("osm_id")[i].as_py())
+            out["label"].append(named.column("name")[i].as_py())
+            out["x"].append(px)
+            out["y"].append(py)
+            out["z"].append(heights[i] + 5.0)
+            out["priority"].append(d)
+        return pa.table(
+            {
+                "osm_id": pa.array(out["osm_id"], type=pa.int64()),
+                "label": pa.array(out["label"], type=pa.string()),
+                "x": pa.array(out["x"]),
+                "y": pa.array(out["y"]),
+                "z": pa.array(out["z"]),
+                "priority": pa.array(out["priority"]),
+            }
+        )
+
+    return parsed_ds(sf_dir).map_batches(labels, batch_format="pyarrow", batch_size=2048)
+
+
+def q_lod_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Grid-stratified LOD downsample (A4): keep a deterministic fraction per
+    12×12 sub-cell of each z16 tile, ≥1 per occupied sub-cell (reference:
+    ``src/building/tile3d-features-to-buffers-converter.ts:520-558`` with the
+    engine's keyed RNG replacing Math.random — partition-invariant)."""
+    from ..constants import TILE_SIZE_Z16, WORLD_HALF
+    from ..geom.rng import keyed_uniform
+
+    FRACTION = 0.25
+    GRID = 12
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        osm_id = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        fx = ((cx + WORLD_HALF) / TILE_SIZE_Z16) % 1.0
+        fy = ((WORLD_HALF - cy) / TILE_SIZE_Z16) % 1.0
+        gx = np.minimum((fx * GRID).astype(np.int64), GRID - 1)
+        gy = np.minimum((fy * GRID).astype(np.int64), GRID - 1)
+        tx, ty = mercator_to_tile(cx, cy)
+        subcell = (
+            tx.astype(np.int64) * np.int64(1 << 20) + ty.astype(np.int64)
+        ) * (GRID * GRID) + gx * GRID + gy
+        u = keyed_uniform(osm_id.astype(np.uint64), 77)
+        return pa.table(
+            {
+                "osm_id": pa.array(osm_id),
+                "subcell": pa.array(subcell),
+                "u": pa.array(u),
+            }
+        )
+
+    def keep_group(group: pa.Table) -> pa.Table:
+        # fraction keep + always the min-u row per sub-cell (≥1 survivor),
+        # purely a function of (osm_id, subcell) — partition-invariant
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        osm = group.column("osm_id").to_numpy(zero_copy_only=False)
+        keep = u < FRACTION
+        keep[np.lexsort((osm, u))[0]] = True
+        return pa.table(
+            {
+                "osm_id": pa.array(osm[keep]),
+                "subcell": group.column("subcell").filter(pa.array(keep)),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "centroid_x", "centroid_y"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("subcell")
+        .map_groups(keep_group, batch_format="pyarrow")
+    )
+
+
+def q_cell_cover_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Exact polygon cell cover via DDA rasterization (G18) at a fine grid:
+    covered 64-m cell count per footprint (rows-only check; the bbox-cover
+    variant q_cell_cover carries the SQL oracle)."""
+    from ..constants import WORLD_HALF
+    from ..geom.raster import polygon_cell_cover
+
+    CELL = 64.0
+
+    def cover(batch: pa.Table) -> pa.Table:
+        coords_col = batch.column("coords")
+        if isinstance(coords_col, pa.ChunkedArray):
+            coords_col = coords_col.combine_chunks()
+        ring_off = batch.column("ring_offsets")
+        if isinstance(ring_off, pa.ChunkedArray):
+            ring_off = ring_off.combine_chunks()
+        roles_col = batch.column("ring_roles")
+        if isinstance(roles_col, pa.ChunkedArray):
+            roles_col = roles_col.combine_chunks()
+        n = len(batch)
+        counts = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            flat = np.asarray(coords_col[i].as_py()).reshape(-1, 2)
+            starts = np.asarray(ring_off[i].as_py())
+            roles = np.asarray(roles_col[i].as_py(), dtype=np.int8)
+            cells = polygon_cell_cover(
+                flat, starts, roles, (-WORLD_HALF, -WORLD_HALF), CELL
+            )
+            counts[i] = len(cells)
+        return pa.table({"osm_id": batch.column("osm_id"), "n_cells_exact": pa.array(counts)})
+
+    return parsed_ds(sf_dir).map_batches(cover, batch_format="pyarrow", batch_size=2048)
+
+
 # ---------------------------------------------------------------------------
 # kNN nearest-building (J4 companion operator)
 

@@ -212,6 +212,133 @@ def _minhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4  # 16 bits per band; Hamming-close docs share ≥1 band
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash per doc over char shingles; emits (band, band_key, doc_id,
+    simhash) rows for banded candidate generation."""
+    texts = batch.column("text").to_numpy(zero_copy_only=False)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
+    out_doc, out_band, out_key, out_sig = [], [], [], []
+    weights = np.uint64(0x9E3779B97F4A7C15)
+    for t, d in zip(texts, doc_ids):
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < _SHINGLE:
+            sh = np.zeros(1, dtype=np.uint64)
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(b, _SHINGLE).astype(np.uint64)
+            sh = (
+                w[:, 0] | (w[:, 1] << np.uint64(8)) | (w[:, 2] << np.uint64(16))
+                | (w[:, 3] << np.uint64(24))
+            )
+            sh = np.unique(sh)
+        h = sh * weights ^ (sh >> np.uint64(13))
+        # accumulate signed bit votes, vectorized over the 64 bit positions
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(j)
+        for band in range(_SIMHASH_BANDS):
+            key = (sig >> np.uint64(band * bits_per_band)) & np.uint64((1 << bits_per_band) - 1)
+            out_doc.append(d)
+            out_band.append(band)
+            out_key.append(np.int64(key))
+            out_sig.append(np.int64(sig.astype(np.int64)))
+    return pa.table(
+        {
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_key": pa.array(out_key, type=pa.int64()),
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "simhash": pa.array(out_sig, type=pa.int64()),
+        }
+    )
+
+
+def simhash_near_dup(sf_dir: str, max_hamming: int = 8) -> "ray.data.Dataset":
+    """SimHash near-dup: banded candidates, verified by Hamming distance.
+    Output: (doc_id, dup_of, hamming) with doc_id > dup_of, deduplicated."""
+    sigs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _simhash_batch, batch_format="pyarrow"
+    )
+
+    def bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        uniq, idx = np.unique(ids, return_index=True)
+        sig = sig[idx]
+        if len(uniq) < 2:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "dup_of": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        # pairwise Hamming within the bucket (buckets are small by design)
+        x = sig[:, None] ^ sig[None, :]
+        # vectorized popcount
+        v = x.copy()
+        cnt = np.zeros(v.shape, dtype=np.int64)
+        while True:
+            cnt += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+            if not v.any():
+                break
+        a, b = np.nonzero((cnt <= max_hamming) & (uniq[:, None] > uniq[None, :]))
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq[a]),
+                "dup_of": pa.array(uniq[b]),
+                "hamming": pa.array(cnt[a, b]),
+            }
+        )
+
+    pairs = sigs.groupby(["band", "band_key"]).map_groups(bucket, batch_format="pyarrow")
+    return pairs.groupby(["doc_id", "dup_of"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def jaccard_ngram_pairs(sf_dir: str, threshold: float = 0.5) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard verification of MinHash candidate pairs:
+    candidates from the LSH bands, verified by true shingle-set Jaccard.
+    Output: (doc_id, dup_of, jaccard_pct:int)."""
+    cands = minhash_near_dup(sf_dir)
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).to_pandas()
+    text_by_id = dict(zip(docs["doc_id"], docs["text"]))  # small side, broadcast
+
+    def shingles(t: str) -> set:
+        b = t.encode("utf-8")
+        return {b[i : i + _SHINGLE] for i in range(max(1, len(b) - _SHINGLE + 1))}
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b_ids = batch.column("dup_of").to_numpy(zero_copy_only=False)
+        keep_a, keep_b, jac = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            sa, sb = shingles(text_by_id[a]), shingles(text_by_id[b])
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(int(round(j * 100)))
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_a, type=pa.int64()),
+                "dup_of": pa.array(keep_b, type=pa.int64()),
+                "jaccard_pct": pa.array(jac, type=pa.int64()),
+            }
+        )
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_near_dup(sf_dir: str) -> "ray.data.Dataset":
     """Near-dup candidate groups: docs sharing any LSH band bucket.
 

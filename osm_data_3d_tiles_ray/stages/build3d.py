@@ -309,12 +309,34 @@ class Build3D:
         first_ring_of_row = ring_offs[:-1]
         flat_tri_chunks: list[np.ndarray] = []
         flat_tri_counts = np.zeros(n, dtype=np.int64)
+        # footprint triangulation per row (for flat roofs, the G16 underside
+        # cap when the building floats, and the G17 terrain mask otherwise)
+        foot_tri_chunks: list[np.ndarray] = []
+        foot_tri_counts = np.zeros(n, dtype=np.int64)
         flat_z = np.empty(n)
+
+        def footprint_tris(i: int) -> np.ndarray:
+            gr = first_ring_of_row[i]
+            s = g_ring_starts[gr]
+            k = ring_nverts[gr] - 1
+            if rings_per_row[i] == 1 and convex[gr] and k >= 3:
+                j = np.arange(1, k - 1, dtype=np.int64)
+                return np.stack([np.full(k - 2, s), s + j, s + j + 1], axis=1)
+            r0, r1 = ring_offs[i], ring_offs[i + 1]
+            local_starts = flat_ring_starts[r0:r1].astype(np.int64)
+            c0, c1 = vert_offs[i], vert_offs[i + 1]
+            tris = triangulate_multipolygon(
+                coords[c0:c1], local_starts, flat_roles[r0:r1]
+            )
+            return tris + c0
 
         for i in range(n):
             if not geom_valid[i] or rings_per_row[i] == 0:
                 roof_used[i] = "invalid"
                 continue
+            ftris = footprint_tris(i)
+            foot_tri_chunks.append(ftris)
+            foot_tri_counts[i] = len(ftris)
             rt = roof_types[i]
             builder = self.roof_registry.get(rt)
             use_flat = builder is None or builder == self._roof_flat
@@ -350,24 +372,10 @@ class Build3D:
                     continue
             # flat roof path (either chosen or fallback — reference semantics)
             roof_used[i] = "flat"
-            gr = first_ring_of_row[i]
-            s = g_ring_starts[gr]
-            k = ring_nverts[gr] - 1  # open vertex count (rings are closed)
-            if rings_per_row[i] == 1 and convex[gr] and k >= 3:
-                j = np.arange(1, k - 1, dtype=np.int64)
-                tris = np.stack([np.full(k - 2, s), s + j, s + j + 1], axis=1)
-            else:
-                r0, r1 = ring_offs[i], ring_offs[i + 1]
-                local_starts = flat_ring_starts[r0:r1].astype(np.int64)
-                c0, c1 = vert_offs[i], vert_offs[i + 1]
-                tris = triangulate_multipolygon(
-                    coords[c0:c1], local_starts, flat_roles[r0:r1]
-                )
-                tris = tris + c0
-            flat_tri_chunks.append(tris)
-            flat_tri_counts[i] = len(tris)
+            flat_tri_chunks.append(ftris)
+            flat_tri_counts[i] = len(ftris)
             flat_z[i] = heights[i]
-            roof_counts[i] = len(tris) * 3
+            roof_counts[i] = len(ftris) * 3
 
         # assemble all flat roofs at once
         flat_roof_pos = np.empty((0, 3), np.float32)
@@ -398,6 +406,57 @@ class Build3D:
                 [ROOF_TEXTURE.get(mt, 13) for mt in roof_mats], dtype=np.uint8
             )
             flat_roof_tid = np.repeat(tid_row[row_of_tri], 3)
+
+        # ---- G16 underside cap (flipped flat at minHeight when the building
+        # floats) / G17 terrain mask otherwise
+        # (reference: building-builder.ts:345-383)
+        cap_mask = geom_valid & (min_heights > 0) & (foot_tri_counts > 0)
+        cap_counts = np.where(cap_mask, foot_tri_counts * 3, 0)
+        cap_pos = np.empty((0, 3), np.float32)
+        cap_uv = np.empty((0, 2), np.float32)
+        cap_nrm = np.empty((0, 3), np.float32)
+        cap_tid = np.empty(0, np.uint8)
+        cap_spans = np.concatenate([[0], np.cumsum(cap_counts)])
+        mask_counts = np.where(
+            geom_valid & (min_heights <= 0), foot_tri_counts * 3, 0
+        )
+        mask_chunks: list[np.ndarray] = []
+        if foot_tri_chunks:
+            foot_tris_all = np.concatenate(foot_tri_chunks)
+            row_of_foot = np.repeat(np.arange(n), foot_tri_counts)
+            capped = cap_mask[row_of_foot]
+            if capped.any():
+                ctris = foot_tris_all[capped]
+                cpts = coords[ctris][:, ::-1, :]  # flipped winding
+                zs = np.repeat(min_heights, foot_tri_counts)[capped]
+                crz = (cpts[:, 1, 0] - cpts[:, 0, 0]) * (cpts[:, 2, 1] - cpts[:, 0, 1]) - (
+                    cpts[:, 1, 1] - cpts[:, 0, 1]
+                ) * (cpts[:, 2, 0] - cpts[:, 0, 0])
+                wrongc = crz > 0  # cap faces DOWN
+                cpts[wrongc] = cpts[wrongc][:, ::-1, :]
+                cm = np.concatenate(
+                    [cpts, np.broadcast_to(zs[:, None, None], (*cpts.shape[:2], 1))],
+                    axis=2,
+                ).reshape(-1, 3)
+                cap_pos = cm.astype(np.float32)
+                cap_uv = (cm[:, :2] * 0.1).astype(np.float32)
+                cap_nrm = np.zeros((len(cm), 3), np.float32)
+                cap_nrm[:, 2] = -1.0
+                cap_tid = np.full(len(cm), ROOF_TEXTURE["concrete"], dtype=np.uint8)
+            if self.emit_buffers:
+                from ..constants import TILE_SIZE_Z16
+
+                masked = (geom_valid & (min_heights <= 0))[row_of_foot]
+                mpts = coords[foot_tris_all[masked]].reshape(-1, 2) / TILE_SIZE_Z16
+                mask_flat = mpts.astype(np.float32).reshape(-1)
+                mask_lens = (mask_counts * 2).astype(np.int64)
+                mask_offsets = np.concatenate([[0], np.cumsum(mask_lens)])
+            else:
+                mask_flat = np.empty(0, np.float32)
+                mask_offsets = np.zeros(n + 1, np.int64)
+        else:
+            mask_flat = np.empty(0, np.float32)
+            mask_offsets = np.zeros(n + 1, np.int64)
 
         # ---- walls: one whole-batch call --------------------------------
         ring_valid = geom_valid[row_of_ring]
@@ -435,7 +494,8 @@ class Build3D:
             "roof_type_used": pa.array(roof_used, type=pa.string()),
             "wall_vertices": pa.array(wall_counts),
             "roof_vertices": pa.array(roof_counts),
-            "vertex_count": pa.array(wall_counts + roof_counts),
+            "cap_vertices": pa.array(cap_counts),
+            "vertex_count": pa.array(wall_counts + roof_counts + cap_counts),
         }
 
         pieces_pos: list[np.ndarray] = []
@@ -461,10 +521,16 @@ class Build3D:
                 pieces_uv.append(walls["uv"][w0:w1])
                 pieces_nrm.append(walls["normal"][w0:w1])
                 pieces_tid.append(walls["texture_id"][w0:w1])
+            if cap_spans[i + 1] > cap_spans[i]:
+                k0, k1 = cap_spans[i], cap_spans[i + 1]
+                pieces_pos.append(cap_pos[k0:k1])
+                pieces_uv.append(cap_uv[k0:k1])
+                pieces_nrm.append(cap_nrm[k0:k1])
+                pieces_tid.append(cap_tid[k0:k1])
         flat_pos = (
             np.concatenate(pieces_pos) if pieces_pos else np.empty((0, 3), np.float32)
         )
-        counts_total = wall_counts + roof_counts
+        counts_total = wall_counts + roof_counts + cap_counts
         # per-building bbox from the assembled flat positions
         bstarts = np.concatenate([[0], np.cumsum(counts_total)])
         nonempty = counts_total > 0
@@ -496,6 +562,9 @@ class Build3D:
                 offs64,
                 pa.uint8(),
             )
+            # G17 terrain mask: footprint XY pairs scaled by 1/tileSize for
+            # ground-level buildings (tile3d-features-to-buffers-converter.ts:454-469)
+            out_rows["terrain_mask"] = _wrap_list(mask_flat, mask_offsets, pa.float32())
         return pa.table(out_rows)
 
 
