@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "events_hourly": events.hourly_by_type,
         "events_user_daily": events.user_daily_activity,
+        "events_sessionize": events.sessionize,
+        "lang_id": textops.lang_id,
     }
 
 
@@ -368,5 +370,44 @@ SELECT date_trunc('day', ts) AS day, user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
 FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(EPOCH(MAX(ts) - MIN(ts))) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, sess
+""",
+        "lang_id": r"""
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|is|for|with)\b')) AS c_en,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b')) AS c_fr,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit)\b')) AS c_de,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para)\b')) AS c_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN c_en = 0 AND c_fr = 0 AND c_de = 0 AND c_es = 0 THEN 'und'
+       WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+       WHEN c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+       WHEN c_de >= c_es THEN 'de'
+       ELSE 'es' END AS lang_pred
+FROM c
 """,
     }

@@ -74,6 +74,49 @@ def hourly_by_type(sf_dir: str) -> "ray.data.Dataset":
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Gap-based sessionization: per user, a new session starts after a
+    >30-min silence.  Output: (user_id, session_start, n_events,
+    duration_sec).  The shuffle key is user_id; per-user state never leaves
+    its group (classic streaming-sessionization shape, batch-executed)."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsv))
+        tsv = tsv[order]
+        brk = np.ones(len(tsv), dtype=np.int64)
+        brk[1:] = (np.diff(tsv) > gap_us).astype(np.int64)
+        sess = np.cumsum(brk) - 1
+        n_sessions = sess[-1] + 1 if len(sess) else 0
+        starts = np.zeros(n_sessions, dtype=np.int64)
+        ends = np.zeros(n_sessions, dtype=np.int64)
+        counts = np.bincount(sess, minlength=n_sessions)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        starts = tsv[first]
+        ends = tsv[np.cumsum(counts) - 1]
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(n_sessions, uid, dtype=np.int64)),
+                "session_start": pa.array(starts).cast(pa.timestamp("us")),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "duration_sec": pa.array((ends - starts) // 1_000_000),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
 def user_daily_activity(sf_dir: str) -> "ray.data.Dataset":
     """Per (user, day): event count + distinct event types (set-like agg)."""
 

@@ -119,6 +119,44 @@ def lang_quality(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|is|for|with)\b",
+    "fr": r"\b(le|la|les|et|des|une)\b",
+    "de": r"\b(der|die|das|und|ist|mit)\b",
+    "es": r"\b(el|los|las|es|una|para)\b",
+}
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    """N-gram/stopword-heuristic language ID: argmax of marker-word counts,
+    ties broken in en>fr>de>es order; 'und' (undetermined) when all zero."""
+
+    def detect(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        counts = {
+            lang: pc.count_substring_regex(lower, rx).to_numpy(zero_copy_only=False)
+            for lang, rx in _LANG_MARKERS.items()
+        }
+        langs = list(_LANG_MARKERS)
+        stacked = np.stack([counts[la] for la in langs])
+        best = np.argmax(stacked, axis=0)  # first max wins = en>fr>de>es order
+        pred = np.array(langs, dtype=object)[best]
+        pred[stacked.max(axis=0) == 0] = "und"
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(pred, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        detect, batch_format="pyarrow"
+    )
+
+
 def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """Winnowing-style rolling-hash fingerprint per document: min/max of
     k-gram rolling hashes → a compact content signature (doc_id,

@@ -189,6 +189,174 @@ def _merge_tile_group(group: pa.Table) -> pa.Table:
     )
 
 
-def accumulate_tiles(built: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Shuffle #2: groupby(cell_id) → one merged b3dm-equivalent row per tile."""
-    return built.groupby("cell_id").map_groups(_merge_tile_group, batch_format="pyarrow")
+def accumulate_tiles(
+    built: "ray.data.Dataset", n_salt: int = 0
+) -> "ray.data.Dataset":
+    """Shuffle #2: groupby(cell_id) → one merged b3dm-equivalent row per tile.
+
+    ``n_salt > 0`` enables the dense-urban-cell skew path (north rule): a
+    first ``groupby((cell_id, salt))`` merges bounded sub-groups (salt =
+    osm_id % n_salt, deterministic), then a second ``groupby(cell_id)``
+    merges the ≤ n_salt partial payloads per cell — no single reduce task
+    ever sees a whole hot cell's raw rows.  Output is identical to the
+    unsalted path (buildings are re-sorted by osm_id at the final merge)."""
+    if n_salt <= 0:
+        return built.groupby("cell_id").map_groups(
+            _merge_tile_group, batch_format="pyarrow"
+        )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "salt", pa.array((osm % n_salt).astype(np.int32))
+        )
+
+    phase1 = (
+        built.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["cell_id", "salt"])
+        .map_groups(
+            lambda g: _merge_partial_group(g.drop_columns(["salt"])),
+            batch_format="pyarrow",
+        )
+    )
+    return phase1.groupby("cell_id").map_groups(
+        _merge_merged_group, batch_format="pyarrow"
+    )
+
+
+def _merge_partial_group(group: pa.Table) -> pa.Table:
+    """Phase-1 salted merge: ONE row per (cell, salt) — buffers concatenated
+    in osm_id order, with per-building metadata lists so phase 2 can
+    re-sort across salts deterministically."""
+    osm = group.column("osm_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(osm, kind="stable")
+    group = group.take(pa.array(order))
+    osm = osm[order]
+    n = len(group)
+
+    def flat(colname):
+        col = group.column(colname)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.asarray(col.values), np.diff(np.asarray(col.offsets)).astype(np.int64)
+
+    pos_flat, pos_lens = flat("position")
+    uv_flat, _ = flat("uv")
+    nrm_flat, _ = flat("normal")
+    tid_flat, _ = flat("texture_id")
+    vcounts = pos_lens // 3
+
+    def one_list(vals, typ):
+        return pa.LargeListArray.from_arrays(
+            pa.array([0, len(vals)], type=pa.int64()), pa.array(vals, type=typ)
+        )
+
+    def scalar_list(name, typ):
+        vals = group.column(name).to_numpy(zero_copy_only=False)
+        return one_list(vals, typ)
+
+    return pa.table(
+        {
+            "cell_id": group.column("cell_id").slice(0, 1),
+            "p_osm_ids": one_list(osm, pa.int64()),
+            "p_vcounts": one_list(vcounts, pa.int64()),
+            "p_min_x": scalar_list("min_x", pa.float64()),
+            "p_min_y": scalar_list("min_y", pa.float64()),
+            "p_min_z": scalar_list("min_z", pa.float64()),
+            "p_max_x": scalar_list("max_x", pa.float64()),
+            "p_max_y": scalar_list("max_y", pa.float64()),
+            "p_max_z": scalar_list("max_z", pa.float64()),
+            "position": one_list(pos_flat, pa.float32()),
+            "uv": one_list(uv_flat, pa.float32()),
+            "normal": one_list(nrm_flat, pa.float32()),
+            "texture_id": one_list(tid_flat, pa.uint8()),
+        }
+    )
+
+
+def _merge_merged_group(group: pa.Table) -> pa.Table:
+    """Phase-2 salted merge: ≤ n_salt partial payloads per cell → the final
+    tile row, re-sorted by osm_id across salts (output identical to the
+    unsalted path)."""
+
+    def lists(name):
+        col = group.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return [np.asarray(col[i].values) for i in range(len(col))]
+
+    osm_parts = lists("p_osm_ids")
+    vc_parts = lists("p_vcounts")
+    pos_parts = lists("position")
+    uv_parts = lists("uv")
+    nrm_parts = lists("normal")
+    tid_parts = lists("texture_id")
+
+    all_osm = np.concatenate(osm_parts)
+    all_vc = np.concatenate(vc_parts)
+    part_of = np.repeat(np.arange(len(osm_parts)), [len(o) for o in osm_parts])
+    # vertex start of each building within its partial
+    local_start = np.concatenate(
+        [np.concatenate([[0], np.cumsum(v)[:-1]]) for v in vc_parts]
+    ).astype(np.int64)
+    order = np.argsort(all_osm, kind="stable")
+
+    pos_chunks, uv_chunks, nrm_chunks, tid_chunks = [], [], [], []
+    for j in order:
+        p, s, c = part_of[j], local_start[j], all_vc[j]
+        pos_chunks.append(pos_parts[p][s * 3 : (s + c) * 3])
+        uv_chunks.append(uv_parts[p][s * 2 : (s + c) * 2])
+        nrm_chunks.append(nrm_parts[p][s * 3 : (s + c) * 3])
+        tid_chunks.append(tid_parts[p][s : s + c])
+
+    n = len(all_osm)
+    osm_sorted = all_osm[order]
+    vc_sorted = all_vc[order]
+    offsets = np.concatenate([[0], np.cumsum(vc_sorted)]).astype(np.uint32)
+    batch_ids = np.repeat(np.arange(n, dtype=np.uint16), vc_sorted)
+    bb = {}
+    for name in ["min_x", "min_y", "min_z", "max_x", "max_y", "max_z"]:
+        parts = np.concatenate(lists(f"p_{name}"))
+        with np.errstate(invalid="ignore"):
+            bb[name] = (
+                np.nanmin(parts) if name.startswith("min") else np.nanmax(parts)
+            )
+
+    def one_list(vals, typ):
+        return pa.LargeListArray.from_arrays(
+            pa.array([0, len(vals)], type=pa.int64()), pa.array(vals, type=typ)
+        )
+
+    cell = group.column("cell_id")[0].as_py()
+    return pa.table(
+        {
+            "cell_id": pa.array([cell], type=pa.uint64()),
+            "batch_length": pa.array([n], type=pa.int32()),
+            "vertex_count": pa.array([int(vc_sorted.sum())], type=pa.int64()),
+            "osm_ids": one_list(osm_sorted, pa.int64()),
+            "vertex_offsets": one_list(offsets, pa.uint32()),
+            "position": one_list(
+                np.concatenate(pos_chunks) if pos_chunks else np.empty(0, np.float32),
+                pa.float32(),
+            ),
+            "uv": one_list(
+                np.concatenate(uv_chunks) if uv_chunks else np.empty(0, np.float32),
+                pa.float32(),
+            ),
+            "normal": one_list(
+                np.concatenate(nrm_chunks) if nrm_chunks else np.empty(0, np.float32),
+                pa.float32(),
+            ),
+            "texture_id": one_list(
+                np.concatenate(tid_chunks) if tid_chunks else np.empty(0, np.uint8),
+                pa.uint8(),
+            ),
+            "batch_id": one_list(batch_ids, pa.uint16()),
+            "min_x": pa.array([bb["min_x"]]),
+            "min_y": pa.array([bb["min_y"]]),
+            "min_z": pa.array([bb["min_z"]]),
+            "max_x": pa.array([bb["max_x"]]),
+            "max_y": pa.array([bb["max_y"]]),
+            "max_z": pa.array([bb["max_z"]]),
+        }
+    )
