@@ -141,16 +141,22 @@ def build_hipped_roof(
     roof_height: float,
     texture_id: int,
     remap=None,
+    skeleton_offset: tuple[float, float] = (0.0, 0.0),
 ) -> dict[str, np.ndarray] | None:
     """Skeleton faces lofted: vertex z = minH + dist-to-edge / maxDist × roofH
     (optionally remapped — mansard/gambrel piecewise profiles).
 
+    ``skeleton_offset`` is SUBTRACTED from the skeleton vertices — the
+    reference shifts tag-provided (world-frame) skeletons into the tile
+    frame the same way (``/root/reference/src/building/builder.ts:76-80``).
     Returns None if the skeleton is unusable (caller falls back to flat —
     reference semantics)."""
     sk = parse_skeleton(skeleton_json)
     if sk is None:
         return None
     verts, polys = sk
+    if skeleton_offset != (0.0, 0.0):
+        verts = verts - np.asarray(skeleton_offset)
     ring = outer_ring[:-1] if len(outer_ring) > 1 and (outer_ring[0] == outer_ring[-1]).all() else outer_ring
     depth = _dist_to_ring_edges(verts, ring)
     max_d = depth.max()

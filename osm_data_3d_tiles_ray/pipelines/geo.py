@@ -266,6 +266,38 @@ def q_cell_cover_exact(sf_dir: str) -> "ray.data.Dataset":
     return parsed_ds(sf_dir).map_batches(cover, batch_format="pyarrow", batch_size=2048)
 
 
+def q_sample_points(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic interior point sampling (G19 — "populate points"):
+    jittered-grid points inside each footprint, seeded per building via the
+    keyed RNG (partition-invariant).  Output: (osm_id, n_points)."""
+    from ..geom.raster import sample_points_in_polygon
+
+    SPACING = 6.0
+
+    def sample(batch: pa.Table) -> pa.Table:
+        coords_col = batch.column("coords")
+        if isinstance(coords_col, pa.ChunkedArray):
+            coords_col = coords_col.combine_chunks()
+        ring_off = batch.column("ring_offsets")
+        if isinstance(ring_off, pa.ChunkedArray):
+            ring_off = ring_off.combine_chunks()
+        osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        n = len(batch)
+        counts = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            flat = np.asarray(coords_col[i].as_py()).reshape(-1, 2)
+            starts = np.asarray(ring_off[i].as_py())
+            ends = np.concatenate([starts[1:], [len(flat)]])
+            rings = [flat[s:e] for s, e in zip(starts, ends)]
+            pts = sample_points_in_polygon(
+                int(osm[i]), rings[0], rings[1:], spacing=SPACING
+            )
+            counts[i] = len(pts)
+        return pa.table({"osm_id": batch.column("osm_id"), "n_points": pa.array(counts)})
+
+    return parsed_ds(sf_dir).map_batches(sample, batch_format="pyarrow", batch_size=4096)
+
+
 # ---------------------------------------------------------------------------
 # kNN nearest-building (J4 companion operator)
 

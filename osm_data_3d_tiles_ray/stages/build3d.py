@@ -91,13 +91,29 @@ class Build3D:
             None,
         )
 
+    def _skeleton_for(self, ctx) -> tuple[str | None, tuple[float, float]]:
+        """Tag-provided skeleton (world frame → tile offset applied), else
+        the engine's own convex straight-skeleton kernel (already in tile
+        frame)."""
+        if ctx["skeleton"]:
+            return ctx["skeleton"], ctx["tile_center"]
+        from ..geom.skeleton import skeleton_json
+
+        if len(ctx["ring_starts"]) == 1:  # hole-free only
+            sk = skeleton_json(ctx["outer_ring"])
+            if sk is not None:
+                return sk, (0.0, 0.0)
+        return None, (0.0, 0.0)
+
     def _roof_hipped(self, ctx):
-        if not ctx["skeleton"]:
+        sk, off = self._skeleton_for(ctx)
+        if not sk:
             return None
         out = build_hipped_roof(
-            ctx["outer_ring"], ctx["skeleton"],
+            ctx["outer_ring"], sk,
             min_height=ctx["height"] - ctx["roof_height"],
             roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
+            skeleton_offset=off,
         )
         return None if out is None else (out, None)
 
@@ -179,25 +195,29 @@ class Build3D:
         # else the skeleton-split variant (gambrel-roof-builder.ts)
         if ctx.get("roof_orientation") in ("along", "across"):
             return self._oriented(ctx, PROFILE_GAMBREL)
-        if ctx["skeleton"]:
+        sk, off = self._skeleton_for(ctx)
+        if sk:
             out = build_hipped_roof(
-                ctx["outer_ring"], ctx["skeleton"],
+                ctx["outer_ring"], sk,
                 min_height=ctx["height"] - ctx["roof_height"],
                 roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
                 remap=gambrel_remap,
+                skeleton_offset=off,
             )
             if out is not None:
                 return out, None
         return self._oriented(ctx, PROFILE_GAMBREL)
 
     def _roof_mansard(self, ctx):
-        if not ctx["skeleton"]:
+        sk, off = self._skeleton_for(ctx)
+        if not sk:
             return None
         out = build_hipped_roof(
-            ctx["outer_ring"], ctx["skeleton"],
+            ctx["outer_ring"], sk,
             min_height=ctx["height"] - ctx["roof_height"],
             roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
             remap=mansard_remap,
+            skeleton_offset=off,
         )
         return None if out is None else (out, None)
 
@@ -358,6 +378,7 @@ class Build3D:
                     "roof_orientation": roof_orients[i],
                     "roof_tex": ROOF_TEXTURE.get(roof_mats[i], 13),
                     "skeleton": skeletons[i],
+                    "tile_center": (float(cx[i]), float(cy[i])),
                 }
                 result = builder(ctx)
                 if result is not None:
