@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_cell_cover": geo.q_cell_cover,
         "geo_cell_cover_exact": geo.q_cell_cover_exact,
         "geo_knn": geo.q_knn,
+        "geo_point_bbox_join": geo.q_point_bbox_join,
+        "geo_point_in_polygon": geo.q_point_in_polygon,
         "geo_dem_sample": geo.q_dem_sample,
         "geo_batch_table": geo.q_batch_table,
         "geo_labels": geo.q_labels,
@@ -283,6 +285,11 @@ r AS (
   FROM d
 )
 SELECT qid, osm_id, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= k
+""",
+        "geo_point_bbox_join": f"""
+SELECT q.qid, b.osm_id
+FROM {qp} q JOIN {b} b
+  ON q.x >= b.minx AND q.x <= b.maxx AND q.y >= b.miny AND q.y <= b.maxy
 """,
         "geo_dem_sample": f"""
 WITH p AS (SELECT osm_id, centroid_x, centroid_y FROM {b}),

@@ -384,6 +384,87 @@ def q_knn(sf_dir: str) -> "ray.data.Dataset":
     return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")
 
 
+class _PipJoin:
+    """Actor-pool stage for the point↔building spatial join: broadcast query
+    points, per-batch bbox prefilter + exact ray-cast PIP refine."""
+
+    def __init__(self, qid, qx, qy, exact: bool):
+        self.qid = qid
+        self.qx = qx
+        self.qy = qy
+        self.exact = exact
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        # bbox containment matrix (n_q, n_b) via broadcasting
+        inx = (self.qx[:, None] >= minx[None, :]) & (self.qx[:, None] <= maxx[None, :])
+        iny = (self.qy[:, None] >= miny[None, :]) & (self.qy[:, None] <= maxy[None, :])
+        qi, bi = np.nonzero(inx & iny)
+        if self.exact and len(qi):
+            from ..geom.rings import point_in_ring
+
+            coords_col = batch.column("coords")
+            if isinstance(coords_col, pa.ChunkedArray):
+                coords_col = coords_col.combine_chunks()
+            ring_off = batch.column("ring_offsets")
+            if isinstance(ring_off, pa.ChunkedArray):
+                ring_off = ring_off.combine_chunks()
+            keep = np.zeros(len(qi), dtype=bool)
+            for j, (q, b) in enumerate(zip(qi, bi)):
+                flat = np.asarray(coords_col[b].as_py()).reshape(-1, 2)
+                starts = np.asarray(ring_off[b].as_py())
+                ends = np.concatenate([starts[1:], [len(flat)]])
+                inside = point_in_ring(self.qx[q], self.qy[q], flat[starts[0] : ends[0]])
+                for s, e in zip(starts[1:], ends[1:]):  # holes
+                    if inside and point_in_ring(self.qx[q], self.qy[q], flat[s:e]):
+                        inside = False
+                keep[j] = inside
+            qi, bi = qi[keep], bi[keep]
+        return pa.table(
+            {
+                "qid": pa.array(self.qid[qi].astype(np.int64)),
+                "osm_id": pa.array(osm[bi]),
+            }
+        )
+
+
+def _pip_join(sf_dir: str, exact: bool) -> "ray.data.Dataset":
+    import pyarrow.parquet as pq
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    qp = pq.read_table(root / "query_points.parquet")
+    cols = ["osm_id", "minx", "miny", "maxx", "maxy"] + (
+        ["coords", "ring_offsets"] if exact else []
+    )
+    return parsed_ds(sf_dir).select_columns(cols).map_batches(
+        _PipJoin,
+        fn_constructor_args=(
+            qp.column("qid").to_numpy(),
+            qp.column("x").to_numpy(),
+            qp.column("y").to_numpy(),
+            exact,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+
+
+def q_point_bbox_join(sf_dir: str) -> "ray.data.Dataset":
+    """Spatial range join: query points × building bboxes (SQL-oracled)."""
+    return _pip_join(sf_dir, exact=False)
+
+
+def q_point_in_polygon(sf_dir: str) -> "ray.data.Dataset":
+    """Exact point-in-polygon join (ray-cast refine after the bbox filter —
+    the reference's PIP primitive, ``src/math/utils.ts:3-45``)."""
+    return _pip_join(sf_dir, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # raster DEM → vector height sampling (companion operator, north rule)
 
