@@ -197,7 +197,7 @@ def _q_media_features(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from osm_data_3d_tiles_ray.pipelines import ann, events, geo, textops
+    from osm_data_3d_tiles_ray.pipelines import ann, events, geo, relational, textops
 
     return {
         # geo engine core (SURVEY.md §2: S2/M1-M12, J1, A1, G18-adjacent)
@@ -234,6 +234,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_daily": events.user_daily_activity,
         "events_sessionize": events.sessionize,
         "lang_id": textops.lang_id,
+        # generic relational machinery (partial-combine aggregates,
+        # broadcast join, global top-k) over the TPC-H-ish tables
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_orders_by_segment": relational.orders_by_segment,
+        "rel_top_suppliers": relational.top_suppliers,
     }
 
 
@@ -400,6 +405,28 @@ SELECT user_id, MIN(ts) AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(FLOOR(EPOCH(MAX(ts) - MIN(ts))) AS BIGINT) AS duration_sec
 FROM s GROUP BY user_id, sess
+""",
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_cent,
+       CAST(FLOOR(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_cent,
+       CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_cent,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY 1, 2
+""",
+        "rel_orders_by_segment": """
+SELECT c.c_mktsegment,
+       CAST(FLOOR(SUM(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS total_price_cent,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+        "rel_top_suppliers": """
+SELECT l_suppkey,
+       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS total_qty_cent
+FROM lineitem GROUP BY 1
+ORDER BY total_qty_cent DESC, l_suppkey
+LIMIT 5
 """,
         "lang_id": r"""
 WITH c AS (
