@@ -20,6 +20,11 @@ N_QUERIES = 10  # queries = the first N vectors (vec_id < N) of the table
 TOP_K = 5
 
 
+def _pool(cap: int = 8) -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(cap, cpus - 1))
+
+
 def _embeddings(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -84,7 +89,7 @@ def ann_topk(sf_dir: str) -> "ray.data.Dataset":
         _CosinePartial,
         fn_constructor_args=(qid, qmat),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=_pool(),
         batch_size=4096,
     )
 
@@ -214,7 +219,7 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 12) -> "ray.data.Dataset":
         Partial,
         fn_constructor_args=(qid, qmat, probe_arr),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=_pool(),
         batch_size=4096,
     )
 

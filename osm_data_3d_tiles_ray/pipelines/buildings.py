@@ -30,9 +30,17 @@ from ..stages.tileset import build_tileset_tree, write_tileset
 def built_ds(
     documents: "ray.data.Dataset",
     emit_buffers: bool = True,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 1024,
 ) -> "ray.data.Dataset":
+    if concurrency is None:
+        # fixed-size pool of (cluster CPUs - 1): leaves a core for the
+        # read/shuffle tasks; an autoscaling pool can collapse to 1 actor
+        # and a full-width pool starves the other operators
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(1, cpus - 1)
     parsed = documents.map_batches(
         functools.partial(parse_documents, keep_spans=False), batch_format="pyarrow"
     )

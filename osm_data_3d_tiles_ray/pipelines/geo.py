@@ -29,6 +29,13 @@ from ..stages.parse import parse_documents
 from ..synth.generator import ensure_synth, sf_from_dir
 from ..geom.transforms import mercator_to_tile
 
+
+def _pool(cap: int = 16) -> int:
+    """Fixed actor-pool size: min(cap, cluster CPUs - 1) — autoscaling pools
+    can collapse to one actor; full-width pools starve the read tasks."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(cap, cpus - 1))
+
 _PARSE_COLUMNS = [
     "doc_id", "osm_id", "osm_type", "n_rings", "n_vertices", "height",
     "levels", "roof_type", "name", "minx", "miny", "maxx", "maxy",
@@ -364,7 +371,7 @@ def q_knn(sf_dir: str) -> "ray.data.Dataset":
             k,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_pool(),
         batch_size=8192,
     )
 
@@ -449,7 +456,7 @@ def _pip_join(sf_dir: str, exact: bool) -> "ray.data.Dataset":
             exact,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_pool(),
         batch_size=8192,
     )
 
@@ -526,6 +533,6 @@ def q_dem_sample(sf_dir: str) -> "ray.data.Dataset":
             float(dem.column("dy")[0].as_py()),
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_pool(),
         batch_size=16384,
     )

@@ -121,7 +121,7 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.from_arrow(media).map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=2,
         batch_size=64,  # large binary payloads → small batches
     )
 
