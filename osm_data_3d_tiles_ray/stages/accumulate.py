@@ -189,6 +189,163 @@ def _merge_tile_group(group: pa.Table) -> pa.Table:
     )
 
 
+import struct
+
+_REC_MAGIC = b"OB3D"
+_REC_HEADER = struct.Struct("<4sqI6d")  # magic, osm_id, n_verts, bbox
+
+
+def encode_building_record(
+    osm_id: int,
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    texture_ids: np.ndarray,
+    bbox: tuple,
+) -> bytes:
+    """Lean per-building quantized record: 40B header + 11B/vertex
+    (u16 pos ×3, i8 normal ×3, u16 uv ×2... packed as below)."""
+    mn = np.array(bbox[:3])
+    extent = np.maximum(np.array(bbox[3:]) - mn, 1e-12)
+    q_pos = np.floor(np.clip((positions - mn) / extent, 0, 1) * 65535 + 0.5).astype(
+        np.uint16
+    )
+    q_nrm = np.clip(np.floor(normals * 127 + 0.5), -127, 127).astype(np.int8)
+    q_uv = np.floor((uvs % 1.0) * 65535 + 0.5).astype(np.uint16)
+    return (
+        _REC_HEADER.pack(_REC_MAGIC, int(osm_id), len(positions), *bbox)
+        + q_pos.tobytes()
+        + q_nrm.tobytes()
+        + q_uv.tobytes()
+        + texture_ids.astype(np.uint8).tobytes()
+    )
+
+
+def decode_building_record(blob: bytes) -> dict:
+    magic, osm_id, v, *bbox = _REC_HEADER.unpack_from(blob, 0)
+    assert magic == _REC_MAGIC
+    off = _REC_HEADER.size
+    q_pos = np.frombuffer(blob, np.uint16, v * 3, off).reshape(v, 3)
+    off += v * 6
+    q_nrm = np.frombuffer(blob, np.int8, v * 3, off).reshape(v, 3)
+    off += v * 3
+    q_uv = np.frombuffer(blob, np.uint16, v * 2, off).reshape(v, 2)
+    off += v * 4
+    tid = np.frombuffer(blob, np.uint8, v, off)
+    mn = np.array(bbox[:3])
+    extent = np.maximum(np.array(bbox[3:]) - mn, 1e-12)
+    return {
+        "osm_id": osm_id,
+        "bbox": bbox,
+        "position": mn + q_pos.astype(np.float64) / 65535 * extent,
+        "normal": q_nrm.astype(np.float64) / 127,
+        "uv": q_uv.astype(np.float64) / 65535,
+        "texture_id": tid,
+    }
+
+
+def compact_before_shuffle(batch: pa.Table) -> pa.Table:
+    """Quantize per-building geometry into a single binary blob BEFORE the
+    per-tile shuffle (the 100 TB trick: the cell groupby then moves ~11
+    bytes/vertex instead of ~35).
+
+    Output rows: (cell_id, osm_id, vertex_count, bbox cols, geom_blob).
+    """
+    n = len(batch)
+
+    def flat(name):
+        c = batch.column(name)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return np.asarray(c.values), np.asarray(c.offsets).astype(np.int64)
+
+    pos_flat, pos_offs = flat("position")
+    nrm_flat, _ = flat("normal")
+    uv_flat, uv_offs = flat("uv")
+    tid_flat, tid_offs = flat("texture_id")
+    osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
+    bb = {
+        c: batch.column(c).to_numpy(zero_copy_only=False)
+        for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")
+    }
+    blobs = []
+    for i in range(n):
+        p0, p1 = pos_offs[i] // 3, pos_offs[i + 1] // 3
+        bbox = tuple(bb[c][i] for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z"))
+        if not np.all(np.isfinite(bbox)):
+            bbox = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
+        blobs.append(
+            encode_building_record(
+                osm[i],
+                pos_flat[pos_offs[i] : pos_offs[i + 1]].reshape(-1, 3),
+                nrm_flat[pos_offs[i] : pos_offs[i + 1]].reshape(-1, 3),
+                uv_flat[uv_offs[i] : uv_offs[i + 1]].reshape(-1, 2),
+                tid_flat[tid_offs[i] : tid_offs[i + 1]],
+                bbox,
+            )
+        )
+    keep = {
+        "cell_id": batch.column("cell_id"),
+        "osm_id": batch.column("osm_id"),
+        "vertex_count": batch.column("vertex_count"),
+        "min_x": batch.column("min_x"),
+        "min_y": batch.column("min_y"),
+        "min_z": batch.column("min_z"),
+        "max_x": batch.column("max_x"),
+        "max_y": batch.column("max_y"),
+        "max_z": batch.column("max_z"),
+        "geom_blob": pa.array(blobs, type=pa.large_binary()),
+    }
+    return pa.table(keep)
+
+
+def _merge_compact_group(group: pa.Table) -> pa.Table:
+    """One tile's quantized building blobs → one compact tile row."""
+    osm = group.column("osm_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(osm, kind="stable")
+    group = group.take(pa.array(order))
+    blobs = group.column("geom_blob").to_numpy(zero_copy_only=False)
+    vcounts = group.column("vertex_count").to_numpy(zero_copy_only=False)
+    payload = b"".join(blobs)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    with np.errstate(invalid="ignore"):
+        bb = {
+            c: (
+                np.nanmin(group.column(c).to_numpy(zero_copy_only=False))
+                if c.startswith("min")
+                else np.nanmax(group.column(c).to_numpy(zero_copy_only=False))
+            )
+            for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")
+        }
+    n = len(group)
+    return pa.table(
+        {
+            "cell_id": group.column("cell_id").slice(0, 1),
+            "batch_length": pa.array([n], type=pa.int32()),
+            "vertex_count": pa.array([int(vcounts.sum())], type=pa.int64()),
+            "osm_ids": pa.LargeListArray.from_arrays(
+                pa.array([0, n], type=pa.int64()),
+                pa.array(np.sort(osm), type=pa.int64()),
+            ),
+            "blob_lengths": pa.LargeListArray.from_arrays(
+                pa.array([0, n], type=pa.int64()), pa.array(lens, type=pa.int64())
+            ),
+            "payload": pa.array([payload], type=pa.large_binary()),
+            **{k: pa.array([v]) for k, v in bb.items()},
+        }
+    )
+
+
+def accumulate_tiles_compact(built: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Scale-path tile merge: quantize per building → shuffle compact blobs →
+    concatenate per tile (≈2.5× less shuffle volume than the raw-buffer
+    path; decode with stages.encode.decode_tile per building record)."""
+    compact = built.map_batches(compact_before_shuffle, batch_format="pyarrow")
+    return compact.groupby("cell_id").map_groups(
+        _merge_compact_group, batch_format="pyarrow"
+    )
+
+
 def accumulate_tiles(
     built: "ray.data.Dataset", n_salt: int = 0
 ) -> "ray.data.Dataset":

@@ -1,0 +1,56 @@
+"""Quantize-before-shuffle tile merge: agreement with the raw path +
+per-building decode round trip within quantization error."""
+
+import numpy as np
+import ray.data
+
+from osm_data_3d_tiles_ray.pipelines.buildings import built_ds
+from osm_data_3d_tiles_ray.stages.accumulate import (
+    accumulate_tiles,
+    accumulate_tiles_compact,
+)
+from osm_data_3d_tiles_ray.stages.accumulate import decode_building_record
+from osm_data_3d_tiles_ray.synth.generator import generate_shard
+
+
+def test_compact_merge_matches_raw_counts_and_decodes():
+    docs, _ = generate_shard(0, 400)
+    built = built_ds(ray.data.from_arrow(docs), emit_buffers=True).materialize()
+    raw = (
+        accumulate_tiles(built)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    compact = (
+        accumulate_tiles_compact(built)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert (raw["cell_id"].values == compact["cell_id"].values).all()
+    assert (raw["batch_length"].values == compact["batch_length"].values).all()
+    assert (raw["vertex_count"].values == compact["vertex_count"].values).all()
+    for a, b in zip(raw["osm_ids"], compact["osm_ids"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # decode a few tiles: per-building blob positions ≈ raw positions
+    checked = 0
+    for i in range(min(30, len(compact))):
+        row = compact.iloc[i]
+        rawrow = raw.iloc[i]
+        lens = np.asarray(row["blob_lengths"])
+        payload = row["payload"]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        raw_pos = np.asarray(rawrow["position"], dtype=np.float64).reshape(-1, 3)
+        raw_offsets = np.asarray(rawrow["vertex_offsets"])
+        for j in range(len(lens)):
+            dec = decode_building_record(payload[offs[j] : offs[j + 1]])
+            v0, v1 = raw_offsets[j], raw_offsets[j + 1]
+            orig = raw_pos[v0:v1]
+            bbox = dec["bbox"]
+            extent = np.maximum(np.array(bbox[3:]) - np.array(bbox[:3]), 1.0)
+            assert dec["position"].shape == orig.shape
+            assert (np.abs(dec["position"] - orig) <= extent / 65535 * 1.01 + 1e-6).all()
+        checked += 1
+    assert checked > 0
