@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_cell_cover": geo.q_cell_cover,
         "geo_cell_cover_exact": geo.q_cell_cover_exact,
         "geo_knn": geo.q_knn,
+        "geo_knn_bucketed": geo.q_knn_bucketed,
         "geo_point_bbox_join": geo.q_point_bbox_join,
         "geo_point_in_polygon": geo.q_point_in_polygon,
         "geo_dem_sample": geo.q_dem_sample,

@@ -472,6 +472,121 @@ def q_point_in_polygon(sf_dir: str) -> "ray.data.Dataset":
     return _pip_join(sf_dir, exact=True)
 
 
+def q_knn_bucketed(sf_dir: str, bucket_zoom: int = 13) -> "ray.data.Dataset":
+    """Cell-bucketed kNN (the J4 scale path, SURVEY.md §7.3): buildings are
+    bucketed by coarse cell via a groupby shuffle; each query is replicated
+    to its cell + 8 neighbors; per-cell brute-force refine, then a global
+    per-query top-k.  Approximate iff the true k-neighborhood exceeds the
+    3×3 bucket ring (~4.9 km at z13) — recall vs the exact query is asserted
+    in tests.  Unlike q_knn, the query set never broadcasts to every batch:
+    both sides shuffle ONLY by bucket, so this is the shape that scales to
+    10^9 queries."""
+    import pyarrow.parquet as pq
+
+    from ..constants import WORLD_HALF, tile_size
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    qp = pq.read_table(root / "query_points.parquet")
+    k = int(qp.column("k")[0].as_py())
+    t = tile_size(bucket_zoom)
+
+    def bucket_of(x, y):
+        bx = np.floor((np.asarray(x) + WORLD_HALF) / t).astype(np.int64)
+        by = np.floor((WORLD_HALF - np.asarray(y)) / t).astype(np.int64)
+        return bx, by
+
+    # replicate queries to their 3×3 bucket neighborhood (driver-side: the
+    # query table is the small side)
+    qx = qp.column("x").to_numpy()
+    qy = qp.column("y").to_numpy()
+    qids = qp.column("qid").to_numpy()
+    bx, by = bucket_of(qx, qy)
+    reps = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            reps.append(
+                pa.table(
+                    {
+                        "bucket": pa.array((bx + dx) * np.int64(1 << 24) + (by + dy)),
+                        "qid": pa.array(qids),
+                        "qx": pa.array(qx),
+                        "qy": pa.array(qy),
+                        "is_query": pa.array(np.ones(len(qids), dtype=np.int8)),
+                    }
+                )
+            )
+    queries_tbl = pa.concat_tables(reps)
+
+    def building_buckets(batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        bbx, bby = bucket_of(cx, cy)
+        return pa.table(
+            {
+                "bucket": pa.array(bbx * np.int64(1 << 24) + bby),
+                "qid": batch.column("osm_id"),  # reuse column slot: osm_id
+                "qx": pa.array(cx),
+                "qy": pa.array(cy),
+                "is_query": pa.array(np.zeros(len(cx), dtype=np.int8)),
+            }
+        )
+
+    buildings = parsed_ds(sf_dir).select_columns(
+        ["osm_id", "centroid_x", "centroid_y"]
+    ).map_batches(building_buckets, batch_format="pyarrow")
+    both = buildings.union(ray.data.from_arrow(queries_tbl))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        isq = group.column("is_query").to_numpy(zero_copy_only=False).astype(bool)
+        if not isq.any() or isq.all():
+            return pa.table(
+                {
+                    "qid": pa.array([], type=pa.int64()),
+                    "osm_id": pa.array([], type=pa.int64()),
+                    "dist": pa.array([], type=pa.float64()),
+                }
+            )
+        ids = group.column("qid").to_numpy(zero_copy_only=False)
+        xs = group.column("qx").to_numpy(zero_copy_only=False)
+        ys = group.column("qy").to_numpy(zero_copy_only=False)
+        q_ids, q_x, q_y = ids[isq], xs[isq], ys[isq]
+        b_ids, b_x, b_y = ids[~isq], xs[~isq], ys[~isq]
+        d2 = (q_x[:, None] - b_x[None, :]) ** 2 + (q_y[:, None] - b_y[None, :]) ** 2
+        kk = min(k, d2.shape[1])
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cols = part.reshape(-1)
+        return pa.table(
+            {
+                "qid": pa.array(rows),
+                "osm_id": pa.array(b_ids[cols]),
+                "dist": pa.array(
+                    np.sqrt(d2[np.repeat(np.arange(len(q_ids)), kk), cols])
+                ),
+            }
+        )
+
+    partials = both.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+    def refine(group: pa.Table) -> pa.Table:
+        dist = group.column("dist").to_numpy(zero_copy_only=False)
+        osm = group.column("osm_id").to_numpy(zero_copy_only=False)
+        qid_g = group.column("qid").to_numpy(zero_copy_only=False)
+        # a building can reach a query via several replicas — dedup
+        _, first = np.unique(osm, return_index=True)
+        dist, osm = dist[first], osm[first]
+        order = np.lexsort((osm, dist))[:k]
+        return pa.table(
+            {
+                "qid": pa.array(qid_g[first][order]),
+                "osm_id": pa.array(osm[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # raster DEM → vector height sampling (companion operator, north rule)
 
