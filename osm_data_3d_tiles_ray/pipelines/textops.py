@@ -347,9 +347,19 @@ def jaccard_ngram_pairs(sf_dir: str, threshold: float = 0.5) -> "ray.data.Datase
     """Exact n-gram Jaccard verification of MinHash candidate pairs:
     candidates from the LSH bands, verified by true shingle-set Jaccard.
     Output: (doc_id, dup_of, jaccard_pct:int)."""
-    cands = minhash_near_dup(sf_dir)
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).to_pandas()
-    text_by_id = dict(zip(docs["doc_id"], docs["text"]))  # small side, broadcast
+    cands = minhash_near_dup(sf_dir).materialize()  # reused below, keep once
+    # fetch ONLY the texts of documents appearing in candidate pairs — the
+    # pair set is tiny relative to the corpus, so this is a small-side
+    # broadcast, not a full-table driver materialization
+    pair_rows = cands.take_all()
+    wanted = {r["doc_id"] for r in pair_rows} | {r["dup_of"] for r in pair_rows}
+    docs = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .filter(lambda row: row["doc_id"] in wanted)
+        .to_pandas()
+    )
+    text_by_id = dict(zip(docs["doc_id"], docs["text"]))
 
     def shingles(t: str) -> set:
         b = t.encode("utf-8")
