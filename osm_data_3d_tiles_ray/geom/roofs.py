@@ -100,6 +100,15 @@ def parse_skeleton(skeleton_json: str) -> tuple[np.ndarray, list[list[int]]] | N
         return None
 
 
+def _face_convex(face: np.ndarray) -> bool:
+    nxt = np.roll(face, -1, axis=0)
+    nxt2 = np.roll(face, -2, axis=0)
+    cr = (nxt[:, 0] - face[:, 0]) * (nxt2[:, 1] - nxt[:, 1]) - (
+        nxt[:, 1] - face[:, 1]
+    ) * (nxt2[:, 0] - nxt[:, 0])
+    return not ((cr > 1e-12).any() and (cr < -1e-12).any())
+
+
 def _dist_to_ring_edges(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Min distance of each point to the ring's edges (vectorized)."""
     a = ring
@@ -170,11 +179,21 @@ def build_hipped_roof(
     for poly in polys:
         if len(poly) < 3 or max(poly) >= len(verts):
             return None
-        # fan-triangulate each (convex) skeleton face
-        for i in range(1, len(poly) - 1):
-            idx = [poly[0], poly[i], poly[i + 1]]
-            tri = np.column_stack([verts[idx], z[idx]])
-            tris.append(tri)
+        face2d = verts[poly]
+        if len(poly) == 3 or _face_convex(face2d):
+            for i in range(1, len(poly) - 1):
+                idx = [poly[0], poly[i], poly[i + 1]]
+                tris.append(np.column_stack([verts[idx], z[idx]]))
+        else:
+            # non-convex skeleton face (concave footprints) → earcut it
+            from .earcut import triangulate as _tri
+
+            t = _tri(face2d)
+            for a, b, c in t:
+                idx = [poly[a], poly[b], poly[c]]
+                tris.append(np.column_stack([verts[idx], z[idx]]))
+    if not tris:
+        return None
     tri_pts = np.stack(tris)
     n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     wrong = n[:, 2] < 0

@@ -1,26 +1,24 @@
-"""Straight skeleton of CONVEX polygons (G3) — wavefront shrinking.
+"""Straight skeleton of simple polygons (G3) — wavefront shrinking with
+edge AND split events.
 
 The reference computes straight skeletons in a WASM module
 (``SkeletonBuilder.init()``, ``/root/reference/seed-b3dm.ts:19``) and also
 accepts precomputed skeletons from a tag
 (``/root/reference/src/building/building-params.ts:143``).  This engine
-keeps the precomputed path and adds a from-scratch kernel for the convex
-case (edge events only — no reflex/split events, which only occur for
-non-convex input):
+keeps the precomputed path and adds a from-scratch kernel:
 
-* each vertex moves inward along its angle bisector with the standard
-  offset velocity ``(n_l + n_r) / (1 + n_l·n_r)`` (unit-speed edge offset);
-* the next event is the earliest edge collapse (its endpoints' linear
-  trajectories meeting); the two corners merge into one with a new
-  bisector;
-* every collapse point is a skeleton vertex; each original edge yields one
-  skeleton face.
+* each corner moves inward along its angle bisector with the standard
+  offset velocity ``(n_l + n_r) / (1 + n_l·n_r)``;
+* **edge events**: an edge's two corners meet — they merge into one corner;
+* **split events**: a reflex corner's track hits the moving offset line of
+  a non-adjacent edge inside that edge's active span — the wavefront loop
+  splits into two loops there;
+* every event point is a skeleton vertex; each original edge yields one
+  skeleton face (vertices ordered monotonically along the edge).
 
-Output matches the engine's skeleton JSON contract
-(``{"vertices": [[x,y]...], "polygons": [[idx...]...]}``, ring vertices
-first) so :func:`..geom.roofs.build_hipped_roof` consumes it directly.
-Non-convex input returns None (callers fall back to flat — reference
-fallback semantics).
+Degenerate/self-intersecting input (or an inconsistent event cascade)
+returns None and callers fall back to flat — the reference's own fallback
+semantics (``building-builder.ts:385-393``).
 """
 
 from __future__ import annotations
@@ -32,25 +30,40 @@ import numpy as np
 _EPS = 1e-9
 
 
-def _inward_normals(ring: np.ndarray) -> np.ndarray:
-    """Unit inward normal per edge for a CCW-area ring (math convention)."""
-    nxt = np.roll(ring, -1, axis=0)
-    d = nxt - ring
-    ln = np.linalg.norm(d, axis=1)
-    n = np.stack([-d[:, 1], d[:, 0]], axis=1) / ln[:, None]
-    return n
+class _Corner:
+    __slots__ = ("pos", "vel", "t0", "left_e", "right_e", "prev", "next", "alive", "reflex")
+
+    def __init__(self, pos, vel, t0, left_e, right_e, reflex=False):
+        self.pos = pos
+        self.vel = vel
+        self.t0 = t0
+        self.left_e = left_e
+        self.right_e = right_e
+        self.prev = None
+        self.next = None
+        self.alive = True
+        self.reflex = reflex
+
+    def at(self, t):
+        return self.pos + (t - self.t0) * self.vel
+
+
+def _corner_velocity(n_left: np.ndarray, n_right: np.ndarray) -> np.ndarray | None:
+    denom = 1.0 + float(n_left @ n_right)
+    if abs(denom) < _EPS:
+        return None  # anti-parallel edges
+    return (n_left + n_right) / denom
 
 
 def compute_straight_skeleton(
-    ring_in: np.ndarray,
+    ring_in: np.ndarray, max_events: int | None = None
 ) -> tuple[np.ndarray, list[list[int]]] | None:
-    """Straight skeleton of a convex polygon.
+    """Straight skeleton of a simple (convex or non-convex) polygon.
 
     ``ring_in``: (k, 2) ring, closing duplicate optional, any winding.
-    Returns (vertices, faces): ``vertices[:k]`` are the input ring vertices
-    (in the normalized CCW order actually used), the rest are skeleton
-    vertices; one face (vertex-index polygon) per original edge.  None for
-    non-convex/degenerate input.
+    Returns (vertices, faces): ``vertices[:k]`` are the ring vertices in
+    the normalized CCW order used, the rest are skeleton vertices; one
+    vertex-index face per original edge.  None on degenerate input.
     """
     ring = np.asarray(ring_in, dtype=np.float64)
     if len(ring) > 1 and (ring[0] == ring[-1]).all():
@@ -58,161 +71,223 @@ def compute_straight_skeleton(
     k = len(ring)
     if k < 3:
         return None
-    # normalize to CCW (positive shoelace in math convention)
     x, y = ring[:, 0], ring[:, 1]
     area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    if abs(area2) < _EPS:
+        return None
     if area2 < 0:
         ring = ring[::-1]
-    # convexity check
+
+    scale = float(np.abs(ring).max()) + 1.0
     nxt = np.roll(ring, -1, axis=0)
-    nxt2 = np.roll(ring, -2, axis=0)
-    cr = (nxt[:, 0] - ring[:, 0]) * (nxt2[:, 1] - nxt[:, 1]) - (
-        nxt[:, 1] - ring[:, 1]
-    ) * (nxt2[:, 0] - nxt[:, 0])
-    if (cr < -1e-9 * max(1.0, np.abs(cr).max())).any():
+    d = nxt - ring
+    ln = np.linalg.norm(d, axis=1)
+    if (ln < 1e-12).any():
         return None
+    dirs = d / ln[:, None]
+    normals = np.stack([-dirs[:, 1], dirs[:, 0]], axis=1)  # inward for CCW
 
-    normals = _inward_normals(ring)
-
-    def corner_velocity(n_left: np.ndarray, n_right: np.ndarray) -> np.ndarray:
-        denom = 1.0 + float(n_left @ n_right)
-        if denom < _EPS:
-            return None  # anti-parallel edges (degenerate)
-        return (n_left + n_right) / denom
-
-    # active corners as a circular doubly linked list (array-based)
-    # corner i sits between edge left_e (incoming) and right_e (outgoing)
     verts: list[list[float]] = [[float(p[0]), float(p[1])] for p in ring]
     faces: dict[int, list[int]] = {e: [e, (e + 1) % k] for e in range(k)}
 
-    class Corner:
-        __slots__ = ("pos", "vel", "t0", "left_e", "right_e", "prev", "next", "alive")
-
-        def __init__(self, pos, vel, t0, left_e, right_e):
-            self.pos = pos
-            self.vel = vel
-            self.t0 = t0
-            self.left_e = left_e
-            self.right_e = right_e
-            self.prev = None
-            self.next = None
-            self.alive = True
-
-        def at(self, t):
-            return self.pos + (t - self.t0) * self.vel
-
-    corners = []
+    corners: list[_Corner] = []
     for i in range(k):
-        vel = corner_velocity(normals[i - 1], normals[i])
+        vel = _corner_velocity(normals[i - 1], normals[i])
         if vel is None:
             return None
-        corners.append(Corner(ring[i].copy(), vel, 0.0, (i - 1) % k, i))
+        # reflex: interior angle > pi ⇔ cross(prev_dir, this_dir) < 0 (CCW)
+        cr = dirs[i - 1][0] * dirs[i][1] - dirs[i - 1][1] * dirs[i][0]
+        corners.append(_Corner(ring[i].copy(), vel, 0.0, (i - 1) % k, i, reflex=cr < -_EPS))
     for i in range(k):
         corners[i].prev = corners[i - 1]
         corners[i].next = corners[(i + 1) % k]
+    active: set[_Corner] = set(corners)
 
-    def collapse_time(a: Corner, b: Corner) -> float | None:
-        """Earliest t ≥ max(t0) when a and b coincide (edge between them
-        vanishes).  Trajectories are linear; solve along their difference."""
+    def edge_collapse_time(a: _Corner, b: _Corner) -> float | None:
         dv = b.vel - a.vel
-        dp = b.at(max(a.t0, b.t0)) - a.at(max(a.t0, b.t0))
+        tref = max(a.t0, b.t0)
+        dp = b.at(tref) - a.at(tref)
         denom = float(dv @ dv)
         if denom < _EPS:
             return None
-        t = max(a.t0, b.t0) - float(dp @ dv) / denom
-        if t < max(a.t0, b.t0) - 1e-9:
+        t = tref - float(dp @ dv) / denom
+        if t < tref - 1e-9:
             return None
-        # verify they actually meet (convex input ⇒ they do when t is valid)
-        if np.linalg.norm(a.at(t) - b.at(t)) > 1e-6 * (1 + np.linalg.norm(a.pos)):
+        if np.linalg.norm(a.at(t) - b.at(t)) > 1e-6 * scale:
             return None
         return t
 
-    n_alive = k
-    head = corners[0]
-    guard = 0
-    while n_alive > 2 and guard < 4 * k:
-        guard += 1
-        # earliest edge collapse among alive corners
-        best_t, best_a = np.inf, None
-        c = head
-        for _ in range(n_alive):
-            t = collapse_time(c, c.next)
-            if t is not None and t < best_t:
-                best_t, best_a = t, c
-            c = c.next
-        if best_a is None:
-            return None
-        a, b = best_a, best_a.next
-        q = (a.at(best_t) + b.at(best_t)) / 2.0
-        qi = len(verts)
-        verts.append([float(q[0]), float(q[1])])
-        # q closes face of the vanishing edge a.right_e and touches the faces
-        # of a.left_e and b.right_e
-        for e in (a.right_e, a.left_e, b.right_e):
-            if qi not in faces[e]:
-                faces[e].append(qi)
-        vel = corner_velocity(normals[a.left_e], normals[b.right_e])
-        if vel is None:
-            # anti-parallel surviving edges (simultaneous collapses, e.g. a
-            # square): the merged corner IS a ridge point — it stops, and the
-            # remaining corners converge onto it
-            vel = np.zeros(2)
-        merged = Corner(q, vel, best_t, a.left_e, b.right_e)
-        merged.prev = a.prev
-        merged.next = b.next
-        a.prev.next = merged
-        b.next.prev = merged
-        a.alive = b.alive = False
-        if head in (a, b):
-            head = merged
-        n_alive -= 1
+    def split_candidates(c: _Corner):
+        """(t, edge_index, u) candidates for reflex corner c."""
+        out = []
+        for u in active:
+            e = u.right_e
+            if e in (c.left_e, c.right_e) or u is c or u.next is c:
+                continue
+            n_e = normals[e]
+            p_e = ring[e]
+            denom = float(n_e @ c.vel) - 1.0
+            if abs(denom) < _EPS:
+                continue
+            t = (float(n_e @ (p_e - c.pos)) + c.t0 * float(n_e @ c.vel)) / denom
+            if t < c.t0 - 1e-9 or t < u.t0 - 1e-9 or t < u.next.t0 - 1e-9:
+                continue
+            s = c.at(t)
+            # span check along the edge direction at time t
+            a_pos = u.at(t)
+            b_pos = u.next.at(t)
+            de = dirs[e]
+            pa = float(de @ a_pos)
+            pb = float(de @ b_pos)
+            ps = float(de @ s)
+            if ps < min(pa, pb) - 1e-6 * scale or ps > max(pa, pb) + 1e-6 * scale:
+                continue
+            out.append((t, e, u))
+        return out
 
-    if n_alive == 2:
-        # final ridge: the two remaining corners meet (or run parallel);
-        # close both remaining faces with both endpoints
-        a = head
-        b = head.next
-        t = collapse_time(a, b)
+    def close_pair(a: _Corner, b: _Corner) -> bool:
+        t = edge_collapse_time(a, b)
         if t is not None:
             q = (a.at(t) + b.at(t)) / 2.0
-            qi = len(verts)
-            verts.append([float(q[0]), float(q[1])])
+            qi = _add_vert(q)
             for e in {a.left_e, a.right_e, b.left_e, b.right_e}:
                 if qi not in faces[e]:
                     faces[e].append(qi)
         else:
-            # parallel ridge: both corners stop where they are "now" — use
-            # their positions at the later t0 (ridge segment endpoints)
             tt = max(a.t0, b.t0)
             for c in (a, b):
-                q = c.at(tt)
-                qi = len(verts)
-                verts.append([float(q[0]), float(q[1])])
+                qi = _add_vert(c.at(tt))
                 for e in (c.left_e, c.right_e):
                     if qi not in faces[e]:
                         faces[e].append(qi)
+        a.alive = b.alive = False
+        active.discard(a)
+        active.discard(b)
+        return True
 
-    # order each face's vertices angularly around its centroid (faces of a
-    # convex polygon's skeleton are convex)
+    def _add_vert(q: np.ndarray) -> int:
+        # dedup against existing skeleton vertices (tolerance)
+        for j in range(k, len(verts)):
+            if abs(verts[j][0] - q[0]) < 1e-7 * scale and abs(verts[j][1] - q[1]) < 1e-7 * scale:
+                return j
+        verts.append([float(q[0]), float(q[1])])
+        return len(verts) - 1
+
+    guard = 0
+    limit = max_events if max_events is not None else 8 * k + 16
+    while active and guard < limit:
+        guard += 1
+        # close any 2-corner loops
+        closed_any = False
+        for c in list(active):
+            if not c.alive:
+                continue
+            if c.next is c.prev and c.next is not c:
+                close_pair(c, c.next)
+                closed_any = True
+        if closed_any:
+            continue
+        if not active:
+            break
+
+        best_t = np.inf
+        best = None  # ("edge", a) | ("split", c, e, u)
+        for c in active:
+            t = edge_collapse_time(c, c.next)
+            if t is not None and t < best_t - 1e-12:
+                best_t, best = t, ("edge", c)
+        for c in active:
+            if not c.reflex:
+                continue
+            for t, e, u in split_candidates(c):
+                if t < best_t - 1e-12:
+                    best_t, best = t, ("split", c, e, u)
+        if best is None:
+            return None
+
+        if best[0] == "edge":
+            a = best[1]
+            b = a.next
+            q = (a.at(best_t) + b.at(best_t)) / 2.0
+            qi = _add_vert(q)
+            for e in (a.right_e, a.left_e, b.right_e):
+                if qi not in faces[e]:
+                    faces[e].append(qi)
+            vel = _corner_velocity(normals[a.left_e], normals[b.right_e])
+            if vel is None:
+                vel = np.zeros(2)
+            nd = dirs[a.left_e][0] * dirs[b.right_e][1] - dirs[a.left_e][1] * dirs[b.right_e][0]
+            merged = _Corner(q, vel, best_t, a.left_e, b.right_e, reflex=nd < -_EPS)
+            merged.prev = a.prev
+            merged.next = b.next
+            a.prev.next = merged
+            b.next.prev = merged
+            a.alive = b.alive = False
+            active.discard(a)
+            active.discard(b)
+            if merged.next is merged:  # loop fully collapsed
+                pass
+            else:
+                active.add(merged)
+        else:
+            _, c, e, u = best
+            # re-validate u (the event was computed against a snapshot)
+            if not u.alive or u.right_e != e:
+                continue
+            q = c.at(best_t)
+            qi = _add_vert(q)
+            for ee in (e, c.left_e, c.right_e):
+                if qi not in faces[ee]:
+                    faces[ee].append(qi)
+            v1 = _corner_velocity(normals[c.left_e], normals[e])
+            v2 = _corner_velocity(normals[e], normals[c.right_e])
+            # anti-parallel edge pair ⇒ the new corner sits on a ridge — it
+            # stops and its neighbors converge onto it (same fallback as the
+            # simultaneous-collapse edge-event case)
+            if v1 is None:
+                v1 = np.zeros(2)
+            if v2 is None:
+                v2 = np.zeros(2)
+            cr1 = dirs[c.left_e][0] * dirs[e][1] - dirs[c.left_e][1] * dirs[e][0]
+            cr2 = dirs[e][0] * dirs[c.right_e][1] - dirs[e][1] * dirs[c.right_e][0]
+            c1 = _Corner(q.copy(), v1, best_t, c.left_e, e, reflex=cr1 < -_EPS)
+            c2 = _Corner(q.copy(), v2, best_t, e, c.right_e, reflex=cr2 < -_EPS)
+            # loop 1: ... c.prev -> c1 -> u.next ...
+            c1.prev = c.prev
+            c1.next = u.next
+            c.prev.next = c1
+            u.next.prev = c1
+            # loop 2: ... u -> c2 -> c.next ...
+            c2.prev = u
+            c2.next = c.next
+            u.next = c2
+            c.next.prev = c2
+            c.alive = False
+            active.discard(c)
+            active.add(c1)
+            active.add(c2)
+            # degenerate mini-loops close next iteration
+
+    if active:
+        return None  # event cascade didn't terminate cleanly
+
     varr = np.asarray(verts)
     out_faces: list[list[int]] = []
     for e in range(k):
         idx = faces[e]
-        pts = varr[idx]
-        cen = pts.mean(axis=0)
-        ang = np.arctan2(pts[:, 1] - cen[1], pts[:, 0] - cen[0])
-        order = np.argsort(ang)
-        ordered = [idx[j] for j in order]
-        # rotate so the face starts at the original edge start vertex
-        if e in ordered:
-            s = ordered.index(e)
-            ordered = ordered[s:] + ordered[:s]
-        out_faces.append(ordered)
+        if len(idx) < 3:
+            return None
+        de = dirs[e]
+        sk_idx = [j for j in idx if j >= k or j not in (e, (e + 1) % k)]
+        # order: edge_start, edge_end, skeleton verts by decreasing projection
+        # (faces are monotone along their edge)
+        sk_sorted = sorted(sk_idx, key=lambda j: -float(de @ varr[j]))
+        out_faces.append([e, (e + 1) % k] + sk_sorted)
     return varr, out_faces
 
 
 def skeleton_json(ring: np.ndarray) -> str | None:
-    """Convex straight skeleton in the engine's JSON contract, or None."""
+    """Straight skeleton in the engine's JSON contract, or None."""
     out = compute_straight_skeleton(ring)
     if out is None:
         return None

@@ -39,10 +39,12 @@ def test_regular_polygon_center_fan():
     assert np.allclose(v[k:], 0.0, atol=1e-6)
 
 
-def test_concave_returns_none():
-    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], float)
-    assert compute_straight_skeleton(L) is None
-    assert skeleton_json(L) is None
+def test_degenerate_returns_none():
+    collinear = np.array([[0, 0], [1, 0], [2, 0]], float)
+    assert compute_straight_skeleton(collinear) is None
+    assert skeleton_json(collinear) is None
+    two = np.array([[0, 0], [1, 1]], float)
+    assert compute_straight_skeleton(two) is None
 
 
 def test_random_convex_area_conservation():
@@ -86,3 +88,57 @@ def test_pipeline_roofs_stay_in_tile_frame():
     # tile frame: everything within ~2 tile widths of the tile center
     assert np.abs(mx[ok]).max() < 1300
     assert np.abs(mn[ok]).max() < 1300
+
+
+def test_l_shape_split_events():
+    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], float)
+    out = compute_straight_skeleton(L)
+    assert out is not None
+    v, f = out
+    total = sum(poly_area(v[face]) for face in f)
+    assert total == pytest.approx(3.0, rel=1e-9)
+    sk = {tuple(np.round(p, 6)) for p in v[6:]}
+    assert sk == {(0.5, 0.5), (0.5, 1.5), (1.5, 0.5)}
+
+
+def test_random_concave_star_polygons_never_wrong():
+    rng = np.random.default_rng(23)
+    ok = none = 0
+    for _ in range(150):
+        k = int(rng.integers(5, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.uniform(2, 10, k)
+        poly = np.stack([np.cos(ang) * r, np.sin(ang) * r], 1)
+        out = compute_straight_skeleton(poly)
+        if out is None:
+            none += 1
+            continue
+        v, f = out
+        total = sum(poly_area(v[face]) for face in f)
+        # a produced skeleton must be area-exact (None = clean refusal)
+        assert total == pytest.approx(poly_area(poly), rel=1e-4)
+        ok += 1
+    assert ok > 130  # high success rate, zero wrong answers
+
+
+def test_concave_hipped_roof_builds():
+    import json
+
+    from osm_data_3d_tiles_ray.geom.roofs import build_hipped_roof
+    from osm_data_3d_tiles_ray.geom.skeleton import skeleton_json
+
+    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]], float)
+    sk = skeleton_json(L)
+    assert sk is not None
+    out = build_hipped_roof(L, sk, min_height=4.0, roof_height=2.0, texture_id=1)
+    assert out is not None
+    pos = out["position"].reshape(-1, 3, 3)
+    # projected roof area == footprint area
+    a, b, c = pos[:, 0], pos[:, 1], pos[:, 2]
+    area = 0.5 * np.abs(
+        (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    ).sum()
+    assert area == pytest.approx(3.0, rel=1e-6)
+    assert out["position"][:, 2].min() == pytest.approx(4.0)
+    assert out["position"][:, 2].max() == pytest.approx(6.0)
