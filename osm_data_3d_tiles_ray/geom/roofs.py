@@ -221,6 +221,119 @@ def build_pyramidal_roof(
     return _pack(tri_pts, texture_id)
 
 
+def build_gabled_skeleton_roof(
+    outer_ring: np.ndarray,
+    skeleton_json_str: str,
+    min_height: float,
+    roof_height: float,
+    texture_id: int,
+    skeleton_offset: tuple[float, float] = (0.0, 0.0),
+) -> dict[str, np.ndarray] | None:
+    """Skeleton-based gabled roof (G9): 3-vertex end faces collapse — their
+    skeleton vertex moves onto the face's edge, turning the end slope into a
+    vertical gable triangle (reference: gabled-roof-builder.ts:14-172,
+    line-intersection collapse at :70-94 + skirt gables).
+
+    Returns None when unusable (caller falls back — reference semantics)."""
+    sk = parse_skeleton(skeleton_json_str)
+    if sk is None:
+        return None
+    verts, polys = sk
+    if skeleton_offset != (0.0, 0.0):
+        verts = verts - np.asarray(skeleton_offset)
+    ring = (
+        outer_ring[:-1]
+        if len(outer_ring) > 1 and (outer_ring[0] == outer_ring[-1]).all()
+        else outer_ring
+    )
+    k = len(ring)
+    depth = _dist_to_ring_edges(verts, ring)
+    max_d = depth.max()
+    if max_d <= 0:
+        return None
+    z = min_height + depth / max_d * roof_height
+
+    # count triangular faces per skeleton vertex (only ring-edge faces with
+    # exactly one skeleton vertex are collapsible ends)
+    end_faces = []
+    sk_use = {}
+    for fi, poly in enumerate(polys):
+        if max(poly) >= len(verts):
+            return None
+        sk_verts = [p for p in poly if p >= k]
+        for s in sk_verts:
+            sk_use[s] = sk_use.get(s, 0) + 1
+        if len(poly) == 3 and len(sk_verts) == 1:
+            end_faces.append((fi, sk_verts[0]))
+    # a vertex collapsible only if it is the end of exactly one triangle face
+    collapse = {}
+    skipped = set()
+    for fi, s in end_faces:
+        if sum(1 for fj, sj in end_faces if sj == s) != 1:
+            continue
+        poly = polys[fi]
+        ring_pts = [p for p in poly if p < k]
+        if len(ring_pts) != 2:
+            continue
+        a, b = verts[ring_pts[0]], verts[ring_pts[1]]
+        ab = b - a
+        ll = float(ab @ ab)
+        if ll < 1e-18:
+            continue
+        t = float((verts[s] - a) @ ab) / ll
+        proj = a + np.clip(t, 0.0, 1.0) * ab
+        collapse[s] = proj
+        skipped.add(fi)
+
+    if not collapse:
+        return None  # nothing gabled about this skeleton — use hipped path
+
+    verts = verts.copy()
+    for s, p in collapse.items():
+        verts[s] = p
+
+    tris: list[np.ndarray] = []
+    for fi, poly in enumerate(polys):
+        if fi in skipped:
+            # vertical gable triangle: the two ring verts at roof base + the
+            # (moved) ridge endpoint at its ridge height
+            ring_pts = [p for p in poly if p < k]
+            s = [p for p in poly if p >= k][0]
+            a, b = ring_pts
+            tri = np.array(
+                [
+                    [verts[a][0], verts[a][1], min_height],
+                    [verts[b][0], verts[b][1], min_height],
+                    [verts[s][0], verts[s][1], z[s]],
+                ]
+            )
+            tris.append(tri)
+            continue
+        face2d = verts[poly]
+        if len(poly) == 3 or _face_convex(face2d):
+            for i in range(1, len(poly) - 1):
+                idx = [poly[0], poly[i], poly[i + 1]]
+                tris.append(np.column_stack([verts[idx], z[idx]]))
+        else:
+            from .earcut import triangulate as _tri
+
+            for a_, b_, c_ in _tri(face2d):
+                idx = [poly[a_], poly[b_], poly[c_]]
+                tris.append(np.column_stack([verts[idx], z[idx]]))
+    tri_pts = np.stack(tris)
+    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    ln = np.linalg.norm(n, axis=1)
+    keep = ln > 1e-12
+    tri_pts = tri_pts[keep]
+    n = n[keep]
+    # fix orientation only for non-vertical faces (gables stay as emitted)
+    wrong = n[:, 2] < -1e-12
+    tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
+    if not len(tri_pts):
+        return None
+    return _pack(tri_pts, texture_id)
+
+
 # profile constants — verbatim from the reference's data-driven subclasses
 # (SURVEY.md §2.7: profiles are data, not code)
 PROFILE_GABLED = [(0.0, 0.0), (0.5, 1.0), (1.0, 0.0)]  # oriented-gabled-roof-builder.ts:5-9

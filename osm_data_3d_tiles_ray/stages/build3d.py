@@ -185,6 +185,20 @@ class Build3D:
         return self._oriented(ctx, PROFILE_ROUND)
 
     def _roof_gabled(self, ctx):
+        # reference primary: skeleton-based gabled (3-vertex end faces
+        # collapse to vertical gables); oriented profile as the fallback
+        from ..geom.roofs import build_gabled_skeleton_roof
+
+        sk, off = self._skeleton_for(ctx)
+        if sk:
+            out = build_gabled_skeleton_roof(
+                ctx["outer_ring"], sk,
+                min_height=ctx["height"] - ctx["roof_height"],
+                roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
+                skeleton_offset=off,
+            )
+            if out is not None:
+                return out, None
         return self._oriented(ctx, PROFILE_GABLED)
 
     def _roof_saltbox(self, ctx):

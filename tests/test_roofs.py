@@ -125,3 +125,23 @@ def test_skillion_slope_and_heightpoints():
     assert out["position"][:, 2].max() == pytest.approx(7.0)
     assert out["position"][:, 2].min() == pytest.approx(4.0)
     assert zs.max() == pytest.approx(7.0)
+
+
+def test_gabled_skeleton_rectangle():
+    from osm_data_3d_tiles_ray.geom.roofs import build_gabled_skeleton_roof
+    from osm_data_3d_tiles_ray.geom.skeleton import skeleton_json
+
+    rect = rect_ring(w=10, h=4)
+    sk = skeleton_json(rect)
+    out = build_gabled_skeleton_roof(rect, sk, min_height=6.0, roof_height=3.0, texture_id=1)
+    assert out is not None
+    pos = out["position"].reshape(-1, 3, 3)
+    assert horiz_area(out["position"]) == pytest.approx(40.0, rel=1e-9)
+    z = pos[:, :, 2]
+    assert z.min() == pytest.approx(6.0)
+    assert z.max() == pytest.approx(9.0)
+    n = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+    vertical = np.abs(n[:, 2]) < 1e-9
+    assert vertical.sum() == 2  # two gable ends
+    apex_x = sorted(np.round(pos[vertical][:, 2, 0], 6))
+    assert apex_x == [0.0, 10.0]  # ridge endpoints moved onto the end walls
