@@ -1,19 +1,23 @@
-"""Roof geometry builders (G7–G14 subset) + dispatch with flat fallback.
+"""Roof geometry builders (G7–G14, all 12 reference families) + dispatch
+with the reference's flat fallback on failure
+(``/root/reference/src/building/building-builder.ts:385-393``).
 
-Round-1 coverage (the rest of the reference's 12-builder family falls back
-to flat, mirroring the reference's own fallback-to-flat on skeleton/geometry
-failure, ``/root/reference/src/building/building-builder.ts:385-393``):
-
-* flat   — footprint earcut at roof base (``flat-roof-builders.ts:9-186``;
-  OMBB-aligned UV grid simplified to planar world UVs);
-* hipped — precomputed straight-skeleton faces, per-vertex height
-  proportional to distance-to-edge (``hipped-roof-builder.ts:12-282``);
-* pyramidal — radial fan footprint→apex at the centroid
-  (``pyramidal-roof-builder.ts:4-10`` via the curved-builder center);
-* skillion — single slope: footprint triangulated, z lerped along the roof
-  direction across the footprint's directed extent
-  (``skillion-roof-builder.ts:14-215``; wall height_points returned so the
-  facade follows the slope).
+* flat — footprint earcut (``flat-roof-builders.ts:9-186``); also the
+  G16 underside cap via ``flip``;
+* hipped / mansard / gambrel / quadrupleSaltbox — straight-skeleton faces
+  lofted by distance-to-edge, with the per-variant piecewise height remaps
+  (``hipped-roof-builder.ts``, ``mansard-roof-builder.ts:7-8``,
+  ``gambrel-roof-builder.ts:9-10``, ``quadruple-saltbox-roof-builder.ts:5-6``);
+  skeletons come from the tag or the engine's own kernel (geom/skeleton.py);
+* gabled — skeleton variant with 3-vertex end-face collapse to vertical
+  gables (``gabled-roof-builder.ts:14-172``); oriented profile fallback;
+* round / saltbox / oriented-gambrel — profile-extruded over the OMBB
+  across-axis with the reference's exact profile constants
+  (``oriented-*-roof-builder.ts``);
+* dome / onion / pyramidal — lathe-style radial lofts
+  (``dome/onion-roof-builder.ts``, ``pyramidal-roof-builder.ts``);
+* skillion — single slope with wall height points
+  (``skillion-roof-builder.ts:14-215``).
 
 All builders take/return plain numpy SoA dicts — no Ray coupling; the
 actor-pool stage in stages/build3d.py batches them.
@@ -30,8 +34,8 @@ from .earcut import triangulate_multipolygon
 
 ROOF_TYPES_IMPLEMENTED = {
     "flat", "hipped", "pyramidal", "skillion", "dome", "onion", "round",
-    "gabled", "gambrel", "saltbox", "mansard",
-}  # quadrupleSaltbox falls back to flat in round 1
+    "gabled", "gambrel", "saltbox", "mansard", "quadrupleSaltbox",
+}  # all 12 reference roof families
 
 
 def _empty() -> dict[str, np.ndarray]:
@@ -133,6 +137,12 @@ def mansard_remap(p: np.ndarray) -> np.ndarray:
     bottom = p + (p / split) * bump
     top = p + ((1.0 - p) / (1.0 - split)) * bump
     return np.where(p < split, bottom, top)
+
+
+def quadruple_saltbox_remap(p: np.ndarray) -> np.ndarray:
+    """QuadrupleSaltbox depth→height remap (quadruple-saltbox-roof-builder.ts:
+    5-6, 29-36 — splitProgress 0.5, bump 0: double slope then flat plateau)."""
+    return np.where(p < 0.5, 2.0 * p, 1.0)
 
 
 def gambrel_remap(p: np.ndarray) -> np.ndarray:

@@ -79,6 +79,7 @@ class Build3D:
             "gambrel": self._roof_gambrel,
             "saltbox": self._roof_saltbox,
             "mansard": self._roof_mansard,
+            "quadrupleSaltbox": self._roof_quadruple_saltbox,
         }
 
     # --- per-roof builders ------------------------------------------------
@@ -223,6 +224,14 @@ class Build3D:
         return self._oriented(ctx, PROFILE_GAMBREL)
 
     def _roof_mansard(self, ctx):
+        return self._skeleton_remap_roof(ctx, mansard_remap)
+
+    def _roof_quadruple_saltbox(self, ctx):
+        from ..geom.roofs import quadruple_saltbox_remap
+
+        return self._skeleton_remap_roof(ctx, quadruple_saltbox_remap)
+
+    def _skeleton_remap_roof(self, ctx, remap):
         sk, off = self._skeleton_for(ctx)
         if not sk:
             return None
@@ -230,7 +239,7 @@ class Build3D:
             ctx["outer_ring"], sk,
             min_height=ctx["height"] - ctx["roof_height"],
             roof_height=ctx["roof_height"], texture_id=ctx["roof_tex"],
-            remap=mansard_remap,
+            remap=remap,
             skeleton_offset=off,
         )
         return None if out is None else (out, None)
