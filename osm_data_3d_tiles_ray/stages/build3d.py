@@ -64,6 +64,11 @@ class Build3D:
 
     def __init__(self, emit_buffers: bool = True):
         self.emit_buffers = emit_buffers
+        # per-actor state: atlas frame → UV transform table, built once
+        # (reference loads the atlas frame dict once per worker, S4/J3)
+        from ..tables.atlas import uv_transform_table
+
+        self.uv_table = uv_transform_table()
         # dispatch mirrors building-builder.ts:145-212; quadrupleSaltbox and
         # unknown types fall back to flat (engine round-1 coverage; the
         # reference's own skeleton-failure fallback is flat too, :385-393)
@@ -591,21 +596,25 @@ class Build3D:
         if self.emit_buffers:
             offs64 = bstarts
             out_rows["position"] = _wrap_list(flat_pos.reshape(-1), offs64 * 3, pa.float32())
-            out_rows["uv"] = _wrap_list(
-                (np.concatenate(pieces_uv) if pieces_uv else np.empty((0, 2), np.float32)).reshape(-1),
-                offs64 * 2,
-                pa.float32(),
+            flat_uv = (
+                np.concatenate(pieces_uv) if pieces_uv else np.empty((0, 2), np.float32)
             )
+            flat_tid_arr = (
+                np.concatenate(pieces_tid) if pieces_tid else np.empty(0, np.uint8)
+            )
+            # J3: tile-local UVs → atlas UVs via the per-actor frame table
+            from ..tables.atlas import apply_atlas_uv
+
+            flat_uv = apply_atlas_uv(flat_uv.astype(np.float64), flat_tid_arr, self.uv_table).astype(
+                np.float32
+            )
+            out_rows["uv"] = _wrap_list(flat_uv.reshape(-1), offs64 * 2, pa.float32())
             out_rows["normal"] = _wrap_list(
                 (np.concatenate(pieces_nrm) if pieces_nrm else np.empty((0, 3), np.float32)).reshape(-1),
                 offs64 * 3,
                 pa.float32(),
             )
-            out_rows["texture_id"] = _wrap_list(
-                np.concatenate(pieces_tid) if pieces_tid else np.empty(0, np.uint8),
-                offs64,
-                pa.uint8(),
-            )
+            out_rows["texture_id"] = _wrap_list(flat_tid_arr, offs64, pa.uint8())
             # G17 terrain mask: footprint XY pairs scaled by 1/tileSize for
             # ground-level buildings (tile3d-features-to-buffers-converter.ts:454-469)
             out_rows["terrain_mask"] = _wrap_list(mask_flat, mask_offsets, pa.float32())

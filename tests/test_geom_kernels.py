@@ -157,3 +157,24 @@ def test_walls_smooth_run_grouping():
     windows = round(perimeter / 3.0)
     # windowed run split at ~every integer boundary: ≥ windows subsegments
     assert len(out["position"]) >= windows * 6
+
+
+def test_atlas_uv_transform_reference_math():
+    from osm_data_3d_tiles_ray.tables.atlas import apply_atlas_uv, tile_uv_transform, uv_transform_table
+
+    # exact reference constants: atlas 2580, tile 512, pad 2, 5 cols, eps 2px
+    (uo, vo), (us, vs) = tile_uv_transform(0, 4 * 512)  # top-left frame
+    assert uo == pytest.approx((2 + 2) / 2580)
+    assert us == pytest.approx(512 / 2580 - 4 / 2580)
+    (uo2, vo2), _ = tile_uv_transform(512, 4 * 512)
+    assert uo2 == pytest.approx((2 + 516 + 2) / 2580)
+
+    table = uv_transform_table()
+    uv = np.array([[0.0, 0.0], [0.5, 0.5], [0.999, 1.0]])
+    tid = np.array([0, 1, 2], dtype=np.uint8)
+    out = apply_atlas_uv(uv, tid, table)
+    # all outputs inside [0, 1] and inside their frame
+    assert (out >= 0).all() and (out <= 1).all()
+    for j in range(3):
+        t = table[tid[j]]
+        assert t[0] - 1e-9 <= out[j, 0] <= t[0] + t[2] + 1e-9
