@@ -14,6 +14,32 @@ from __future__ import annotations
 import numpy as np
 
 
+def compute_smooth_normals(position: np.ndarray) -> np.ndarray:
+    """Smooth vertex normals (M17): area-weighted average of face normals
+    over vertices sharing a POSITION — the reference's final normal pass
+    (three.js ``computeVertexNormals`` after welding,
+    ``/root/reference/src/build3dBuilding.ts:114-115``,
+    ``src/utils/geometry.ts:33-68``).
+
+    ``position``: (v, 3) float32 triangle list (v divisible by 3).
+    Returns (v, 3) float32 unit normals."""
+    v = len(position)
+    if v == 0:
+        return np.empty((0, 3), np.float32)
+    tris = position.reshape(-1, 3, 3).astype(np.float64)
+    fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])  # area-weighted
+    per_vertex_face_n = np.repeat(fn, 3, axis=0)  # (v, 3)
+    # group by exact position
+    raw = position.astype(np.float32).view(np.uint8).reshape(v, 12)
+    _, inverse = np.unique(raw, axis=0, return_inverse=True)
+    acc = np.zeros((inverse.max() + 1, 3))
+    np.add.at(acc, inverse, per_vertex_face_n)
+    out = acc[inverse]
+    ln = np.linalg.norm(out, axis=1, keepdims=True)
+    ln[ln == 0] = 1.0
+    return (out / ln).astype(np.float32)
+
+
 def weld_mesh(
     position: np.ndarray,   # (v, 3) float32
     normal: np.ndarray,     # (v, 3) float32

@@ -46,3 +46,30 @@ def test_weld_reduces_tile_meshes():
         total_before += len(pos)
         total_after += len(out["position"])
     assert total_after < total_before * 0.75  # real reduction on extrusions
+
+
+def test_smooth_normals_cube_corner():
+    from osm_data_3d_tiles_ray.geom.weld import compute_smooth_normals
+
+    # two triangles of a flat square → all normals identical +z
+    sq = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 0, 0], [1, 1, 0], [0, 1, 0]],
+        np.float32,
+    )
+    n = compute_smooth_normals(sq)
+    assert np.allclose(n, [0, 0, 1], atol=1e-6)
+
+    # a roof ridge: two slopes sharing an edge → shared verts get averaged
+    slopes = np.array(
+        [
+            [0, 0, 0], [1, 0, 1], [0, 1, 0],   # slope A (rising +x)
+            [1, 0, 1], [2, 0, 0], [2, 1, 0],   # slope B (falling +x)
+        ],
+        np.float32,
+    )
+    n = compute_smooth_normals(slopes)
+    # the ridge vertex (1,0,1) appears in both triangles → averaged normal
+    ridge = np.where((slopes == [1, 0, 1]).all(axis=1))[0]
+    assert len(ridge) == 2
+    assert np.allclose(n[ridge[0]], n[ridge[1]])
+    assert np.allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-6)
