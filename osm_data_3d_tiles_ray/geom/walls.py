@@ -17,8 +17,15 @@ Faithful port of the reference's wall semantics
   heights, ``:101-119``).
 
 The atlas UV transform is identity here (the reference's texture-atlas
-frame lookup ``getTileUVTransform`` is a per-worker state concern — see
-stages/build3d; geometry semantics are unaffected).
+frame lookup ``getTileUVTransform`` is applied as per-actor state in
+stages/build3d via tables/atlas.py; geometry semantics are unaffected).
+
+Documented quirk decision (SURVEY.md §7.4): the reference's cut-array
+construction (``:250-253``) does NOT dedup the first integer boundary, so
+a wall run starting exactly on an integer UV emits a zero-width degenerate
+quad; this engine dedups consecutive equal cuts (clean semantics — no
+degenerate geometry), which can make vertex counts differ from a literal
+reading of the reference by one quad per wall run.
 """
 
 from __future__ import annotations
