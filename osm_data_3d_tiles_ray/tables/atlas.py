@@ -70,6 +70,29 @@ def uv_transform_table(n_textures: int = 256) -> np.ndarray:
     return table
 
 
+def write_frame_dict_parquet(path: str, n_textures: int = 25) -> None:
+    """S8 output: the packer's frame dictionary as Parquet (the reference
+    packs atlases + writes ``diffuse.json`` frames,
+    ``src/textures/building_textures.ts:257-302``; the engine ships the
+    frame dict as a table instead of JSON)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    frames = synth_frame_dict(n_textures)
+    pq.write_table(
+        pa.table(
+            {
+                "texture_id": pa.array(list(frames), type=pa.int32()),
+                "x": pa.array([f[0] for f in frames.values()], type=pa.int32()),
+                "y": pa.array([f[1] for f in frames.values()], type=pa.int32()),
+                "w": pa.array([TILE_SIZE] * len(frames), type=pa.int32()),
+                "h": pa.array([TILE_SIZE] * len(frames), type=pa.int32()),
+            }
+        ),
+        path,
+    )
+
+
 def apply_atlas_uv(uv: np.ndarray, texture_id: np.ndarray, table: np.ndarray) -> np.ndarray:
     """Map tile-local UVs (fractional) into atlas UVs via the frame table —
     vectorized over all vertices."""
