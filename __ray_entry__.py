@@ -14,10 +14,45 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from osm_data_3d_tiles_ray.synth.generator import ensure_synth
+
+
+def _make_workers_find_the_package() -> None:
+    """Ray workers inherit neither driver ``sys.path`` edits nor late env
+    changes, so if the driver imported this module from outside /root/repo
+    the pool workers would fail to unpickle our stage callables.  Register
+    the whole package for cloudpickle-by-value: the code ships inside the
+    task/actor pickles and workers never import it."""
+    try:
+        import importlib
+        import pkgutil
+
+        import ray.cloudpickle as _cp
+
+        import osm_data_3d_tiles_ray as _pkg
+
+        for m in pkgutil.walk_packages(_pkg.__path__, _pkg.__name__ + "."):
+            importlib.import_module(m.name)
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("osm_data_3d_tiles_ray") and mod is not None:
+                try:
+                    _cp.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass  # best effort — irrelevant when the driver runs from /root/repo
+
+
+_make_workers_find_the_package()
 
 # Materialize the synthetic geo corpus for the driver's scales up front so
 # oracle SQL can read it even if the oracle runs before the Ray query.

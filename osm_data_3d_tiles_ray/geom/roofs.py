@@ -30,7 +30,8 @@ import math
 
 import numpy as np
 
-from .earcut import triangulate_multipolygon
+from .earcut import triangulate as _earcut_triangulate, triangulate_multipolygon
+from .hull import ombb as _ombb
 
 ROOF_TYPES_IMPLEMENTED = {
     "flat", "hipped", "pyramidal", "skillion", "dome", "onion", "round",
@@ -196,9 +197,7 @@ def build_hipped_roof(
                 tris.append(np.column_stack([verts[idx], z[idx]]))
         else:
             # non-convex skeleton face (concave footprints) → earcut it
-            from .earcut import triangulate as _tri
-
-            t = _tri(face2d)
+            t = _earcut_triangulate(face2d)
             for a, b, c in t:
                 idx = [poly[a], poly[b], poly[c]]
                 tris.append(np.column_stack([verts[idx], z[idx]]))
@@ -325,9 +324,7 @@ def build_gabled_skeleton_roof(
                 idx = [poly[0], poly[i], poly[i + 1]]
                 tris.append(np.column_stack([verts[idx], z[idx]]))
         else:
-            from .earcut import triangulate as _tri
-
-            for a_, b_, c_ in _tri(face2d):
+            for a_, b_, c_ in _earcut_triangulate(face2d):
                 idx = [poly[a_], poly[b_], poly[c_]]
                 tris.append(np.column_stack([verts[idx], z[idx]]))
     tri_pts = np.stack(tris)
@@ -463,8 +460,6 @@ def build_oriented_profile_roof(
     Returns (geometry, per-outer-vertex height points for the skirt walls)
     or None for concave footprints (caller falls back to flat).
     """
-    from .hull import ombb as _ombb
-
     ring = (
         outer_ring[:-1]
         if len(outer_ring) > 1 and (outer_ring[0] == outer_ring[-1]).all()

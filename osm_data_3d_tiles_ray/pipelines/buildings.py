@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages.accumulate import accumulate_tiles, tile_geometry_stats
+from ..stages.accumulate import _merge_tile_group, accumulate_tiles, tile_geometry_stats
 from ..stages.build3d import Build3D, Build3DStats
 from ..stages.parse import parse_documents
 from ..stages.tileset import build_tileset_tree, write_tileset
@@ -98,8 +98,6 @@ def seed_tiles(
         if writer.is_done(pid):
             rec = writer.record(pid, rows_in, 0, 0, "skipped", "")
             return pa.table({k: [v] for k, v in _manifest_row(rec).items()})
-        from ..stages.accumulate import _merge_tile_group
-
         cells = group.column("cell_id").to_numpy(zero_copy_only=False)
         merged = []
         for c in np.unique(cells):

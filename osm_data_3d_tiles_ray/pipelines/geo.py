@@ -23,11 +23,16 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..constants import TILE_SIZE_Z16, WORLD_HALF, tile_size
+from ..geom.polylabel import pole_of_inaccessibility
+from ..geom.raster import polygon_cell_cover, sample_points_in_polygon
+from ..geom.rings import point_in_ring
+from ..geom.rng import keyed_uniform
+from ..geom.transforms import mercator_to_lonlat, mercator_to_tile
 from ..stages.assign import ownership_assignments, tile_stats
 from ..stages.normalize import normalize_params
 from ..stages.parse import parse_documents
 from ..synth.generator import ensure_synth, sf_from_dir
-from ..geom.transforms import mercator_to_tile
 
 
 def _pool(cap: int = 16) -> int:
@@ -105,8 +110,6 @@ def q_batch_table(sf_dir: str) -> "ray.data.Dataset":
     3857→4326 + openstreetmap.org URL)."""
 
     def project(batch: pa.Table) -> pa.Table:
-        from ..geom.transforms import mercator_to_lonlat
-
         osm_id = batch.column("osm_id").to_numpy(zero_copy_only=False)
         osm_type = batch.column("osm_type").to_numpy(zero_copy_only=False)
         minx = batch.column("minx").to_numpy(zero_copy_only=False)
@@ -138,9 +141,6 @@ def q_batch_table(sf_dir: str) -> "ray.data.Dataset":
 def q_labels(sf_dir: str) -> "ray.data.Dataset":
     """Label features (G21): pole-of-inaccessibility anchor, height + 5,
     priority = interior distance (reference: ``src/building/builder.ts:174-185``)."""
-    from ..geom.polylabel import pole_of_inaccessibility
-    from ..stages.normalize import normalize_params
-
     def labels(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -189,9 +189,6 @@ def q_lod_sample(sf_dir: str) -> "ray.data.Dataset":
     12×12 sub-cell of each z16 tile, ≥1 per occupied sub-cell (reference:
     ``src/building/tile3d-features-to-buffers-converter.ts:520-558`` with the
     engine's keyed RNG replacing Math.random — partition-invariant)."""
-    from ..constants import TILE_SIZE_Z16, WORLD_HALF
-    from ..geom.rng import keyed_uniform
-
     FRACTION = 0.25
     GRID = 12
 
@@ -243,9 +240,6 @@ def q_cell_cover_exact(sf_dir: str) -> "ray.data.Dataset":
     """Exact polygon cell cover via DDA rasterization (G18) at a fine grid:
     covered 64-m cell count per footprint (rows-only check; the bbox-cover
     variant q_cell_cover carries the SQL oracle)."""
-    from ..constants import WORLD_HALF
-    from ..geom.raster import polygon_cell_cover
-
     CELL = 64.0
 
     def cover(batch: pa.Table) -> pa.Table:
@@ -277,8 +271,6 @@ def q_sample_points(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic interior point sampling (G19 — "populate points"):
     jittered-grid points inside each footprint, seeded per building via the
     keyed RNG (partition-invariant).  Output: (osm_id, n_points)."""
-    from ..geom.raster import sample_points_in_polygon
-
     SPACING = 6.0
 
     def sample(batch: pa.Table) -> pa.Table:
@@ -412,8 +404,6 @@ class _PipJoin:
         iny = (self.qy[:, None] >= miny[None, :]) & (self.qy[:, None] <= maxy[None, :])
         qi, bi = np.nonzero(inx & iny)
         if self.exact and len(qi):
-            from ..geom.rings import point_in_ring
-
             coords_col = batch.column("coords")
             if isinstance(coords_col, pa.ChunkedArray):
                 coords_col = coords_col.combine_chunks()
@@ -482,8 +472,6 @@ def q_knn_bucketed(sf_dir: str, bucket_zoom: int = 13) -> "ray.data.Dataset":
     both sides shuffle ONLY by bucket, so this is the shape that scales to
     10^9 queries."""
     import pyarrow.parquet as pq
-
-    from ..constants import WORLD_HALF, tile_size
 
     root = ensure_synth(sf_from_dir(sf_dir))
     qp = pq.read_table(root / "query_points.parquet")

@@ -27,8 +27,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..constants import WINDOW_WIDTH
+from ..constants import TILE_SIZE_Z16, WINDOW_WIDTH
 from ..geom.earcut import triangulate_multipolygon
+from ..geom.skeleton import skeleton_json
+from ..tables.atlas import apply_atlas_uv, uv_transform_table
 from ..geom.roofs import (
     PROFILE_DOME,
     PROFILE_GABLED,
@@ -41,9 +43,11 @@ from ..geom.roofs import (
     build_hipped_roof,
     build_oriented_profile_roof,
     build_pyramidal_roof,
+    build_gabled_skeleton_roof,
     build_skillion_roof,
     gambrel_remap,
     mansard_remap,
+    quadruple_saltbox_remap,
 )
 from ..geom.transforms import cell_id as cell_id_of, mercator_to_tile, tile_center
 from ..geom.walls_batch import build_walls_batch
@@ -66,8 +70,6 @@ class Build3D:
         self.emit_buffers = emit_buffers
         # per-actor state: atlas frame → UV transform table, built once
         # (reference loads the atlas frame dict once per worker, S4/J3)
-        from ..tables.atlas import uv_transform_table
-
         self.uv_table = uv_transform_table()
         # dispatch mirrors building-builder.ts:145-212; quadrupleSaltbox and
         # unknown types fall back to flat (engine round-1 coverage; the
@@ -103,8 +105,6 @@ class Build3D:
         frame)."""
         if ctx["skeleton"]:
             return ctx["skeleton"], ctx["tile_center"]
-        from ..geom.skeleton import skeleton_json
-
         if len(ctx["ring_starts"]) == 1:  # hole-free only
             sk = skeleton_json(ctx["outer_ring"])
             if sk is not None:
@@ -193,8 +193,6 @@ class Build3D:
     def _roof_gabled(self, ctx):
         # reference primary: skeleton-based gabled (3-vertex end faces
         # collapse to vertical gables); oriented profile as the fallback
-        from ..geom.roofs import build_gabled_skeleton_roof
-
         sk, off = self._skeleton_for(ctx)
         if sk:
             out = build_gabled_skeleton_roof(
@@ -232,8 +230,6 @@ class Build3D:
         return self._skeleton_remap_roof(ctx, mansard_remap)
 
     def _roof_quadruple_saltbox(self, ctx):
-        from ..geom.roofs import quadruple_saltbox_remap
-
         return self._skeleton_remap_roof(ctx, quadruple_saltbox_remap)
 
     def _skeleton_remap_roof(self, ctx, remap):
@@ -493,8 +489,6 @@ class Build3D:
                 cap_nrm[:, 2] = -1.0
                 cap_tid = np.full(len(cm), ROOF_TEXTURE["concrete"], dtype=np.uint8)
             if self.emit_buffers:
-                from ..constants import TILE_SIZE_Z16
-
                 masked = (geom_valid & (min_heights <= 0))[row_of_foot]
                 mpts = coords[foot_tris_all[masked]].reshape(-1, 2) / TILE_SIZE_Z16
                 mask_flat = mpts.astype(np.float32).reshape(-1)
@@ -603,8 +597,6 @@ class Build3D:
                 np.concatenate(pieces_tid) if pieces_tid else np.empty(0, np.uint8)
             )
             # J3: tile-local UVs → atlas UVs via the per-actor frame table
-            from ..tables.atlas import apply_atlas_uv
-
             flat_uv = apply_atlas_uv(flat_uv.astype(np.float64), flat_tid_arr, self.uv_table).astype(
                 np.float32
             )
