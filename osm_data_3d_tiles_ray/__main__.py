@@ -1,0 +1,122 @@
+"""CLI — parity with the reference's commands
+(``/root/reference/main.ts:19-116``: ``pack-textures | serve | seed-b3dm |
+generate-tileset``, ``--tile_coord``, ``--projection mercator|ecef``).
+
+Usage:
+    python -m osm_data_3d_tiles_ray seed-b3dm --sf 0.01 --out /tmp/seed
+    python -m osm_data_3d_tiles_ray generate-tileset --out /tmp/seed --projection ecef
+    python -m osm_data_3d_tiles_ray serve-tile --tile_coord 16/33600/23400 --out /tmp/cache --sf 0.001
+    python -m osm_data_3d_tiles_ray pack-textures --out /tmp/frames.parquet
+
+The CLI owns its Ray session (guarded init; the driver-contract module
+``__ray_entry__`` never initializes Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="osm_data_3d_tiles_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    seed = sub.add_parser("seed-b3dm", help="resumable batch seed of all tiles")
+    seed.add_argument("--sf", type=float, default=0.001)
+    seed.add_argument("--out", required=True)
+    seed.add_argument("--projection", choices=["mercator", "ecef"], default="mercator")
+
+    gts = sub.add_parser("generate-tileset", help="(re)build the tileset JSON tree")
+    gts.add_argument("--out", required=True, help="a seed output directory")
+    gts.add_argument("--projection", choices=["mercator", "ecef"], default="mercator")
+
+    srv = sub.add_parser("serve-tile", help="one tile on demand (cache or compute)")
+    srv.add_argument("--tile_coord", required=True, help="z/x/y (z must be 16)")
+    srv.add_argument("--out", required=True, help="cache directory")
+    srv.add_argument("--sf", type=float, default=0.001)
+
+    pt = sub.add_parser("pack-textures", help="emit the atlas frame dict parquet")
+    pt.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "pack-textures":
+        from .tables.atlas import write_frame_dict_parquet
+
+        write_frame_dict_parquet(args.out)
+        print(json.dumps({"written": args.out}))
+        return 0
+
+    ray = _ray_session()
+    import ray.data
+
+    from .synth.generator import ensure_synth
+
+    try:
+        if args.cmd == "seed-b3dm":
+            from .pipelines.buildings import seed_tiles
+
+            root = ensure_synth(args.sf)
+            m = seed_tiles(
+                ray.data.read_parquet(str(root / "documents")),
+                args.out,
+                projection=args.projection,
+            )
+            print(
+                json.dumps(
+                    {
+                        "partitions": m["n_partitions"],
+                        "tiles": m["rows_out"],
+                        "vertices": m["vertices"],
+                    }
+                )
+            )
+        elif args.cmd == "generate-tileset":
+            import pandas as pd
+
+            from .geom.transforms import cell_to_tile
+            from .sources.lance import read_dataset
+            from .stages.tileset import build_tileset_tree, write_tileset
+
+            stats = read_dataset(
+                args.out, columns=["cell_id", "batch_length", "vertex_count", "max_z"]
+            ).to_pandas()
+            z, tx, ty = cell_to_tile(stats["cell_id"].to_numpy().astype("uint64"))
+            stats["tile_z"] = z
+            stats["tile_x"] = tx
+            stats["tile_y"] = ty
+            tree = build_tileset_tree(stats, projection=args.projection)
+            write_tileset(tree, args.out)
+            print(json.dumps({"tileset_nodes": len(tree)}))
+        elif args.cmd == "serve-tile":
+            from .pipelines.serve import get_or_build_tile
+
+            z, x, y = (int(v) for v in args.tile_coord.split("/"))
+            if z != 16:
+                print("only z16 tiles are served", file=sys.stderr)
+                return 2
+            root = ensure_synth(args.sf)
+            payload = get_or_build_tile(
+                ray.data.read_parquet(str(root / "documents")), x, y, args.out
+            )
+            if payload is None:
+                print(json.dumps({"tile": args.tile_coord, "status": 404}))
+                return 4
+            print(json.dumps({"tile": args.tile_coord, "bytes": len(payload)}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
