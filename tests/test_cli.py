@@ -1,0 +1,38 @@
+"""CLI smoke tests (subprocess — the CLI owns its own Ray session)."""
+
+import json
+import subprocess
+import sys
+
+
+def _run(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "osm_data_3d_tiles_ray", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=280,
+    )
+
+
+def test_pack_textures(tmp_path):
+    out = tmp_path / "frames.parquet"
+    r = _run("pack-textures", "--out", str(out))
+    assert r.returncode == 0, r.stderr[-500:]
+    assert out.exists()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows == 25
+    assert set(t.column_names) == {"texture_id", "x", "y", "w", "h"}
+
+
+def test_seed_and_generate_tileset(tmp_path):
+    out = tmp_path / "seed"
+    r = _run("seed-b3dm", "--sf", "0.001", "--out", str(out))
+    assert r.returncode == 0, r.stderr[-500:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["tiles"] == 1385 and res["partitions"] == 63
+    r2 = _run("generate-tileset", "--out", str(out), "--projection", "ecef")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert (out / "tileset.json").exists()
