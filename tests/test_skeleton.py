@@ -101,9 +101,28 @@ def test_l_shape_split_events():
     assert sk == {(0.5, 0.5), (0.5, 1.5), (1.5, 0.5)}
 
 
-def test_random_concave_star_polygons_never_wrong():
+def _self_intersects(poly):
+    def cr(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    n = len(poly)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if abs(i - j) in (0, 1, n - 1):
+                continue
+            a, b, c, d = poly[i], poly[(i + 1) % n], poly[j], poly[(j + 1) % n]
+            d1, d2, d3, d4 = cr(c, d, a), cr(c, d, b), cr(a, b, c), cr(a, b, d)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return True
+    return False
+
+
+def test_random_concave_polygons_all_simple_succeed_area_exact():
+    """Every SIMPLE polygon gets an area-exact skeleton; self-intersecting
+    inputs (the generator around an exterior origin can produce them) are
+    cleanly refused — zero wrong answers either way."""
     rng = np.random.default_rng(23)
-    ok = none = 0
+    ok = refused = 0
     for _ in range(150):
         k = int(rng.integers(5, 12))
         ang = np.sort(rng.uniform(0, 2 * np.pi, k))
@@ -111,14 +130,14 @@ def test_random_concave_star_polygons_never_wrong():
         poly = np.stack([np.cos(ang) * r, np.sin(ang) * r], 1)
         out = compute_straight_skeleton(poly)
         if out is None:
-            none += 1
+            assert _self_intersects(poly)  # only invalid input is refused
+            refused += 1
             continue
         v, f = out
         total = sum(poly_area(v[face]) for face in f)
-        # a produced skeleton must be area-exact (None = clean refusal)
         assert total == pytest.approx(poly_area(poly), rel=1e-4)
         ok += 1
-    assert ok > 130  # high success rate, zero wrong answers
+    assert ok > 130
 
 
 def test_concave_hipped_roof_builds():
