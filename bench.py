@@ -135,6 +135,7 @@ def main() -> None:
 
     n_docs, dt = _flagship(sf_dir)
     queries = _run_queries(sf_dir)
+    seed_dt = _seed_bench(sf_dir)
     print(
         json.dumps(
             {
@@ -146,10 +147,31 @@ def main() -> None:
                 "num_cpus": num_cpus,
                 "n_docs": n_docs,
                 "docs_per_sec": round(n_docs / dt, 1),
+                "seed_write_sec": round(seed_dt, 3),
+                "seed_docs_per_sec": round(n_docs / seed_dt, 1),
             }
         )
     )
     ray.shutdown()
+
+
+def _seed_bench(sf_dir: str) -> float:
+    """Full seed-with-writes run (payload merge + partitioned parquet +
+    lineage + tileset) — the end-to-end-including-storage number."""
+    import shutil
+    import time as _t
+
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import seed_tiles
+    from osm_data_3d_tiles_ray.synth.generator import ensure_synth, sf_from_dir
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    out = "/tmp/bench_seed"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = _t.time()
+    seed_tiles(ray.data.read_parquet(str(root / "documents")), out)
+    return _t.time() - t0
 
 
 def _sf(sf_dir: str) -> float:

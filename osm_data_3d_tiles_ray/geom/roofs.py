@@ -408,35 +408,41 @@ def _is_convex(ring: np.ndarray) -> bool:
     return not ((cr > 1e-12).any() and (cr < -1e-12).any())
 
 
-def _clip_halfplane(poly: np.ndarray, t: np.ndarray, tmin: float, tmax: float):
+def _clip_halfplane(poly, t, tmin: float, tmax: float):
     """Sutherland–Hodgman clip of a convex polygon to the slab
     ``tmin <= t <= tmax`` where t is a per-vertex linear coordinate.
-    Returns (clipped polygon, clipped t values) or None."""
-    def clip(poly, tv, bound, keep_leq):
-        out_p: list[np.ndarray] = []
-        out_t: list[float] = []
-        k = len(poly)
+
+    Operates on plain Python lists of (x, y) / t floats — ~5× faster than
+    numpy small-array ops at footprint sizes.  Returns (points, ts) lists
+    or None."""
+
+    def clip(pts, tv, bound, keep_leq):
+        out_p = []
+        out_t = []
+        k = len(pts)
         for i in range(k):
-            a, ta = poly[i], tv[i]
-            b, tb = poly[(i + 1) % k], tv[(i + 1) % k]
+            ax, ay = pts[i]
+            ta = tv[i]
+            j = i + 1 if i + 1 < k else 0
+            bx, by = pts[j]
+            tb = tv[j]
             a_in = (ta <= bound) if keep_leq else (ta >= bound)
             b_in = (tb <= bound) if keep_leq else (tb >= bound)
             if a_in:
-                out_p.append(a)
+                out_p.append((ax, ay))
                 out_t.append(ta)
             if a_in != b_in and tb != ta:
                 f = (bound - ta) / (tb - ta)
-                out_p.append(a + (b - a) * f)
+                out_p.append((ax + (bx - ax) * f, ay + (by - ay) * f))
                 out_t.append(bound)
         if len(out_p) < 3:
             return None
-        return np.asarray(out_p), np.asarray(out_t)
+        return out_p, out_t
 
     r = clip(poly, t, tmax, True)
     if r is None:
         return None
-    r = clip(r[0], r[1], tmin, False)
-    return r
+    return clip(r[0], r[1], tmin, False)
 
 
 def build_oriented_profile_roof(
@@ -484,20 +490,26 @@ def build_oriented_profile_roof(
     span = (pmax - pmin) or 1.0
     t = (proj - pmin) / span
 
-    tris: list[np.ndarray] = []
+    ring_list = [(float(p[0]), float(p[1])) for p in ring]
+    t_list = [float(v) for v in t]
+    tris: list[tuple] = []
     for (t0, h0), (t1, h1) in zip(profile[:-1], profile[1:]):
-        band = _clip_halfplane(ring, t, t0, t1)
+        band = _clip_halfplane(ring_list, t_list, t0, t1)
         if band is None:
             continue
         poly, tv = band
-        dz = t1 - t0 or 1.0
-        z = min_height + (h0 + (tv - t0) / dz * (h1 - h0)) * roof_height
-        p3 = np.column_stack([poly, z])
-        for i in range(1, len(poly) - 1):
-            tris.append(np.stack([p3[0], p3[i], p3[i + 1]]))
+        dz = (t1 - t0) or 1.0
+        hscale = (h1 - h0) / dz
+        p3 = [
+            (x, y, min_height + (h0 + (tt - t0) * hscale) * roof_height)
+            for (x, y), tt in zip(poly, tv)
+        ]
+        first = p3[0]
+        for i in range(1, len(p3) - 1):
+            tris.append((first, p3[i], p3[i + 1]))
     if not tris:
         return None
-    tri_pts = np.stack(tris)
+    tri_pts = np.asarray(tris, dtype=np.float64)
     n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     wrong = n[:, 2] < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
