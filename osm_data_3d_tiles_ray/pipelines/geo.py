@@ -7,9 +7,9 @@ a Dataset whose result the driver compares against ``oracle_sql()``.
 
 Scale notes (100 TB thinking):
 * documents are read as a multi-file parquet dataset → parallel blocks;
-* the DEM grid and the query-point matrix are broadcast once via
-  ``ray.put`` and read inside ``map_batches`` (no per-batch reshipping,
-  no shuffle join for the small side);
+* the DEM grid and the query-point matrix are broadcast once as actor
+  constructor args (stored in the object store, shared by every pool
+  actor — no per-batch reshipping, no shuffle join for the small side);
 * kNN = per-batch vectorized top-k (numpy argpartition) + a single small
   ``groupby(qid)`` refine — candidate generation is embarrassingly
   parallel, the shuffle moves only ``n_queries × k`` rows per block.
