@@ -110,3 +110,17 @@ def test_roof_dispatch_covers_types(docs_table):
     assert "pyramidal" in used or "skillion" in used or "hipped" in used
     # skeleton-backed hipped roofs appear (synth gives skeletons to ~30%)
     assert "hipped" in used
+
+
+def test_full_pipeline_with_output_dir(tmp_path, docs_table):
+    import json
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import full_pipeline
+
+    out = str(tmp_path / "fp")
+    ds = ray.data.from_arrow(docs_table)
+    tiles = full_pipeline(ds, out_dir=out)
+    assert tiles.count() > 0
+    ts = json.loads((tmp_path / "fp" / "tileset.json").read_text())
+    assert ts["root"]["refine"] == "ADD"
+    assert len(ts["root"]["children"]) > 0
