@@ -172,6 +172,9 @@ t8 AS (
   FROM t7
 )
 SELECT osm_id,
+  CASE WHEN roof_orientation IN ('along', 'across') THEN roof_orientation
+       ELSE NULL END AS roof_orientation,
+  roof_direction,
   CAST(levels2 - minlev AS DOUBLE) AS building_levels,
   CAST(height1 AS DOUBLE) AS building_height,
   CAST(CASE WHEN is_roof THEN height1 - rh ELSE minh END AS DOUBLE) AS building_min_height,

@@ -82,7 +82,7 @@ def q_tile_stats(sf_dir: str) -> "ray.data.Dataset":
 def q_norm_params(sf_dir: str) -> "ray.data.Dataset":
     """Param normalization truth table (M8/M9/M10/M11)."""
     return parsed_ds(sf_dir).map_batches(normalize_params, batch_format="pyarrow").drop_columns(
-        ["doc_id", "label", "roof_orientation", "roof_direction"]
+        ["doc_id", "label"]
     )
 
 
