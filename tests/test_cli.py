@@ -36,3 +36,20 @@ def test_seed_and_generate_tileset(tmp_path):
     r2 = _run("generate-tileset", "--out", str(out), "--projection", "ecef")
     assert r2.returncode == 0, r2.stderr[-500:]
     assert (out / "tileset.json").exists()
+
+
+def test_serve_tile_cache(tmp_path):
+    # doc 0's winner tile (deterministic corpus); second call is a cache hit
+    r = _run(
+        "serve-tile", "--tile_coord", "16/33585/23430",
+        "--out", str(tmp_path / "cache"), "--sf", "0.001",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["bytes"] > 1000
+    # miss → 404-equivalent exit code
+    r2 = _run(
+        "serve-tile", "--tile_coord", "16/1/1",
+        "--out", str(tmp_path / "cache"), "--sf", "0.001",
+    )
+    assert r2.returncode == 4
