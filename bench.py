@@ -80,16 +80,29 @@ def main() -> None:
         pair = tuple(
             int(x) for x in os.environ.get("RAY_GRAFT_SCALING_CPUS", "4,16").split(",")
         )
+        # best-of-2 per leg: wall-clock on this shared sandbox varies ±40%
+        # between identical runs (noisy neighbors); the minimum approximates
+        # the noise-free machine (standard benchmark practice)
+        reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "2"))
         results = {}
         for cpus in pair:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--flagship-only"],
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus), "GRAFT_SF_DIR": scaling_dir},
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+            best = None
+            for _ in range(reps):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+                    env={
+                        **os.environ,
+                        "RAY_GRAFT_CPUS": str(cpus),
+                        "GRAFT_SF_DIR": scaling_dir,
+                    },
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                r = json.loads(proc.stdout.strip().splitlines()[-1])
+                if best is None or r["value"] < best["value"]:
+                    best = r
+            results[cpus] = best
         lo, hi = pair
         t_lo = results[lo]["value"]
         t_hi = results[hi]["value"]
