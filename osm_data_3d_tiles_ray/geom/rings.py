@@ -59,19 +59,28 @@ def ring_signed_areas(coords: np.ndarray, ring_offsets: np.ndarray) -> np.ndarra
     y = coords[:, 1]
     nxt = np.arange(1, len(coords) + 1)
     # wrap the last vertex of each ring back to the ring's first vertex
-    starts = ring_offsets[:-1]
-    ends = ring_offsets[1:]
-    nxt[ends - 1] = starts
+    # (zero-length rings — dead-lettered upstream — contribute area 0)
+    starts = np.asarray(ring_offsets[:-1])
+    ends = np.asarray(ring_offsets[1:])
+    nonempty = ends > starts
+    nxt[ends[nonempty] - 1] = starts[nonempty]
     cross = (x[nxt] - x) * (y[nxt] + y)
     csum = np.concatenate([[0.0], np.cumsum(cross)])
     return (csum[ends] - csum[starts]) / 2.0
 
 
 def rings_closed(coords: np.ndarray, ring_offsets: np.ndarray) -> np.ndarray:
-    """Bool per ring: first vertex == last vertex (ring-helper.ts:16-21)."""
-    starts = ring_offsets[:-1]
-    ends = ring_offsets[1:] - 1
-    return np.all(coords[starts] == coords[ends], axis=1)
+    """Bool per ring: first vertex == last vertex (ring-helper.ts:16-21).
+    Zero-length rings report False (they are dead-lettered upstream)."""
+    starts = np.asarray(ring_offsets[:-1])
+    ends = np.asarray(ring_offsets[1:]) - 1
+    out = np.zeros(len(starts), dtype=bool)
+    nonempty = ends >= starts
+    if nonempty.any():
+        out[nonempty] = np.all(
+            coords[starts[nonempty]] == coords[ends[nonempty]], axis=1
+        )
+    return out
 
 
 def drop_closing_vertex(batch: RingBatch) -> RingBatch:

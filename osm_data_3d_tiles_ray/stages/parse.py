@@ -41,15 +41,35 @@ _BOOL_TAGS = ["windows", "is_part"]
 _INT_TAGS = ["osm_id"]
 
 
-def _parse_coord_blob(ring_texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """All ring texts → (flat xy float64, per-ring vertex counts)."""
+def _parse_coord_blob(ring_texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All ring texts → (flat xy float64, per-ring vertex counts, per-ring ok).
+
+    Fast path parses one joined blob; if ANY ring contains garbage the token
+    stream desynchronizes (detected by total-count mismatch) and we fall
+    back to per-ring parsing, dead-lettering malformed rings (count 0, ok
+    False) instead of corrupting their neighbors."""
     if len(ring_texts) == 0:
-        return np.empty((0, 2)), np.empty(0, np.int64)
-    nverts = pc.add(pc.count_substring(ring_texts, ";"), 1).to_numpy(zero_copy_only=False)
+        e = np.empty(0, np.int64)
+        return np.empty((0, 2)), e, np.empty(0, bool)
+    nverts = pc.add(pc.count_substring(ring_texts, ";"), 1).to_numpy(zero_copy_only=False).astype(np.int64)
     blob = pc.replace_substring(ring_texts, ";", " ")
-    joined = " ".join(blob.to_numpy(zero_copy_only=False))
+    texts = blob.to_numpy(zero_copy_only=False)
+    joined = " ".join(texts)
     flat = np.fromstring(joined, dtype=np.float64, sep=" ")  # noqa: NPY201 — fast C parse
-    return flat.reshape(-1, 2), nverts.astype(np.int64)
+    if len(flat) == int(nverts.sum()) * 2:
+        return flat.reshape(-1, 2), nverts, np.ones(len(nverts), bool)
+    # slow path: garbage somewhere — parse each ring independently
+    chunks: list[np.ndarray] = []
+    ok = np.zeros(len(texts), dtype=bool)
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        vals = np.fromstring(t, dtype=np.float64, sep=" ")  # noqa: NPY201
+        if len(vals) == nverts[i] * 2 and len(vals) > 0:
+            chunks.append(vals)
+            counts[i] = nverts[i]
+            ok[i] = True
+    flat = np.concatenate(chunks) if chunks else np.empty(0, np.float64)
+    return flat.reshape(-1, 2), counts, ok
 
 
 def parse_documents(batch: pa.Table, keep_spans: bool = True) -> pa.Table:
@@ -112,7 +132,7 @@ def parse_documents(batch: pa.Table, keep_spans: bool = True) -> pa.Table:
     geom_mask = pc.equal(kind, "geom").to_numpy(zero_copy_only=False)
     ring_rows = span_row[geom_mask]
     ring_texts = text.filter(pa.array(geom_mask))
-    coords, ring_nverts = _parse_coord_blob(ring_texts)
+    coords, ring_nverts, ring_ok = _parse_coord_blob(ring_texts)
     ring_offsets = np.concatenate([[0], np.cumsum(ring_nverts)])
     roles = classify_winding(coords, ring_offsets)
     closed = rings_closed(coords, ring_offsets)
@@ -142,8 +162,9 @@ def parse_documents(batch: pa.Table, keep_spans: bool = True) -> pa.Table:
     out["n_vertices"] = pa.array(verts_per_row)
 
     valid = np.ones(n, dtype=bool)
-    # a row is invalid if any ring is unclosed or has < 4 vertices (3 + close)
-    bad = (~closed) | (ring_nverts < 4)
+    # a row is invalid if any ring is malformed, unclosed or has < 4
+    # vertices (3 + closing duplicate)
+    bad = (~closed) | (ring_nverts < 4) | (~ring_ok)
     if bad.any():
         np.logical_and.at(valid, ring_rows, ~bad)
     valid &= rings_per_row > 0
@@ -157,6 +178,15 @@ def parse_documents(batch: pa.Table, keep_spans: bool = True) -> pa.Table:
     centx = np.full(n, np.nan)
     centy = np.full(n, np.nan)
     has_geom = rings_per_row > 0
+    if len(ring_nverts):
+        # a malformed (dead-lettered) or degenerate first ring contributes no
+        # open vertices — exclude such rows from the summaries so the
+        # segmented reduce stays well-defined
+        open_len = ring_nverts - closed.astype(np.int64)
+        first_ring_all = np.minimum(row_ring_offsets[:-1], len(ring_nverts) - 1)
+        has_geom &= open_len[first_ring_all] > 0
+    else:
+        has_geom[:] = False
     if has_geom.any():
         # outer ring of each row = its FIRST ring (ring-order invariant)
         first_ring = row_ring_offsets[:-1][has_geom]
