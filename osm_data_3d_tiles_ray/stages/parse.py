@@ -115,11 +115,38 @@ def parse_documents(batch: pa.Table, keep_spans: bool = True) -> pa.Table:
             col[rows] = caster(vals)
         return col
 
+    def _safe_floats(v: pa.Array) -> np.ndarray:
+        """String values → float64 objects; non-numeric → None (dead-letter
+        the VALUE, never crash the batch)."""
+        arr = v.to_numpy(zero_copy_only=False)
+        try:
+            return arr.astype(np.float64).astype(object)
+        except ValueError:
+            out_vals = np.full(len(arr), None, dtype=object)
+            for i, s in enumerate(arr):
+                try:
+                    out_vals[i] = float(s)
+                except (TypeError, ValueError):
+                    pass
+            return out_vals
+
+    def _safe_ints(v: pa.Array) -> np.ndarray:
+        floats = _safe_floats(v)
+        out_vals = np.full(len(floats), None, dtype=object)
+        for i, f in enumerate(floats):
+            try:
+                iv = int(f)
+                if -(2**62) < iv < 2**62:
+                    out_vals[i] = iv
+            except (TypeError, ValueError, OverflowError):
+                pass
+        return out_vals
+
     for t in _INT_TAGS:
-        col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False).astype(np.int64))
+        col = scatter(t, _safe_ints)
         out[t] = pa.array(col.tolist(), type=pa.int64())
     for t in _FLOAT_TAGS:
-        col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False).astype(np.float64))
+        col = scatter(t, _safe_floats)
         out[t] = pa.array(col.tolist(), type=pa.float64())
     for t in _STRING_TAGS:
         col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False))

@@ -73,3 +73,22 @@ def test_parser_geom_span_fuzz(points):
     )
     out = parse_documents(table)
     assert out.num_rows == 1
+
+
+def test_non_numeric_tag_values_dead_lettered():
+    rows = [
+        [
+            {"kind": "tag", "text": "osm_id=abc", "media_ref": "", "offset": 0},
+            {"kind": "tag", "text": "height=tall", "media_ref": "", "offset": 1},
+            {"kind": "tag", "text": "levels=2", "media_ref": "", "offset": 2},
+            {"kind": "tag", "text": "roof_height=nan", "media_ref": "", "offset": 3},
+            {"kind": "tag", "text": "min_height=1e99999", "media_ref": "", "offset": 4},
+        ]
+    ]
+    table = pa.table(
+        {"doc_id": pa.array(["d0"]), "spans": pa.array(rows, type=SPANS_TYPE)}
+    )
+    out = parse_documents(table)
+    assert out.column("osm_id").to_pylist() == [None]
+    assert out.column("height").to_pylist() == [None]
+    assert out.column("levels").to_pylist() == [2.0]
