@@ -23,6 +23,8 @@ coordinate decode.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -55,7 +57,9 @@ def _parse_coord_blob(ring_texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.
     blob = pc.replace_substring(ring_texts, ";", " ")
     texts = blob.to_numpy(zero_copy_only=False)
     joined = " ".join(texts)
-    flat = np.fromstring(joined, dtype=np.float64, sep=" ")  # noqa: NPY201 — fast C parse
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        flat = np.fromstring(joined, dtype=np.float64, sep=" ")  # noqa: NPY201 — fast C parse
     if len(flat) == int(nverts.sum()) * 2:
         return flat.reshape(-1, 2), nverts, np.ones(len(nverts), bool)
     # slow path: garbage somewhere — parse each ring independently
@@ -63,7 +67,9 @@ def _parse_coord_blob(ring_texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.
     ok = np.zeros(len(texts), dtype=bool)
     counts = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        vals = np.fromstring(t, dtype=np.float64, sep=" ")  # noqa: NPY201
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            vals = np.fromstring(t, dtype=np.float64, sep=" ")  # noqa: NPY201
         if len(vals) == nverts[i] * 2 and len(vals) > 0:
             chunks.append(vals)
             counts[i] = nverts[i]
