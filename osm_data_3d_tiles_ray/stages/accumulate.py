@@ -192,7 +192,14 @@ def _merge_tile_group(group: pa.Table) -> pa.Table:
 import struct
 
 _REC_MAGIC = b"OB3D"
-_REC_HEADER = struct.Struct("<4sqI6d")  # magic, osm_id, n_verts, bbox
+# Keep this a plain format STRING, not a struct.Struct instance: the
+# compiled `_struct.Struct` object cannot be cloudpickled, and once
+# __ray_entry__ registers this package for pickle-by-value any Dataset
+# stage referencing this module would die in serialization (round-1
+# driver bench crash).  stdlib struct caches compiled formats
+# internally, so pack/unpack_from on the string is just as fast.
+_REC_FMT = "<4sqI6d"  # magic, osm_id, n_verts, bbox
+_REC_HEADER_SIZE = struct.calcsize(_REC_FMT)
 
 
 def encode_building_record(
@@ -213,7 +220,7 @@ def encode_building_record(
     q_nrm = np.clip(np.floor(normals * 127 + 0.5), -127, 127).astype(np.int8)
     q_uv = np.floor((uvs % 1.0) * 65535 + 0.5).astype(np.uint16)
     return (
-        _REC_HEADER.pack(_REC_MAGIC, int(osm_id), len(positions), *bbox)
+        struct.pack(_REC_FMT, _REC_MAGIC, int(osm_id), len(positions), *bbox)
         + q_pos.tobytes()
         + q_nrm.tobytes()
         + q_uv.tobytes()
@@ -222,9 +229,9 @@ def encode_building_record(
 
 
 def decode_building_record(blob: bytes) -> dict:
-    magic, osm_id, v, *bbox = _REC_HEADER.unpack_from(blob, 0)
+    magic, osm_id, v, *bbox = struct.unpack_from(_REC_FMT, blob, 0)
     assert magic == _REC_MAGIC
-    off = _REC_HEADER.size
+    off = _REC_HEADER_SIZE
     q_pos = np.frombuffer(blob, np.uint16, v * 3, off).reshape(v, 3)
     off += v * 6
     q_nrm = np.frombuffer(blob, np.int8, v * 3, off).reshape(v, 3)
