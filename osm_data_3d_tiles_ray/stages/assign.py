@@ -52,6 +52,14 @@ def candidate_tiles(batch: pa.Table) -> pa.Table:
     maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
     maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
 
+    # Dead-lettered rows carry NaN bboxes — NaN→int32 casts produce garbage
+    # tiles (phantom cells); drop them before any tile math.
+    keep = np.isfinite(minx) & np.isfinite(miny) & np.isfinite(maxx) & np.isfinite(maxy)
+    if not keep.all():
+        osm_id, minx, miny, maxx, maxy = (
+            a[keep] for a in (osm_id, minx, miny, maxx, maxy)
+        )
+
     tx0, ty0 = mercator_to_tile(minx, maxy)  # top-left tile (max y → min ty)
     tx1, ty1 = mercator_to_tile(maxx, miny)
     nx = (tx1 - tx0 + 1).astype(np.int64)

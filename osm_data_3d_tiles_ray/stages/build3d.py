@@ -246,6 +246,18 @@ class Build3D:
         return None if out is None else (out, None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Dead-lettered rows (geom_valid=False → NaN bbox from the parser)
+        # must never reach tile assignment: mercator_to_tile(NaN) casts to
+        # int32 garbage and injects phantom cells into tile stats, seed
+        # partitions and the tileset tree.  Drop them here — the parser
+        # already surfaced them via the geom_valid flag (M1 dead-letter).
+        gv = batch.column("geom_valid").to_numpy(zero_copy_only=False)
+        bbox_ok = np.isfinite(
+            batch.column("minx").to_numpy(zero_copy_only=False)
+        ) & np.isfinite(batch.column("maxy").to_numpy(zero_copy_only=False))
+        keep = gv & bbox_ok
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
         n = len(batch)
         params = normalize_params(batch)
 

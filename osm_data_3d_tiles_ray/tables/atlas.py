@@ -94,10 +94,21 @@ def write_frame_dict_parquet(path: str, n_textures: int = 25) -> None:
 
 
 def apply_atlas_uv(uv: np.ndarray, texture_id: np.ndarray, table: np.ndarray) -> np.ndarray:
-    """Map tile-local UVs (fractional) into atlas UVs via the frame table —
-    vectorized over all vertices."""
+    """Map tile-local UVs into atlas UVs via the frame table — vectorized
+    over all vertices.
+
+    Wall/roof builders emit UVs already fracted into (0, 1] with the
+    reference's ``f === 0 → 1`` fixup (walls-builder.ts:121-124), and the
+    reference then applies ``offset + uv * scale`` with NO re-fract
+    (walls-builder.ts:125-136).  Re-fracting here with a plain ``% 1.0``
+    collapsed every uv == 1.0 (the top edge of every wall quad) onto the
+    frame's minimum edge.  Fract with the same ``!= 0 & frac == 0 → 1``
+    fixup instead, so exact integer UVs map to the far edge of the frame
+    while unbounded flat-roof UVs still wrap per texture tile."""
     t = table[texture_id]
+    f = uv % 1.0
+    f[(uv != 0) & (f == 0)] = 1.0
     out = np.empty_like(uv)
-    out[:, 0] = t[:, 0] + (uv[:, 0] % 1.0) * t[:, 2]
-    out[:, 1] = t[:, 1] + (uv[:, 1] % 1.0) * t[:, 3]
+    out[:, 0] = t[:, 0] + f[:, 0] * t[:, 2]
+    out[:, 1] = t[:, 1] + f[:, 1] * t[:, 3]
     return out

@@ -178,3 +178,14 @@ def test_atlas_uv_transform_reference_math():
     for j in range(3):
         t = table[tid[j]]
         assert t[0] - 1e-9 <= out[j, 0] <= t[0] + t[2] + 1e-9
+    # uv == 1.0 (top edge of every wall quad) maps to the frame's FAR edge,
+    # not re-fracted onto its minimum (reference applies offset + uv*scale
+    # with no re-fract, walls-builder.ts:121-136); uv == 0 stays at the
+    # near edge; unbounded flat-roof UVs wrap per integer tile.
+    t2 = table[2]
+    assert out[2, 1] == pytest.approx(t2[1] + 1.0 * t2[3])
+    assert out[0, 0] == pytest.approx(table[0][0])
+    wrap = apply_atlas_uv(np.array([[2.25, 3.0]]), np.array([0]), table)
+    t0 = table[0]
+    assert wrap[0, 0] == pytest.approx(t0[0] + 0.25 * t0[2])
+    assert wrap[0, 1] == pytest.approx(t0[1] + 1.0 * t0[3])
