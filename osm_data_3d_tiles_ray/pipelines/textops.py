@@ -29,15 +29,42 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
 # exact dedup
 
 
-def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
-    """Keep the smallest doc_id per identical text: groupby(text) → min.
+def _hash_text_128(batch: pa.Table) -> pa.Table:
+    """(doc_id, h1, h2): two independently-seeded vectorized 64-bit text
+    hashes = a 128-bit digest, wide enough that collisions are negligible
+    even at 10^12 documents (birthday bound ~2^64 pairs)."""
+    import polars as pl
 
-    Output: (doc_id, n_dups) — one row per distinct text.  The oracle is
-    ``GROUP BY text`` directly; the engine groups by text too at test scale
-    for oracle parity (hash-key variant in :func:`dedup_exact_hashed`).
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    s = pl.Series("t", text)
+    h1 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
+    h2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+        }
+    )
+
+
+def dedup_exact_hashed(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup with a fixed-width shuffle key: hash text → 128-bit
+    digest inside ``map_batches``, groupby the digest, keep min doc_id.
+
+    At 100 TB you never shuffle document bodies — the exchange carries 24
+    bytes per doc (digest + id) regardless of text length.  128 bits makes
+    digest collisions vanishingly unlikely, so the output is identical to
+    a ``GROUP BY text`` (the DuckDB oracle for ``dedup_exact``).
+
+    Output: (doc_id, n_dups) — one row per distinct text.
     """
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
-    g = ds.groupby("text").aggregate(
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _hash_text_128, batch_format="pyarrow"
+    )
+    g = ds.groupby(["h1", "h2"]).aggregate(
         ray.data.aggregate.Min("doc_id", alias_name="doc_id_kept"),
         ray.data.aggregate.Count(alias_name="n_dups"),
     )
@@ -51,6 +78,18 @@ def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return g.map_batches(strip, batch_format="pyarrow")
+
+
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Keep the smallest doc_id per identical text.
+
+    Engine path = :func:`dedup_exact_hashed` (hash-key shuffle); the DuckDB
+    oracle groups by the raw text — the outputs agree because the 128-bit
+    digest is collision-free at any realistic corpus size.
+
+    Output: (doc_id, n_dups) — one row per distinct text.
+    """
+    return dedup_exact_hashed(sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -343,48 +382,150 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 8) -> "ray.data.Dataset":
     )
 
 
+def _shingle_set_u32(texts: np.ndarray) -> list[np.ndarray]:
+    """Per-doc sorted unique 4-byte shingles packed as uint32 (same packing
+    as the MinHash stage)."""
+    out = []
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < _SHINGLE:
+            out.append(np.zeros(1, dtype=np.uint32))
+            continue
+        w = np.lib.stride_tricks.sliding_window_view(b, _SHINGLE).astype(np.uint32)
+        sh = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+        out.append(np.unique(sh))
+    return out
+
+
 def jaccard_ngram_pairs(sf_dir: str, threshold: float = 0.5) -> "ray.data.Dataset":
     """Exact n-gram Jaccard verification of MinHash candidate pairs:
     candidates from the LSH bands, verified by true shingle-set Jaccard.
-    Output: (doc_id, dup_of, jaccard_pct:int)."""
-    cands = minhash_near_dup(sf_dir).materialize()  # reused below, keep once
-    # fetch ONLY the texts of documents appearing in candidate pairs — the
-    # pair set is tiny relative to the corpus, so this is a small-side
-    # broadcast, not a full-table driver materialization
-    pair_rows = cands.take_all()
-    wanted = {r["doc_id"] for r in pair_rows} | {r["dup_of"] for r in pair_rows}
-    docs = (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
-        .filter(lambda row: row["doc_id"] in wanted)
-        .to_pandas()
+    Output: (doc_id, dup_of, jaccard_pct:int).
+
+    100 TB shape: the only driver-side materialization is the DISTINCT
+    candidate-id list (the broadcast small side, ≪ corpus); corpus docs are
+    pruned by a vectorized ``pc.is_in`` semi-join, shingle sets attach to
+    pair sides via a groupby on doc_id, and pair verification runs in a
+    distributed stage keyed by (doc_id, dup_of) — no ``take_all`` of the
+    pair set, no per-row Python filter over the corpus.
+    """
+    cands = minhash_near_dup(sf_dir).materialize()  # small; reused twice
+
+    # broadcast small side: distinct candidate doc ids
+    def _both_ids(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                batch.column("doc_id").to_numpy(zero_copy_only=False),
+                batch.column("dup_of").to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table({"key_id": pa.array(np.unique(ids))})
+
+    wanted = np.array(
+        sorted(cands.map_batches(_both_ids, batch_format="pyarrow").unique("key_id")),
+        dtype=np.int64,
     )
-    text_by_id = dict(zip(docs["doc_id"], docs["text"]))
+    wanted_arr = pa.array(wanted)
 
-    def shingles(t: str) -> set:
-        b = t.encode("utf-8")
-        return {b[i : i + _SHINGLE] for i in range(max(1, len(b) - _SHINGLE + 1))}
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        b_ids = batch.column("dup_of").to_numpy(zero_copy_only=False)
-        keep_a, keep_b, jac = [], [], []
-        for a, b in zip(a_ids, b_ids):
-            sa, sb = shingles(text_by_id[a]), shingles(text_by_id[b])
-            j = len(sa & sb) / max(1, len(sa | sb))
-            if j >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                jac.append(int(round(j * 100)))
+    # shingle sets for candidate docs only (pc.is_in semi-join at the read)
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("doc_id"), value_set=wanted_arr)
+        batch = batch.filter(mask)
+        texts = batch.column("text").to_numpy(zero_copy_only=False)
+        sets = _shingle_set_u32(texts)
+        n = len(batch)
         return pa.table(
             {
-                "doc_id": pa.array(keep_a, type=pa.int64()),
-                "dup_of": pa.array(keep_b, type=pa.int64()),
-                "jaccard_pct": pa.array(jac, type=pa.int64()),
+                "key_id": batch.column("doc_id"),
+                "doc_id": pa.array(np.zeros(n, np.int64)),
+                "dup_of": pa.array(np.zeros(n, np.int64)),
+                "is_shingle": pa.array(np.ones(n, bool)),
+                "shingles": pa.array(sets, type=pa.large_list(pa.uint32())),
             }
         )
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    # each pair contributes two side rows, keyed by the doc whose shingles
+    # that side needs
+    def _pair_sides(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = batch.column("dup_of").to_numpy(zero_copy_only=False)
+        n = len(a)
+        empty = [np.zeros(0, np.uint32)] * (2 * n)
+        return pa.table(
+            {
+                "key_id": pa.array(np.concatenate([a, b])),
+                "doc_id": pa.array(np.concatenate([a, a])),
+                "dup_of": pa.array(np.concatenate([b, b])),
+                "is_shingle": pa.array(np.zeros(2 * n, bool)),
+                "shingles": pa.array(empty, type=pa.large_list(pa.uint32())),
+            }
+        )
+
+    side_rows = cands.map_batches(_pair_sides, batch_format="pyarrow")
+    shingle_rows = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        _shingle_rows, batch_format="pyarrow"
+    )
+
+    # shuffle #1: attach the key doc's shingles to every pair side
+    def _attach(group: pa.Table) -> pa.Table:
+        is_sh = group.column("is_shingle").to_numpy(zero_copy_only=False)
+        if not is_sh.any() or is_sh.all():
+            return group.slice(0, 0).select(["key_id", "doc_id", "dup_of", "shingles"])
+        sh_col = group.filter(pa.array(is_sh)).column("shingles")
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        vals = np.asarray(sh_col[0].values)  # this key doc's shingle set
+        pairs = group.filter(pa.array(~is_sh))
+        n = len(pairs)
+        rep = pa.LargeListArray.from_arrays(
+            np.arange(n + 1, dtype=np.int64) * len(vals),
+            pa.array(np.tile(vals, n), type=pa.uint32()),
+        )
+        return pa.table(
+            {
+                "key_id": pairs.column("key_id"),
+                "doc_id": pairs.column("doc_id"),
+                "dup_of": pairs.column("dup_of"),
+                "shingles": rep,
+            }
+        )
+
+    attached = side_rows.union(shingle_rows).groupby("key_id").map_groups(
+        _attach, batch_format="pyarrow"
+    )
+
+    # shuffle #2: verify each pair from its two attached shingle sets
+    def _verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+                "jaccard_pct": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(group) != 2:
+            return empty
+        col = group.column("shingles")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sa = np.asarray(col[0].values)
+        sb = np.asarray(col[1].values)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / max(1, union)
+        if j < threshold:
+            return empty
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                "dup_of": group.column("dup_of").slice(0, 1),
+                "jaccard_pct": pa.array([int(round(j * 100))], type=pa.int64()),
+            }
+        )
+
+    return attached.groupby(["doc_id", "dup_of"]).map_groups(
+        _verify, batch_format="pyarrow"
+    )
 
 
 def minhash_near_dup(sf_dir: str) -> "ray.data.Dataset":

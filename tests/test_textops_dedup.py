@@ -1,0 +1,63 @@
+"""Dedup / jaccard 100-TB-shape regressions: the hashed dedup path must
+equal a GROUP BY text exactly, and the distributed jaccard must reproduce
+the known candidate verification."""
+
+import duckdb
+import numpy as np
+
+from osm_data_3d_tiles_ray.pipelines.textops import (
+    dedup_exact,
+    dedup_exact_hashed,
+    jaccard_ngram_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_hashed_equals_text_groupby(ray_session):
+    got = (
+        dedup_exact_hashed(SF)
+        .to_pandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY text ORDER BY doc_id"""
+    ).df()
+    assert len(got) == len(want)
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["n_dups"].to_numpy() == want["n_dups"].to_numpy()).all()
+
+
+def test_dedup_exact_is_the_hashed_path():
+    # the engine path IS the hash-key shuffle (no full-text groupby key)
+    assert dedup_exact.__doc__ and "hashed" in dedup_exact.__doc__
+
+
+def test_jaccard_pairs_thresholded(ray_session):
+    got = jaccard_ngram_pairs(SF).to_pandas()
+    # every surviving pair meets the threshold, ids are ordered, pct sane
+    assert (got["jaccard_pct"] >= 50).all()
+    assert (got["doc_id"] > got["dup_of"]).all()
+    assert (got["jaccard_pct"] <= 100).all()
+    # pairs unique
+    keys = set(zip(got["doc_id"], got["dup_of"]))
+    assert len(keys) == len(got)
+    # cross-check one pair against a direct shingle-set computation
+    if len(got):
+        a, b, pct = got.iloc[0][["doc_id", "dup_of", "jaccard_pct"]]
+        texts = duckdb.sql(
+            f"""SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')
+                WHERE doc_id IN ({int(a)}, {int(b)})"""
+        ).df()
+        tmap = dict(zip(texts["doc_id"], texts["text"]))
+
+        def sh(t):
+            bb = t.encode("utf-8")
+            return {bb[i : i + 4] for i in range(max(1, len(bb) - 3))}
+
+        sa, sb = sh(tmap[int(a)]), sh(tmap[int(b)])
+        j = len(sa & sb) / max(1, len(sa | sb))
+        assert int(round(j * 100)) == int(pct)
