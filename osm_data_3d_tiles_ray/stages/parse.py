@@ -26,6 +26,7 @@ from __future__ import annotations
 import warnings
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -112,54 +113,59 @@ def parse_documents(batch: pa.Table, keep_spans: bool = True) -> pa.Table:
     if keep_spans:
         out["spans"] = spans
 
-    def scatter(tag: str, caster) -> pa.Array:
+    # ---- vectorized typed scatters (no object ndarrays, no tolist) ------
+    # numeric parse of ALL tag values at once (strict=False → null for
+    # non-numeric values: dead-letter the VALUE, never crash the batch)
+    n_tagvals = len(vals_all)
+    if n_tagvals:
+        _num = pl.Series(vals_all).cast(pl.Float64, strict=False)
+        num_vals = _num.to_numpy()  # NaN where null/garbage
+        num_ok = ~_num.is_null().to_numpy()
+    else:
+        num_vals = np.empty(0, np.float64)
+        num_ok = np.empty(0, bool)
+
+    def _scatter_numeric(tag: str, as_int: bool) -> pa.Array:
         sel = (keys_np == tag) & has_val
+        col = np.full(n, np.nan)
+        present = np.zeros(n, dtype=bool)
         rows = tag_rows[sel]
-        col = np.full(n, None, dtype=object)
-        if sel.any():
-            vals = vals_all.filter(pa.array(sel))
-            col[rows] = caster(vals)
-        return col
+        col[rows] = num_vals[sel]  # duplicate tags in a row: last wins
+        present[rows] = num_ok[sel]
+        if as_int:
+            # int(float(s)) semantics: truncate toward zero, dead-letter
+            # NaN/inf/out-of-bounds values
+            ok = present & np.isfinite(col) & (np.abs(col) < 2**62)
+            icol = np.zeros(n, np.int64)
+            icol[ok] = col[ok].astype(np.int64)
+            return pa.array(icol, mask=~ok)
+        return pa.array(col, mask=~present)
 
-    def _safe_floats(v: pa.Array) -> np.ndarray:
-        """String values → float64 objects; non-numeric → None (dead-letter
-        the VALUE, never crash the batch)."""
-        arr = v.to_numpy(zero_copy_only=False)
-        try:
-            return arr.astype(np.float64).astype(object)
-        except ValueError:
-            out_vals = np.full(len(arr), None, dtype=object)
-            for i, s in enumerate(arr):
-                try:
-                    out_vals[i] = float(s)
-                except (TypeError, ValueError):
-                    pass
-            return out_vals
+    def _scatter_string(tag: str) -> pa.Array:
+        sel = (keys_np == tag) & has_val
+        idx = np.full(n, -1, dtype=np.int64)
+        idx[tag_rows[sel]] = np.nonzero(sel)[0]
+        # Arrow take with null indices → null output rows (zero-copy values)
+        return vals_all.take(pa.array(idx, mask=idx < 0))
 
-    def _safe_ints(v: pa.Array) -> np.ndarray:
-        floats = _safe_floats(v)
-        out_vals = np.full(len(floats), None, dtype=object)
-        for i, f in enumerate(floats):
-            try:
-                iv = int(f)
-                if -(2**62) < iv < 2**62:
-                    out_vals[i] = iv
-            except (TypeError, ValueError, OverflowError):
-                pass
-        return out_vals
+    def _scatter_bool(tag: str) -> pa.Array:
+        sel = (keys_np == tag) & has_val
+        col = np.zeros(n, dtype=bool)
+        present = np.zeros(n, dtype=bool)
+        rows = tag_rows[sel]
+        col[rows] = vals_np[sel] == "true"
+        present[rows] = True
+        return pa.array(col, mask=~present)
 
+    vals_np = vals_all.to_numpy(zero_copy_only=False)
     for t in _INT_TAGS:
-        col = scatter(t, _safe_ints)
-        out[t] = pa.array(col.tolist(), type=pa.int64())
+        out[t] = _scatter_numeric(t, as_int=True)
     for t in _FLOAT_TAGS:
-        col = scatter(t, _safe_floats)
-        out[t] = pa.array(col.tolist(), type=pa.float64())
+        out[t] = _scatter_numeric(t, as_int=False)
     for t in _STRING_TAGS:
-        col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False))
-        out[t] = pa.array(col.tolist(), type=pa.string())
+        out[t] = _scatter_string(t)
     for t in _BOOL_TAGS:
-        col = scatter(t, lambda v: v.to_numpy(zero_copy_only=False) == "true")
-        out[t] = pa.array(col.tolist(), type=pa.bool_())
+        out[t] = _scatter_bool(t)
 
     # ---- geom spans -----------------------------------------------------
     geom_mask = pc.equal(kind, "geom").to_numpy(zero_copy_only=False)
