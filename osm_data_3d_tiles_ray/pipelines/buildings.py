@@ -110,21 +110,52 @@ def seed_tiles(
 
     writer = PartitionWriter(out_dir)
 
+    def _fingerprint(group: pa.Table) -> str:
+        """Order-independent per-partition content hash: xor of per-row
+        hashes over the row's identity + geometry bytes.  A changed input
+        with the SAME cardinality (e.g. one building's height edited)
+        changes the fingerprint, so resume detects stale partitions."""
+        import polars as pl
+
+        osm = group.column("osm_id").to_numpy(zero_copy_only=False)
+        h = pl.Series(osm).hash(seed=0xA5A5A5A5).to_numpy().copy()
+        if "geom_blob" in group.column_names:
+            blob_col = group.column("geom_blob")
+            if isinstance(blob_col, pa.ChunkedArray):
+                blob_col = blob_col.combine_chunks()
+            h ^= pl.Series(blob_col).hash(seed=0x5A5A5A5A).to_numpy()
+        else:
+            # raw path: bbox + vertex count stand in for the geometry bytes
+            for c in ("vertex_count", "min_z", "max_z", "min_x", "max_y"):
+                if c in group.column_names:
+                    v = group.column(c).to_numpy(zero_copy_only=False)
+                    h ^= pl.Series(np.ascontiguousarray(v)).hash(seed=1).to_numpy()
+        return f"x{int(np.bitwise_xor.reduce(h)):016x}-n{len(group)}"
+
     def write_parent(group: pa.Table) -> pa.Table:
         parent = int(group.column("parent_cell")[0].as_py())
         px, py = parent >> 32, parent & 0xFFFFFFFF
         pid = f"{ROOT_ZOOM}_{px}_{py}"
         rows_in = len(group)
+        fingerprint = _fingerprint(group)
         if writer.is_done(pid):
-            rec = writer.record(pid, rows_in, 0, 0, "skipped", "")
-            return pa.table({k: [v] for k, v in _manifest_row(rec).items()})
+            if writer.fingerprint_matches(pid, fingerprint):
+                rec = writer.record(pid, rows_in, 0, 0, "skipped", fingerprint)
+                return pa.table({k: [v] for k, v in _manifest_row(rec).items()})
+            writer.invalidate(pid)  # stale input → rewrite below
+        # sort by cell and slice contiguous runs — O(rows log rows), not
+        # O(cells × rows) filter passes
+        group = group.sort_by("cell_id")
         cells = group.column("cell_id").to_numpy(zero_copy_only=False)
+        bounds = np.nonzero(np.diff(cells))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cells)]])
         merged = []
-        for c in np.unique(cells):
-            sub = group.filter(pa.compute.equal(group.column("cell_id"), pa.scalar(c, pa.uint64())))
-            merged.append(merge_one_cell(sub.drop_columns(["parent_cell"])))
+        for s, e in zip(starts, ends):
+            merged.append(
+                merge_one_cell(group.slice(s, e - s).drop_columns(["parent_cell"]))
+            )
         table = pa.concat_tables(merged)
-        fingerprint = f"n={rows_in}"
         rec = writer.write(pid, table, rows_in, fingerprint)
         return pa.table({k: [v] for k, v in _manifest_row(rec).items()})
 

@@ -33,6 +33,26 @@ class PartitionWriter:
     def is_done(self, partition_id: str) -> bool:
         return (self.out / "tiles" / f"{partition_id}.parquet").exists()
 
+    def fingerprint_matches(self, partition_id: str, fingerprint: str) -> bool:
+        """True iff the committed lineage record carries the SAME input
+        fingerprint — a same-cardinality-but-different input must NOT be
+        silently skipped on resume."""
+        lpath = self.out / "lineage" / f"{partition_id}.json"
+        if not lpath.exists():
+            return False  # data without lineage: treat as stale, rewrite
+        try:
+            rec = json.loads(lpath.read_text())
+        except (OSError, ValueError):
+            return False
+        return rec.get("input_fingerprint") == fingerprint
+
+    def invalidate(self, partition_id: str) -> None:
+        """Drop a stale partition (data + lineage) so write() rewrites it."""
+        for sub, suffix in (("tiles", ".parquet"), ("lineage", ".json")):
+            p = self.out / sub / f"{partition_id}{suffix}"
+            if p.exists():
+                p.unlink()
+
     def write(self, partition_id: str, table, rows_in: int, fingerprint: str) -> dict:
         import pyarrow.parquet as pq
 

@@ -81,3 +81,52 @@ def test_resume_output_identical_to_fresh(tmp_path, docs_table):
     assert json.loads((Path(out_a) / "tileset.json").read_text()) == json.loads(
         (Path(out_b) / "tileset.json").read_text()
     )
+
+
+def test_resume_detects_stale_input_same_cardinality(tmp_path, docs_table):
+    """A changed input with the SAME row count must not be silently
+    accepted: the content-hash fingerprint mismatches and the partition is
+    rewritten from the new input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "stale")
+    m1 = seed_tiles(ray.data.from_arrow(docs_table), out)
+
+    # mutate ONE document's height tag (cardinality unchanged)
+    spans = docs_table.column("spans").to_pylist()
+    mutated = None
+    for ri, row in enumerate(spans):
+        for si, s in enumerate(row):
+            if s["kind"] == "tag" and s["text"].startswith("height="):
+                row[si] = dict(s, text="height=97.5")
+                mutated = ri
+                break
+        if mutated is not None:
+            break
+    assert mutated is not None
+    docs2 = docs_table.set_column(
+        docs_table.schema.get_field_index("spans"),
+        "spans",
+        pa.array(spans, type=docs_table.schema.field("spans").type),
+    )
+
+    mtimes_before = {
+        f: os.path.getmtime(f"{out}/{f}") for f in m1["fragments"]
+    }
+    m2 = seed_tiles(ray.data.from_arrow(docs2), out)
+    # exactly the stale partition(s) were rewritten; the rest skipped
+    changed = [
+        f
+        for f in m2["fragments"]
+        if os.path.getmtime(f"{out}/{f}") != mtimes_before.get(f)
+    ]
+    assert 1 <= len(changed) < len(m2["fragments"])
+
+    # and the rewritten output reflects the NEW input (fresh run comparison)
+    out_fresh = str(tmp_path / "stale_fresh")
+    mf = seed_tiles(ray.data.from_arrow(docs2), out_fresh)
+    for f in mf["fragments"]:
+        ta = pq.read_table(f"{out}/{f}")
+        tb = pq.read_table(f"{out_fresh}/{f}")
+        assert ta.equals(tb), f
