@@ -72,13 +72,18 @@ def main() -> None:
         from osm_data_3d_tiles_ray.synth.generator import ensure_synth as _es, sf_from_dir as _sfd
 
         _es(_sfd(scaling_dir))  # materialize once, outside the timed runs
-        # N and 4N CPUs (driver protocol). Default 4→16: at 32 workers this
-        # single-socket box saturates its memory bus (~0.6 apparent
-        # efficiency at 8→32), which a multi-NODE 4N cluster would not —
-        # each node brings its own memory bandwidth. Both pairs are
-        # reported in BASELINE.md; override with RAY_GRAFT_SCALING_CPUS.
+        # N and 4N CPUs — default is the protocol's named pair, 8 vs 32
+        # (SURVEY.md §6 / BASELINE.json north rule).  On this shared
+        # single-socket sandbox the 8→32 pair is HARDWARE-capped well below
+        # 0.8: tools/membw_probe.py measures 32 fully independent processes
+        # (no Ray, no shared state) aggregating LESS throughput than 16 —
+        # both the STREAM triad (159→122 GB/s from P=16 to P=32) and the
+        # actual parse+Build3D kernel (22.4k→18.0k docs/s).  The flagship's
+        # per-leg throughput sits AT that independent-process ceiling at
+        # both 8 and 32 CPUs (engine overhead ≈ 0); see BASELINE.md for the
+        # audit table.  Override with RAY_GRAFT_SCALING_CPUS=4,16 etc.
         pair = tuple(
-            int(x) for x in os.environ.get("RAY_GRAFT_SCALING_CPUS", "4,16").split(",")
+            int(x) for x in os.environ.get("RAY_GRAFT_SCALING_CPUS", "8,32").split(",")
         )
         # best-of-2 per leg: wall-clock on this shared sandbox varies ±40%
         # between identical runs (noisy neighbors); the minimum approximates
@@ -107,20 +112,47 @@ def main() -> None:
         t_lo = results[lo]["value"]
         t_hi = results[hi]["value"]
         eff = (t_lo / t_hi) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "metric": f"flagship scaling {lo}->{hi} cpus (docs/sec, efficiency)",
-                    "sf": results[hi]["sf"],
-                    f"t_{lo}cpu_sec": t_lo,
-                    f"t_{hi}cpu_sec": t_hi,
-                    f"docs_per_sec_{lo}cpu": results[lo]["docs_per_sec"],
-                    f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
-                    "speedup": round(t_lo / t_hi, 3),
-                    "scaling_efficiency": round(eff, 3),
-                }
+        out = {
+            "metric": f"flagship scaling {lo}->{hi} cpus (docs/sec, efficiency)",
+            "sf": results[hi]["sf"],
+            f"t_{lo}cpu_sec": t_lo,
+            f"t_{hi}cpu_sec": t_hi,
+            f"docs_per_sec_{lo}cpu": results[lo]["docs_per_sec"],
+            f"docs_per_sec_{hi}cpu": results[hi]["docs_per_sec"],
+            "speedup": round(t_lo / t_hi, 3),
+            "scaling_efficiency": round(eff, 3),
+        }
+        if os.environ.get("RAY_GRAFT_SCALING_PROBE", "1") != "0":
+            # hardware-ceiling audit: the same workload kernel in lo/hi
+            # fully-INDEPENDENT processes (no Ray, no shared state) — the
+            # upper bound any framework could reach on this box.  Ray
+            # efficiency normalized by that ceiling isolates engine
+            # overhead from machine contention (tools/membw_probe.py).
+            probe = {}
+            for p in (lo, hi):
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "membw_probe.py"),
+                        "--secs", "5", "--kinds", "workload", "--procs", str(p),
+                    ],
+                    capture_output=True, text=True, check=True,
+                )
+                probe[p] = json.loads(proc.stdout.strip().splitlines()[-1])
+            ceil_lo = probe[lo]["aggregate"]
+            ceil_hi = probe[hi]["aggregate"]
+            out["ceiling_docs_per_sec"] = {str(lo): ceil_lo, str(hi): ceil_hi}
+            out["ceiling_efficiency"] = round((ceil_hi / ceil_lo) / (hi / lo), 3)
+            out["ray_vs_ceiling"] = {
+                str(lo): round(results[lo]["docs_per_sec"] / ceil_lo, 3),
+                str(hi): round(results[hi]["docs_per_sec"] / ceil_hi, 3),
+            }
+            # engine-normalized efficiency: Ray's scaling relative to what
+            # independent processes achieve on the same hardware pair
+            out["scaling_efficiency_vs_ceiling"] = round(
+                eff / max(out["ceiling_efficiency"], 1e-9), 3
             )
-        )
+        print(json.dumps(out))
         return
 
     import ray

@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     srv.add_argument("--tile_coord", required=True, help="z/x/y (z must be 16)")
     srv.add_argument("--out", required=True, help="cache directory")
     srv.add_argument("--sf", type=float, default=0.001)
+    srv.add_argument(
+        "--seed_dir",
+        default=None,
+        help="committed seed output; a miss reads only the tile's z12 fragment",
+    )
 
     pt = sub.add_parser("pack-textures", help="emit the atlas frame dict parquet")
     pt.add_argument("--out", required=True)
@@ -106,13 +111,19 @@ def main(argv=None) -> int:
                 print("only z16 tiles are served", file=sys.stderr)
                 return 2
             root = ensure_synth(args.sf)
+            stats: dict = {}
             payload = get_or_build_tile(
-                ray.data.read_parquet(str(root / "documents")), x, y, args.out
+                ray.data.read_parquet(str(root / "documents")),
+                x,
+                y,
+                args.out,
+                seed_dir=args.seed_dir,
+                stats=stats,
             )
             if payload is None:
                 print(json.dumps({"tile": args.tile_coord, "status": 404}))
                 return 4
-            print(json.dumps({"tile": args.tile_coord, "bytes": len(payload)}))
+            print(json.dumps({"tile": args.tile_coord, "bytes": len(payload), **stats}))
         return 0
     finally:
         ray.shutdown()
