@@ -34,11 +34,11 @@ def main(argv=None) -> int:
     seed = sub.add_parser("seed-b3dm", help="resumable batch seed of all tiles")
     seed.add_argument("--sf", type=float, default=0.001)
     seed.add_argument("--out", required=True)
-    seed.add_argument("--projection", choices=["mercator", "ecef"], default="mercator")
+    seed.add_argument("--projection", choices=["mercator", "ecef", "lambert93"], default="mercator")
 
     gts = sub.add_parser("generate-tileset", help="(re)build the tileset JSON tree")
     gts.add_argument("--out", required=True, help="a seed output directory")
-    gts.add_argument("--projection", choices=["mercator", "ecef"], default="mercator")
+    gts.add_argument("--projection", choices=["mercator", "ecef", "lambert93"], default="mercator")
 
     srv = sub.add_parser("serve-tile", help="one tile on demand (cache or compute)")
     srv.add_argument("--tile_coord", required=True, help="z/x/y (z must be 16)")

@@ -134,3 +134,61 @@ def enu_basis_ecef(lon_rad: float, lat_rad: float) -> np.ndarray:
     n = np.array([-sp * cl, -sp * sl, cp])
     u = np.array([cp * cl, cp * sl, sp])
     return np.stack([e, n, u])
+
+
+# ---------------------------------------------------------------------------
+# Lambert-93 / EPSG:2154 (reference: src/tileset/customBox.ts:10-16 —
+# "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000
+#  +y_0=6600000 +ellps=GRS80") — Lambert Conformal Conic 2SP forward,
+# Snyder, "Map Projections: A Working Manual", eqs. 15-1..15-10.
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+_GRS80_E2 = _GRS80_F * (2.0 - _GRS80_F)
+_GRS80_E = float(np.sqrt(_GRS80_E2))
+
+_L93_LAT0 = np.radians(46.5)
+_L93_LAT1 = np.radians(49.0)
+_L93_LAT2 = np.radians(44.0)
+_L93_LON0 = np.radians(3.0)
+_L93_X0 = 700000.0
+_L93_Y0 = 6600000.0
+
+
+def _lcc_m(phi):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _GRS80_E2 * s * s)
+
+
+def _lcc_t(phi):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - _GRS80_E * s) / (1.0 + _GRS80_E * s)
+    ) ** (_GRS80_E / 2.0)
+
+
+_L93_N = (np.log(_lcc_m(_L93_LAT1)) - np.log(_lcc_m(_L93_LAT2))) / (
+    np.log(_lcc_t(_L93_LAT1)) - np.log(_lcc_t(_L93_LAT2))
+)
+_L93_FF = _lcc_m(_L93_LAT1) / (_L93_N * _lcc_t(_L93_LAT1) ** _L93_N)
+_L93_RHO0 = _GRS80_A * _L93_FF * _lcc_t(_L93_LAT0) ** _L93_N
+
+
+def lambert93_forward(lon_deg, lat_deg):
+    """(lon°, lat°) → EPSG:2154 (x, y) metres — vectorized.
+
+    Exact property: the projection origin (3°E, 46.5°N) maps to the false
+    origin (700000, 6600000)."""
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    rho = _GRS80_A * _L93_FF * _lcc_t(lat) ** _L93_N
+    theta = _L93_N * (lon - _L93_LON0)
+    x = _L93_X0 + rho * np.sin(theta)
+    y = _L93_Y0 + _L93_RHO0 - rho * np.cos(theta)
+    return x, y
+
+
+def mercator_to_lambert93(mx, my):
+    """EPSG:3857 → EPSG:2154 (the customBox projection path)."""
+    lon, lat = mercator_to_lonlat(mx, my)
+    return lambert93_forward(lon, lat)

@@ -58,17 +58,108 @@ def _region_volume(ext: np.ndarray, min_z: float = 0.0, max_z: float = TILE_HEIG
 
 def ecef_transform_at(ext: np.ndarray) -> list[float]:
     """Column-major 4x4 ENU placement matrix at the extent center
-    (reference: src/tileset/region.ts:36-79 — ENU basis + ECEF origin)."""
+    (reference: src/tileset/region.ts:7-33 — ENU basis columns + ECEF
+    origin at height TILE_HEIGHT/2)."""
     clon, clat = mercator_to_lonlat((ext[0] + ext[2]) / 2.0, (ext[1] + ext[3]) / 2.0)
     lon_r, lat_r = np.radians(clon), np.radians(clat)
     basis = enu_basis_ecef(lon_r, lat_r)  # rows E, N, U
-    origin = lonlat_to_ecef(lon_r, lat_r, 0.0)
+    origin = lonlat_to_ecef(lon_r, lat_r, TILE_HEIGHT / 2.0)
     m = np.eye(4)
     m[:3, 0] = basis[0]
     m[:3, 1] = basis[1]
     m[:3, 2] = basis[2]
     m[:3, 3] = origin
     return [float(v) for v in m.reshape(16, order="F")]
+
+
+def ecef_child_transform(ext: np.ndarray, parent_transform: list[float]) -> list[float]:
+    """Per-leaf parent-relative transform (reference:
+    src/tileset/region.ts:36-79): translation = the child center's ECEF
+    delta from the parent origin expressed in the parent's ENU frame;
+    rotation = the finite-difference jacobian of EPSG:3857 → child-local
+    ENU at the child center (+1 m steps), z column identity."""
+    x0 = (ext[0] + ext[2]) / 2.0
+    y0 = (ext[1] + ext[3]) / 2.0
+    h0 = TILE_HEIGHT / 2.0
+
+    def ecef_of(mx, my):
+        lon, lat = mercator_to_lonlat(mx, my)
+        return lonlat_to_ecef(np.radians(lon), np.radians(lat), h0)
+
+    c0 = ecef_of(x0, y0)
+    lon0, lat0 = mercator_to_lonlat(x0, y0)
+    basis0 = enu_basis_ecef(np.radians(lon0), np.radians(lat0))  # rows E,N,U
+    vx = basis0 @ (ecef_of(x0 + 1.0, y0) - c0)
+    vy = basis0 @ (ecef_of(x0, y0 + 1.0) - c0)
+
+    pm = np.array(parent_transform, dtype=np.float64).reshape(4, 4, order="F")
+    rot = pm[:3, :3]
+    delta_local = np.linalg.inv(rot) @ (c0 - pm[:3, 3])
+
+    m = np.eye(4)
+    m[:3, 0] = vx
+    m[:3, 1] = vy
+    m[:3, 2] = [0.0, 0.0, 1.0]
+    m[:3, 3] = delta_local
+    return [float(v) for v in m.reshape(16, order="F")]
+
+
+def lambert93_transform_at(ext: np.ndarray) -> list[float]:
+    """customBox root transform (reference: src/tileset/customBox.ts:21-39):
+    pure translation to the extent center in EPSG:2154."""
+    from ..geom.transforms import mercator_to_lambert93
+
+    x0, y0 = mercator_to_lambert93(
+        np.array([ext[0], ext[2]]), np.array([ext[1], ext[3]])
+    )
+    m = np.eye(4)
+    m[0, 3] = float((x0[0] + x0[1]) * 0.5)
+    m[1, 3] = float((y0[0] + y0[1]) * 0.5)
+    return [float(v) for v in m.reshape(16, order="F")]
+
+
+def lambert93_child_transform(
+    ext: np.ndarray, parent_transform: list[float]
+) -> list[float]:
+    """customBox child transform (reference: src/tileset/customBox.ts:41-81):
+    translation = child center's 2154 delta from the parent origin (parent
+    rotation inverted — identity here); rotation = finite-difference
+    jacobian of 3857 → 2154 at the child center, z identity."""
+    from ..geom.transforms import mercator_to_lambert93
+
+    x0 = (ext[0] + ext[2]) / 2.0
+    y0 = (ext[1] + ext[3]) / 2.0
+    px, py = mercator_to_lambert93(
+        np.array([x0, x0 + 1.0, x0]), np.array([y0, y0, y0 + 1.0])
+    )
+    p0 = np.array([px[0], py[0], 0.0])
+    vx = np.array([px[1] - px[0], py[1] - py[0], 0.0])
+    vy = np.array([px[2] - px[0], py[2] - py[0], 0.0])
+
+    pm = np.array(parent_transform, dtype=np.float64).reshape(4, 4, order="F")
+    rot = pm[:3, :3]
+    delta_local = np.linalg.inv(rot) @ (p0 - pm[:3, 3])
+
+    m = np.eye(4)
+    m[:3, 0] = vx
+    m[:3, 1] = vy
+    m[:3, 2] = [0.0, 0.0, 1.0]
+    m[:3, 3] = delta_local
+    return [float(v) for v in m.reshape(16, order="F")]
+
+
+def lambert93_box_volume(ext: np.ndarray, max_z: float = TILE_HEIGHT) -> list:
+    """customBox bounding volume (reference: src/tileset/customBox.ts:84-107):
+    extent reprojected to 2154, box spanning [0,w]×[0,h]×[0,zMax] with
+    center at the half-sizes."""
+    from ..geom.transforms import mercator_to_lambert93
+
+    xs, ys = mercator_to_lambert93(
+        np.array([ext[0], ext[2]]), np.array([ext[1], ext[3]])
+    )
+    w = float(abs(xs[1] - xs[0]))
+    h = float(abs(ys[1] - ys[0]))
+    return [w / 2, h / 2, max_z / 2, w / 2, 0, 0, 0, h / 2, 0, 0, 0, max_z / 2]
 
 
 def build_tileset_tree(
@@ -87,53 +178,60 @@ def build_tileset_tree(
         parent_y=df["tile_y"].to_numpy() >> shift,
     ).sort_values(["parent_x", "parent_y", "tile_x", "tile_y"])
 
+    def volume(ext: np.ndarray, min_z: float = 0.0, max_z: float = TILE_HEIGHT) -> dict:
+        if projection == "mercator":
+            return {"box": _box_volume(ext, min_z, max_z)}
+        if projection == "lambert93":
+            return {"box": lambert93_box_volume(ext, max_z)}
+        return {"region": _region_volume(ext, min_z, max_z)}
+
     out: dict[str, dict] = {}
     root_children = []
     for (px, py), g in df.groupby(["parent_x", "parent_y"], sort=True):
         pext = tile_extent(np.array([px]), np.array([py]), ROOT_ZOOM)[0]
+        node_transform = None
+        if projection == "ecef":
+            node_transform = ecef_transform_at(pext)
+        elif projection == "lambert93":
+            node_transform = lambert93_transform_at(pext)
         children = []
         for row in g.itertuples():
             ext = tile_extent(np.array([row.tile_x]), np.array([row.tile_y]), leaf_z)[0]
             max_z = getattr(row, "max_z", None)
             vol_h = float(max_z) if max_z is not None and np.isfinite(max_z) else TILE_HEIGHT
             child = {
-                "boundingVolume": (
-                    {"box": _box_volume(ext, 0.0, vol_h)}
-                    if projection == "mercator"
-                    else {"region": _region_volume(ext, 0.0, vol_h)}
-                ),
+                "boundingVolume": volume(ext, 0.0, vol_h),
                 "geometricError": 0,
                 "refine": REFINE,
                 "content": {
                     "uri": uri_pattern.format(z=leaf_z, x=row.tile_x, y=row.tile_y)
                 },
             }
+            # per-leaf parent-relative transform (region.ts:36-79 /
+            # customBox.ts:41-81): without it, leaf placement error grows
+            # with distance from the parent center
+            if projection == "ecef":
+                child["transform"] = ecef_child_transform(ext, node_transform)
+            elif projection == "lambert93":
+                child["transform"] = lambert93_child_transform(ext, node_transform)
             children.append(child)
         node_name = f"{ROOT_ZOOM}_{px}_{py}.json"
         node = {
             "asset": {"version": "1.0"},
             "geometricError": GEOMETRIC_ERROR,
             "root": {
-                "boundingVolume": (
-                    {"box": _box_volume(pext)}
-                    if projection == "mercator"
-                    else {"region": _region_volume(pext)}
-                ),
+                "boundingVolume": volume(pext),
                 "geometricError": GEOMETRIC_ERROR,
                 "refine": REFINE,
                 "children": children,
             },
         }
-        if projection == "ecef":
-            node["root"]["transform"] = ecef_transform_at(pext)
+        if node_transform is not None:
+            node["root"]["transform"] = node_transform
         out[node_name] = node
         root_children.append(
             {
-                "boundingVolume": (
-                    {"box": _box_volume(pext)}
-                    if projection == "mercator"
-                    else {"region": _region_volume(pext)}
-                ),
+                "boundingVolume": volume(pext),
                 "geometricError": GEOMETRIC_ERROR,
                 "refine": REFINE,
                 "content": {"uri": node_name},
