@@ -514,11 +514,74 @@ def build_oriented_profile_roof(
     wrong = n[:, 2] < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
 
-    # skirt: walls rise to the roof surface at each footprint vertex
-    hp_ring = min_height + np.interp(t, [p[0] for p in profile], [p[1] for p in profile]) * roof_height
+    # skirt: walls rise to the roof surface at each footprint vertex; the
+    # wall builder interpolates node→node LINEARLY, but the true profile is
+    # piecewise-linear with kinks at the interior t-splits — the reference
+    # inserts ring∩split-line points into the skirt polyline
+    # (oriented-roof-builder.ts:389-473).  Emit the missing difference
+    # wedges (polyline-vs-chord, in the wall plane) per crossing segment.
+    prof_t = np.array([p[0] for p in profile])
+    prof_h = np.array([p[1] for p in profile])
+    hp_ring = min_height + np.interp(t, prof_t, prof_h) * roof_height
+    geom = _pack(tri_pts, texture_id)
+
+    splits = prof_t[1:-1]
+    if len(splits):
+        k = len(ring)
+        wedge_tris: list[tuple] = []
+        for i in range(k):
+            j = (i + 1) % k
+            ta, tb = t[i], t[j]
+            lo, hi = (ta, tb) if ta <= tb else (tb, ta)
+            ts = splits[(splits > lo) & (splits < hi)]
+            if not len(ts):
+                continue
+            f = (ts - ta) / (tb - ta)
+            order = np.argsort(f)
+            f = f[order]
+            ts = ts[order]
+            pa, pb = ring[i], ring[j]
+            xs = pa[None, :] + f[:, None] * (pb - pa)[None, :]
+            true_h = min_height + np.interp(ts, prof_t, prof_h) * roof_height
+            # fan over [node_i, crossings..., node_j]; the chord closes it
+            pts = np.concatenate(
+                [
+                    [[pa[0], pa[1], hp_ring[i]]],
+                    np.column_stack([xs, true_h]),
+                    [[pb[0], pb[1], hp_ring[j]]],
+                ]
+            )
+            for m in range(1, len(pts) - 1):
+                wedge_tris.append((pts[0], pts[m], pts[m + 1]))
+        if wedge_tris:
+            wt = np.asarray(wedge_tris, dtype=np.float64)
+            wm = wt.reshape(-1, 3)
+            # outward wall normal per segment triangle (ring is CCW)
+            d = wt[:, 2, :2] - wt[:, 0, :2]
+            nrm2 = np.column_stack([d[:, 1], -d[:, 0]])
+            ln = np.linalg.norm(nrm2, axis=1)
+            ln[ln == 0] = 1.0
+            nrm2 /= ln[:, None]
+            wn = np.repeat(
+                np.column_stack([nrm2, np.zeros(len(nrm2))]), 3, axis=0
+            )
+            geom = {
+                "position": np.concatenate([geom["position"], wm.astype(np.float32)]),
+                "uv": np.concatenate(
+                    [geom["uv"], (wm[:, :2] * 0.1).astype(np.float32)]
+                ),
+                "normal": np.concatenate([geom["normal"], wn.astype(np.float32)]),
+                "texture_id": np.concatenate(
+                    [
+                        geom["texture_id"],
+                        np.full(len(wm), texture_id, dtype=np.uint8),
+                    ]
+                ),
+            }
+
     if len(outer_ring) != len(ring):  # closed input: restore the duplicate
         hp_ring = np.concatenate([hp_ring, hp_ring[:1]])
-    return _pack(tri_pts, texture_id), hp_ring
+    return geom, hp_ring
 
 
 def build_curved_roof(

@@ -145,3 +145,48 @@ def test_gabled_skeleton_rectangle():
     assert vertical.sum() == 2  # two gable ends
     apex_x = sorted(np.round(pos[vertical][:, 2, 0], 6))
     assert apex_x == [0.0, 10.0]  # ridge endpoints moved onto the end walls
+
+
+def test_oriented_skirt_wedges_fill_ridge_crossing_segments():
+    """Skirt parity (oriented-roof-builder.ts:389-473): ring segments that
+    cross interior profile splits get exact wedge fill between the wall
+    builder's linear top edge and the true piecewise profile — for a
+    gabled profile on a rectangle these are the two triangular gable ends."""
+    ring = rect_ring(w=12, h=6)
+    out, hp = build_oriented_profile_roof(
+        ring, min_height=8.0, roof_height=4.0, texture_id=1, profile=PROFILE_GABLED
+    )
+    pos = out["position"].reshape(-1, 3, 3)
+    nrm = out["normal"].reshape(-1, 3, 3)
+    # vertical triangles = the wedges (normal z == 0)
+    vertical = np.abs(nrm[:, 0, 2]) < 1e-9
+    wedges = pos[vertical]
+    assert len(wedges) == 2  # one per gable end
+    # each wedge: area = 0.5 * short-edge * roof_height, peak at the ridge
+    for w in wedges:
+        e1 = w[1] - w[0]
+        e2 = w[2] - w[0]
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2))
+        assert area == pytest.approx(0.5 * 6.0 * 4.0)
+        assert w[:, 2].max() == pytest.approx(12.0)
+        assert w[:, 2].min() == pytest.approx(8.0)
+    # outward normals: one end faces -x, the other +x (ridge along x)
+    wn = nrm[vertical][:, 0, :]
+    assert sorted(round(v) for v in wn[:, 0]) == [-1, 1]
+    assert np.allclose(wn[:, 1], 0, atol=1e-9)
+
+
+def test_oriented_skirt_wedges_round_profile_watertight_ends():
+    """ROUND profile (19-point arc): every interior split crossing on the
+    end segments gets a wedge vertex — the end wall follows the arc."""
+    ring = rect_ring(w=20, h=8)
+    out, _ = build_oriented_profile_roof(
+        ring, min_height=5.0, roof_height=3.0, texture_id=1, profile=PROFILE_ROUND
+    )
+    pos = out["position"].reshape(-1, 3, 3)
+    nrm = out["normal"].reshape(-1, 3, 3)
+    vertical = np.abs(nrm[:, 0, 2]) < 1e-9
+    assert vertical.sum() >= 2 * (len(PROFILE_ROUND) - 2)  # fan per end
+    # wedge area per end ≈ footprint-width × mean arc height above chord
+    zmax = pos[vertical][:, :, 2].max()
+    assert zmax == pytest.approx(8.0, abs=1e-6)
