@@ -142,6 +142,9 @@ def _merge_tile_group(group: pa.Table) -> pa.Table:
     tid_flat, tid_lens = merged_list("texture_id")
 
     vert_counts = (pos_lens // 3).astype(np.int64)
+    # u16 batch ids: a denser-than-65535-building cell must fail loudly
+    # (route such cells through the salted path), not wrap silently
+    assert n < 65536, f"tile has {n} buildings; batch_id is u16 — use the salted merge"
     batch_ids = np.repeat(np.arange(n, dtype=np.uint16), vert_counts)
     offsets = np.concatenate([[0], np.cumsum(vert_counts)]).astype(np.uint32)
 
@@ -474,6 +477,7 @@ def _merge_merged_group(group: pa.Table) -> pa.Table:
         tid_chunks.append(tid_parts[p][s : s + c])
 
     n = len(all_osm)
+    assert n < 65536, f"tile has {n} buildings; batch_id is u16"
     osm_sorted = all_osm[order]
     vc_sorted = all_vc[order]
     offsets = np.concatenate([[0], np.cumsum(vc_sorted)]).astype(np.uint32)

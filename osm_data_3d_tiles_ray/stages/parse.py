@@ -23,8 +23,6 @@ coordinate decode.
 
 from __future__ import annotations
 
-import warnings
-
 import numpy as np
 import polars as pl
 import pyarrow as pa
@@ -47,35 +45,43 @@ _INT_TAGS = ["osm_id"]
 def _parse_coord_blob(ring_texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All ring texts → (flat xy float64, per-ring vertex counts, per-ring ok).
 
-    Fast path parses one joined blob; if ANY ring contains garbage the token
-    stream desynchronizes (detected by total-count mismatch) and we fall
-    back to per-ring parsing, dead-lettering malformed rings (count 0, ok
-    False) instead of corrupting their neighbors."""
+    Fully vectorized and per-ring isolated: Arrow splits every ring's
+    token stream (so one garbage ring can never desynchronize its
+    neighbors), polars casts all tokens to float64 at once with
+    ``strict=False`` (non-numeric → null), and a segmented null-count
+    dead-letters exactly the malformed rings (count 0, ok False).  No
+    ``np.fromstring`` (text mode is removed in numpy ≥ 2.0)."""
     if len(ring_texts) == 0:
         e = np.empty(0, np.int64)
         return np.empty((0, 2)), e, np.empty(0, bool)
-    nverts = pc.add(pc.count_substring(ring_texts, ";"), 1).to_numpy(zero_copy_only=False).astype(np.int64)
-    blob = pc.replace_substring(ring_texts, ";", " ")
-    texts = blob.to_numpy(zero_copy_only=False)
-    joined = " ".join(texts)
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        flat = np.fromstring(joined, dtype=np.float64, sep=" ")  # noqa: NPY201 — fast C parse
-    if len(flat) == int(nverts.sum()) * 2:
-        return flat.reshape(-1, 2), nverts, np.ones(len(nverts), bool)
-    # slow path: garbage somewhere — parse each ring independently
-    chunks: list[np.ndarray] = []
-    ok = np.zeros(len(texts), dtype=bool)
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", DeprecationWarning)
-            vals = np.fromstring(t, dtype=np.float64, sep=" ")  # noqa: NPY201
-        if len(vals) == nverts[i] * 2 and len(vals) > 0:
-            chunks.append(vals)
-            counts[i] = nverts[i]
-            ok[i] = True
-    flat = np.concatenate(chunks) if chunks else np.empty(0, np.float64)
+    nverts = (
+        pc.add(pc.count_substring(ring_texts, ";"), 1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    toks = pc.split_pattern(pc.replace_substring(ring_texts, ";", " "), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets).astype(np.int64)
+    tok_counts = np.diff(offs)
+    vals_s = pl.Series(toks.values).cast(pl.Float64, strict=False)
+    vals = vals_s.to_numpy()  # NaN where null
+    bad_tok = vals_s.is_null().to_numpy()
+    # ring ok ⇔ token count matches 2×nverts AND no unparseable token.
+    # (a literal "nan" token parses to non-null NaN and stays valid,
+    # matching the old np.fromstring behavior)
+    # every ring splits to ≥1 token, so offs[:-1] are valid reduceat starts
+    bad_per_ring = (
+        np.add.reduceat(bad_tok.astype(np.int64), offs[:-1])
+        if len(bad_tok)
+        else np.zeros(len(nverts), np.int64)
+    )
+    ok = (tok_counts == 2 * nverts) & (bad_per_ring == 0) & (tok_counts > 0)
+    counts = np.where(ok, nverts, 0)
+    if ok.all():
+        return vals.reshape(-1, 2), counts, ok
+    keep = np.repeat(ok, tok_counts)
+    flat = vals[keep]
     return flat.reshape(-1, 2), counts, ok
 
 
