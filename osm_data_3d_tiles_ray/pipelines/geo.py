@@ -153,31 +153,30 @@ def q_labels(sf_dir: str) -> "ray.data.Dataset":
         if isinstance(ring_off, pa.ChunkedArray):
             ring_off = ring_off.combine_chunks()
         heights = params.column("building_height").to_numpy(zero_copy_only=False)
-        out = {
-            "osm_id": [], "label": [], "x": [], "y": [], "z": [], "priority": [],
-        }
-        for i in range(len(named)):
-            flat = np.asarray(coords_col[i].as_py()).reshape(-1, 2)
-            starts = np.asarray(ring_off[i].as_py())
-            rings = [
-                flat[s:e]
-                for s, e in zip(starts, np.concatenate([starts[1:], [len(flat)]]))
-            ]
-            px, py, d = pole_of_inaccessibility(rings, precision=0.5)
-            out["osm_id"].append(named.column("osm_id")[i].as_py())
-            out["label"].append(named.column("name")[i].as_py())
-            out["x"].append(px)
-            out["y"].append(py)
-            out["z"].append(heights[i] + 5.0)
-            out["priority"].append(d)
+        nn = len(named)
+        # whole-batch values/offsets slicing (same pattern as build3d) —
+        # only the polylabel grid search itself runs per row
+        flat_all = np.asarray(coords_col.values).reshape(-1, 2)
+        voffs = np.asarray(coords_col.offsets).astype(np.int64) // 2
+        rs_vals = np.asarray(ring_off.values).astype(np.int64)
+        rs_offs = np.asarray(ring_off.offsets).astype(np.int64)
+        xs = np.empty(nn)
+        ys = np.empty(nn)
+        ds_ = np.empty(nn)
+        for i in range(nn):
+            flat = flat_all[voffs[i] : voffs[i + 1]]
+            starts = rs_vals[rs_offs[i] : rs_offs[i + 1]]
+            ends = np.concatenate([starts[1:], [len(flat)]])
+            rings = [flat[s:e] for s, e in zip(starts, ends)]
+            xs[i], ys[i], ds_[i] = pole_of_inaccessibility(rings, precision=0.5)
         return pa.table(
             {
-                "osm_id": pa.array(out["osm_id"], type=pa.int64()),
-                "label": pa.array(out["label"], type=pa.string()),
-                "x": pa.array(out["x"]),
-                "y": pa.array(out["y"]),
-                "z": pa.array(out["z"]),
-                "priority": pa.array(out["priority"]),
+                "osm_id": named.column("osm_id"),
+                "label": named.column("name"),
+                "x": pa.array(xs),
+                "y": pa.array(ys),
+                "z": pa.array(heights + 5.0),
+                "priority": pa.array(ds_),
             }
         )
 
