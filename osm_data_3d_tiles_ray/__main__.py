@@ -35,6 +35,12 @@ def main(argv=None) -> int:
     seed.add_argument("--sf", type=float, default=0.001)
     seed.add_argument("--out", required=True)
     seed.add_argument("--projection", choices=["mercator", "ecef", "lambert93"], default="mercator")
+    seed.add_argument(
+        "--format",
+        choices=["parquet", "b3dm"],
+        default="parquet",
+        help="parquet = resumable partitioned seed layout; b3dm = one spec-layout .b3dm file per tile",
+    )
 
     gts = sub.add_parser("generate-tileset", help="(re)build the tileset JSON tree")
     gts.add_argument("--out", required=True, help="a seed output directory")
@@ -69,9 +75,17 @@ def main(argv=None) -> int:
 
     try:
         if args.cmd == "seed-b3dm":
-            from .pipelines.buildings import seed_tiles
+            from .pipelines.buildings import export_b3dm, seed_tiles
 
             root = ensure_synth(args.sf)
+            if args.format == "b3dm":
+                n = export_b3dm(
+                    ray.data.read_parquet(str(root / "documents")),
+                    args.out,
+                    projection=args.projection,
+                )
+                print(json.dumps({"tiles_written": n, "format": "b3dm"}))
+                return 0
             m = seed_tiles(
                 ray.data.read_parquet(str(root / "documents")),
                 args.out,

@@ -121,7 +121,15 @@ def tile_geometry_stats(built: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def _merge_tile_group(group: pa.Table) -> pa.Table:
-    """One tile's buildings → one merged-payload row (A2)."""
+    """One tile's buildings → one merged-payload row (A2).
+
+    In-tile ordering — documented decision: the reference sorts features
+    by ``zIndex`` (tile3d-features-to-buffers-converter.ts:587-591), but
+    ``zIndex`` is never ASSIGNED anywhere in the reference, so its
+    comparator evaluates ``undefined - undefined = NaN`` and the sort is
+    an engine-defined no-op over arrival order.  The engine replaces that
+    accident with a deterministic ascending ``osm_id`` order (stable
+    across partitionings, salted/unsalted paths byte-equal — tested)."""
     n = len(group)
     osm = group.column("osm_id").to_numpy(zero_copy_only=False)
     order = np.argsort(osm, kind="stable")  # deterministic building order

@@ -98,3 +98,31 @@ def test_encode_tiles_b3dm_stage(ray_session):
         if checked >= 25:
             break
     assert checked > 0
+
+
+def test_export_b3dm_files_and_tileset(ray_session, tmp_path):
+    import json as _json
+    from pathlib import Path
+
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import export_b3dm
+
+    docs, _ = generate_shard(0, 200)
+    out = str(tmp_path / "b3dm_out")
+    n = export_b3dm(ray.data.from_arrow(docs), out)
+    files = sorted(Path(out).glob("*.b3dm"))
+    assert len(files) == n > 0
+    # every file parses as a valid b3dm wrapping a valid glb
+    total_batched = 0
+    for f in files[:20]:
+        parsed = parse_b3dm(f.read_bytes())
+        total_batched += parsed["feature_table"]["BATCH_LENGTH"]
+        mesh = parse_glb(parsed["glb"])
+        assert len(mesh["position"]) % 3 == 0
+    # tileset URIs reference the written files
+    tree = _json.loads((Path(out) / "tileset.json").read_text())
+    node_uri = tree["root"]["children"][0]["content"]["uri"]
+    node = _json.loads((Path(out) / node_uri).read_text())
+    child_uri = node["root"]["children"][0]["content"]["uri"]
+    assert (Path(out) / child_uri).exists()

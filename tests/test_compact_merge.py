@@ -54,3 +54,24 @@ def test_compact_merge_matches_raw_counts_and_decodes():
             assert (np.abs(dec["position"] - orig) <= extent / 65535 * 1.01 + 1e-6).all()
         checked += 1
     assert checked > 0
+
+
+def test_in_tile_order_is_ascending_osm_id(ray_session):
+    """Documented deviation (A5): the reference's zIndex sort compares a
+    never-assigned field (NaN comparator -> arrival order); the engine pins
+    ascending osm_id so output is partitioning-independent."""
+    import numpy as np
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import built_ds
+    from osm_data_3d_tiles_ray.stages.accumulate import accumulate_tiles
+    from osm_data_3d_tiles_ray.synth.generator import generate_shard
+
+    docs, _ = generate_shard(2, 400)
+    tiles = accumulate_tiles(built_ds(ray.data.from_arrow(docs), emit_buffers=True))
+    checked = 0
+    for row in tiles.take_all():
+        ids = np.asarray(row["osm_ids"])
+        assert (np.diff(ids) > 0).all()
+        checked += 1
+    assert checked > 0
