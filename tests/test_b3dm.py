@@ -126,3 +126,32 @@ def test_export_b3dm_files_and_tileset(ray_session, tmp_path):
     node = _json.loads((Path(out) / node_uri).read_text())
     child_uri = node["root"]["children"][0]["content"]["uri"]
     assert (Path(out) / child_uri).exists()
+
+
+def test_recursive_tileset_reader_roundtrip(ray_session, tmp_path):
+    """S3: walk tileset.json → nested node JSONs → b3dm leaves; decoded
+    Dataset reproduces the exported corpus exactly."""
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import export_b3dm
+    from osm_data_3d_tiles_ray.sources.tileset_reader import read_tileset, walk_tileset
+
+    docs, _ = generate_shard(1, 250)
+    out = str(tmp_path / "ts_out")
+    n = export_b3dm(ray.data.from_arrow(docs), out)
+
+    leaves = walk_tileset(out)
+    assert len(leaves) == n
+    assert all(leaf["uri"].endswith(".b3dm") for leaf in leaves)
+    assert all(leaf["depth"] >= 2 for leaf in leaves)  # root → node → leaf
+
+    ds = read_tileset(out)
+    df = ds.to_pandas()
+    assert len(df) == n
+    assert int(df["batch_length"].sum()) == 250  # every building in one tile
+    assert (df["tile_z"] == 16).all()
+    assert (df["vertex_count"] > 0).all()
+    # buffers decoded and consistent
+    row = df.iloc[0]
+    assert len(row["position"]) == row["vertex_count"] * 3
+    assert len(row["batch_id"]) == row["vertex_count"]
