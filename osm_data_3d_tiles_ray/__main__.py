@@ -62,10 +62,18 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "pack-textures":
-        from .tables.atlas import write_frame_dict_parquet
+        import os
 
-        write_frame_dict_parquet(args.out)
-        print(json.dumps({"written": args.out}))
+        if args.out.endswith(".parquet"):
+            from .tables.atlas import write_frame_dict_parquet
+
+            write_frame_dict_parquet(args.out)
+            print(json.dumps({"written": args.out}))
+        else:
+            from .tables.atlas_png import pack_textures_png
+
+            written = pack_textures_png(args.out)
+            print(json.dumps({"written": written}))
         return 0
 
     ray = _ray_session()
