@@ -56,6 +56,14 @@ def main(argv=None) -> int:
         help="committed seed output; a miss reads only the tile's z12 fragment",
     )
 
+    dmn = sub.add_parser("serve", help="HTTP tile daemon (reference serve.ts surface)")
+    dmn.add_argument("--sf", type=float, default=0.001)
+    dmn.add_argument("--host", default="127.0.0.1")
+    dmn.add_argument("--port", type=int, default=8947)
+    dmn.add_argument("--cache", default="/tmp/osm3d_http_cache")
+    dmn.add_argument("--export_dir", default=None, help="pre-generated b3dm/tileset directory")
+    dmn.add_argument("--seed_dir", default=None, help="seed partition index for miss lookups")
+
     pt = sub.add_parser("pack-textures", help="emit the atlas frame dict parquet")
     pt.add_argument("--out", required=True)
 
@@ -125,6 +133,18 @@ def main(argv=None) -> int:
             tree = build_tileset_tree(stats, projection=args.projection)
             write_tileset(tree, args.out)
             print(json.dumps({"tileset_nodes": len(tree)}))
+        elif args.cmd == "serve":
+            from .pipelines.http_serve import serve_forever
+
+            root = ensure_synth(args.sf)
+            serve_forever(
+                ray.data.read_parquet(str(root / "documents")),
+                args.cache,
+                export_dir=args.export_dir,
+                seed_dir=args.seed_dir,
+                host=args.host,
+                port=args.port,
+            )
         elif args.cmd == "serve-tile":
             from .pipelines.serve import get_or_build_tile
 
