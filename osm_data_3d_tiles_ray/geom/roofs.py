@@ -659,3 +659,135 @@ def build_skillion_roof(
     wrong = n[:, 2] < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
     return _pack(tri_pts, texture_id), zs
+
+
+def _clip_cell(poly: list[tuple[float, float]], iu: int, iv: int) -> list[tuple[float, float]]:
+    """Sutherland–Hodgman clip of a polygon to [iu,iu+1)×[iv,iv+1)
+    (reference clipRange rules: lower edges inclusive, upper strict —
+    flat-roof-builders.ts:77-117)."""
+
+    def clip_axis(pts, axis, edge, keep_greater, strict):
+        out = []
+        m = len(pts)
+        for i in range(m):
+            ax, ay = pts[i]
+            bx, by = pts[(i + 1) % m]
+            a = ax if axis == 0 else ay
+            b = bx if axis == 0 else by
+            ina = (a > edge if strict else a >= edge) if keep_greater else (
+                a < edge if strict else a <= edge
+            )
+            inb = (b > edge if strict else b >= edge) if keep_greater else (
+                b < edge if strict else b <= edge
+            )
+            if ina and inb:
+                out.append((bx, by))
+            elif ina and not inb:
+                t = (edge - a) / (b - a)
+                out.append(
+                    (edge, ay + t * (by - ay)) if axis == 0 else (ax + t * (bx - ax), edge)
+                )
+            elif not ina and inb:
+                t = (edge - a) / (b - a)
+                out.append(
+                    (edge, ay + t * (by - ay)) if axis == 0 else (ax + t * (bx - ax), edge)
+                )
+                out.append((bx, by))
+        return out
+
+    poly = clip_axis(poly, 0, iu, True, False)
+    if len(poly) >= 3:
+        poly = clip_axis(poly, 0, iu + 1, False, True)
+    if len(poly) >= 3:
+        poly = clip_axis(poly, 1, iv, True, False)
+    if len(poly) >= 3:
+        poly = clip_axis(poly, 1, iv + 1, False, True)
+    return poly
+
+
+def build_flat_roof_clipped(
+    coords: np.ndarray,
+    ring_starts: np.ndarray,
+    ring_roles: np.ndarray,
+    z: float,
+    texture_id: int,
+    scale_xy: tuple[float, float],
+    flip: bool = False,
+) -> dict[str, np.ndarray] | None:
+    """Reference-parity flat roof (flat-roof-builders.ts:30-180): UVs are
+    the footprint projected into its OMBB frame divided by the material's
+    texture scale (metres per tile); the triangulation is clipped to
+    integer UV cells (Sutherland–Hodgman) so every emitted triangle lives
+    inside ONE texture tile with exact local [0,1] UVs — no wrap seams —
+    and positions are re-derived from the clipped UVs via the inverse
+    OMBB transform.
+
+    Costs ~one tessellation per texture tile covered (the reference pays
+    the same); engine default keeps the cheaper whole-batch flat path —
+    enable with ``Build3D(flat_uv_clip=True)``.
+    """
+    ends = np.concatenate([ring_starts[1:], [len(coords)]])
+    outer = coords[ring_starts[0] : ends[0]]
+    ring = outer[:-1] if len(outer) > 1 and (outer[0] == outer[-1]).all() else outer
+    if len(ring) < 3:
+        return None
+    corners, _ = _ombb(ring)
+    origin = corners[1]
+    v0 = corners[0] - origin
+    v1 = corners[2] - origin
+    l0, l1 = np.linalg.norm(v0), np.linalg.norm(v1)
+    if l0 == 0 or l1 == 0:
+        return None
+    e0, e1 = v0 / l0, v1 / l1
+    sx, sy = float(scale_xy[0]), float(scale_xy[1])
+    rel = coords - origin
+    uv_all = np.column_stack([rel @ e0 / sx, rel @ e1 / sy])
+
+    tri_idx = triangulate_multipolygon(uv_all, ring_starts, ring_roles)
+    if len(tri_idx) == 0:
+        return None
+
+    out_pos: list[np.ndarray] = []
+    out_uv: list[np.ndarray] = []
+    for tri in tri_idx:
+        tuv = [tuple(uv_all[j]) for j in tri]
+        us = [p[0] for p in tuv]
+        vs = [p[1] for p in tuv]
+        cu0, cu1 = int(np.floor(min(us))), int(np.ceil(max(us)))
+        cv0, cv1 = int(np.floor(min(vs))), int(np.ceil(max(vs)))
+        for iu in range(cu0, cu1):
+            for iv in range(cv0, cv1):
+                poly = _clip_cell(tuv, iu, iv)
+                if len(poly) < 3:
+                    continue
+                local = np.asarray(poly) - (iu, iv)
+                cell_tris = _earcut_triangulate(local)
+                if len(cell_tris) == 0:
+                    continue
+                for ct in cell_tris:
+                    lpts = local[ct]
+                    # inverse OMBB: world = origin + (u*sx)·e0 + (v*sy)·e1
+                    up = (lpts[:, 0] + iu) * sx
+                    vp = (lpts[:, 1] + iv) * sy
+                    world = origin + up[:, None] * e0 + vp[:, None] * e1
+                    out_pos.append(np.column_stack([world, np.full(3, z)]))
+                    out_uv.append(lpts)
+    if not out_pos:
+        return None
+    tri_pts = np.stack(out_pos)
+    uv_tris = np.stack(out_uv)
+    # orientation: +z for roofs, -z for the flipped underside cap
+    nrm = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    want = -1.0 if flip else 1.0
+    wrong = nrm[:, 2] * want < 0
+    tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
+    uv_tris[wrong] = uv_tris[wrong][:, ::-1, :]
+    m = tri_pts.reshape(-1, 3)
+    normals = np.zeros((len(m), 3), np.float32)
+    normals[:, 2] = want
+    return {
+        "position": m.astype(np.float32),
+        "uv": uv_tris.reshape(-1, 2).astype(np.float32),
+        "normal": normals,
+        "texture_id": np.full(len(m), texture_id, dtype=np.uint8),
+    }

@@ -40,6 +40,7 @@ from ..geom.roofs import (
     PROFILE_SALTBOX,
     build_curved_roof,
     build_flat_roof,
+    build_flat_roof_clipped,
     build_hipped_roof,
     build_oriented_profile_roof,
     build_pyramidal_roof,
@@ -61,13 +62,27 @@ ROOF_TEXTURE = {
     "default": 10, "tiles": 11, "metal": 12, "concrete": 13, "thatch": 14,
     "eternit": 15, "grass": 16, "glass": 17, "tar": 18,
 }
+# metres per texture tile, per material (reference textureIdToScale +
+# the 32 m generic default, src/building/builder.ts:259-280)
+ROOF_TEXTURE_SCALE = {
+    10: (32.0, 32.0), 11: (3.0, 3.0), 12: (4.0, 4.0), 13: (10.0, 10.0),
+    14: (8.0, 8.0), 15: (5.0, 5.0), 16: (12.0, 12.0), 17: (4.0, 4.0),
+    18: (4.0, 4.0),
+}
 
 
 class Build3D:
-    """Actor-pool callable: parsed buildings batch → per-building geometry."""
+    """Actor-pool callable: parsed buildings batch → per-building geometry.
 
-    def __init__(self, emit_buffers: bool = True):
+    ``flat_uv_clip=True`` enables reference-parity flat roofs (OMBB-frame
+    UVs clipped to integer texture cells, flat-roof-builders.ts:30-180) at
+    ~one tessellation per texture tile covered; the default keeps the
+    cheaper whole-batch flat path (world-scaled UVs wrapped per frame) —
+    a documented throughput/storage trade."""
+
+    def __init__(self, emit_buffers: bool = True, flat_uv_clip: bool = False):
         self.emit_buffers = emit_buffers
+        self.flat_uv_clip = flat_uv_clip
         # per-actor state: atlas frame → UV transform table, built once
         # (reference loads the atlas frame dict once per worker, S4/J3)
         self.uv_table = uv_transform_table()
@@ -429,6 +444,22 @@ class Build3D:
                     continue
             # flat roof path (either chosen or fallback — reference semantics)
             roof_used[i] = "flat"
+            if self.flat_uv_clip:
+                r0, r1 = ring_offs[i], ring_offs[i + 1]
+                c0, c1 = vert_offs[i], vert_offs[i + 1]
+                tid = ROOF_TEXTURE.get(roof_mats[i], 13)
+                geom = build_flat_roof_clipped(
+                    coords[c0:c1],
+                    flat_ring_starts[r0:r1].astype(np.int64),
+                    flat_roles[r0:r1],
+                    z=heights[i],
+                    texture_id=tid,
+                    scale_xy=ROOF_TEXTURE_SCALE.get(tid, (10.0, 10.0)),
+                )
+                if geom is not None:
+                    roof_counts[i] = len(geom["position"])
+                    roof_geoms[i] = geom
+                    continue
             flat_tri_chunks.append(ftris)
             flat_tri_counts[i] = len(ftris)
             flat_z[i] = heights[i]
@@ -629,8 +660,8 @@ class Build3DStats(Build3D):
     """Stats-only variant (no buffer materialization) — separate class so the
     actor pool needs no constructor arguments (clean restarts)."""
 
-    def __init__(self):
-        super().__init__(emit_buffers=False)
+    def __init__(self, flat_uv_clip: bool = False):
+        super().__init__(emit_buffers=False, flat_uv_clip=flat_uv_clip)
 
 
 def _ring_areas(coords: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

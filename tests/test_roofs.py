@@ -190,3 +190,72 @@ def test_oriented_skirt_wedges_round_profile_watertight_ends():
     # wedge area per end ≈ footprint-width × mean arc height above chord
     zmax = pos[vertical][:, :, 2].max()
     assert zmax == pytest.approx(8.0, abs=1e-6)
+
+
+def test_flat_roof_clipped_reference_parity():
+    """flat-roof-builders.ts parity: OMBB-frame UVs / texture scale, every
+    triangle inside ONE integer UV cell with local [0,1] UVs, positions
+    re-derived via the inverse transform (area preserved exactly)."""
+    from osm_data_3d_tiles_ray.geom.roofs import build_flat_roof_clipped
+
+    ring = np.array([[0, 0], [25, 0], [25, 14], [0, 14], [0, 0]], float)
+    g = build_flat_roof_clipped(
+        ring, np.array([0]), np.array([0], np.int8),
+        z=7.0, texture_id=3, scale_xy=(10.0, 10.0),
+    )
+    pos = g["position"].reshape(-1, 3, 3)
+    uv = g["uv"].reshape(-1, 3, 2)
+    # projected area preserved through clip + inverse transform
+    area = 0.5 * np.abs(
+        np.cross(pos[:, 1, :2] - pos[:, 0, :2], pos[:, 2, :2] - pos[:, 0, :2])
+    ).sum()
+    assert area == pytest.approx(25.0 * 14.0)
+    assert (pos[:, :, 2] == 7.0).all()
+    # every triangle's UVs inside [0,1] — no wrap, no cross-cell span
+    assert uv.min() >= -1e-9 and uv.max() <= 1 + 1e-9
+    # 25x14 at scale 10 covers a 3x2 cell grid -> at least 6 cells tessellated
+    assert len(pos) >= 6
+    # UV deltas match position deltas / scale within each triangle (the
+    # projection is affine per cell)
+    duv = np.linalg.norm(uv[:, 1] - uv[:, 0], axis=1)
+    dpos = np.linalg.norm(pos[:, 1, :2] - pos[:, 0, :2], axis=1)
+    nz = duv > 1e-12
+    assert np.allclose(dpos[nz] / duv[nz], 10.0, rtol=1e-5)  # float32 buffers
+
+
+def test_flat_roof_clipped_with_hole():
+    from osm_data_3d_tiles_ray.geom.roofs import build_flat_roof_clipped
+
+    coords = np.array(
+        [[0, 0], [30, 0], [30, 20], [0, 20], [0, 0],
+         [10, 5], [20, 5], [20, 15], [10, 15], [10, 5]], float
+    )
+    g = build_flat_roof_clipped(
+        coords, np.array([0, 5]), np.array([0, 1], np.int8),
+        z=4.0, texture_id=3, scale_xy=(10.0, 10.0),
+    )
+    pos = g["position"].reshape(-1, 3, 3)
+    area = 0.5 * np.abs(
+        np.cross(pos[:, 1, :2] - pos[:, 0, :2], pos[:, 2, :2] - pos[:, 0, :2])
+    ).sum()
+    assert area == pytest.approx(30 * 20 - 10 * 10)
+
+
+def test_build3d_flat_uv_clip_mode(ray_session):
+    """The opt-in Build3D mode produces the same building set with larger
+    flat-roof tessellation and in-frame UVs."""
+    from osm_data_3d_tiles_ray.stages.build3d import Build3DStats
+    from osm_data_3d_tiles_ray.stages.parse import parse_documents
+    from osm_data_3d_tiles_ray.synth.generator import generate_shard
+
+    docs, _ = generate_shard(0, 300)
+    parsed = parse_documents(docs, keep_spans=False)
+    base = Build3DStats()(parsed)
+    clip = Build3DStats(flat_uv_clip=True)(parsed)
+    assert clip.num_rows == base.num_rows
+    rb = dict(zip(base.column("osm_id").to_pylist(), base.column("roof_type_used").to_pylist()))
+    rc = dict(zip(clip.column("osm_id").to_pylist(), clip.column("roof_type_used").to_pylist()))
+    assert rb == rc  # dispatch unchanged
+    vb = sum(base.column("roof_vertices").to_pylist())
+    vc = sum(clip.column("roof_vertices").to_pylist())
+    assert vc > vb  # per-cell tessellation multiplies flat roof triangles
