@@ -253,10 +253,15 @@ def q_cell_cover_exact(sf_dir: str) -> "ray.data.Dataset":
             roles_col = roles_col.combine_chunks()
         n = len(batch)
         counts = np.zeros(n, dtype=np.int64)
+        flat_all = np.asarray(coords_col.values).reshape(-1, 2)
+        voffs = np.asarray(coords_col.offsets).astype(np.int64) // 2
+        rs_vals = np.asarray(ring_off.values).astype(np.int64)
+        rs_offs = np.asarray(ring_off.offsets).astype(np.int64)
+        roles_all = np.asarray(roles_col.values, dtype=np.int8)
         for i in range(n):
-            flat = np.asarray(coords_col[i].as_py()).reshape(-1, 2)
-            starts = np.asarray(ring_off[i].as_py())
-            roles = np.asarray(roles_col[i].as_py(), dtype=np.int8)
+            flat = flat_all[voffs[i] : voffs[i + 1]]
+            starts = rs_vals[rs_offs[i] : rs_offs[i + 1]]
+            roles = roles_all[rs_offs[i] : rs_offs[i + 1]]
             cells = polygon_cell_cover(
                 flat, starts, roles, (-WORLD_HALF, -WORLD_HALF), CELL
             )
@@ -282,9 +287,13 @@ def q_sample_points(sf_dir: str) -> "ray.data.Dataset":
         osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
         n = len(batch)
         counts = np.zeros(n, dtype=np.int64)
+        flat_all = np.asarray(coords_col.values).reshape(-1, 2)
+        voffs = np.asarray(coords_col.offsets).astype(np.int64) // 2
+        rs_vals = np.asarray(ring_off.values).astype(np.int64)
+        rs_offs = np.asarray(ring_off.offsets).astype(np.int64)
         for i in range(n):
-            flat = np.asarray(coords_col[i].as_py()).reshape(-1, 2)
-            starts = np.asarray(ring_off[i].as_py())
+            flat = flat_all[voffs[i] : voffs[i + 1]]
+            starts = rs_vals[rs_offs[i] : rs_offs[i + 1]]
             ends = np.concatenate([starts[1:], [len(flat)]])
             rings = [flat[s:e] for s, e in zip(starts, ends)]
             pts = sample_points_in_polygon(
