@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_daily": events.user_daily_activity,
         "events_sessionize": events.sessionize,
         "lang_id": textops.lang_id,
+        "token_count_bpe": textops.token_count_bpe,
+        "dedup_clusters": textops.dedup_clusters,
         # generic relational machinery (partial-combine aggregates,
         # broadcast join, global top-k) over the TPC-H-ish tables
         "rel_pricing_summary": relational.pricing_summary,
@@ -364,6 +366,35 @@ JOIN {dem} z11 ON z11.row = f.j0 + 1 AND z11.col = f.i0 + 1
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY text
+""",
+        # same RE2 pattern as the engine (DuckDB and Arrow share the RE2
+        # engine); SQL doubles the apostrophes inside the literal
+        "token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+            + r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+            + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        # transitive closure over the prefix/suffix-equality edge union —
+        # the SQL mirror of the engine's min-label propagation
+        "dedup_clusters": """
+WITH RECURSIVE pre AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS rep
+  FROM documents
+), suf AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY substr(reverse(text), 1, 64)) AS rep
+  FROM documents
+), edges AS (
+  SELECT doc_id AS a, rep AS b FROM pre
+  UNION SELECT rep, doc_id FROM pre
+  UNION SELECT doc_id, rep FROM suf
+  UNION SELECT rep, doc_id FROM suf
+  UNION SELECT doc_id, doc_id FROM documents
+), walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM walk GROUP BY a
 """,
         "text_stats": r"""
 SELECT doc_id,

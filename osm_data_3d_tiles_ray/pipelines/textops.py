@@ -555,3 +555,98 @@ def minhash_near_dup(sf_dir: str) -> "ray.data.Dataset":
     return pairs.groupby(["doc_id", "dup_of"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: connected components over near-dup edge sets
+
+
+def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-style pretokenizer count per doc (GPT-2-ish RE2 pattern over
+    contractions / letter runs / digit runs / punctuation / whitespace) —
+    a pure ``pyarrow.compute`` kernel, exactly reproducible in DuckDB's
+    RE2 ``regexp_extract_all`` (same regex engine)."""
+    PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(text, PAT), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+_CLUSTER_AFFIX = 64  # chars of shared prefix/suffix that define an edge
+
+
+def dedup_clusters(sf_dir: str, max_rounds: int = 12) -> "ray.data.Dataset":
+    """Near-dup clustering: connected components over the union of two
+    equality relations — shared 64-char PREFIX and shared 64-char SUFFIX.
+    Each relation alone is an equivalence class (one groupby); their UNION
+    chains across classes, so real component finding is required.
+
+    Distributed alternating label minimization, Ray-Data-idiomatic: rows
+    carry (doc_id, kpre, ksuf, label); each half-round is ONE
+    ``groupby(class_key).map_groups`` that rewrites every member's label
+    to the class minimum.  Labels are monotone non-increasing, and a fixed
+    point means the label is constant across every edge — i.e. per
+    connected component, equal to the component's minimum doc_id (the
+    recursive-CTE transitive closure the SQL oracle computes).
+    Convergence is detected via the (monotone) global label sum; class
+    keys shuffle as 64-bit hashes, never text.
+    """
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        pre = pc.utf8_slice_codeunits(text, 0, _CLUSTER_AFFIX)
+        suf = pc.utf8_slice_codeunits(pc.utf8_reverse(text), 0, _CLUSTER_AFFIX)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "kpre": pa.array(pl.Series(pre).hash(seed=11).to_numpy().view(np.int64)),
+                "ksuf": pa.array(pl.Series(suf).hash(seed=13).to_numpy().view(np.int64)),
+                "label": batch.column("doc_id"),
+            }
+        )
+
+    def assign_min(group: pa.Table) -> pa.Table:
+        lab = group.column("label").to_numpy(zero_copy_only=False)
+        m = lab.min()
+        return group.set_column(
+            group.schema.get_field_index("label"),
+            "label",
+            pa.array(np.full(len(group), m), type=pa.int64()),
+        )
+
+    base = docs.map_batches(keys, batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        for key in ("kpre", "ksuf"):
+            base = base.groupby(key).map_groups(assign_min, batch_format="pyarrow")
+        base = base.materialize()
+        s = base.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return base.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "cluster_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -61,3 +61,53 @@ def test_jaccard_pairs_thresholded(ray_session):
         sa, sb = sh(tmap[int(a)]), sh(tmap[int(b)])
         j = len(sa & sb) / max(1, len(sa | sb))
         assert int(round(j * 100)) == int(pct)
+
+
+def test_dedup_clusters_matches_union_find(ray_session):
+    """Connected components over prefix/suffix-equality edge union must
+    equal an exact union-find on the same relations (min-reachable ids)."""
+    import collections
+
+    from osm_data_3d_tiles_ray.pipelines.textops import dedup_clusters
+
+    got = dict(
+        zip(
+            *(lambda d: (d["doc_id"], d["cluster_id"]))(
+                dedup_clusters(SF).to_pandas()
+            )
+        )
+    )
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for key_fn in (lambda t: t[:64], lambda t: t[::-1][:64]):
+        groups = collections.defaultdict(list)
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            groups[key_fn(t)].append(d)
+        for g in groups.values():
+            m = min(g)
+            for d in g:
+                union(d, m)
+
+    want = {d: find(d) for d in docs["doc_id"]}
+    assert got == want
+
+
+def test_token_count_bpe_nonneg(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import token_count_bpe
+
+    df = token_count_bpe(SF).to_pandas()
+    assert (df["n_bpe_tokens"] >= 0).all() and df["n_bpe_tokens"].sum() > 0
