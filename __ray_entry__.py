@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         "events_hourly": events.hourly_by_type,
         "events_user_daily": events.user_daily_activity,
         "events_sessionize": events.sessionize,

@@ -239,3 +239,155 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 12) -> "ray.data.Dataset":
         )
 
     return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF: distributed spherical k-means coarse quantizer + nprobe search
+
+
+def kmeans_centroids(
+    sf_dir: str, n_clusters: int = 16, iters: int = 8
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) over the embeddings table.
+
+    The classic Ray-Data shape for iterative ML: each iteration is ONE
+    ``map_batches`` pass emitting per-batch partial (cluster-sum, count)
+    rows — k rows per batch, the small side — which the driver combines
+    and renormalizes into the next centroid matrix (broadcast back via
+    closure capture; centroids are k×d ≪ data).  Deterministic init from
+    the first ``n_clusters`` vectors."""
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dims = len(t0.column("embedding")[0])
+    vid = t0.column("vec_id").to_numpy()
+    all_m = np.asarray(
+        t0.column("embedding").combine_chunks().values.to_numpy(zero_copy_only=False)
+    ).reshape(-1, dims)
+    # deterministic farthest-point init over a bounded sample (kmeans++-
+    # style greedy max-min; naive first-k init routinely merges clusters)
+    sample = all_m[np.argsort(vid)[: max(1024, n_clusters)]]
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    chosen = [0]
+    max_sim = sample @ sample[0]
+    for _ in range(1, min(n_clusters, len(sample))):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, sample @ sample[nxt])
+    centroids = sample[chosen]
+    if len(centroids) < n_clusters:  # tiny tables: pad with repeats
+        reps = np.resize(np.arange(len(centroids)), n_clusters - len(centroids))
+        centroids = np.concatenate([centroids, centroids[reps]])
+
+    ds = _embeddings(sf_dir).select_columns(["embedding"])
+    for _ in range(iters):
+        c = centroids  # captured by value per iteration
+
+        def partial(batch: pa.Table, c=c) -> pa.Table:
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            m = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(-1, dims)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = np.argmax(mn @ c.T, axis=1)
+            sums = np.zeros((n_clusters, dims))
+            np.add.at(sums, assign, mn)
+            counts = np.bincount(assign, minlength=n_clusters)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(n_clusters, dtype=np.int64)),
+                    "count": pa.array(counts.astype(np.int64)),
+                    "vsum": pa.array(
+                        list(sums), type=pa.large_list(pa.float64())
+                    ),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        import ray as _ray
+
+        sums = np.zeros((n_clusters, dims))
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        for ref in rows:
+            t = _ray.get(ref)
+            cl = t.column("cluster").to_numpy(zero_copy_only=False)
+            cn = t.column("count").to_numpy(zero_copy_only=False)
+            vs = np.asarray(
+                t.column("vsum").combine_chunks().values.to_numpy(zero_copy_only=False)
+            ).reshape(len(cl), dims)
+            np.add.at(sums, cl, vs * 1.0)
+            np.add.at(counts, cl, cn)
+        nonempty = counts > 0
+        new = centroids.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = new / norms
+    return centroids
+
+
+def ann_ivf_topk(
+    sf_dir: str, n_clusters: int = 16, nprobe: int = 4, iters: int = 8
+) -> "ray.data.Dataset":
+    """IVF approximate top-k (the k-means sibling of :func:`ann_lsh_topk`):
+    a spherical-k-means coarse quantizer assigns every vector to a list;
+    each query scores exactly ONLY the vectors in its ``nprobe`` nearest
+    lists.  The probed-list set broadcasts as a small int array; embedding
+    payloads never shuffle.  Output: (qid, vec_id, rank)."""
+    qid, qmat = _load_queries(sf_dir)
+    centroids = kmeans_centroids(sf_dir, n_clusters=n_clusters, iters=iters)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe_lists = np.unique(
+        np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe].reshape(-1)
+    )
+
+    class Partial(_CosinePartial):
+        def __init__(self, qid, qmat, centroids, probe):
+            super().__init__(qid, qmat)
+            self.centroids = centroids
+            self.probe = probe
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            dims_ = self.qn.shape[1]
+            m = np.asarray(
+                emb.values.to_numpy(zero_copy_only=False)
+            ).reshape(-1, dims_)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            lists = np.argmax(mn @ self.centroids.T, axis=1)
+            keep = np.isin(lists, self.probe)
+            sub = pa.table(
+                {
+                    "vec_id": pa.array(vid[keep]),
+                    "embedding": emb.take(pa.array(np.nonzero(keep)[0])),
+                }
+            )
+            return super().__call__(sub)
+
+    partials = _embeddings(sf_dir).select_columns(["vec_id", "embedding"]).map_batches(
+        Partial,
+        fn_constructor_args=(qid, qmat, centroids, probe_lists),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )
+
+    def refine(group: pa.Table) -> pa.Table:
+        qid_g = group.column("qid").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        mask = vid != qid_g[0]
+        vid, sim = vid[mask], sim[mask]
+        order = np.lexsort((vid, -sim))[:TOP_K]
+        return pa.table(
+            {
+                "qid": pa.array(np.full(len(order), qid_g[0], dtype=np.int64)),
+                "vec_id": pa.array(vid[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")

@@ -1,0 +1,62 @@
+"""IVF ANN: distributed spherical k-means quantizer + nprobe search."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from osm_data_3d_tiles_ray.pipelines.ann import ann_ivf_topk, ann_topk, kmeans_centroids
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory, ray_session):
+    """Synthetic clustered embeddings: 8 well-separated directions, 64 dims,
+    120 vectors per cluster + the 10 query vectors drawn from clusters."""
+    rng = np.random.default_rng(42)
+    dims, n_clusters, per = 64, 8, 120
+    dirs = rng.standard_normal((n_clusters, dims))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    vecs = []
+    for c in range(n_clusters):
+        pts = dirs[c] + 0.03 * rng.standard_normal((per, dims))
+        vecs.append(pts)
+    m = np.concatenate(vecs)
+    order = rng.permutation(len(m))
+    m = m[order]
+    out = tmp_path_factory.mktemp("ivf")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+                "embedding": pa.array(list(m.astype(np.float64))),
+                "label": pa.array(np.zeros(len(m), dtype=np.int32)),
+            }
+        ),
+        out / "embeddings.parquet",
+    )
+    return str(out)
+
+
+def test_kmeans_centroids_converge_to_cluster_dirs(clustered_dir):
+    cents = kmeans_centroids(clustered_dir, n_clusters=8, iters=10)
+    assert cents.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    # every data point should be very close to SOME centroid
+    t = pq.read_table(f"{clustered_dir}/embeddings.parquet")
+    m = np.asarray(
+        t.column("embedding").combine_chunks().values.to_numpy(zero_copy_only=False)
+    ).reshape(-1, 64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    best = (mn @ cents.T).max(axis=1)
+    assert best.mean() > 0.85  # init can merge two tight clusters
+
+
+def test_ivf_recall_on_clustered_data(clustered_dir):
+    exact = ann_topk(clustered_dir).to_pandas()
+    ivf = ann_ivf_topk(clustered_dir, n_clusters=8, nprobe=2).to_pandas()
+    e = set(zip(exact["qid"], exact["vec_id"]))
+    i = set(zip(ivf["qid"], ivf["vec_id"]))
+    recall = len(e & i) / len(e)
+    assert recall >= 0.9, recall
+    # ranks well-formed
+    assert set(ivf["rank"]) <= {1, 2, 3, 4, 5}
