@@ -20,21 +20,30 @@ from .rings import points_in_ring
 from .rng import keyed_uniform
 
 
-def _cells_on_segment(x0, y0, x1, y1) -> np.ndarray:
-    """Integer grid cells visited by segment (DDA walk), incl. endpoints."""
-    cells = [(int(np.floor(x0)), int(np.floor(y0)))]
-    cx, cy = cells[0]
-    ex, ey = int(np.floor(x1)), int(np.floor(y1))
+_INF = float("inf")
+
+
+def _cells_on_segment_list(x0, y0, x1, y1) -> list:
+    """Integer grid cells visited by segment (DDA walk), incl. endpoints.
+
+    Pure-Python floats/ints on purpose: the per-step work is a couple of
+    compares and adds, where numpy scalar ops cost ~100× the arithmetic
+    (same trade as the oriented-roof clip kernel)."""
+    from math import floor
+
+    cx, cy = floor(x0), floor(y0)
+    cells = [(cx, cy)]
+    ex, ey = floor(x1), floor(y1)
     dx = x1 - x0
     dy = y1 - y0
     step_x = 1 if dx > 0 else -1
     step_y = 1 if dy > 0 else -1
-    t_max_x = np.inf if dx == 0 else ((cx + (step_x > 0)) - x0) / dx
-    t_max_y = np.inf if dy == 0 else ((cy + (step_y > 0)) - y0) / dy
-    t_dx = np.inf if dx == 0 else abs(1.0 / dx)
-    t_dy = np.inf if dy == 0 else abs(1.0 / dy)
+    t_max_x = _INF if dx == 0 else ((cx + (step_x > 0)) - x0) / dx
+    t_max_y = _INF if dy == 0 else ((cy + (step_y > 0)) - y0) / dy
+    t_dx = _INF if dx == 0 else abs(1.0 / dx)
+    t_dy = _INF if dy == 0 else abs(1.0 / dy)
     guard = 0
-    while (cx, cy) != (ex, ey) and guard < 100000:
+    while (cx != ex or cy != ey) and guard < 100000:
         if t_max_x < t_max_y:
             cx += step_x
             t_max_x += t_dx
@@ -43,30 +52,42 @@ def _cells_on_segment(x0, y0, x1, y1) -> np.ndarray:
             t_max_y += t_dy
         cells.append((cx, cy))
         guard += 1
-    return np.asarray(cells, dtype=np.int64)
+    return cells
+
+
+def _cells_on_segment(x0, y0, x1, y1) -> np.ndarray:
+    """Array wrapper over :func:`_cells_on_segment_list` (unit-test API)."""
+    return np.asarray(_cells_on_segment_list(x0, y0, x1, y1), dtype=np.int64)
+
+
+def _triangle_cells_into(tri, out: set) -> None:
+    """Add the covered cells of one (3,2) triangle (edge DDA cells +
+    per-row scanline fill between their extremes) into ``out``."""
+    rows: dict = {}
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        for cx, cy in _cells_on_segment_list(
+            tri[a][0], tri[a][1], tri[b][0], tri[b][1]
+        ):
+            lohi = rows.get(cy)
+            if lohi is None:
+                rows[cy] = [cx, cx]
+            elif cx < lohi[0]:
+                lohi[0] = cx
+            elif cx > lohi[1]:
+                lohi[1] = cx
+    for y, (lo, hi) in rows.items():
+        for x in range(lo, hi + 1):
+            out.add((x, y))
 
 
 def tiles_under_triangle(tri: np.ndarray) -> np.ndarray:
     """(3,2) triangle in cell units → (k,2) covered integer cells
     (conservative: edge cells + scanline fill between them)."""
-    edge_cells = np.concatenate(
-        [
-            _cells_on_segment(*tri[0], *tri[1]),
-            _cells_on_segment(*tri[1], *tri[2]),
-            _cells_on_segment(*tri[2], *tri[0]),
-        ]
-    )
-    out = []
-    for y in np.unique(edge_cells[:, 1]):
-        xs = edge_cells[edge_cells[:, 1] == y, 0]
-        out.append(
-            np.stack(
-                [np.arange(xs.min(), xs.max() + 1), np.full(xs.max() - xs.min() + 1, y)],
-                axis=1,
-            )
-        )
-    cells = np.concatenate(out)
-    return np.unique(cells, axis=0)
+    cells: set = set()
+    _triangle_cells_into(tri.tolist(), cells)
+    if not cells:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.asarray(sorted(cells), dtype=np.int64)
 
 
 def polygon_cell_cover(
@@ -81,9 +102,13 @@ def polygon_cell_cover(
     tris = triangulate_multipolygon(coords, ring_starts, ring_roles)
     if len(tris) == 0:
         return np.empty((0, 2), dtype=np.int64)
-    pts = (coords - np.asarray(origin)) / cell_size
-    covers = [tiles_under_triangle(pts[t]) for t in tris]
-    return np.unique(np.concatenate(covers), axis=0)
+    pts = ((coords - np.asarray(origin)) / cell_size).tolist()
+    cells: set = set()
+    for t in tris:
+        _triangle_cells_into((pts[t[0]], pts[t[1]], pts[t[2]]), cells)
+    if not cells:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.asarray(sorted(cells), dtype=np.int64)
 
 
 def sample_points_in_polygon(
