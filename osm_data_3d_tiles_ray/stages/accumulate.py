@@ -282,26 +282,77 @@ def compact_before_shuffle(batch: pa.Table) -> pa.Table:
     uv_flat, uv_offs = flat("uv")
     tid_flat, tid_offs = flat("texture_id")
     osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
-    bb = {
-        c: batch.column(c).to_numpy(zero_copy_only=False)
-        for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")
-    }
-    blobs = []
+    bb = np.stack(
+        [
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")
+        ],
+        axis=1,
+    )
+    # NaN-bbox fallback, per building (same as the scalar encoder)
+    bad = ~np.isfinite(bb).all(axis=1)
+    if bad.any():
+        bb = bb.copy()
+        bb[bad] = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
+    mn = bb[:, :3]
+    extent = np.maximum(bb[:, 3:] - mn, 1e-12)
+
+    # Whole-batch quantization (bitwise-identical to the per-building
+    # encode_building_record math — same op order on the same floats);
+    # per-vertex mn/extent via repeat over the building's vertex count.
+    verts = ((pos_offs[1:] - pos_offs[:-1]) // 3).astype(np.int64)
+    mn_v = np.repeat(mn, verts, axis=0)
+    ext_v = np.repeat(extent, verts, axis=0)
+    q_pos = np.floor(
+        np.clip((pos_flat.reshape(-1, 3) - mn_v) / ext_v, 0, 1) * 65535 + 0.5
+    ).astype(np.uint16)
+    q_nrm = np.clip(np.floor(nrm_flat * 127 + 0.5), -127, 127).astype(np.int8)
+    q_uv = np.floor((uv_flat % 1.0) * 65535 + 0.5).astype(np.uint16)
+    tid_u8 = tid_flat.astype(np.uint8)
+
+    # Assemble all records into ONE buffer (header + 14 B/vertex each:
+    # 6 pos + 3 normal + 4 uv + 1 texture id), then wrap zero-copy as a
+    # large_binary column — no 200k-element Python bytes list, no
+    # per-record numpy call overhead.
+    rec_lens = _REC_HEADER_SIZE + verts * 14
+    rec_offs = np.concatenate([[0], np.cumsum(rec_lens)])
+    buf = bytearray(int(rec_offs[-1]))
+    q_pos_b = q_pos.tobytes()
+    q_nrm_b = q_nrm.tobytes()
+    q_uv_b = q_uv.tobytes()
+    tid_b = tid_u8.tobytes()
+    mv = memoryview(buf)
+    pack_into = struct.pack_into
+    # plain-Python scalars for the assembly loop: numpy scalar extraction
+    # per row costs more than the memcpy it guards
+    osm_l = osm.tolist()
+    bb_l = bb.tolist()
+    verts_l = verts.tolist()
+    rec_offs_l = rec_offs.tolist()
+    pos_offs_l = pos_offs.tolist()
+    uv_offs_l = uv_offs.tolist()
+    tid_offs_l = tid_offs.tolist()
     for i in range(n):
-        p0, p1 = pos_offs[i] // 3, pos_offs[i + 1] // 3
-        bbox = tuple(bb[c][i] for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z"))
-        if not np.all(np.isfinite(bbox)):
-            bbox = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
-        blobs.append(
-            encode_building_record(
-                osm[i],
-                pos_flat[pos_offs[i] : pos_offs[i + 1]].reshape(-1, 3),
-                nrm_flat[pos_offs[i] : pos_offs[i + 1]].reshape(-1, 3),
-                uv_flat[uv_offs[i] : uv_offs[i + 1]].reshape(-1, 2),
-                tid_flat[tid_offs[i] : tid_offs[i + 1]],
-                bbox,
-            )
-        )
+        o = rec_offs_l[i]
+        v = verts_l[i]
+        pack_into(_REC_FMT, buf, o, _REC_MAGIC, osm_l[i], v, *bb_l[i])
+        o += _REC_HEADER_SIZE
+        p0 = pos_offs_l[i] * 2  # vertex*3 floats → *2 bytes per u16
+        mv[o : o + v * 6] = q_pos_b[p0 : p0 + v * 6]
+        o += v * 6
+        p0 = pos_offs_l[i]  # vertex*3 int8 bytes
+        mv[o : o + v * 3] = q_nrm_b[p0 : p0 + v * 3]
+        o += v * 3
+        p0 = uv_offs_l[i] * 2
+        mv[o : o + v * 4] = q_uv_b[p0 : p0 + v * 4]
+        o += v * 4
+        p0 = tid_offs_l[i]
+        mv[o : o + v] = tid_b[p0 : p0 + v]
+    blob_col = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(rec_offs), pa.py_buffer(bytes(buf))],
+    )
     keep = {
         "cell_id": batch.column("cell_id"),
         "osm_id": batch.column("osm_id"),
@@ -312,7 +363,7 @@ def compact_before_shuffle(batch: pa.Table) -> pa.Table:
         "max_x": batch.column("max_x"),
         "max_y": batch.column("max_y"),
         "max_z": batch.column("max_z"),
-        "geom_blob": pa.array(blobs, type=pa.large_binary()),
+        "geom_blob": blob_col,
     }
     return pa.table(keep)
 
