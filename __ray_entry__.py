@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events.hourly_by_type,
         "events_user_daily": events.user_daily_activity,
         "events_sessionize": events.sessionize,
+        "events_asof_last_order": events.asof_last_order,
+        "events_user_value_rank": events.user_value_rank,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
         "dedup_clusters": textops.dedup_clusters,
@@ -476,6 +478,21 @@ SELECT user_id, MIN(ts) AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(FLOOR(EPOCH(MAX(ts) - MIN(ts))) AS BIGINT) AS duration_sec
 FROM s GROUP BY user_id, sess
+""",
+        "events_asof_last_order": """
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       o.o_orderdate AS last_order_date
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "events_user_value_rank": """
+WITH r AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= 3
 """,
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -117,6 +117,116 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     )
 
 
+def asof_last_order(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: each event ← the latest order of the same user with
+    ``o_orderdate <= ts`` (the classic point-in-time join Ray Data has no
+    native operator for; the reference engine has no joins at all — this
+    belongs to the engine's training-data operator set).
+
+    Composition, per SURVEY.md §7.3's one-shuffle rule: both sides are
+    projected to a shared ``(user_id, ts, side, payload)`` shape and
+    UNIONed, then ONE hash shuffle on the join key co-locates each user's
+    rows; inside a group the order timestamps are sorted once and every
+    event binary-searches its floor (``searchsorted right − 1``).  The
+    shuffle never carries full rows of either table, and skew is bounded
+    by the hottest single user.  Output columns are exactly the
+    tie-deterministic ones (the matched ORDER DATE, not an arbitrary
+    order id among same-date ties).  Oracle: DuckDB ``ASOF JOIN``."""
+
+    def ev_rows(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": ts.cast(pa.int64()),
+                "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+                "payload": batch.column("event_id"),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        return pa.table(
+            {
+                "user_id": batch.column("o_custkey"),
+                "ts_us": od.cast(pa.int64()),
+                "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                "payload": pa.array(np.zeros(len(batch), dtype=np.int64)),
+            }
+        )
+
+    ev = (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts", "event_id"])
+        .map_batches(ev_rows, batch_format="pyarrow")
+    )
+    od = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        ).map_batches(order_rows, batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        tsv = group.column("ts_us").to_numpy(zero_copy_only=False)
+        payload = group.column("payload").to_numpy(zero_copy_only=False)
+        ord_ts = np.sort(tsv[side == 0])
+        ev_mask = side == 1
+        ev_ts = tsv[ev_mask]
+        eid = payload[ev_mask]
+        if len(ord_ts) == 0 or len(ev_ts) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "last_order_date": pa.array([], type=pa.timestamp("us")),
+                }
+            )
+        idx = np.searchsorted(ord_ts, ev_ts, side="right") - 1
+        keep = idx >= 0
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep]),
+                "user_id": pa.array(np.full(int(keep.sum()), uid, dtype=np.int64)),
+                "last_order_date": pa.array(ord_ts[idx[keep]]).cast(pa.timestamp("us")),
+            }
+        )
+
+    return od.union(ev).groupby("user_id").map_groups(merge, batch_format="pyarrow")
+
+
+def user_value_rank(sf_dir: str, top_n: int = 3) -> "ray.data.Dataset":
+    """Windowed ranking (``ROW_NUMBER() OVER (PARTITION BY user ORDER BY
+    value DESC, event_id)``, top-N per partition): one shuffle on the
+    partition key, vectorized lexsort + slice inside each group.  The
+    shuffle carries only (user_id, event_id, value)."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val))[:top_n]
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(order), uid, dtype=np.int64)),
+                "event_id": pa.array(eid[order]),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .select_columns(["user_id", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
 def user_daily_activity(sf_dir: str) -> "ray.data.Dataset":
     """Per (user, day): event count + distinct event types (set-like agg)."""
 

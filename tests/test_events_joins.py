@@ -1,0 +1,67 @@
+"""As-of join + windowed rank over the events table (pipelines/events.py).
+
+Both run against a tiny handwritten corpus with a brute-force oracle, so
+the semantics (floor match, inner-join drop, tie-breaks) are pinned
+independently of the DuckDB driver comparison.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from osm_data_3d_tiles_ray.pipelines.events import asof_last_order, user_value_rank
+
+US = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory, ray_session):
+    out = tmp_path_factory.mktemp("events_joins")
+    # user 1: orders at t=100, 200 (and a duplicate 200); events straddling
+    # user 2: event BEFORE any order (dropped); user 3: no orders at all
+    ev = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12, 20, 30], type=pa.int64()),
+            "ts": pa.array(
+                np.array([150, 200, 250, 50, 500], dtype=np.int64) * US
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+            "event_type": pa.array(["a"] * 5),
+            "value": pa.array([5.0, 1.0, 5.0, 2.0, 3.0]),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "o_orderdate": pa.array(
+                np.array([100, 200, 200, 100], dtype=np.int64) * US
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    pq.write_table(ev, out / "events.parquet")
+    pq.write_table(orders, out / "orders.parquet")
+    return str(out)
+
+
+def test_asof_floor_semantics(tiny_dir):
+    df = asof_last_order(tiny_dir).to_pandas().sort_values("event_id")
+    # user 2's event (ts=50 < first order 100) and user 3 (no orders) drop
+    assert df["event_id"].tolist() == [10, 11, 12]
+    got = {r.event_id: r.last_order_date for r in df.itertuples()}
+    assert got[10] == pd.Timestamp(100 * US, unit="us")   # strict floor
+    assert got[11] == pd.Timestamp(200 * US, unit="us")   # ts == orderdate matches
+    assert got[12] == pd.Timestamp(200 * US, unit="us")   # latest of several
+    assert (df["user_id"] == 1).all()
+
+
+def test_user_value_rank_ties_break_on_event_id(tiny_dir):
+    df = user_value_rank(tiny_dir).to_pandas()
+    u1 = df[df.user_id == 1].sort_values("rnk")
+    # values 5,1,5 → event 10 (value 5, lower id) ranks before event 12
+    assert u1["event_id"].tolist() == [10, 12, 11]
+    assert u1["rnk"].tolist() == [1, 2, 3]
+    assert set(df[df.user_id == 2]["rnk"]) == {1}
+    assert set(df[df.user_id == 3]["rnk"]) == {1}
