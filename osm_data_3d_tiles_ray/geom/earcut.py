@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .fastroll import roll_m1, roll_m2
+
 
 class _Node:
     __slots__ = ("i", "x", "y", "prev", "next", "steiner")
@@ -57,7 +59,7 @@ def _area2(a: _Node, b: _Node, c: _Node) -> float:
 def _signed_ring_area(pts: np.ndarray) -> float:
     x = pts[:, 0]
     y = pts[:, 1]
-    return float(np.sum((np.roll(x, -1) - x) * (np.roll(y, -1) + y))) / 2.0
+    return float(np.sum((roll_m1(x) - x) * (roll_m1(y) + y))) / 2.0
 
 
 def _linked_list(pts: np.ndarray, base: int, clockwise: bool) -> _Node | None:

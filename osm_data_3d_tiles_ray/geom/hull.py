@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .fastroll import roll_m1, roll_m2
+
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """(n,2) points → hull vertices in counter-clockwise order (y-up math
@@ -49,7 +51,7 @@ def ombb(points: np.ndarray) -> tuple[np.ndarray, float]:
         d = hull[1] - hull[0]
         return np.array([hull[0], hull[1], hull[1], hull[0]]), 0.0
 
-    edges = np.roll(hull, -1, axis=0) - hull
+    edges = roll_m1(hull) - hull
     lengths = np.linalg.norm(edges, axis=1)
     dirs = edges / lengths[:, None]
     # rotate all hull points into each edge frame: (n_edges, n_pts, 2)

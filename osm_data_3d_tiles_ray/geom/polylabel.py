@@ -17,6 +17,8 @@ import heapq
 
 import numpy as np
 
+from .fastroll import roll_m1, roll_m2
+
 _SQRT2 = float(np.sqrt(2.0))
 
 
@@ -28,7 +30,7 @@ class _PolyDist:
         b_parts = []
         for ring in rings:
             a_parts.append(ring)
-            b_parts.append(np.roll(ring, -1, axis=0))
+            b_parts.append(roll_m1(ring))
         a = np.concatenate(a_parts)
         b = np.concatenate(b_parts)
         self.ax, self.ay = a[:, 0], a[:, 1]

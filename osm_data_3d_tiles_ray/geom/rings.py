@@ -24,6 +24,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .fastroll import roll_m1, roll_m2
+
 
 @dataclass
 class RingBatch:
@@ -177,8 +179,8 @@ def point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
     """Ray-cast PIP against one ring (reference: src/math/utils.ts:3-45)."""
     x = ring[:, 0]
     y = ring[:, 1]
-    x2 = np.roll(x, -1)
-    y2 = np.roll(y, -1)
+    x2 = roll_m1(x)
+    y2 = roll_m1(y)
     cond = (y > py) != (y2 > py)
     with np.errstate(divide="ignore", invalid="ignore"):
         xin = (x2 - x) * (py - y) / (y2 - y) + x
@@ -190,8 +192,8 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized ray-cast PIP: (m,2) points vs one (n,2) ring → (m,) bool."""
     x = ring[:, 0][:, None]
     y = ring[:, 1][:, None]
-    x2 = np.roll(ring[:, 0], -1)[:, None]
-    y2 = np.roll(ring[:, 1], -1)[:, None]
+    x2 = roll_m1(ring[:, 0])[:, None]
+    y2 = roll_m1(ring[:, 1])[:, None]
     px = pts[:, 0][None, :]
     py = pts[:, 1][None, :]
     cond = (y > py) != (y2 > py)

@@ -30,6 +30,8 @@ import math
 
 import numpy as np
 
+from .fastroll import roll_m1, roll_m2
+
 from .earcut import triangulate as _earcut_triangulate, triangulate_multipolygon
 from .hull import ombb as _ombb
 
@@ -106,8 +108,8 @@ def parse_skeleton(skeleton_json: str) -> tuple[np.ndarray, list[list[int]]] | N
 
 
 def _face_convex(face: np.ndarray) -> bool:
-    nxt = np.roll(face, -1, axis=0)
-    nxt2 = np.roll(face, -2, axis=0)
+    nxt = roll_m1(face)
+    nxt2 = roll_m2(face)
     cr = (nxt[:, 0] - face[:, 0]) * (nxt2[:, 1] - nxt[:, 1]) - (
         nxt[:, 1] - face[:, 1]
     ) * (nxt2[:, 0] - nxt[:, 0])
@@ -117,7 +119,7 @@ def _face_convex(face: np.ndarray) -> bool:
 def _dist_to_ring_edges(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Min distance of each point to the ring's edges (vectorized)."""
     a = ring
-    b = np.roll(ring, -1, axis=0)
+    b = roll_m1(ring)
     dx = (b[:, 0] - a[:, 0])[None, :]
     dy = (b[:, 1] - a[:, 1])[None, :]
     l2 = dx * dx + dy * dy
@@ -222,7 +224,7 @@ def build_pyramidal_roof(
     n = len(ring)
     apex = np.array([center[0], center[1], min_height + roof_height])
     a = np.column_stack([ring, np.full(n, min_height)])
-    b = np.roll(a, -1, axis=0)
+    b = roll_m1(a)
     tri_pts = np.stack([a, b, np.tile(apex, (n, 1))], axis=1)
     nrm = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     wrong = nrm[:, 2] < 0
@@ -400,8 +402,8 @@ def _is_convex(ring: np.ndarray) -> bool:
     k = len(ring)
     if k < 3:
         return False
-    nxt = np.roll(ring, -1, axis=0)
-    nxt2 = np.roll(ring, -2, axis=0)
+    nxt = roll_m1(ring)
+    nxt2 = roll_m2(ring)
     cr = (nxt[:, 0] - ring[:, 0]) * (nxt2[:, 1] - nxt[:, 1]) - (
         nxt[:, 1] - ring[:, 1]
     ) * (nxt2[:, 0] - nxt[:, 0])
@@ -611,8 +613,8 @@ def build_curved_roof(
         zb = min_height + h1 * roof_height
         a = np.column_stack([ra, np.full(k, za)])
         b = np.column_stack([rb, np.full(k, zb)])
-        a2 = np.roll(a, -1, axis=0)
-        b2 = np.roll(b, -1, axis=0)
+        a2 = roll_m1(a)
+        b2 = roll_m1(b)
         if r0 == 0.0:
             tris.append(np.stack([a, b, b2], axis=1))
         else:

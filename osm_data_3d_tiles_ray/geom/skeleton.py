@@ -27,6 +27,8 @@ import json
 
 import numpy as np
 
+from .fastroll import roll_m1, roll_m2
+
 _EPS = 1e-9
 
 
@@ -72,14 +74,14 @@ def compute_straight_skeleton(
     if k < 3:
         return None
     x, y = ring[:, 0], ring[:, 1]
-    area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    area2 = np.sum(x * roll_m1(y) - roll_m1(x) * y)
     if abs(area2) < _EPS:
         return None
     if area2 < 0:
         ring = ring[::-1]
 
     scale = float(np.abs(ring).max()) + 1.0
-    nxt = np.roll(ring, -1, axis=0)
+    nxt = roll_m1(ring)
     d = nxt - ring
     ln = np.linalg.norm(d, axis=1)
     if (ln < 1e-12).any():
