@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_value_rank": events.user_value_rank,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
+        "tf_idf": textops.tf_idf,
         "dedup_clusters": textops.dedup_clusters,
         # generic relational machinery (partial-combine aggregates,
         # broadcast join, global top-k) over the TPC-H-ish tables
@@ -377,6 +378,18 @@ FROM documents GROUP BY text
             + r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
+        "tf_idf": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), t AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+), d AS (
+  SELECT term, COUNT(*) AS df FROM t GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT t.doc_id AS doc_id, t.term AS term,
+       CAST(FLOOR(t.tf * ln(n.n / d.df) * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
+FROM t, d, n WHERE t.term = d.term
+""",
         # transitive closure over the prefix/suffix-equality edge union —
         # the SQL mirror of the engine's min-label propagation
         "dedup_clusters": """

@@ -650,3 +650,88 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 12) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed TF-IDF
+
+
+def _term_tf_rows(batch: pa.Table) -> pa.Table:
+    """Explode one batch of documents to (term, doc_id, tf) rows.
+
+    Tokenization is vectorized (`pc.split_pattern` on spaces, empties
+    dropped); the per-(doc, term) counting runs once over the batch via
+    np.unique on (term-code, doc-row) pairs.  Each document lives in
+    exactly one batch, so the emitted tf is final — no cross-batch
+    combine is needed for TF, only for DF."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = toks.flatten()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    offs = np.asarray(toks.offsets)
+    row_of_tok = np.repeat(np.arange(len(batch)), np.diff(offs))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = words != ""
+    words, row_of_tok = words[keep], row_of_tok[keep]
+    # encode terms as ints once, then count (term, doc) pairs
+    vocab, code = np.unique(words, return_inverse=True)
+    pair = code.astype(np.int64) * len(doc_ids) + row_of_tok
+    upair, tf = np.unique(pair, return_counts=True)
+    return pa.table(
+        {
+            "term": pa.array(vocab[upair // len(doc_ids)]),
+            "doc_id": pa.array(doc_ids[upair % len(doc_ids)]),
+            "tf": pa.array(tf.astype(np.int64)),
+        }
+    )
+
+
+def tf_idf(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed TF-IDF over the documents table (the feature-weighting
+    primitive of every classical text pipeline).
+
+    Shape for 100 TB: documents explode to (term, doc_id, tf) in one
+    ``map_batches`` pass; document frequency is a combiner-before-shuffle
+    aggregate over those SAME rows (each (term, doc) appears exactly once,
+    so ``groupby(term).count()`` is DF); the resulting vocabulary table is
+    the SMALL side and broadcasts back into a second pass as a sorted
+    array + searchsorted lookup — the wide (term, doc, tf) relation is
+    never shuffled a second time and never joins against itself.
+
+    Output: (doc_id, term, tfidf_micro) with
+    ``tfidf = tf * ln(N / df)`` in integer micro-units (oracle float rule:
+    transcendental results compare at scale ≤ 1e6)."""
+    tf_rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(_term_tf_rows, batch_format="pyarrow")
+    )
+    n_docs = _docs(sf_dir).count()
+
+    # DF: one row per (term, doc) already → count per term.  The vocab
+    # aggregate is tiny (≪ corpus); take_all here is the broadcast side.
+    df_tbl = tf_rows.groupby("term").count()
+    df_rows = df_tbl.take_all()
+    vocab = np.array([r["term"] for r in df_rows])
+    dfv = np.array([r["count()"] for r in df_rows], dtype=np.int64)
+    order = np.argsort(vocab)
+    vocab, dfv = vocab[order], dfv[order]
+    idf = np.log(n_docs / dfv.astype(np.float64))
+
+    def weight(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vocab, terms)
+        w = tf.astype(np.float64) * idf[idx]
+        micro = np.floor(w * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "term": batch.column("term"),
+                "tfidf_micro": pa.array(micro),
+            }
+        )
+
+    return tf_rows.map_batches(weight, batch_format="pyarrow")

@@ -111,3 +111,36 @@ def test_token_count_bpe_nonneg(ray_session):
 
     df = token_count_bpe(SF).to_pandas()
     assert (df["n_bpe_tokens"] >= 0).all() and df["n_bpe_tokens"].sum() > 0
+
+
+def test_tf_idf_hand_values(tmp_path, ray_session):
+    """3-doc corpus: tfidf = tf * ln(N/df) against hand computation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.textops import tf_idf
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["a a b", "a c", "c  c"]),  # double space → empty tok dropped
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([5, 3, 4], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = {
+        (r.doc_id, r.term): r.tfidf_micro
+        for r in tf_idf(str(tmp_path)).to_pandas().itertuples()
+    }
+    ln = np.log
+    expect = {
+        (0, "a"): int(np.floor(2 * ln(3 / 2) * 1e6 + 0.5)),
+        (0, "b"): int(np.floor(1 * ln(3 / 1) * 1e6 + 0.5)),
+        (1, "a"): int(np.floor(1 * ln(3 / 2) * 1e6 + 0.5)),
+        (1, "c"): int(np.floor(1 * ln(3 / 2) * 1e6 + 0.5)),
+        (2, "c"): int(np.floor(2 * ln(3 / 2) * 1e6 + 0.5)),
+    }
+    assert got == expect
