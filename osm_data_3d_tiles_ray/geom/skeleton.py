@@ -24,6 +24,7 @@ semantics (``building-builder.ts:385-393``).
 from __future__ import annotations
 
 import json
+from math import sqrt
 
 import numpy as np
 
@@ -33,11 +34,19 @@ _EPS = 1e-9
 
 
 class _Corner:
-    __slots__ = ("pos", "vel", "t0", "left_e", "right_e", "prev", "next", "alive", "reflex")
+    """Wavefront corner.  Positions/velocities are PLAIN PYTHON FLOATS on
+    purpose: the event loop evaluates ``at()`` tens of thousands of times
+    per batch and 2-element numpy vectors cost ~100× the arithmetic;
+    scalar IEEE ops in the same order are bitwise-identical (verified
+    against ``np.dot``/``np.linalg.norm`` on this platform)."""
 
-    def __init__(self, pos, vel, t0, left_e, right_e, reflex=False):
-        self.pos = pos
-        self.vel = vel
+    __slots__ = ("px", "py", "vx", "vy", "t0", "left_e", "right_e", "prev", "next", "alive", "reflex")
+
+    def __init__(self, px, py, vx, vy, t0, left_e, right_e, reflex=False):
+        self.px = px
+        self.py = py
+        self.vx = vx
+        self.vy = vy
         self.t0 = t0
         self.left_e = left_e
         self.right_e = right_e
@@ -47,14 +56,17 @@ class _Corner:
         self.reflex = reflex
 
     def at(self, t):
-        return self.pos + (t - self.t0) * self.vel
+        dt = t - self.t0
+        return (self.px + dt * self.vx, self.py + dt * self.vy)
 
 
-def _corner_velocity(n_left: np.ndarray, n_right: np.ndarray) -> np.ndarray | None:
-    denom = 1.0 + float(n_left @ n_right)
+def _corner_velocity(n_left: np.ndarray, n_right: np.ndarray) -> tuple[float, float] | None:
+    nlx, nly = float(n_left[0]), float(n_left[1])
+    nrx, nry = float(n_right[0]), float(n_right[1])
+    denom = 1.0 + (nlx * nrx + nly * nry)
     if abs(denom) < _EPS:
         return None  # anti-parallel edges
-    return (n_left + n_right) / denom
+    return ((nlx + nrx) / denom, (nly + nry) / denom)
 
 
 def compute_straight_skeleton(
@@ -99,49 +111,69 @@ def compute_straight_skeleton(
             return None
         # reflex: interior angle > pi ⇔ cross(prev_dir, this_dir) < 0 (CCW)
         cr = dirs[i - 1][0] * dirs[i][1] - dirs[i - 1][1] * dirs[i][0]
-        corners.append(_Corner(ring[i].copy(), vel, 0.0, (i - 1) % k, i, reflex=cr < -_EPS))
+        corners.append(
+            _Corner(
+                float(ring[i, 0]), float(ring[i, 1]), vel[0], vel[1],
+                0.0, (i - 1) % k, i, reflex=cr < -_EPS,
+            )
+        )
     for i in range(k):
         corners[i].prev = corners[i - 1]
         corners[i].next = corners[(i + 1) % k]
     active: set[_Corner] = set(corners)
 
     def edge_collapse_time(a: _Corner, b: _Corner) -> float | None:
-        dv = b.vel - a.vel
+        dvx = b.vx - a.vx
+        dvy = b.vy - a.vy
         tref = max(a.t0, b.t0)
-        dp = b.at(tref) - a.at(tref)
-        denom = float(dv @ dv)
+        ax, ay = a.at(tref)
+        bx, by = b.at(tref)
+        dpx = bx - ax
+        dpy = by - ay
+        denom = dvx * dvx + dvy * dvy
         if denom < _EPS:
             return None
-        t = tref - float(dp @ dv) / denom
+        t = tref - (dpx * dvx + dpy * dvy) / denom
         if t < tref - 1e-9:
             return None
-        if np.linalg.norm(a.at(t) - b.at(t)) > 1e-6 * scale:
+        ax, ay = a.at(t)
+        bx, by = b.at(t)
+        gx = ax - bx
+        gy = ay - by
+        if sqrt(gx * gx + gy * gy) > 1e-6 * scale:
             return None
         return t
 
     def split_candidates(c: _Corner):
         """(t, edge_index, u) candidates for reflex corner c."""
         out = []
+        cvx, cvy = c.vx, c.vy
+        cpx, cpy = c.px, c.py
         for u in active:
             e = u.right_e
             if e in (c.left_e, c.right_e) or u is c or u.next is c:
                 continue
-            n_e = normals[e]
-            p_e = ring[e]
-            denom = float(n_e @ c.vel) - 1.0
+            nex = float(normals[e, 0])
+            ney = float(normals[e, 1])
+            n_dot_v = nex * cvx + ney * cvy
+            denom = n_dot_v - 1.0
             if abs(denom) < _EPS:
                 continue
-            t = (float(n_e @ (p_e - c.pos)) + c.t0 * float(n_e @ c.vel)) / denom
+            t = (
+                (nex * (float(ring[e, 0]) - cpx) + ney * (float(ring[e, 1]) - cpy))
+                + c.t0 * n_dot_v
+            ) / denom
             if t < c.t0 - 1e-9 or t < u.t0 - 1e-9 or t < u.next.t0 - 1e-9:
                 continue
-            s = c.at(t)
+            sx, sy = c.at(t)
             # span check along the edge direction at time t
-            a_pos = u.at(t)
-            b_pos = u.next.at(t)
-            de = dirs[e]
-            pa = float(de @ a_pos)
-            pb = float(de @ b_pos)
-            ps = float(de @ s)
+            ax, ay = u.at(t)
+            bx, by = u.next.at(t)
+            dex = float(dirs[e, 0])
+            dey = float(dirs[e, 1])
+            pa = dex * ax + dey * ay
+            pb = dex * bx + dey * by
+            ps = dex * sx + dey * sy
             if ps < min(pa, pb) - 1e-6 * scale or ps > max(pa, pb) + 1e-6 * scale:
                 continue
             out.append((t, e, u))
@@ -150,8 +182,9 @@ def compute_straight_skeleton(
     def close_pair(a: _Corner, b: _Corner) -> bool:
         t = edge_collapse_time(a, b)
         if t is not None:
-            q = (a.at(t) + b.at(t)) / 2.0
-            qi = _add_vert(q)
+            ax, ay = a.at(t)
+            bx, by = b.at(t)
+            qi = _add_vert(((ax + bx) / 2.0, (ay + by) / 2.0))
             for e in {a.left_e, a.right_e, b.left_e, b.right_e}:
                 if qi not in faces[e]:
                     faces[e].append(qi)
@@ -167,7 +200,7 @@ def compute_straight_skeleton(
         active.discard(b)
         return True
 
-    def _add_vert(q: np.ndarray) -> int:
+    def _add_vert(q: tuple[float, float]) -> int:
         # dedup against existing skeleton vertices (tolerance)
         for j in range(k, len(verts)):
             if abs(verts[j][0] - q[0]) < 1e-7 * scale and abs(verts[j][1] - q[1]) < 1e-7 * scale:
@@ -210,16 +243,20 @@ def compute_straight_skeleton(
         if best[0] == "edge":
             a = best[1]
             b = a.next
-            q = (a.at(best_t) + b.at(best_t)) / 2.0
+            ax, ay = a.at(best_t)
+            bx, by = b.at(best_t)
+            q = ((ax + bx) / 2.0, (ay + by) / 2.0)
             qi = _add_vert(q)
             for e in (a.right_e, a.left_e, b.right_e):
                 if qi not in faces[e]:
                     faces[e].append(qi)
             vel = _corner_velocity(normals[a.left_e], normals[b.right_e])
             if vel is None:
-                vel = np.zeros(2)
+                vel = (0.0, 0.0)
             nd = dirs[a.left_e][0] * dirs[b.right_e][1] - dirs[a.left_e][1] * dirs[b.right_e][0]
-            merged = _Corner(q, vel, best_t, a.left_e, b.right_e, reflex=nd < -_EPS)
+            merged = _Corner(
+                q[0], q[1], vel[0], vel[1], best_t, a.left_e, b.right_e, reflex=nd < -_EPS
+            )
             merged.prev = a.prev
             merged.next = b.next
             a.prev.next = merged
@@ -247,13 +284,13 @@ def compute_straight_skeleton(
             # stops and its neighbors converge onto it (same fallback as the
             # simultaneous-collapse edge-event case)
             if v1 is None:
-                v1 = np.zeros(2)
+                v1 = (0.0, 0.0)
             if v2 is None:
-                v2 = np.zeros(2)
+                v2 = (0.0, 0.0)
             cr1 = dirs[c.left_e][0] * dirs[e][1] - dirs[c.left_e][1] * dirs[e][0]
             cr2 = dirs[e][0] * dirs[c.right_e][1] - dirs[e][1] * dirs[c.right_e][0]
-            c1 = _Corner(q.copy(), v1, best_t, c.left_e, e, reflex=cr1 < -_EPS)
-            c2 = _Corner(q.copy(), v2, best_t, e, c.right_e, reflex=cr2 < -_EPS)
+            c1 = _Corner(q[0], q[1], v1[0], v1[1], best_t, c.left_e, e, reflex=cr1 < -_EPS)
+            c2 = _Corner(q[0], q[1], v2[0], v2[1], best_t, e, c.right_e, reflex=cr2 < -_EPS)
             # loop 1: ... c.prev -> c1 -> u.next ...
             c1.prev = c.prev
             c1.next = u.next
