@@ -245,29 +245,31 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 12) -> "ray.data.Dataset":
 # IVF: distributed spherical k-means coarse quantizer + nprobe search
 
 
-def kmeans_centroids(
-    sf_dir: str, n_clusters: int = 16, iters: int = 8
-) -> np.ndarray:
-    """Distributed spherical k-means (Lloyd) over the embeddings table.
-
-    The classic Ray-Data shape for iterative ML: each iteration is ONE
-    ``map_batches`` pass emitting per-batch partial (cluster-sum, count)
-    rows — k rows per batch, the small side — which the driver combines
-    and renormalizes into the next centroid matrix (broadcast back via
-    closure capture; centroids are k×d ≪ data).  Deterministic init from
-    the first ``n_clusters`` vectors."""
+def _sample_embeddings(sf_dir: str, sample_size: int) -> np.ndarray:
+    """First ``sample_size`` vectors in vec_id order, L2-normalized —
+    bounded, deterministic training sample (never the whole table)."""
     import pyarrow.parquet as pq
 
-    t0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    got, n = [], 0
+    for rb in pf.iter_batches(columns=["vec_id", "embedding"], batch_size=8192):
+        got.append(pa.Table.from_batches([rb]))
+        n += rb.num_rows
+        if n >= sample_size:
+            break
+    t0 = pa.concat_tables(got)
     dims = len(t0.column("embedding")[0])
     vid = t0.column("vec_id").to_numpy()
-    all_m = np.asarray(
+    m = np.asarray(
         t0.column("embedding").combine_chunks().values.to_numpy(zero_copy_only=False)
     ).reshape(-1, dims)
-    # deterministic farthest-point init over a bounded sample (kmeans++-
-    # style greedy max-min; naive first-k init routinely merges clusters)
-    sample = all_m[np.argsort(vid)[: max(1024, n_clusters)]]
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    m = m[np.argsort(vid)][:sample_size]
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _farthest_point_init(sample: np.ndarray, n_clusters: int) -> np.ndarray:
+    """Deterministic greedy max-min (kmeans++-style) seed centroids; naive
+    first-k init routinely merges clusters."""
     chosen = [0]
     max_sim = sample @ sample[0]
     for _ in range(1, min(n_clusters, len(sample))):
@@ -278,6 +280,46 @@ def kmeans_centroids(
     if len(centroids) < n_clusters:  # tiny tables: pad with repeats
         reps = np.resize(np.arange(len(centroids)), n_clusters - len(centroids))
         centroids = np.concatenate([centroids, centroids[reps]])
+    return centroids
+
+
+def kmeans_centroids(
+    sf_dir: str, n_clusters: int = 16, iters: int = 8, sample_size: int = 65536
+) -> np.ndarray:
+    """Spherical k-means quantizer trained on a BOUNDED deterministic
+    sample (the FAISS-style IVF recipe: the coarse quantizer never needs
+    the whole table — training cost stays constant as the corpus grows;
+    only assignment/search are corpus-sized, and those stay distributed).
+    Local Lloyd over ≤ ``sample_size`` vectors, farthest-point init."""
+    sample = _sample_embeddings(sf_dir, sample_size)
+    centroids = _farthest_point_init(sample, n_clusters)
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        sums = np.zeros((n_clusters, sample.shape[1]))
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=n_clusters)
+        nonempty = counts > 0
+        new = centroids.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = new / norms
+    return centroids
+
+
+def kmeans_centroids_distributed(
+    sf_dir: str, n_clusters: int = 16, iters: int = 8
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) over the FULL embeddings table
+    — the classic Ray-Data shape for iterative ML, kept for corpora whose
+    distribution a bounded sample can't represent: each iteration is ONE
+    ``map_batches`` pass emitting per-batch partial (cluster-sum, count)
+    rows — k rows per batch, the small side — which the driver combines
+    and renormalizes into the next centroid matrix (broadcast back via
+    closure capture; centroids are k×d ≪ data)."""
+    sample = _sample_embeddings(sf_dir, max(1024, n_clusters))
+    dims = sample.shape[1]
+    centroids = _farthest_point_init(sample, n_clusters)
 
     ds = _embeddings(sf_dir).select_columns(["embedding"])
     for _ in range(iters):

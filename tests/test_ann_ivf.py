@@ -60,3 +60,17 @@ def test_ivf_recall_on_clustered_data(clustered_dir):
     assert recall >= 0.9, recall
     # ranks well-formed
     assert set(ivf["rank"]) <= {1, 2, 3, 4, 5}
+
+
+def test_distributed_kmeans_matches_sample_quality(clustered_dir):
+    from osm_data_3d_tiles_ray.pipelines.ann import kmeans_centroids_distributed
+
+    cents = kmeans_centroids_distributed(clustered_dir, n_clusters=8, iters=6)
+    assert cents.shape == (8, 64)
+    t = pq.read_table(f"{clustered_dir}/embeddings.parquet")
+    m = np.asarray(
+        t.column("embedding").combine_chunks().values.to_numpy(zero_copy_only=False)
+    ).reshape(-1, 64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    best = (mn @ cents.T).max(axis=1)
+    assert best.mean() > 0.85
