@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
         "tf_idf": textops.tf_idf,
+        "seq_pack": textops.seq_pack,
         "dedup_clusters": textops.dedup_clusters,
         # generic relational machinery (partial-combine aggregates,
         # broadcast join, global top-k) over the TPC-H-ish tables
@@ -378,6 +379,20 @@ FROM documents GROUP BY text
             + r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
+        "seq_pack": """
+WITH t AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t
+)
+SELECT doc_id, CAST(prefix // 512 AS BIGINT) AS example_id,
+       CAST(prefix % 512 AS BIGINT) AS tok_offset
+FROM p
+""",
         "tf_idf": """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -735,3 +735,78 @@ def tf_idf(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return tf_rows.map_batches(weight, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix-sum / scan)
+
+
+def seq_pack(sf_dir: str, budget: int = 512, n_ranges: int = 256) -> "ray.data.Dataset":
+    """Pack the document stream (doc_id order) into fixed-token-budget
+    training examples: doc i starts at the running token offset
+    ``prefix(i) = sum(n_tokens of docs < i)`` and lands in example
+    ``prefix // budget`` at offset ``prefix % budget`` — the concat-then-
+    chunk packing every LLM pretraining pipeline runs.
+
+    The global running sum is a DISTRIBUTED SCAN, done in two small steps
+    instead of a serial pass: (1) a combiner-before-shuffle aggregate of
+    token counts per fixed doc_id RANGE (``n_ranges`` rows total → driver
+    cumsum gives each range its base offset); (2) one hash shuffle of the
+    tiny (doc_id, n_tokens) rows by range_id, each range then sorting
+    locally and adding its broadcast base.  No stage ever sees more than
+    one range's rows; the wide text column never leaves stage 1.
+
+    Output: (doc_id, example_id, tok_offset).  Oracle: SUM() OVER
+    (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    span = max(1, -(-n_docs // n_ranges))  # ceil: docs per range
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n_tok,
+                "range_id": pa.array(doc // span),
+            }
+        )
+
+    count_rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+    )
+
+    # step 1: per-range token totals (combiner aggregate, n_ranges rows)
+    totals = count_rows.groupby("range_id").sum("n_tokens")
+    rows = totals.take_all()
+    rid = np.array([r["range_id"] for r in rows], dtype=np.int64)
+    tot = np.array([r["sum(n_tokens)"] for r in rows], dtype=np.int64)
+    order = np.argsort(rid)
+    rid, tot = rid[order], tot[order]
+    bases = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    base_of = dict(zip(rid.tolist(), bases.tolist()))
+
+    # step 2: per-range local scan + broadcast base
+    def scan(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ntk = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc)
+        doc, ntk = doc[order], ntk[order]
+        base = base_of[int(group.column("range_id")[0].as_py())]
+        prefix = base + np.concatenate([[0], np.cumsum(ntk)[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "example_id": pa.array(prefix // budget),
+                "tok_offset": pa.array(prefix % budget),
+            }
+        )
+
+    return count_rows.groupby("range_id").map_groups(scan, batch_format="pyarrow")

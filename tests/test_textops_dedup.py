@@ -144,3 +144,27 @@ def test_tf_idf_hand_values(tmp_path, ray_session):
         (2, "c"): int(np.floor(2 * ln(3 / 2) * 1e6 + 0.5)),
     }
     assert got == expect
+
+
+def test_seq_pack_prefix_semantics(tmp_path, ray_session):
+    """4 docs with known token counts pack exactly as concat-then-chunk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.textops import seq_pack
+
+    texts = ["a b c", "d e", "f g h i", "j"]  # 3, 2, 4, 1 tokens
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    df = seq_pack(str(tmp_path), budget=4, n_ranges=2).to_pandas().sort_values("doc_id")
+    # prefixes: 0, 3, 5, 9 → examples 0,0,1,2 at offsets 0,3,1,1
+    assert df["example_id"].tolist() == [0, 0, 1, 2]
+    assert df["tok_offset"].tolist() == [0, 3, 1, 1]
