@@ -30,7 +30,7 @@ import math
 
 import numpy as np
 
-from .fastroll import roll_m1, roll_m2
+from .fastroll import cross3, roll_m1, roll_m2
 
 from .earcut import triangulate as _earcut_triangulate, triangulate_multipolygon
 from .hull import ombb as _ombb
@@ -53,7 +53,7 @@ def _empty() -> dict[str, np.ndarray]:
 def _face_normals(tris: np.ndarray) -> np.ndarray:
     """(t,3,3) triangle vertices → per-vertex normals (flat shading)."""
     a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
-    n = np.cross(b - a, c - a)
+    n = cross3(b - a, c - a)
     ln = np.linalg.norm(n, axis=1, keepdims=True)
     ln[ln == 0] = 1.0
     n = n / ln
@@ -88,7 +88,7 @@ def build_flat_roof(
     if flip:
         tri_pts = tri_pts[:, ::-1, :]
     # ensure upward (or downward when flipped) orientation
-    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    n = cross3(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     want = -1.0 if flip else 1.0
     wrong = n[:, 2] * want < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
@@ -206,7 +206,7 @@ def build_hipped_roof(
     if not tris:
         return None
     tri_pts = np.stack(tris)
-    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    n = cross3(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     wrong = n[:, 2] < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
     return _pack(tri_pts, texture_id)
@@ -226,7 +226,7 @@ def build_pyramidal_roof(
     a = np.column_stack([ring, np.full(n, min_height)])
     b = roll_m1(a)
     tri_pts = np.stack([a, b, np.tile(apex, (n, 1))], axis=1)
-    nrm = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    nrm = cross3(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     wrong = nrm[:, 2] < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
     return _pack(tri_pts, texture_id)
@@ -330,7 +330,7 @@ def build_gabled_skeleton_roof(
                 idx = [poly[a_], poly[b_], poly[c_]]
                 tris.append(np.column_stack([verts[idx], z[idx]]))
     tri_pts = np.stack(tris)
-    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    n = cross3(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     ln = np.linalg.norm(n, axis=1)
     keep = ln > 1e-12
     tri_pts = tri_pts[keep]
@@ -512,7 +512,7 @@ def build_oriented_profile_roof(
     if not tris:
         return None
     tri_pts = np.asarray(tris, dtype=np.float64)
-    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    n = cross3(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     wrong = n[:, 2] < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
 
@@ -622,7 +622,7 @@ def build_curved_roof(
             tris.append(np.stack([a, b2, a2], axis=1))
     tri_pts = np.concatenate(tris, axis=0)
     # drop degenerate triangles
-    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    n = cross3(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     keep = np.linalg.norm(n, axis=1) > 1e-12
     tri_pts = tri_pts[keep]
     n = n[keep]
@@ -657,7 +657,7 @@ def build_skillion_roof(
     tri_pts = np.concatenate(
         [coords[tri_idx], zs[tri_idx][:, :, None]], axis=2
     )
-    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    n = cross3(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     wrong = n[:, 2] < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]
     return _pack(tri_pts, texture_id), zs
@@ -779,7 +779,7 @@ def build_flat_roof_clipped(
     tri_pts = np.stack(out_pos)
     uv_tris = np.stack(out_uv)
     # orientation: +z for roofs, -z for the flipped underside cap
-    nrm = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    nrm = cross3(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
     want = -1.0 if flip else 1.0
     wrong = nrm[:, 2] * want < 0
     tri_pts[wrong] = tri_pts[wrong][:, ::-1, :]

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .fastroll import cross3
+
 
 def compute_smooth_normals(position: np.ndarray) -> np.ndarray:
     """Smooth vertex normals (M17): area-weighted average of face normals
@@ -27,7 +29,7 @@ def compute_smooth_normals(position: np.ndarray) -> np.ndarray:
     if v == 0:
         return np.empty((0, 3), np.float32)
     tris = position.reshape(-1, 3, 3).astype(np.float64)
-    fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])  # area-weighted
+    fn = cross3(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])  # area-weighted
     per_vertex_face_n = np.repeat(fn, 3, axis=0)  # (v, 3)
     # group by exact position
     raw = position.astype(np.float32).view(np.uint8).reshape(v, 12)
