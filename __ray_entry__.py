@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_daily": events.user_daily_activity,
         "events_sessionize": events.sessionize,
         "events_asof_last_order": events.asof_last_order,
+        "events_distinct_users_hll": events.distinct_users_hll,
         "events_user_value_rank": events.user_value_rank,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,

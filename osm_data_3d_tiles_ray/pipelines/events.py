@@ -275,3 +275,67 @@ def user_daily_activity(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return partials.groupby(["day", "user_id"]).map_groups(per_user_day, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketches
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit avalanche hash (public splitmix64 constants)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def distinct_users_hll(sf_dir: str, p: int = 12) -> "pa.Table":
+    """Approximate COUNT(DISTINCT user_id) via a mergeable HyperLogLog
+    sketch (Flajolet et al. 2007, with the standard linear-counting
+    small-range correction).
+
+    The 100 TB shape: each batch reduces to ONE fixed 2^p-byte register
+    row (``np.maximum`` over rank-of-hash per register); rows merge by
+    elementwise max — associative, so the driver-side fold is over
+    #blocks tiny rows, never user ids.  This is the sketch pattern every
+    cardinality/heavy-hitter op at scale uses; exact distinct would
+    shuffle every id."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = _splitmix64(uid.astype(np.int64))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+        # rank = leading zeros of rest + 1 (capped at 64-p+1); vectorized
+        # via float64 exponent extraction is unsafe near 2^63 — use a
+        # halving cascade instead (6 steps, exact)
+        rank = np.ones(len(h), dtype=np.int64)
+        cur = rest
+        for shift in (32, 16, 8, 4, 2, 1):
+            zero_top = cur < (np.uint64(1) << np.uint64(63 - shift + 1))
+            # top `shift` bits all zero → add shift, shift left
+            add = np.where(cur == 0, 0, np.where(zero_top, shift, 0))
+            rank += add
+            cur = np.where(zero_top, cur << np.uint64(shift), cur)
+        rank = np.minimum(rank, 64 - p + 1)
+        rank = np.where(rest == 0, 64 - p + 1, rank)
+        regs = np.zeros(m, dtype=np.int8)
+        np.maximum.at(regs, idx, rank.astype(np.int8))
+        return pa.table({"regs": pa.array([regs], type=pa.large_list(pa.int8()))})
+
+    partials = (
+        _events(sf_dir)
+        .select_columns(["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    regs = np.zeros(m, dtype=np.int8)
+    for row in partials.iter_rows():
+        regs = np.maximum(regs, np.asarray(row["regs"], dtype=np.int8))
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting
+    return pa.table({"n_users_hll": pa.array([int(round(est))], type=pa.int64())})

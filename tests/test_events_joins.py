@@ -65,3 +65,47 @@ def test_user_value_rank_ties_break_on_event_id(tiny_dir):
     assert u1["rnk"].tolist() == [1, 2, 3]
     assert set(df[df.user_id == 2]["rnk"]) == {1}
     assert set(df[df.user_id == 3]["rnk"]) == {1}
+
+
+def test_hll_distinct_users_accuracy(ray_session):
+    """HLL estimate within 3% of the exact distinct count at sf0.01
+    (150 true users → linear-counting regime, near-exact) and within 5%
+    on a 40k-id synthetic (estimator regime)."""
+    import duckdb
+
+    from osm_data_3d_tiles_ray.pipelines.events import distinct_users_hll
+
+    t = distinct_users_hll("/root/testdata/sf0.01")
+    est = t.column("n_users_hll")[0].as_py()
+    exact = duckdb.sql(
+        "SELECT COUNT(DISTINCT user_id) FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.03, (est, exact)
+
+
+def test_hll_large_cardinality(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.events import distinct_users_hll
+
+    rng = np.random.default_rng(7)
+    ids = rng.choice(2_000_000, size=40_000, replace=False).astype(np.int64)
+    uid = np.repeat(ids, 2)  # every id twice → distinct = 40k, rows = 80k
+    n = len(uid)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.arange(n, dtype=np.int64) * 1_000_000).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(np.zeros(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    est = distinct_users_hll(str(tmp_path)).column("n_users_hll")[0].as_py()
+    assert abs(est - 40_000) / 40_000 < 0.05, est
