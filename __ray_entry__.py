@@ -275,11 +275,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events.sessionize,
         "events_asof_last_order": events.asof_last_order,
         "events_distinct_users_hll": events.distinct_users_hll,
+        "events_sliding_window": events.sliding_window,
         "events_user_value_rank": events.user_value_rank,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
         "tf_idf": textops.tf_idf,
         "seq_pack": textops.seq_pack,
+        "top_terms": textops.top_terms,
         "dedup_clusters": textops.dedup_clusters,
         # generic relational machinery (partial-combine aggregates,
         # broadcast join, global top-k) over the TPC-H-ish tables
@@ -507,6 +509,18 @@ SELECT user_id, MIN(ts) AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(FLOOR(EPOCH(MAX(ts) - MIN(ts))) AS BIGINT) AS duration_sec
 FROM s GROUP BY user_id, sess
+""",
+        "events_sliding_window": """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events
+), w AS (
+  SELECT h - i * INTERVAL 1 HOUR AS window_start, event_type, value
+  FROM e, range(6) t(i)
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_micro
+FROM w GROUP BY 1, 2
 """,
         "events_asof_last_order": """
 SELECT e.event_id AS event_id, e.user_id AS user_id,

@@ -339,3 +339,71 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> "pa.Table":
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)  # linear counting
     return pa.table({"n_users_hll": pa.array([int(round(est))], type=pa.int64())})
+
+
+def sliding_window(sf_dir: str, hours: int = 6) -> "ray.data.Dataset":
+    """Sliding-window aggregate (window = ``hours`` long, sliding by 1 h):
+    every event contributes to the ``hours`` windows covering it.
+
+    Replicate-then-combine: the replication happens INSIDE the per-batch
+    partial aggregate (each batch emits at most #distinct(window, type)
+    rows, already combined), so the shuffle cost is the tumbling-window
+    one × window count — never #events × window count."""
+    span = np.timedelta64(1, "h").astype("timedelta64[us]").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = pc.floor_temporal(ts, unit="hour").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+        value = batch.column("value").to_numpy(zero_copy_only=False)
+        n = len(hour)
+        # window starts: hour, hour-1h, ..., hour-(hours-1)h
+        ws = (hour[:, None] - np.arange(hours, dtype=np.int64)[None, :] * span).reshape(-1)
+        et = np.repeat(etype, hours)
+        val = np.repeat(value, hours)
+        t = pa.table(
+            {
+                "window_start": pa.array(ws).cast(pa.timestamp("us")),
+                "event_type": pa.array(et),
+                "value": pa.array(val),
+            }
+        )
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "window_start": g.column("window_start"),
+                "event_type": g.column("event_type"),
+                "p_sum": g.column("value_sum"),
+                "p_cnt": pc.cast(g.column("value_count"), pa.int64()),
+            }
+        )
+
+    partials = (
+        _events(sf_dir)
+        .select_columns(["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    merged = partials.groupby(["window_start", "event_type"]).aggregate(
+        ray.data.aggregate.Sum("p_sum", alias_name="sum_value"),
+        ray.data.aggregate.Sum("p_cnt", alias_name="n_events"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_value").to_numpy(zero_copy_only=False)
+        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "window_start": batch.column("window_start"),
+                "event_type": batch.column("event_type"),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+                "sum_value_micro": pa.array(micro),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -810,3 +810,70 @@ def seq_pack(sf_dir: str, budget: int = 512, n_ranges: int = 256) -> "ray.data.D
         )
 
     return count_rows.groupby("range_id").map_groups(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (mergeable Misra–Gries summaries)
+
+
+def _mg_truncate(terms: np.ndarray, counts: np.ndarray, capacity: int):
+    """Mergeable Misra–Gries reduction (Agarwal et al., PODS'12): if more
+    than ``capacity`` counters, subtract the (capacity+1)-th largest count
+    from all and drop non-positives.  Estimates undercount by at most
+    N/capacity."""
+    if len(terms) <= capacity:
+        return terms, counts
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[capacity]]
+    keep = counts > thresh
+    return terms[keep], counts[keep] - thresh
+
+
+def top_terms(sf_dir: str, capacity: int = 64, k: int = 10) -> "pa.Table":
+    """Top-k most frequent terms via mergeable Misra–Gries summaries —
+    the heavy-hitter sketch: each batch reduces to ≤ ``capacity``
+    (term, count) counters, summaries merge by summing shared counters
+    then re-truncating, so the reduction moves fixed-size summaries and
+    the full term stream is never shuffled.  Any term with true frequency
+    > N/capacity is guaranteed to survive; counts are exact when a batch's
+    vocabulary fits the capacity.  Output: (term, est_count, rank)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ").flatten().to_numpy(zero_copy_only=False)
+        words = words[words != ""]
+        terms, counts = np.unique(words, return_counts=True)
+        terms, counts = _mg_truncate(terms, counts.astype(np.int64), capacity)
+        return pa.table(
+            {
+                "terms": pa.array([list(terms)], type=pa.large_list(pa.string())),
+                "counts": pa.array([counts], type=pa.large_list(pa.int64())),
+            }
+        )
+
+    partials = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    acc: dict[str, int] = {}
+    for row in partials.iter_rows():
+        for t, c in zip(row["terms"], row["counts"]):
+            acc[t] = acc.get(t, 0) + int(c)
+        if len(acc) > capacity:
+            ts = np.array(list(acc.keys()))
+            cs = np.array(list(acc.values()), dtype=np.int64)
+            ts, cs = _mg_truncate(ts, cs, capacity)
+            acc = dict(zip(ts.tolist(), cs.tolist()))
+    terms = np.array(list(acc.keys()))
+    counts = np.array(list(acc.values()), dtype=np.int64)
+    order = np.lexsort((terms, -counts))[:k]
+    return pa.table(
+        {
+            "term": pa.array(terms[order]),
+            "est_count": pa.array(counts[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        }
+    )

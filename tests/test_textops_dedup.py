@@ -168,3 +168,48 @@ def test_seq_pack_prefix_semantics(tmp_path, ray_session):
     # prefixes: 0, 3, 5, 9 → examples 0,0,1,2 at offsets 0,3,1,1
     assert df["example_id"].tolist() == [0, 0, 1, 2]
     assert df["tok_offset"].tolist() == [0, 3, 1, 1]
+
+
+def test_top_terms_exact_when_vocab_fits(ray_session):
+    """sf0.01 corpus vocabulary fits MG capacity → counts exact vs DuckDB."""
+    import duckdb
+
+    from osm_data_3d_tiles_ray.pipelines.textops import top_terms
+
+    got = top_terms("/root/testdata/sf0.01", capacity=256, k=5)
+    exact = duckdb.sql("""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                     FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        SELECT term, COUNT(*) c FROM tok WHERE term <> ''
+        GROUP BY 1 ORDER BY c DESC, term LIMIT 5
+    """).fetchall()
+    assert [
+        (t.as_py(), c.as_py())
+        for t, c in zip(got.column("term"), got.column("est_count"))
+    ] == [(t, c) for t, c in exact]
+
+
+def test_top_terms_heavy_hitter_survives_truncation(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.textops import top_terms
+
+    # 500 rare terms (1×) + one heavy term (200×), capacity 16
+    rng = np.random.default_rng(3)
+    texts = [f"rare{i}" for i in range(500)] + ["heavy"] * 200
+    rng.shuffle(texts)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = top_terms(str(tmp_path), capacity=16, k=1)
+    assert got.column("term")[0].as_py() == "heavy"
+    assert got.column("est_count")[0].as_py() >= 200 - (700 // 16)
