@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_order": events.asof_last_order,
         "events_distinct_users_hll": events.distinct_users_hll,
         "events_sliding_window": events.sliding_window,
+        "events_type_quantiles": events.type_quantiles,
         "events_user_value_rank": events.user_value_rank,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
@@ -509,6 +510,12 @@ SELECT user_id, MIN(ts) AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(FLOOR(EPOCH(MAX(ts) - MIN(ts))) AS BIGINT) AS duration_sec
 FROM s GROUP BY user_id, sess
+""",
+        "events_type_quantiles": """
+SELECT event_type,
+       CAST(FLOOR(quantile_cont(value, 0.5) * 10000 + 0.5) AS BIGINT) AS q50_e4,
+       CAST(FLOOR(quantile_cont(value, 0.95) * 10000 + 0.5) AS BIGINT) AS q95_e4
+FROM events GROUP BY 1
 """,
         "events_sliding_window": """
 WITH e AS (

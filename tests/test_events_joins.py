@@ -109,3 +109,25 @@ def test_hll_large_cardinality(tmp_path, ray_session):
     pq.write_table(t, tmp_path / "events.parquet")
     est = distinct_users_hll(str(tmp_path)).column("n_users_hll")[0].as_py()
     assert abs(est - 40_000) / 40_000 < 0.05, est
+
+
+def test_type_quantiles_match_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.events import type_quantiles
+
+    got = {
+        r.event_type: (r.q50_e4, r.q95_e4)
+        for r in type_quantiles("/root/testdata/sf0.01").to_pandas().itertuples()
+    }
+    t = pq.read_table("/root/testdata/sf0.01/events.parquet", columns=["event_type", "value"])
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    v = t.column("value").to_numpy()
+    for name in np.unique(et):
+        vals = v[et == name]
+        q50, q95 = np.quantile(vals, [0.5, 0.95])
+        assert got[name] == (
+            int(np.floor(q50 * 1e4 + 0.5)),
+            int(np.floor(q95 * 1e4 + 0.5)),
+        )
