@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_idf": textops.tf_idf,
         "seq_pack": textops.seq_pack,
         "top_terms": textops.top_terms,
+        "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         # generic relational machinery (partial-combine aggregates,
         # broadcast join, global top-k) over the TPC-H-ish tables
@@ -383,6 +384,20 @@ FROM documents GROUP BY text
             + r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
+        "decontaminate": """
+WITH t AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents
+), ix AS (
+  SELECT doc_id, source, a, unnest(range(1, len(a) - 1)) AS i FROM t
+), g AS (
+  SELECT doc_id, source, array_to_string(a[i:i+2], ' ') AS ng FROM ix
+), ev AS (
+  SELECT DISTINCT ng FROM g WHERE source = 'src19'
+)
+SELECT DISTINCT g.doc_id AS doc_id
+FROM g JOIN ev USING (ng) WHERE g.source <> 'src19'
+""",
         "seq_pack": """
 WITH t AS (
   SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens

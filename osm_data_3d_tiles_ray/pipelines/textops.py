@@ -877,3 +877,72 @@ def top_terms(sf_dir: str, capacity: int = 64, k: int = 10) -> "pa.Table":
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination
+
+
+def decontaminate(
+    sf_dir: str, eval_source: str = "src19", n: int = 3
+) -> "ray.data.Dataset":
+    """Eval-set decontamination: find every train document (source ≠
+    ``eval_source``) sharing at least one word ``n``-gram with any eval
+    document — the overlap filter every serious pretraining pipeline runs
+    before training.  (Real pipelines use 8–13-gram windows; the default
+    here is scaled to the synthetic corpus's ~30-word vocabulary so the
+    operator has a non-empty signal to verify against the oracle.)
+
+    Shape: each doc explodes to hashed n-gram rows ONCE (64-bit hash of
+    the joined n-gram, collision-negligible); one hash shuffle on the
+    n-gram key co-locates train and eval occurrences; groups containing
+    both sides emit their train doc_ids; a second tiny distinct pass
+    dedups.  Document text never shuffles, and the n-gram stream is
+    int64+id+flag rows only.  Output: (doc_id) of contaminated train
+    docs.  Oracle: DuckDB list-slice n-gram join."""
+    import polars as pl
+
+    def ngram_rows(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        grams: list[str] = []
+        doc_of: list[int] = []
+        ev: list[bool] = []
+        for i, t in enumerate(text.to_pylist()):
+            toks = [w for w in t.split(" ") if w]
+            is_ev = src[i] == eval_source
+            for j in range(len(toks) - n + 1):
+                grams.append(" ".join(toks[j : j + n]))
+                doc_of.append(int(doc[i]))
+                ev.append(is_ev)
+        h = pl.Series(grams).hash(seed=0xC0FFEE).to_numpy().view(np.int64)
+        return pa.table(
+            {
+                "ng": pa.array(h),
+                "doc_id": pa.array(np.asarray(doc_of, dtype=np.int64)),
+                "is_eval": pa.array(np.asarray(ev, dtype=np.bool_)),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text", "source"])
+        .map_batches(ngram_rows, batch_format="pyarrow")
+    )
+
+    def per_gram(group: pa.Table) -> pa.Table:
+        ev = group.column("is_eval").to_numpy(zero_copy_only=False)
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        if ev.any() and not ev.all():
+            return pa.table({"doc_id": pa.array(np.unique(doc[~ev]))})
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+
+    hits = rows.groupby("ng").map_groups(per_gram, batch_format="pyarrow")
+
+    def distinct(group: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": group.column("doc_id").slice(0, 1)})
+
+    return hits.groupby("doc_id").map_groups(distinct, batch_format="pyarrow")

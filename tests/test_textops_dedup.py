@@ -213,3 +213,35 @@ def test_top_terms_heavy_hitter_survives_truncation(tmp_path, ray_session):
     got = top_terms(str(tmp_path), capacity=16, k=1)
     assert got.column("term")[0].as_py() == "heavy"
     assert got.column("est_count")[0].as_py() >= 200 - (700 // 16)
+
+
+def test_decontaminate_hand_case(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.textops import decontaminate
+
+    texts = [
+        "a b c d e",      # train 0: shares trigram "b c d" with eval
+        "x y z w v",      # train 1: clean
+        "q b c d r",      # train 2: shares "b c d"
+        "m b c q d",      # train 3: has b c but not "b c d" — clean
+        "k b c d n",      # eval doc
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["train", "train", "train", "train", "evalset"]),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = sorted(
+        decontaminate(str(tmp_path), eval_source="evalset", n=3)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert got == [0, 2]
