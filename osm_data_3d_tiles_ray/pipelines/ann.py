@@ -165,9 +165,25 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 8) 
         .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
-    return pairs.groupby(["vec_id", "dup_of"]).map_groups(
+    out = pairs.groupby(["vec_id", "dup_of"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+    # Ray Data drops the schema of a fully-empty dataset; the pair set is
+    # the (small) RESULT, so materializing to check is safe — hand back a
+    # typed empty table when no pair clears the threshold (the ground
+    # truth on the driver corpus).
+    out = out.materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "dup_of": pa.array([], type=pa.int64()),
+                    "sim_pct": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    return out
 
 
 def ann_lsh_topk(sf_dir: str, n_planes: int = 12) -> "ray.data.Dataset":
