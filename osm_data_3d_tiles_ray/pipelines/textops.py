@@ -883,6 +883,25 @@ def top_terms(sf_dir: str, capacity: int = 64, k: int = 10) -> "pa.Table":
 # eval-set decontamination
 
 
+def _hashed_ngrams(texts: list[str], n: int) -> "np.ndarray | list":
+    """64-bit hashes of the space-joined word n-grams of each text —
+    returns (flat hash array, per-text counts)."""
+    import polars as pl
+
+    grams: list[str] = []
+    counts: list[int] = []
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        k = max(0, len(toks) - n + 1)
+        counts.append(k)
+        for j in range(k):
+            grams.append(" ".join(toks[j : j + n]))
+    if not grams:
+        return np.empty(0, dtype=np.int64), counts
+    h = pl.Series(grams).hash(seed=0xC0FFEE).to_numpy().view(np.int64)
+    return h, counts
+
+
 def decontaminate(
     sf_dir: str, eval_source: str = "src19", n: int = 3
 ) -> "ray.data.Dataset":
@@ -893,56 +912,63 @@ def decontaminate(
     here is scaled to the synthetic corpus's ~30-word vocabulary so the
     operator has a non-empty signal to verify against the oracle.)
 
-    Shape: each doc explodes to hashed n-gram rows ONCE (64-bit hash of
-    the joined n-gram, collision-negligible); one hash shuffle on the
-    n-gram key co-locates train and eval occurrences; groups containing
-    both sides emit their train doc_ids; a second tiny distinct pass
-    dedups.  Document text never shuffles, and the n-gram stream is
-    int64+id+flag rows only.  Output: (doc_id) of contaminated train
-    docs.  Oracle: DuckDB list-slice n-gram join."""
-    import polars as pl
+    Shape: the eval set is SMALL by construction (that is what makes it
+    an eval set), so its hashed n-gram vocabulary is collected once on
+    the driver (pushdown-filtered read) and broadcast to a single
+    shuffle-free ``map_batches`` pass over the train side — each batch
+    hashes its n-grams and runs one vectorized ``np.isin`` against the
+    broadcast sorted array.  No shuffle, no group machinery, text never
+    moves twice.  Output: (doc_id) of contaminated train docs.
+    Oracle: DuckDB list-slice n-gram join."""
+    import pyarrow.parquet as pq
 
-    def ngram_rows(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        src = batch.column("source").to_numpy(zero_copy_only=False)
-        grams: list[str] = []
-        doc_of: list[int] = []
-        ev: list[bool] = []
-        for i, t in enumerate(text.to_pylist()):
-            toks = [w for w in t.split(" ") if w]
-            is_ev = src[i] == eval_source
-            for j in range(len(toks) - n + 1):
-                grams.append(" ".join(toks[j : j + n]))
-                doc_of.append(int(doc[i]))
-                ev.append(is_ev)
-        h = pl.Series(grams).hash(seed=0xC0FFEE).to_numpy().view(np.int64)
-        return pa.table(
-            {
-                "ng": pa.array(h),
-                "doc_id": pa.array(np.asarray(doc_of, dtype=np.int64)),
-                "is_eval": pa.array(np.asarray(ev, dtype=np.bool_)),
-            }
-        )
+    ev_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["text", "source"],
+        filters=[("source", "=", eval_source)],
+    )
+    ev_hashes, _ = _hashed_ngrams(ev_tbl.column("text").to_pylist(), n)
+    ev_hashes = np.unique(ev_hashes)  # sorted — the broadcast small side
 
-    rows = (
+    class Check:
+        """Actor-pool stage holding the broadcast eval-gram set."""
+
+        def __init__(self, ev_sorted):
+            self.ev = ev_sorted
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            text = batch.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            src = batch.column("source").to_numpy(zero_copy_only=False)
+            train = src != eval_source
+            h, counts = _hashed_ngrams(
+                [t for t, k in zip(text.to_pylist(), train) if k], n
+            )
+            hit = np.isin(h, self.ev)
+            # fold per-gram hits to per-doc any() via the counts layout
+            tdoc = doc[train]
+            tcounts = np.asarray(counts, dtype=np.int64)
+            ends = np.cumsum(tcounts)
+            starts = ends - tcounts
+            any_hit = np.array(
+                [hit[s:e].any() if e > s else False for s, e in zip(starts, ends)],
+                dtype=bool,
+            )
+            return pa.table({"doc_id": pa.array(tdoc[any_hit])})
+
+    return (
         _docs(sf_dir)
         .select_columns(["doc_id", "text", "source"])
-        .map_batches(ngram_rows, batch_format="pyarrow")
+        .map_batches(
+            Check,
+            fn_constructor_args=(ev_hashes,),
+            batch_format="pyarrow",
+            # cpus-1 cap: a full-width pool starves the read tasks (the
+            # repo's fixed-pool rule, see pipelines/geo._pool)
+            concurrency=max(1, min(8, int(ray.cluster_resources().get("CPU", 8)) - 1))
+            if ray.is_initialized()
+            else 4,
+        )
     )
-
-    def per_gram(group: pa.Table) -> pa.Table:
-        ev = group.column("is_eval").to_numpy(zero_copy_only=False)
-        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
-        if ev.any() and not ev.all():
-            return pa.table({"doc_id": pa.array(np.unique(doc[~ev]))})
-        return pa.table({"doc_id": pa.array([], type=pa.int64())})
-
-    hits = rows.groupby("ng").map_groups(per_gram, batch_format="pyarrow")
-
-    def distinct(group: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": group.column("doc_id").slice(0, 1)})
-
-    return hits.groupby("doc_id").map_groups(distinct, batch_format="pyarrow")
