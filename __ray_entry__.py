@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": textops.top_terms,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
+        "leakage_safe_split": textops.leakage_safe_split,
         # generic relational machinery (partial-combine aggregates,
         # broadcast join, global top-k) over the TPC-H-ish tables
         "rel_pricing_summary": relational.pricing_summary,
@@ -426,6 +427,31 @@ FROM t, d, n WHERE t.term = d.term
 """,
         # transitive closure over the prefix/suffix-equality edge union —
         # the SQL mirror of the engine's min-label propagation
+        "leakage_safe_split": """
+WITH clusters AS (WITH RECURSIVE pre AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS rep
+  FROM documents
+), suf AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY substr(reverse(text), 1, 64)) AS rep
+  FROM documents
+), edges AS (
+  SELECT doc_id AS a, rep AS b FROM pre
+  UNION SELECT rep, doc_id FROM pre
+  UNION SELECT doc_id, rep FROM suf
+  UNION SELECT rep, doc_id FROM suf
+  UNION SELECT doc_id, doc_id FROM documents
+), walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM walk GROUP BY a)
+SELECT doc_id,
+       CASE WHEN cluster_id % 10 < 8 THEN 'train'
+            WHEN cluster_id % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+""",
         "dedup_clusters": """
 WITH RECURSIVE pre AS (
   SELECT doc_id, MIN(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS rep

@@ -972,3 +972,29 @@ def decontaminate(
             else 4,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe dataset split
+
+
+def leakage_safe_split(sf_dir: str) -> "ray.data.Dataset":
+    """Train/val/test split keyed by NEAR-DUP CLUSTER, not by document:
+    every member of a connected near-dup component (see
+    :func:`dedup_clusters`) lands in the same split, so no evaluation
+    example has a near-duplicate in training — the leakage property naive
+    per-doc splits silently violate.  Deterministic 80/10/10 on the
+    cluster representative id.  Output: (doc_id, split)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cid = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        bucket = cid % 10
+        split = np.where(bucket < 8, "train", np.where(bucket == 8, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split.astype(object), type=pa.string()),
+            }
+        )
+
+    return dedup_clusters(sf_dir).map_batches(assign, batch_format="pyarrow")

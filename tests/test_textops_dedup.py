@@ -245,3 +245,18 @@ def test_decontaminate_hand_case(tmp_path, ray_session):
         .tolist()
     )
     assert got == [0, 2]
+
+
+def test_leakage_safe_split_keeps_clusters_together(ray_session):
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.textops import dedup_clusters, leakage_safe_split
+
+    clusters = dedup_clusters("/root/testdata/sf0.01").to_pandas()
+    split = leakage_safe_split("/root/testdata/sf0.01").to_pandas()
+    merged = clusters.merge(split, on="doc_id")
+    # THE property: one split per cluster, no near-dup straddles
+    per_cluster = merged.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # and all three splits are populated at this scale
+    assert set(merged["split"]) == {"train", "val", "test"}
