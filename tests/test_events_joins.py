@@ -131,3 +131,59 @@ def test_type_quantiles_match_numpy(ray_session):
             int(np.floor(q50 * 1e4 + 0.5)),
             int(np.floor(q95 * 1e4 + 0.5)),
         )
+
+
+def test_asof_randomized_vs_bruteforce(tmp_path, ray_session):
+    """5 seeded random corpora: the distributed as-of join must equal the
+    per-event brute-force floor scan exactly (incl. boundary ts == date)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.events import asof_last_order
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n_ev, n_ord, n_users = 60, 40, 7
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        ev_ts = rng.integers(0, 1000, n_ev) * 1_000_000
+        ev_uid = rng.integers(0, n_users, n_ev)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+                    "ts": pa.array(ev_ts.astype(np.int64)).cast(pa.timestamp("us")),
+                    "user_id": pa.array(ev_uid.astype(np.int64)),
+                    "event_type": pa.array(["x"] * n_ev),
+                    "value": pa.array(np.zeros(n_ev)),
+                    "props": pa.array(["{}"] * n_ev),
+                }
+            ),
+            d / "events.parquet",
+        )
+        od_ts = rng.integers(0, 1000, n_ord) * 1_000_000
+        od_uid = rng.integers(0, n_users, n_ord)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array(od_uid.astype(np.int64)),
+                    "o_orderdate": pa.array(od_ts.astype(np.int64)).cast(
+                        pa.timestamp("us")
+                    ),
+                }
+            ),
+            d / "orders.parquet",
+        )
+        got = {
+            r.event_id: r.last_order_date.value
+            for r in asof_last_order(str(d)).to_pandas().itertuples()
+        }
+        # brute force floor per event
+        want = {}
+        for i in range(n_ev):
+            mine = od_ts[od_uid == ev_uid[i]]
+            mine = mine[mine <= ev_ts[i]]
+            if len(mine):
+                want[i] = int(mine.max()) * 1000  # us → ns (pandas .value)
+        assert got == want, f"seed {seed}"
