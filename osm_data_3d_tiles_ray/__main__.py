@@ -67,6 +67,15 @@ def main(argv=None) -> int:
     pt = sub.add_parser("pack-textures", help="emit the atlas frame dict parquet")
     pt.add_argument("--out", required=True)
 
+    rq = sub.add_parser(
+        "run-query",
+        help="run any registered pipeline (see --list) over an sf dir and write parquet",
+    )
+    rq.add_argument("name", nargs="?", help="queries() key, e.g. tf_idf, dedup_exact")
+    rq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    rq.add_argument("--out", default=None, help="output parquet dir (default: print row count)")
+    rq.add_argument("--list", action="store_true", help="list available query names")
+
     args = p.parse_args(argv)
 
     if args.cmd == "pack-textures":
@@ -90,7 +99,44 @@ def main(argv=None) -> int:
     from .synth.generator import ensure_synth
 
     try:
-        if args.cmd == "seed-b3dm":
+        if args.cmd == "run-query":
+            import importlib.util
+            import os
+
+            spec = importlib.util.spec_from_file_location(
+                "__ray_entry__",
+                os.path.join(os.path.dirname(os.path.dirname(__file__)), "__ray_entry__.py"),
+            )
+            entry = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(entry)
+            qs = entry.queries()
+            if args.list or not args.name:
+                print(json.dumps(sorted(qs)))
+                return 0
+            if args.name not in qs:
+                print(f"unknown query {args.name!r}; see --list", file=sys.stderr)
+                return 2
+            res = qs[args.name](args.sf_dir)
+            import pandas as pd
+            import pyarrow as pa
+
+            if isinstance(res, ray.data.Dataset):
+                if args.out:
+                    res.write_parquet(args.out)
+                    print(json.dumps({"query": args.name, "out": args.out}))
+                else:
+                    print(json.dumps({"query": args.name, "rows": res.count()}))
+            else:
+                t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+                if args.out:
+                    import pyarrow.parquet as pq
+
+                    os.makedirs(args.out, exist_ok=True)
+                    pq.write_table(t, os.path.join(args.out, f"{args.name}.parquet"))
+                    print(json.dumps({"query": args.name, "out": args.out}))
+                else:
+                    print(json.dumps({"query": args.name, "rows": t.num_rows}))
+        elif args.cmd == "seed-b3dm":
             from .pipelines.buildings import export_b3dm, seed_tiles
 
             root = ensure_synth(args.sf)

@@ -53,3 +53,22 @@ def test_serve_tile_cache(tmp_path):
         "--out", str(tmp_path / "cache"), "--sf", "0.001",
     )
     assert r2.returncode == 4
+
+
+def test_run_query_cli(tmp_path):
+    r = _run("run-query", "--list")
+    assert r.returncode == 0, r.stderr[-500:]
+    names = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "tf_idf" in names and "geo_parse" in names
+
+    r = _run(
+        "run-query", "text_stats", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(tmp_path / "q"),
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(str(tmp_path / "q")).num_rows > 0
+
+    r = _run("run-query", "no_such_query")
+    assert r.returncode == 2
