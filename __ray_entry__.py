@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": events.distinct_users_hll,
         "events_sliding_window": events.sliding_window,
         "events_type_quantiles": events.type_quantiles,
+        "events_quantiles_tdigest": events.value_quantiles_tdigest,
         "events_user_value_rank": events.user_value_rank,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,

@@ -438,3 +438,93 @@ def type_quantiles(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .map_groups(per_type, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile sketch (mergeable)
+
+
+def _tdigest_compress(means: np.ndarray, counts: np.ndarray, delta: int):
+    """Compress weighted points into a t-digest (Dunning & Ertl 2019):
+    sorted by mean, greedily merged while the cluster's q-span stays
+    within the k1 scale function's unit step — small clusters at the
+    tails, big in the middle, ≤ ~2δ clusters total."""
+    order = np.argsort(means, kind="stable")
+    means, counts = means[order], counts[order]
+    total = counts.sum()
+    out_m: list[float] = []
+    out_c: list[float] = []
+    q0 = 0.0
+    acc_m, acc_c = float(means[0]) * counts[0], float(counts[0])
+    k_of = lambda q: delta * (np.arcsin(2 * q - 1) / np.pi + 0.5)  # noqa: E731
+    k0 = k_of(q0)
+    for m, c in zip(means[1:], counts[1:]):
+        q1 = q0 + (acc_c + c) / total
+        if k_of(q1) - k0 <= 1.0:
+            acc_m += float(m) * c
+            acc_c += c
+        else:
+            out_m.append(acc_m / acc_c)
+            out_c.append(acc_c)
+            q0 += acc_c / total
+            k0 = k_of(q0)
+            acc_m, acc_c = float(m) * c, float(c)
+    out_m.append(acc_m / acc_c)
+    out_c.append(acc_c)
+    return np.asarray(out_m), np.asarray(out_c)
+
+
+def _tdigest_quantile(means: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Interpolated quantile from a digest (midpoint rule)."""
+    total = counts.sum()
+    target = q * total
+    cum = np.cumsum(counts) - counts / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = np.searchsorted(cum, target) - 1
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+def value_quantiles_tdigest(
+    sf_dir: str, delta: int = 200
+) -> "pa.Table":
+    """Global value quantiles (p50/p95/p99) via a mergeable t-digest —
+    the skew-safe sibling of :func:`type_quantiles`: every batch folds to
+    ≤ ~2δ (mean, count) centroids, digests merge by concatenation +
+    recompression, so the reduction never sees raw values and no group
+    ever needs one node's memory.  Accuracy is bounded at the tails by
+    the k1 scale function (tight where q → 0/1)."""
+    delta_ = delta
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        m, c = _tdigest_compress(v, np.ones(len(v)), delta_)
+        return pa.table(
+            {
+                "means": pa.array([m], type=pa.large_list(pa.float64())),
+                "counts": pa.array([c], type=pa.large_list(pa.float64())),
+            }
+        )
+
+    partials = (
+        _events(sf_dir)
+        .select_columns(["value"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    all_m: list[np.ndarray] = []
+    all_c: list[np.ndarray] = []
+    for row in partials.iter_rows():
+        all_m.append(np.asarray(row["means"]))
+        all_c.append(np.asarray(row["counts"]))
+    m, c = _tdigest_compress(np.concatenate(all_m), np.concatenate(all_c), delta_)
+    return pa.table(
+        {
+            "q": pa.array([0.5, 0.95, 0.99]),
+            "value_est": pa.array(
+                [_tdigest_quantile(m, c, q) for q in (0.5, 0.95, 0.99)]
+            ),
+        }
+    )

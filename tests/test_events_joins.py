@@ -187,3 +187,44 @@ def test_asof_randomized_vs_bruteforce(tmp_path, ray_session):
             if len(mine):
                 want[i] = int(mine.max()) * 1000  # us → ns (pandas .value)
         assert got == want, f"seed {seed}"
+
+
+def test_tdigest_quantiles_accuracy(ray_session):
+    """Digest p50/p95/p99 within 2% relative of exact on the events table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.events import value_quantiles_tdigest
+
+    got = value_quantiles_tdigest("/root/testdata/sf0.01")
+    v = pq.read_table("/root/testdata/sf0.01/events.parquet", columns=["value"]).column(
+        "value"
+    ).to_numpy()
+    exact = np.quantile(v, [0.5, 0.95, 0.99])
+    est = np.asarray(got.column("value_est"))
+    span = v.max() - v.min()
+    assert (np.abs(est - exact) / span < 0.02).all(), (est, exact)
+
+
+def test_tdigest_merge_invariance(ray_session):
+    """Digest of digests ≈ digest of all data (mergeability), heavy skew."""
+    import numpy as np
+
+    from osm_data_3d_tiles_ray.pipelines.events import (
+        _tdigest_compress,
+        _tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    data = np.concatenate([rng.lognormal(0, 2, 100_000), [1e6] * 10])
+    parts = np.array_split(data, 37)
+    ms, cs = [], []
+    for part in parts:
+        m, c = _tdigest_compress(part, np.ones(len(part)), 200)
+        ms.append(m)
+        cs.append(c)
+    m, c = _tdigest_compress(np.concatenate(ms), np.concatenate(cs), 200)
+    for q in (0.5, 0.95, 0.99):
+        exact = np.quantile(data, q)
+        est = _tdigest_quantile(m, c, q)
+        assert abs(est - exact) / max(1e-9, exact) < 0.05, (q, est, exact)
