@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_idf": textops.tf_idf,
         "seq_pack": textops.seq_pack,
         "top_terms": textops.top_terms,
+        "term_counts_cms": textops.term_counts_cms,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,

@@ -998,3 +998,66 @@ def leakage_safe_split(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return dedup_clusters(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable term-frequency estimates)
+
+
+def _splitmix64_salted(x: np.ndarray, salt: int) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64(salt) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def term_counts_cms(
+    sf_dir: str, depth: int = 4, width: int = 1024, probe_terms: int = 10
+) -> "pa.Table":
+    """Term-frequency estimates via a mergeable Count-Min sketch
+    (Cormode & Muthukrishnan 2005): each batch folds its term stream into
+    one fixed depth×width counter matrix; matrices merge by elementwise
+    SUM, so the reduction moves 16 KB rows regardless of corpus size.
+    Estimates are one-sided (never undercount; overcount ≤ εN w.h.p.).
+    The reported rows are the Misra–Gries top terms re-estimated from the
+    sketch — the classic candidates-from-MG + counts-from-CMS pairing.
+    Output: (term, est_count)."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ").flatten().to_numpy(zero_copy_only=False)
+        words = words[words != ""]
+        h = pl.Series(words.astype(object)).hash(seed=0xC35).to_numpy()
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            idx = (_splitmix64_salted(h.view(np.int64), d) % np.uint64(width)).astype(
+                np.int64
+            )
+            np.add.at(mat[d], idx, 1)
+        return pa.table(
+            {"cms": pa.array([mat.reshape(-1)], type=pa.large_list(pa.int64()))}
+        )
+
+    partials = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    mat = np.zeros(depth * width, dtype=np.int64)
+    for row in partials.iter_rows():
+        mat += np.asarray(row["cms"], dtype=np.int64)
+    mat = mat.reshape(depth, width)
+
+    top = top_terms(sf_dir, k=probe_terms)
+    terms = top.column("term").to_numpy(zero_copy_only=False)
+    th = pl.Series(terms.astype(object)).hash(seed=0xC35).to_numpy()
+    ests = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = (_splitmix64_salted(th.view(np.int64), d) % np.uint64(width)).astype(
+            np.int64
+        )
+        ests = np.minimum(ests, mat[d, idx])
+    return pa.table({"term": pa.array(terms), "est_count": pa.array(ests)})

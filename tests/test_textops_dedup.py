@@ -260,3 +260,24 @@ def test_leakage_safe_split_keeps_clusters_together(ray_session):
     assert (per_cluster == 1).all()
     # and all three splits are populated at this scale
     assert set(merged["split"]) == {"train", "val", "test"}
+
+
+def test_cms_never_undercounts_and_is_tight_here(ray_session):
+    """CMS one-sided error: estimate >= true count always; equal here
+    (width 1024 >> vocab, negligible collisions)."""
+    import duckdb
+
+    from osm_data_3d_tiles_ray.pipelines.textops import term_counts_cms
+
+    got = term_counts_cms("/root/testdata/sf0.01", probe_terms=8)
+    exact = dict(
+        duckdb.sql("""
+            WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                         FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+            SELECT term, COUNT(*) FROM tok WHERE term <> '' GROUP BY 1
+        """).fetchall()
+    )
+    for t, c in zip(got.column("term"), got.column("est_count")):
+        t, c = t.as_py(), c.as_py()
+        assert c >= exact[t], (t, c, exact[t])
+        assert c <= exact[t] * 1.02 + 5, (t, c, exact[t])
