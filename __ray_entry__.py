@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": textops.seq_pack,
         "top_terms": textops.top_terms,
         "term_counts_cms": textops.term_counts_cms,
+        "source_mixture": textops.source_mixture,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -387,6 +388,10 @@ FROM documents GROUP BY text
             + r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
             + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
+        "source_mixture": """
+SELECT doc_id, source FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 1000 WHEN 'src2' THEN 500 WHEN 'src3' THEN 1000 WHEN 'src4' THEN 500 WHEN 'src5' THEN 1000 WHEN 'src6' THEN 500 WHEN 'src7' THEN 1000 WHEN 'src8' THEN 500 WHEN 'src9' THEN 1000 WHEN 'src10' THEN 500 WHEN 'src11' THEN 1000 WHEN 'src12' THEN 500 WHEN 'src13' THEN 1000 WHEN 'src14' THEN 500 WHEN 'src15' THEN 1000 WHEN 'src16' THEN 500 WHEN 'src17' THEN 1000 WHEN 'src18' THEN 500 WHEN 'src19' THEN 1000 ELSE 1000 END)
+""",
         "decontaminate": """
 WITH t AS (
   SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS a

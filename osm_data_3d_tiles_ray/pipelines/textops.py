@@ -1061,3 +1061,41 @@ def term_counts_cms(
         )
         ests = np.minimum(ests, mat[d, idx])
     return pa.table({"term": pa.array(terms), "est_count": pa.array(ests)})
+
+
+# ---------------------------------------------------------------------------
+# training-mixture subsampling
+
+
+def source_mixture(
+    sf_dir: str, rates_pm: dict[str, int] | None = None, default_pm: int = 1000
+) -> "ray.data.Dataset":
+    """Deterministic per-source subsampling to a target training mixture:
+    keep a document iff ``knuth(doc_id) % 1000 < rate_permille[source]``
+    where ``knuth(x) = (x * 2654435761) mod 2^32`` — the data-mixing step
+    of every pretraining run (downweight crawl, upweight curated) in pure
+    integer arithmetic: reproducible across engines and partitionings (no
+    RNG, no float thresholds), and the multiplicative hash decorrelates
+    the keep decision from id assignment order.  One shuffle-free
+    vectorized pass.  Default demo mixture: even sources halved."""
+    if rates_pm is None:
+        rates_pm = {f"src{i}": (500 if i % 2 == 0 else 1000) for i in range(20)}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        thr = np.array([rates_pm.get(s, default_pm) for s in src], dtype=np.int64)
+        key = (doc.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        mask = (key % np.uint64(1000)).astype(np.int64) < thr
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[mask]),
+                "source": pa.array(src[mask].astype(object), type=pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "source"])
+        .map_batches(keep, batch_format="pyarrow")
+    )

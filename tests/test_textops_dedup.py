@@ -281,3 +281,18 @@ def test_cms_never_undercounts_and_is_tight_here(ray_session):
         t, c = t.as_py(), c.as_py()
         assert c >= exact[t], (t, c, exact[t])
         assert c <= exact[t] * 1.02 + 5, (t, c, exact[t])
+
+
+def test_source_mixture_rates(ray_session):
+    """Even sources halved, odd kept, deterministic across runs."""
+    from osm_data_3d_tiles_ray.pipelines.textops import source_mixture
+
+    df = source_mixture("/root/testdata/sf0.01").to_pandas()
+    df2 = source_mixture("/root/testdata/sf0.01").to_pandas()
+    assert sorted(df["doc_id"]) == sorted(df2["doc_id"])  # reproducible
+    counts = df.groupby("source")["doc_id"].count()
+    # 25 docs per source in this corpus; even sources keep ~half
+    assert counts["src1"] == 25  # odd sources keep everything
+    evens = [f"src{i}" for i in range(0, 20, 2)]
+    kept_even = sum(int(counts.get(s, 0)) for s in evens)
+    assert 90 < kept_even < 160  # ~half of the 250 even-source docs
