@@ -228,3 +228,26 @@ def test_tdigest_merge_invariance(ray_session):
         exact = np.quantile(data, q)
         est = _tdigest_quantile(m, c, q)
         assert abs(est - exact) / max(1e-9, exact) < 0.05, (q, est, exact)
+
+
+def test_sliding_window_vs_bruteforce(tiny_dir, ray_session):
+    """Every (window, type) bucket equals the brute-force replicate count
+    on the handwritten corpus."""
+    import numpy as np
+
+    from osm_data_3d_tiles_ray.pipelines.events import sliding_window
+
+    got = sliding_window(tiny_dir, hours=6).to_pandas()
+    # brute force: event hours from the fixture (ts = 150,200,250,50,500 sec
+    # → all hour 0); each event lands in windows h, h-1h, ..., h-5h
+    us_h = 3_600_000_000
+    ev_hours = [0, 0, 0, 0, 0]
+    want = {}
+    for h in ev_hours:
+        for i in range(6):
+            key = (h - i) * us_h
+            want[key] = want.get(key, 0) + 1
+    got_counts = {
+        int(r.window_start.value // 1000): r.n_events for r in got.itertuples()
+    }
+    assert got_counts == want

@@ -296,3 +296,42 @@ def test_source_mixture_rates(ray_session):
     evens = [f"src{i}" for i in range(0, 20, 2)]
     kept_even = sum(int(counts.get(s, 0)) for s in evens)
     assert 90 < kept_even < 160  # ~half of the 250 even-source docs
+
+
+def test_seq_pack_randomized_vs_bruteforce(tmp_path, ray_session):
+    """3 seeded random corpora with varied token counts: distributed scan
+    must equal the serial prefix computation exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.textops import seq_pack
+
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        n = 200
+        texts = [" ".join(["w"] * int(k)) for k in rng.integers(0, 40, n)]
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * n),
+                    "source": pa.array(["s"] * n),
+                    "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        got = (
+            seq_pack(str(d), budget=64, n_ranges=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ntok = np.array([len(t.split()) if t else 0 for t in texts], dtype=np.int64)
+        prefix = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+        assert got["example_id"].tolist() == (prefix // 64).tolist(), f"seed {seed}"
+        assert got["tok_offset"].tolist() == (prefix % 64).tolist(), f"seed {seed}"
