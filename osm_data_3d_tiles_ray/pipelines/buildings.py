@@ -63,6 +63,32 @@ def geometry_stats(documents: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     return tile_geometry_stats(built_ds(documents, emit_buffers=False, **kw))
 
 
+def partition_fingerprint(group: pa.Table) -> str:
+    """Order-independent per-partition content hash: wrapping uint64 SUM of
+    per-row hashes over the row's identity + geometry bytes.  A changed
+    input with the SAME cardinality (e.g. one building's height edited)
+    changes the fingerprint, so resume detects stale partitions.  Sum, not
+    xor: xor cancels pairwise, so a duplicated row pair {A,A} replaced by a
+    different duplicated pair {C,C} would collide under xor."""
+    import numpy as np
+    import polars as pl
+
+    osm = group.column("osm_id").to_numpy(zero_copy_only=False)
+    h = pl.Series(osm).hash(seed=0xA5A5A5A5).to_numpy().copy()
+    if "geom_blob" in group.column_names:
+        blob_col = group.column("geom_blob")
+        if isinstance(blob_col, pa.ChunkedArray):
+            blob_col = blob_col.combine_chunks()
+        h ^= pl.Series(blob_col).hash(seed=0x5A5A5A5A).to_numpy()
+    else:
+        # raw path: bbox + vertex count stand in for the geometry bytes
+        for c in ("vertex_count", "min_z", "max_z", "min_x", "max_y"):
+            if c in group.column_names:
+                v = group.column(c).to_numpy(zero_copy_only=False)
+                h ^= pl.Series(np.ascontiguousarray(v)).hash(seed=1).to_numpy()
+    return f"x{int(h.sum(dtype=np.uint64)):016x}-n{len(group)}"
+
+
 def seed_tiles(
     documents: "ray.data.Dataset",
     out_dir: str,
@@ -109,28 +135,7 @@ def seed_tiles(
         return batch.append_column("parent_cell", pa.array(parent))
 
     writer = PartitionWriter(out_dir)
-
-    def _fingerprint(group: pa.Table) -> str:
-        """Order-independent per-partition content hash: xor of per-row
-        hashes over the row's identity + geometry bytes.  A changed input
-        with the SAME cardinality (e.g. one building's height edited)
-        changes the fingerprint, so resume detects stale partitions."""
-        import polars as pl
-
-        osm = group.column("osm_id").to_numpy(zero_copy_only=False)
-        h = pl.Series(osm).hash(seed=0xA5A5A5A5).to_numpy().copy()
-        if "geom_blob" in group.column_names:
-            blob_col = group.column("geom_blob")
-            if isinstance(blob_col, pa.ChunkedArray):
-                blob_col = blob_col.combine_chunks()
-            h ^= pl.Series(blob_col).hash(seed=0x5A5A5A5A).to_numpy()
-        else:
-            # raw path: bbox + vertex count stand in for the geometry bytes
-            for c in ("vertex_count", "min_z", "max_z", "min_x", "max_y"):
-                if c in group.column_names:
-                    v = group.column(c).to_numpy(zero_copy_only=False)
-                    h ^= pl.Series(np.ascontiguousarray(v)).hash(seed=1).to_numpy()
-        return f"x{int(np.bitwise_xor.reduce(h)):016x}-n{len(group)}"
+    _fingerprint = partition_fingerprint
 
     def write_parent(group: pa.Table) -> pa.Table:
         parent = int(group.column("parent_cell")[0].as_py())

@@ -456,7 +456,11 @@ def _tdigest_compress(means: np.ndarray, counts: np.ndarray, delta: int):
     out_c: list[float] = []
     q0 = 0.0
     acc_m, acc_c = float(means[0]) * counts[0], float(counts[0])
-    k_of = lambda q: delta * (np.arcsin(2 * q - 1) / np.pi + 0.5)  # noqa: E731
+    # clip: accumulated q can exceed 1.0 by float error, and arcsin(>1)
+    # is NaN — NaN k-values silently force-close clusters at the tail
+    k_of = lambda q: delta * (  # noqa: E731
+        np.arcsin(np.clip(2 * q - 1, -1.0, 1.0)) / np.pi + 0.5
+    )
     k0 = k_of(q0)
     for m, c in zip(means[1:], counts[1:]):
         q1 = q0 + (acc_c + c) / total

@@ -71,7 +71,12 @@ def make_tile_server(
                 path = path[len("subtiles/") :]
             if path.endswith(".json"):
                 base = Path(export_dir) if export_dir else Path(cache_dir)
-                f = base / path
+                f = (base / path).resolve()
+                # containment check: the request path is client-controlled,
+                # so `../` segments must never escape the export/cache dir
+                if not f.is_relative_to(base.resolve()):
+                    self._reply(400, b"Invalid path", "text/plain")
+                    return
                 if not f.exists():
                     self._reply(404, b'{"error": "File not found"}', "application/json")
                     return

@@ -389,7 +389,13 @@ def _shingle_set_u32(texts: np.ndarray) -> list[np.ndarray]:
     for t in texts:
         b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
         if len(b) < _SHINGLE:
-            out.append(np.zeros(1, dtype=np.uint32))
+            # pack the available bytes zero-padded: two DISTINCT sub-shingle
+            # texts must not share a sentinel set (they would verify as
+            # jaccard 100 whenever they band together)
+            v = np.uint32(0)
+            for i, x in enumerate(b):
+                v |= np.uint32(x) << np.uint32(8 * i)
+            out.append(np.array([v], dtype=np.uint32))
             continue
         w = np.lib.stride_tricks.sliding_window_view(b, _SHINGLE).astype(np.uint32)
         sh = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
@@ -589,7 +595,7 @@ def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
 _CLUSTER_AFFIX = 64  # chars of shared prefix/suffix that define an edge
 
 
-def dedup_clusters(sf_dir: str, max_rounds: int = 12) -> "ray.data.Dataset":
+def dedup_clusters(sf_dir: str, max_rounds: int = 32) -> "ray.data.Dataset":
     """Near-dup clustering: connected components over the union of two
     equality relations — shared 64-char PREFIX and shared 64-char SUFFIX.
     Each relation alone is an equivalence class (one groupby); their UNION
@@ -635,14 +641,25 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 12) -> "ray.data.Dataset":
 
     base = docs.map_batches(keys, batch_format="pyarrow").materialize()
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         for key in ("kpre", "ksuf"):
             base = base.groupby(key).map_groups(assign_min, batch_format="pyarrow")
         base = base.materialize()
         s = base.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # returning non-converged labels would silently diverge from the
+        # recursive-CTE oracle and break leakage_safe_split's
+        # one-split-per-cluster property
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{max_rounds} rounds (component diameter too large); "
+            f"raise max_rounds"
+        )
 
     return base.map_batches(
         lambda b: pa.table(

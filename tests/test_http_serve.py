@@ -98,3 +98,26 @@ def test_404_and_400(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base}/nope.json")
     assert e.value.code == 404
+
+
+def test_json_path_traversal_rejected(served):
+    """`GET /../<x>.json` must not escape the export dir (raw socket: urllib
+    would normalize the dot segments client-side)."""
+    import http.client
+    import pathlib
+
+    base, _, export_dir = served
+    # a .json file one level OUTSIDE the served directory
+    secret = pathlib.Path(export_dir).parent / "secret.json"
+    secret.write_text('{"leak": true}')
+    host, port = base[len("http://") :].split(":")
+    for attack in ("/../secret.json", "/../../../../etc/passwd.json"):
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        conn.putrequest("GET", attack, skip_host=True)
+        conn.putheader("Host", f"{host}:{port}")
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = resp.read()
+        conn.close()
+        assert resp.status == 400, (attack, resp.status)
+        assert b"leak" not in body

@@ -83,6 +83,30 @@ def test_resume_output_identical_to_fresh(tmp_path, docs_table):
     )
 
 
+def test_fingerprint_no_pairwise_cancellation():
+    """{A,A} vs {C,C}: identical-row PAIRS must not cancel out of the
+    fingerprint (xor would; the wrapping-sum reduction must not)."""
+    import pyarrow as pa
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import partition_fingerprint
+
+    def tbl(ids, blobs):
+        return pa.table(
+            {
+                "osm_id": pa.array(ids, type=pa.int64()),
+                "geom_blob": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    fp_aa = partition_fingerprint(tbl([1, 1], [b"aaaa", b"aaaa"]))
+    fp_cc = partition_fingerprint(tbl([2, 2], [b"cccc", b"cccc"]))
+    assert fp_aa != fp_cc
+    # and order independence still holds
+    fp_ab = partition_fingerprint(tbl([1, 2], [b"aaaa", b"cccc"]))
+    fp_ba = partition_fingerprint(tbl([2, 1], [b"cccc", b"aaaa"]))
+    assert fp_ab == fp_ba
+
+
 def test_resume_detects_stale_input_same_cardinality(tmp_path, docs_table):
     """A changed input with the SAME row count must not be silently
     accepted: the content-hash fingerprint mismatches and the partition is

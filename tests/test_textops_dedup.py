@@ -63,6 +63,34 @@ def test_jaccard_pairs_thresholded(ray_session):
         assert int(round(j * 100)) == int(pct)
 
 
+def test_short_text_shingles_distinct():
+    """Sub-4-byte texts must get DISTINCT shingle sets (a shared {0}
+    sentinel made any two short docs verify as jaccard 100)."""
+    import numpy as np
+
+    from osm_data_3d_tiles_ray.pipelines.textops import _shingle_set_u32
+
+    sets = _shingle_set_u32(np.array(["ab", "cd", "ab", "", "abcd"], dtype=object))
+    assert not np.array_equal(sets[0], sets[1])
+    assert np.array_equal(sets[0], sets[2])
+    assert not np.array_equal(sets[0], sets[3])
+
+
+def test_tdigest_compress_no_nan_at_tail():
+    """Accumulated q can exceed 1.0 by float error; arcsin must be clamped
+    (NaN k-values silently degrade tail compression)."""
+    import numpy as np
+
+    from osm_data_3d_tiles_ray.pipelines.events import _tdigest_compress
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate([rng.standard_normal(5000), np.full(5000, 3.0)])
+    with np.errstate(invalid="raise"):
+        m, c = _tdigest_compress(v, np.ones(len(v)), 200)
+    assert np.isfinite(m).all() and np.isfinite(c).all()
+    assert c.sum() == len(v)
+
+
 def test_dedup_clusters_matches_union_find(ray_session):
     """Connected components over prefix/suffix-equality edge union must
     equal an exact union-find on the same relations (min-reachable ids)."""
