@@ -142,32 +142,59 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 8) 
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
-        emb = group.column("nemb")
+    from .partition import first_per_key, map_key_partitions, run_starts
+
+    def verify_part(tbl: pa.Table) -> pa.Table:
+        """All buckets of one hash partition: sort by bucket, pairwise
+        cosine per bucket RUN (in-process numpy slices, no per-bucket
+        ``map_groups`` dispatch)."""
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+                "sim_pct": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) < 2:
+            return empty
+        bucket = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = tbl.column("nemb")
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
         m = np.asarray(emb.values.to_numpy(zero_copy_only=False)).reshape(-1, dims)
-        sims = m @ m.T
-        a, b = np.nonzero((sims >= threshold) & (vid[:, None] > vid[None, :]))
+        order = np.lexsort((vid, bucket))
+        bucket, vid, m = bucket[order], vid[order], m[order]
+        starts = np.nonzero(run_starts(bucket))[0]
+        ends = np.concatenate([starts[1:], [len(vid)]])
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            mb, vb = m[s:e], vid[s:e]
+            sims = mb @ mb.T
+            a, b = np.nonzero((sims >= threshold) & (vb[:, None] > vb[None, :]))
+            out_a.append(vb[a])
+            out_b.append(vb[b])
+            out_s.append(np.round(sims[a, b] * 100).astype(np.int64))
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "vec_id": pa.array(vid[a]),
-                "dup_of": pa.array(vid[b]),
-                "sim_pct": pa.array(np.round(sims[a, b] * 100).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(out_a)),
+                "dup_of": pa.array(np.concatenate(out_b)),
+                "sim_pct": pa.array(np.concatenate(out_s)),
             }
         )
 
-    pairs = (
+    pairs = map_key_partitions(
         _embeddings(sf_dir)
         .select_columns(["vec_id", "embedding"])
-        .map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"],
+        verify_part,
     )
-    out = pairs.groupby(["vec_id", "dup_of"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    out = first_per_key(pairs, ["vec_id", "dup_of"])
     # Ray Data drops the schema of a fully-empty dataset; the pair set is
     # the (small) RESULT, so materializing to check is safe — hand back a
     # typed empty table when no pair clears the threshold (the ground

@@ -77,43 +77,55 @@ def hourly_by_type(sf_dir: str) -> "ray.data.Dataset":
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Gap-based sessionization: per user, a new session starts after a
     >30-min silence.  Output: (user_id, session_start, n_events,
-    duration_sec).  The shuffle key is user_id; per-user state never leaves
-    its group (classic streaming-sessionization shape, batch-executed)."""
+    duration_sec).
+
+    The shuffle key is user_id, but per-user work runs per hash PARTITION
+    (pipelines/partition.py): one lexsort of the whole partition by
+    (user, ts, event_id), a break where the user changes OR the gap
+    exceeds the threshold, then bincount/boundary segment reductions —
+    no per-user Python dispatch (millions of users = millions of 1-ms
+    ``map_groups`` calls otherwise)."""
+    from .partition import map_key_partitions
+
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = group.column("ts")
+    def sessions_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=pa.timestamp("us")),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "duration_sec": pa.array([], type=pa.int64()),
+                }
+            )
+        ts = tbl.column("ts")
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
         tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, tsv))
-        tsv = tsv[order]
-        brk = np.ones(len(tsv), dtype=np.int64)
-        brk[1:] = (np.diff(tsv) > gap_us).astype(np.int64)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsv, uid))
+        tsv, uid = tsv[order], uid[order]
+        brk = np.ones(len(tsv), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (np.diff(tsv) > gap_us)
         sess = np.cumsum(brk) - 1
-        n_sessions = sess[-1] + 1 if len(sess) else 0
-        starts = np.zeros(n_sessions, dtype=np.int64)
-        ends = np.zeros(n_sessions, dtype=np.int64)
-        counts = np.bincount(sess, minlength=n_sessions)
-        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        starts = tsv[first]
-        ends = tsv[np.cumsum(counts) - 1]
-        uid = group.column("user_id")[0].as_py()
+        counts = np.bincount(sess)
+        first = np.nonzero(brk)[0]
+        last = np.concatenate([first[1:] - 1, [len(tsv) - 1]])
         return pa.table(
             {
-                "user_id": pa.array(np.full(n_sessions, uid, dtype=np.int64)),
-                "session_start": pa.array(starts).cast(pa.timestamp("us")),
+                "user_id": pa.array(uid[first]),
+                "session_start": pa.array(tsv[first]).cast(pa.timestamp("us")),
                 "n_events": pa.array(counts.astype(np.int64)),
-                "duration_sec": pa.array((ends - starts) // 1_000_000),
+                "duration_sec": pa.array((tsv[last] - tsv[first]) // 1_000_000),
             }
         )
 
-    return (
-        _events(sf_dir)
-        .select_columns(["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+    return map_key_partitions(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_id"]),
+        ["user_id"],
+        sessions_part,
     )
 
 
@@ -170,60 +182,92 @@ def asof_last_order(sf_dir: str) -> "ray.data.Dataset":
         ).map_batches(order_rows, batch_format="pyarrow")
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        tsv = group.column("ts_us").to_numpy(zero_copy_only=False)
-        payload = group.column("payload").to_numpy(zero_copy_only=False)
-        ord_ts = np.sort(tsv[side == 0])
+    from .partition import map_key_partitions
+
+    def merge_part(tbl: pa.Table) -> pa.Table:
+        """All users of one hash partition at once: sort by (user, ts,
+        side) with orders before events at equal ts (the join is
+        inclusive), forward-fill the last-order row index with
+        ``np.maximum.accumulate``, and invalidate fills that crossed a
+        user boundary — one vectorized pass, no per-user dispatch."""
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "last_order_date": pa.array([], type=pa.timestamp("us")),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        tsv = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        payload = tbl.column("payload").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, tsv, uid))
+        side, tsv, uid, payload = side[order], tsv[order], uid[order], payload[order]
+        n = len(side)
+        idx = np.where(side == 0, np.arange(n, dtype=np.int64), np.int64(-1))
+        np.maximum.accumulate(idx, out=idx)
         ev_mask = side == 1
-        ev_ts = tsv[ev_mask]
-        eid = payload[ev_mask]
-        if len(ord_ts) == 0 or len(ev_ts) == 0:
-            return pa.table(
-                {
-                    "event_id": pa.array([], type=pa.int64()),
-                    "user_id": pa.array([], type=pa.int64()),
-                    "last_order_date": pa.array([], type=pa.timestamp("us")),
-                }
-            )
-        idx = np.searchsorted(ord_ts, ev_ts, side="right") - 1
-        keep = idx >= 0
-        uid = group.column("user_id")[0].as_py()
+        cand = idx[ev_mask]
+        cand_c = np.clip(cand, 0, n - 1)
+        ev_uid = uid[ev_mask]
+        valid = (cand >= 0) & (uid[cand_c] == ev_uid)
+        if not valid.any():
+            return empty
         return pa.table(
             {
-                "event_id": pa.array(eid[keep]),
-                "user_id": pa.array(np.full(int(keep.sum()), uid, dtype=np.int64)),
-                "last_order_date": pa.array(ord_ts[idx[keep]]).cast(pa.timestamp("us")),
+                "event_id": pa.array(payload[ev_mask][valid]),
+                "user_id": pa.array(ev_uid[valid]),
+                "last_order_date": pa.array(tsv[cand_c][valid]).cast(
+                    pa.timestamp("us")
+                ),
             }
         )
 
-    return od.union(ev).groupby("user_id").map_groups(merge, batch_format="pyarrow")
+    return map_key_partitions(od.union(ev), ["user_id"], merge_part)
 
 
 def user_value_rank(sf_dir: str, top_n: int = 3) -> "ray.data.Dataset":
     """Windowed ranking (``ROW_NUMBER() OVER (PARTITION BY user ORDER BY
-    value DESC, event_id)``, top-N per partition): one shuffle on the
-    partition key, vectorized lexsort + slice inside each group.  The
-    shuffle carries only (user_id, event_id, value)."""
+    value DESC, event_id)``, top-N per user): one shuffle on the hash of
+    the partition key, then ONE lexsort + run-boundary rank computation
+    per hash partition (no per-user dispatch).  The shuffle carries only
+    (user_id, event_id, value)."""
 
-    def per_user(group: pa.Table) -> pa.Table:
-        val = group.column("value").to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, -val))[:top_n]
-        uid = group.column("user_id")[0].as_py()
+    from .partition import map_key_partitions, run_starts
+
+    def rank_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "rnk": pa.array([], type=pa.int64()),
+                }
+            )
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, uid))
+        uid, eid = uid[order], eid[order]
+        starts = run_starts(uid)
+        run_id = np.cumsum(starts) - 1
+        first_idx = np.nonzero(starts)[0]
+        rnk = np.arange(len(uid), dtype=np.int64) - first_idx[run_id] + 1
+        keep = rnk <= top_n
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(order), uid, dtype=np.int64)),
-                "event_id": pa.array(eid[order]),
-                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "user_id": pa.array(uid[keep]),
+                "event_id": pa.array(eid[keep]),
+                "rnk": pa.array(rnk[keep]),
             }
         )
 
-    return (
-        _events(sf_dir)
-        .select_columns(["user_id", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+    return map_key_partitions(
+        _events(sf_dir).select_columns(["user_id", "event_id", "value"]),
+        ["user_id"],
+        rank_part,
     )
 
 
@@ -256,25 +300,56 @@ def user_daily_activity(sf_dir: str) -> "ray.data.Dataset":
         partial, batch_format="pyarrow"
     )
 
-    def per_user_day(group: pa.Table) -> pa.Table:
-        n = int(pc.sum(group.column("p_cnt")).as_py() or 0)
-        n_types = len(
-            pc.unique(
-                group.column("event_type").combine_chunks()
-                if isinstance(group.column("event_type"), pa.ChunkedArray)
-                else group.column("event_type")
+    from .partition import map_key_partitions, run_starts
+
+    def combine_part(tbl: pa.Table) -> pa.Table:
+        """All (day, user) groups of one hash partition in one pass:
+        lexsort by (day, user, type), then n_events = segment sum of the
+        partial counts and n_types = distinct-type run starts per group."""
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], type=tbl.schema.field("day").type),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "n_types": pa.array([], type=pa.int64()),
+                }
             )
+        day_type = tbl.schema.field("day").type
+        day_col = tbl.column("day")
+        if isinstance(day_col, pa.ChunkedArray):
+            day_col = day_col.combine_chunks()
+        day = day_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        pcnt = tbl.column("p_cnt").to_numpy(zero_copy_only=False)
+        et_code = np.unique(et, return_inverse=True)[1]
+        order = np.lexsort((et_code, uid, day))
+        day, uid, et_code, pcnt = (
+            day[order],
+            uid[order],
+            et_code[order],
+            pcnt[order],
         )
+        g_start = run_starts(day, uid)
+        g_id = np.cumsum(g_start) - 1
+        n_groups = int(g_id[-1]) + 1
+        n_events = np.bincount(g_id, weights=pcnt, minlength=n_groups).astype(
+            np.int64
+        )
+        t_start = run_starts(day, uid, et_code)
+        n_types = np.bincount(g_id[t_start], minlength=n_groups)
+        first_idx = np.nonzero(g_start)[0]
         return pa.table(
             {
-                "day": group.column("day").slice(0, 1),
-                "user_id": group.column("user_id").slice(0, 1),
-                "n_events": pa.array([n], type=pa.int64()),
-                "n_types": pa.array([n_types], type=pa.int64()),
+                "day": pa.array(day[first_idx]).cast(day_type),
+                "user_id": pa.array(uid[first_idx]),
+                "n_events": pa.array(n_events),
+                "n_types": pa.array(n_types.astype(np.int64)),
             }
         )
 
-    return partials.groupby(["day", "user_id"]).map_groups(per_user_day, batch_format="pyarrow")
+    return map_key_partitions(partials, ["day", "user_id"], combine_part)
 
 
 # ---------------------------------------------------------------------------

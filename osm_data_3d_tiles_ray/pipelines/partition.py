@@ -1,0 +1,99 @@
+"""Hash-partitioned processing of many-tiny-group keys.
+
+The repo's own rule (CLAUDE.md): ``groupby(key).map_groups(fn)`` costs
+~1 ms of dispatch per group and must never run over >10k tiny groups —
+at web scale a per-pair or per-user groupby is millions of 1-ms
+dispatches.  This module keeps the SHUFFLE (complete key groups still
+co-locate) but replaces per-group dispatch with one vectorized call per
+hash PARTITION: rows gain a ``__part = hash(key) % P`` column, the
+groupby runs over the P partition ids (bounded, scales with the cluster
+— not with key cardinality), and the partition function reduces its key
+runs with sorted-boundary segment operations (``np.unique`` /
+``reduceat`` / boundary masks).
+
+This is the engine's stand-in for a hash-partitioned ``map_partitions``
+that Ray Data's public Dataset API does not expose directly; skew is
+bounded by the hash (a partition holds many keys, so one hot key cannot
+exceed a partition the way it dominates a per-key group).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+DEFAULT_PARTITIONS = 64
+
+
+def _key_hash(tbl: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
+    """Vectorized 64-bit row hash of the key columns → partition id."""
+    import polars as pl
+
+    h = pl.from_arrow(tbl.select(key_cols)).hash_rows(seed=0x51AB1E).to_numpy()
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def map_key_partitions(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    fn,
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Apply ``fn(pa.Table) -> pa.Table`` once per hash partition.
+
+    Every row whose key columns hash to the same partition lands in the
+    same ``fn`` call, so each call sees COMPLETE key groups (the same
+    co-location guarantee as ``groupby(key).map_groups``) but with only
+    ``num_partitions`` dispatches.  ``fn`` receives the partition's rows
+    unsorted and owns its own sort/segment logic.
+    """
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(_key_hash(batch, key_cols, num_partitions))
+        )
+
+    def run_part(part: pa.Table) -> pa.Table:
+        return fn(part.drop_columns(["__part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(run_part, batch_format="pyarrow")
+    )
+
+
+def run_starts(*arrays: np.ndarray) -> np.ndarray:
+    """Boolean mask of run starts over arrays already sorted together."""
+    n = len(arrays[0])
+    mask = np.zeros(n, dtype=bool)
+    if n:
+        mask[0] = True
+    for a in arrays:
+        mask[1:] |= a[1:] != a[:-1]
+    return mask
+
+
+def first_per_key(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> "ray.data.Dataset":
+    """DISTINCT-by-key: one (deterministic) row per key — the vectorized
+    replacement for ``groupby(keys).map_groups(lambda g: g.slice(0, 1))``.
+
+    Within each partition the table sorts by all columns (deterministic
+    tiebreak) and keeps key-run starts via one boundary mask."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        tbl = tbl.sort_by([(c, "ascending") for c in tbl.column_names])
+        arrays = [
+            tbl.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+        ]
+        return tbl.filter(pa.array(run_starts(*arrays)))
+
+    return map_key_partitions(ds, key_cols, fn, num_partitions)

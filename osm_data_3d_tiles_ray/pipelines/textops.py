@@ -337,49 +337,72 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR bit tricks)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def simhash_near_dup(sf_dir: str, max_hamming: int = 8) -> "ray.data.Dataset":
     """SimHash near-dup: banded candidates, verified by Hamming distance.
-    Output: (doc_id, dup_of, hamming) with doc_id > dup_of, deduplicated."""
+    Output: (doc_id, dup_of, hamming) with doc_id > dup_of, deduplicated.
+
+    Scale shape: buckets are processed per hash PARTITION (bounded
+    dispatch — see pipelines/partition.py), never per bucket group; the
+    per-bucket pairwise Hamming check runs over sorted bucket runs with a
+    SWAR popcount.  The final (doc_id, dup_of) dedup is a vectorized
+    run-start filter, not a per-pair ``map_groups``."""
+    from .partition import first_per_key, map_key_partitions, run_starts
+
     sigs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         _simhash_batch, batch_format="pyarrow"
     )
 
-    def bucket(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        sig = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        uniq, idx = np.unique(ids, return_index=True)
-        sig = sig[idx]
-        if len(uniq) < 2:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "dup_of": pa.array([], type=pa.int64()),
-                    "hamming": pa.array([], type=pa.int64()),
-                }
-            )
-        # pairwise Hamming within the bucket (buckets are small by design)
-        x = sig[:, None] ^ sig[None, :]
-        # vectorized popcount
-        v = x.copy()
-        cnt = np.zeros(v.shape, dtype=np.int64)
-        while True:
-            cnt += (v & np.uint64(1)).astype(np.int64)
-            v >>= np.uint64(1)
-            if not v.any():
-                break
-        a, b = np.nonzero((cnt <= max_hamming) & (uniq[:, None] > uniq[None, :]))
+    def buckets_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) < 2:
+            return empty
+        band = tbl.column("band").to_numpy(zero_copy_only=False)
+        key = tbl.column("band_key").to_numpy(zero_copy_only=False)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, key, band))
+        band, key, ids, sig = band[order], key[order], ids[order], sig[order]
+        starts = np.nonzero(run_starts(band, key))[0]
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            u, idx = np.unique(ids[s:e], return_index=True)
+            sg = sig[s:e][idx]
+            cnt = _popcount_u64(sg[:, None] ^ sg[None, :])
+            a, b = np.nonzero((cnt <= max_hamming) & (u[:, None] > u[None, :]))
+            out_a.append(u[a])
+            out_b.append(u[b])
+            out_h.append(cnt[a, b])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "doc_id": pa.array(uniq[a]),
-                "dup_of": pa.array(uniq[b]),
-                "hamming": pa.array(cnt[a, b]),
+                "doc_id": pa.array(np.concatenate(out_a)),
+                "dup_of": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
             }
         )
 
-    pairs = sigs.groupby(["band", "band_key"]).map_groups(bucket, batch_format="pyarrow")
-    return pairs.groupby(["doc_id", "dup_of"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    pairs = map_key_partitions(sigs, ["band", "band_key"], buckets_part)
+    return first_per_key(pairs, ["doc_id", "dup_of"])
 
 
 def _shingle_set_u32(texts: np.ndarray) -> list[np.ndarray]:
@@ -472,36 +495,53 @@ def jaccard_ngram_pairs(sf_dir: str, threshold: float = 0.5) -> "ray.data.Datase
         _shingle_rows, batch_format="pyarrow"
     )
 
-    # shuffle #1: attach the key doc's shingles to every pair side
-    def _attach(group: pa.Table) -> pa.Table:
-        is_sh = group.column("is_shingle").to_numpy(zero_copy_only=False)
+    from .partition import map_key_partitions, run_starts
+
+    # shuffle #1: attach the key doc's shingles to every pair side — a
+    # sorted-key searchsorted join INSIDE each hash partition (one
+    # vectorized call per partition, not one per key group)
+    def _attach_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+                "shingles": pa.array([], type=pa.large_list(pa.uint32())),
+            }
+        )
+        is_sh = tbl.column("is_shingle").to_numpy(zero_copy_only=False)
         if not is_sh.any() or is_sh.all():
-            return group.slice(0, 0).select(["key_id", "doc_id", "dup_of", "shingles"])
-        sh_col = group.filter(pa.array(is_sh)).column("shingles")
+            return empty
+        sh = tbl.filter(pa.array(is_sh)).sort_by("key_id")
+        pairs = tbl.filter(pa.array(~is_sh))
+        sh_keys = sh.column("key_id").to_numpy(zero_copy_only=False)
+        pk = pairs.column("key_id").to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(sh_keys, pk), 0, len(sh_keys) - 1)
+        valid = sh_keys[idx] == pk
+        if not valid.any():
+            return empty
+        pairs = pairs.filter(pa.array(valid))
+        sh_col = sh.column("shingles")
         if isinstance(sh_col, pa.ChunkedArray):
             sh_col = sh_col.combine_chunks()
-        vals = np.asarray(sh_col[0].values)  # this key doc's shingle set
-        pairs = group.filter(pa.array(~is_sh))
-        n = len(pairs)
-        rep = pa.LargeListArray.from_arrays(
-            np.arange(n + 1, dtype=np.int64) * len(vals),
-            pa.array(np.tile(vals, n), type=pa.uint32()),
-        )
+        attached = sh_col.take(pa.array(idx[valid]))
         return pa.table(
             {
                 "key_id": pairs.column("key_id"),
                 "doc_id": pairs.column("doc_id"),
                 "dup_of": pairs.column("dup_of"),
-                "shingles": rep,
+                "shingles": attached,
             }
         )
 
-    attached = side_rows.union(shingle_rows).groupby("key_id").map_groups(
-        _attach, batch_format="pyarrow"
+    attached = map_key_partitions(
+        side_rows.union(shingle_rows), ["key_id"], _attach_part
     )
 
-    # shuffle #2: verify each pair from its two attached shingle sets
-    def _verify(group: pa.Table) -> pa.Table:
+    # shuffle #2: verify every pair in the partition at once — flatten both
+    # sides' (already unique-within-side) shingle values, sort by
+    # (pair, value), and count adjacent duplicates = intersection size
+    def _verify_part(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
@@ -509,29 +549,45 @@ def jaccard_ngram_pairs(sf_dir: str, threshold: float = 0.5) -> "ray.data.Datase
                 "jaccard_pct": pa.array([], type=pa.int64()),
             }
         )
-        if len(group) != 2:
+        if len(tbl) == 0:
             return empty
-        col = group.column("shingles")
+        tbl = tbl.sort_by(
+            [("doc_id", "ascending"), ("dup_of", "ascending"), ("key_id", "ascending")]
+        )
+        a = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        b = tbl.column("dup_of").to_numpy(zero_copy_only=False)
+        starts = run_starts(a, b)
+        run_id = np.cumsum(starts) - 1
+        run_len = np.bincount(run_id)
+        ok = run_len[run_id] == 2  # a complete pair has exactly 2 sides
+        if not ok.any():
+            return empty
+        tbl = tbl.filter(pa.array(ok))
+        a, b = a[ok], b[ok]
+        col = tbl.column("shingles")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        sa = np.asarray(col[0].values)
-        sb = np.asarray(col[1].values)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        j = inter / max(1, union)
-        if j < threshold:
-            return empty
+        lens = np.asarray(pc.list_value_length(col)).astype(np.int64)
+        vals = np.asarray(col.flatten())
+        pair_of_row = np.arange(len(tbl), dtype=np.int64) // 2
+        vpair = np.repeat(pair_of_row, lens)
+        order = np.lexsort((vals, vpair))
+        vp, vv = vpair[order], vals[order]
+        dup = (vp[1:] == vp[:-1]) & (vv[1:] == vv[:-1])
+        n_pairs = len(tbl) // 2
+        inter = np.bincount(vp[1:][dup], minlength=n_pairs)
+        union = lens[0::2] + lens[1::2] - inter
+        j = inter / np.maximum(1, union)
+        keep = j >= threshold
         return pa.table(
             {
-                "doc_id": group.column("doc_id").slice(0, 1),
-                "dup_of": group.column("dup_of").slice(0, 1),
-                "jaccard_pct": pa.array([int(round(j * 100))], type=pa.int64()),
+                "doc_id": pa.array(a[0::2][keep]),
+                "dup_of": pa.array(b[0::2][keep]),
+                "jaccard_pct": pa.array(np.round(j[keep] * 100).astype(np.int64)),
             }
         )
 
-    return attached.groupby(["doc_id", "dup_of"]).map_groups(
-        _verify, batch_format="pyarrow"
-    )
+    return map_key_partitions(attached, ["doc_id", "dup_of"], _verify_part)
 
 
 def minhash_near_dup(sf_dir: str) -> "ray.data.Dataset":
@@ -539,28 +595,45 @@ def minhash_near_dup(sf_dir: str) -> "ray.data.Dataset":
 
     Output: (doc_id, dup_of) pairs where dup_of = smallest doc_id in a
     shared bucket (doc_id > dup_of), deduplicated.
-    """
+
+    Scale shape: bucket reduction and pair dedup both run per hash
+    PARTITION with vectorized run-boundary segment ops (bounded dispatch;
+    see pipelines/partition.py) — never one ``map_groups`` call per
+    bucket or per pair."""
+    from .partition import first_per_key, map_key_partitions, run_starts
+
     sigs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         _minhash_batch, batch_format="pyarrow"
     )
 
-    def bucket(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table(
-                {"doc_id": pa.array([], type=pa.int64()), "dup_of": pa.array([], type=pa.int64())}
-            )
-        keep = ids.min()
-        rest = ids[ids != keep]
+    def buckets_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "dup_of": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) < 2:
+            return empty
+        band = tbl.column("band").to_numpy(zero_copy_only=False)
+        key = tbl.column("band_key").to_numpy(zero_copy_only=False)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key, band))
+        band, key, ids = band[order], key[order], ids[order]
+        # one signature row per doc per band → ids are unique within a
+        # bucket run; the run's first (sorted) id is the bucket minimum
+        starts = run_starts(band, key)
+        run_id = np.cumsum(starts) - 1
+        first_idx = np.nonzero(starts)[0]
+        dup_of = ids[first_idx[run_id]]
+        keep = ~starts
         return pa.table(
-            {"doc_id": pa.array(rest), "dup_of": pa.array(np.full(len(rest), keep))}
+            {"doc_id": pa.array(ids[keep]), "dup_of": pa.array(dup_of[keep])}
         )
 
-    pairs = sigs.groupby(["band", "band_key"]).map_groups(bucket, batch_format="pyarrow")
+    pairs = map_key_partitions(sigs, ["band", "band_key"], buckets_part)
     # a pair may surface from several bands — dedup (doc_id, dup_of)
-    return pairs.groupby(["doc_id", "dup_of"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return first_per_key(pairs, ["doc_id", "dup_of"])
 
 
 # ---------------------------------------------------------------------------

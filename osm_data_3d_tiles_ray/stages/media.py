@@ -109,14 +109,14 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
     actor-pool feature extraction."""
     from ..pipelines.geo import parsed_ds
 
-    refs_ds = (
+    # distinct refs via the built-in aggregate (NOT one map_groups call
+    # per ref); the distinct set is the small broadcast side
+    refs = (
         parsed_ds(sf_dir)
         .select_columns(["media_refs"])
         .map_batches(_explode_refs, batch_format="pyarrow")
-        .groupby("media_ref")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .unique("media_ref")
     )
-    refs = [r["media_ref"] for r in refs_ds.take_all()]  # small: distinct atlas refs
     media = synth_media_table(sorted(refs))
     return ray.data.from_arrow(media).map_batches(
         MediaFeatureExtractor,
