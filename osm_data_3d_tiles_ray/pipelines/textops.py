@@ -747,13 +747,18 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 32) -> "ray.data.Dataset":
 
 
 def _term_tf_rows(batch: pa.Table) -> pa.Table:
-    """Explode one batch of documents to (term, doc_id, tf) rows.
+    """Explode one batch of documents to (term, term_hash, doc_id, tf) rows.
 
     Tokenization is vectorized (`pc.split_pattern` on spaces, empties
     dropped); the per-(doc, term) counting runs once over the batch via
     np.unique on (term-code, doc-row) pairs.  Each document lives in
     exactly one batch, so the emitted tf is final — no cross-batch
-    combine is needed for TF, only for DF."""
+    combine is needed for TF, only for DF.  ``term_hash`` is a 64-bit
+    text hash: all downstream shuffles key on the fixed-width hash, never
+    the string (collisions are birthday-bounded at ~2^32 distinct
+    terms — negligible for real vocabularies)."""
+    import polars as pl
+
     text = batch.column("text")
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -767,32 +772,45 @@ def _term_tf_rows(batch: pa.Table) -> pa.Table:
     words, row_of_tok = words[keep], row_of_tok[keep]
     # encode terms as ints once, then count (term, doc) pairs
     vocab, code = np.unique(words, return_inverse=True)
+    vocab_hash = (
+        pl.Series(vocab.astype(object)).hash(seed=0x7F1D).to_numpy().view(np.int64)
+    )
     pair = code.astype(np.int64) * len(doc_ids) + row_of_tok
     upair, tf = np.unique(pair, return_counts=True)
+    term_idx = upair // len(doc_ids)
     return pa.table(
         {
-            "term": pa.array(vocab[upair // len(doc_ids)]),
+            "term": pa.array(vocab[term_idx]),
+            "term_hash": pa.array(vocab_hash[term_idx]),
             "doc_id": pa.array(doc_ids[upair % len(doc_ids)]),
             "tf": pa.array(tf.astype(np.int64)),
         }
     )
 
 
-def tf_idf(sf_dir: str) -> "ray.data.Dataset":
+def tf_idf(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset":
     """Distributed TF-IDF over the documents table (the feature-weighting
     primitive of every classical text pipeline).
 
-    Shape for 100 TB: documents explode to (term, doc_id, tf) in one
-    ``map_batches`` pass; document frequency is a combiner-before-shuffle
-    aggregate over those SAME rows (each (term, doc) appears exactly once,
-    so ``groupby(term).count()`` is DF); the resulting vocabulary table is
-    the SMALL side and broadcasts back into a second pass as a sorted
-    array + searchsorted lookup — the wide (term, doc, tf) relation is
-    never shuffled a second time and never joins against itself.
+    Shape for 100 TB: documents explode to (term, term_hash, doc_id, tf)
+    in one ``map_batches`` pass; document frequency is an aggregate over
+    those SAME rows keyed by the 16-byte term hash (each (term, doc)
+    appears exactly once, so ``groupby(term_hash).count()`` is DF); the
+    IDF attach is then ONE distributed hash-partitioned join of the tiny
+    (term_hash, df) relation back onto the tf rows (tag-union + sorted
+    searchsorted inside each partition, pipelines/partition.py).  The
+    vocabulary is NEVER materialized on the driver and no stage holds
+    more than |vocab| / num_partitions terms — Heap's law growth (1e8+
+    unique terms at 100 TB) only widens the partition count, not any
+    single process.  (The previous design broadcast the full vocabulary
+    through a ``take_all()`` — a multi-GB driver materialization at real
+    corpus sizes.)
 
     Output: (doc_id, term, tfidf_micro) with
     ``tfidf = tf * ln(N / df)`` in integer micro-units (oracle float rule:
     transcendental results compare at scale ≤ 1e6)."""
+    from .partition import map_key_partitions
+
     tf_rows = (
         _docs(sf_dir)
         .select_columns(["doc_id", "text"])
@@ -800,31 +818,68 @@ def tf_idf(sf_dir: str) -> "ray.data.Dataset":
     )
     n_docs = _docs(sf_dir).count()
 
-    # DF: one row per (term, doc) already → count per term.  The vocab
-    # aggregate is tiny (≪ corpus); take_all here is the broadcast side.
-    df_tbl = tf_rows.groupby("term").count()
-    df_rows = df_tbl.take_all()
-    vocab = np.array([r["term"] for r in df_rows])
-    dfv = np.array([r["count()"] for r in df_rows], dtype=np.int64)
-    order = np.argsort(vocab)
-    vocab, dfv = vocab[order], dfv[order]
-    idf = np.log(n_docs / dfv.astype(np.float64))
+    # DF: one row per (term, doc) already → count per term hash.  This
+    # stays distributed: only fixed-width (term_hash, df) rows shuffle.
+    df_tbl = tf_rows.groupby("term_hash").count()
 
-    def weight(batch: pa.Table) -> pa.Table:
-        terms = batch.column("term").to_numpy(zero_copy_only=False)
-        tf = batch.column("tf").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(vocab, terms)
-        w = tf.astype(np.float64) * idf[idx]
-        micro = np.floor(w * 1e6 + 0.5).astype(np.int64)
+    def df_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "term": batch.column("term"),
-                "tfidf_micro": pa.array(micro),
+                "term_hash": batch.column("term_hash"),
+                "df": pc.cast(batch.column("count()"), pa.int64()),
+                "is_df": pa.array(np.ones(n, dtype=np.int8)),
+                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "tf": pa.array(np.zeros(n, dtype=np.int64)),
+                "term": pa.array([""] * n, type=pa.string()),
             }
         )
 
-    return tf_rows.map_batches(weight, batch_format="pyarrow")
+    def tf_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "term_hash": batch.column("term_hash"),
+                "df": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_df": pa.array(np.zeros(n, dtype=np.int8)),
+                "doc_id": batch.column("doc_id"),
+                "tf": batch.column("tf"),
+                "term": batch.column("term"),
+            }
+        )
+
+    tagged = df_tbl.map_batches(df_side, batch_format="pyarrow").union(
+        tf_rows.map_batches(tf_side, batch_format="pyarrow")
+    )
+
+    def attach_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tfidf_micro": pa.array([], type=pa.int64()),
+            }
+        )
+        is_df = tbl.column("is_df").to_numpy(zero_copy_only=False) == 1
+        if is_df.all() or not is_df.any():
+            return empty
+        dfs = tbl.filter(pa.array(is_df)).sort_by("term_hash")
+        tfs = tbl.filter(pa.array(~is_df))
+        dkeys = dfs.column("term_hash").to_numpy(zero_copy_only=False)
+        dvals = dfs.column("df").to_numpy(zero_copy_only=False)
+        tkeys = tfs.column("term_hash").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(dkeys, tkeys)  # every tf term has a df row
+        tf = tfs.column("tf").to_numpy(zero_copy_only=False)
+        w = tf.astype(np.float64) * np.log(n_docs / dvals[idx].astype(np.float64))
+        return pa.table(
+            {
+                "doc_id": tfs.column("doc_id"),
+                "term": tfs.column("term"),
+                "tfidf_micro": pa.array(np.floor(w * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return map_key_partitions(tagged, ["term_hash"], attach_part, num_partitions)
 
 
 # ---------------------------------------------------------------------------
