@@ -1028,23 +1028,43 @@ def top_terms(sf_dir: str, capacity: int = 64, k: int = 10) -> "pa.Table":
 # eval-set decontamination
 
 
-def _hashed_ngrams(texts: list[str], n: int) -> "np.ndarray | list":
-    """64-bit hashes of the space-joined word n-grams of each text —
-    returns (flat hash array, per-text counts)."""
+def _hashed_ngrams(text, n: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """64-bit hashes of the word ``n``-grams of a text column — fully
+    vectorized: one ``pc.split_pattern`` tokenize, one polars hash of the
+    flat token array, then a positional polynomial combine of ``n``
+    consecutive token hashes (``n`` shifted fused multiply-xor passes, the
+    ``doc_fingerprint`` rolling-hash pattern — never a per-row Python
+    loop).  Windows crossing a document boundary are masked out.
+
+    Accepts a pyarrow string array/chunked array or any sequence of str.
+    Returns ``(gram_hash:int64[], gram_row:int64[] — owning text index
+    per gram, n_texts)``.  Both the eval and train sides of
+    :func:`decontaminate` use this same hash, so membership tests compare
+    hash-to-hash (64-bit collisions are negligible)."""
     import polars as pl
 
-    grams: list[str] = []
-    counts: list[int] = []
-    for t in texts:
-        toks = [w for w in t.split(" ") if w]
-        k = max(0, len(toks) - n + 1)
-        counts.append(k)
-        for j in range(k):
-            grams.append(" ".join(toks[j : j + n]))
-    if not grams:
-        return np.empty(0, dtype=np.int64), counts
-    h = pl.Series(grams).hash(seed=0xC0FFEE).to_numpy().view(np.int64)
-    return h, counts
+    if not isinstance(text, (pa.Array, pa.ChunkedArray)):
+        text = pa.array(list(text), type=pa.string())
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_texts = len(text)
+    toks = pc.split_pattern(text, " ")
+    flat = toks.flatten()
+    offs = np.asarray(toks.offsets)
+    row = np.repeat(np.arange(n_texts, dtype=np.int64), np.diff(offs))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = words != ""
+    words, row = words[keep], row[keep]
+    m = len(words) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), n_texts
+    h = pl.Series(words.astype(object)).hash(seed=0xC0FFEE).to_numpy()
+    g = np.zeros(m, dtype=np.uint64)
+    B = np.uint64(0x100000001B3)
+    for k in range(n):
+        g = g * B ^ h[k : k + m]
+    valid = row[:m] == row[n - 1 :]
+    return g[valid].view(np.int64), row[:m][valid], n_texts
 
 
 def decontaminate(
@@ -1072,7 +1092,7 @@ def decontaminate(
         columns=["text", "source"],
         filters=[("source", "=", eval_source)],
     )
-    ev_hashes, _ = _hashed_ngrams(ev_tbl.column("text").to_pylist(), n)
+    ev_hashes, _, _ = _hashed_ngrams(ev_tbl.column("text"), n)
     ev_hashes = np.unique(ev_hashes)  # sorted — the broadcast small side
 
     class Check:
@@ -1088,19 +1108,12 @@ def decontaminate(
             doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
             src = batch.column("source").to_numpy(zero_copy_only=False)
             train = src != eval_source
-            h, counts = _hashed_ngrams(
-                [t for t, k in zip(text.to_pylist(), train) if k], n
-            )
+            h, gram_row, n_train = _hashed_ngrams(text.filter(pa.array(train)), n)
             hit = np.isin(h, self.ev)
-            # fold per-gram hits to per-doc any() via the counts layout
+            # fold per-gram hits to per-doc any(): scatter the owning rows
             tdoc = doc[train]
-            tcounts = np.asarray(counts, dtype=np.int64)
-            ends = np.cumsum(tcounts)
-            starts = ends - tcounts
-            any_hit = np.array(
-                [hit[s:e].any() if e > s else False for s, e in zip(starts, ends)],
-                dtype=bool,
-            )
+            any_hit = np.zeros(n_train, dtype=bool)
+            any_hit[gram_row[hit]] = True
             return pa.table({"doc_id": pa.array(tdoc[any_hit])})
 
     return (
@@ -1225,11 +1238,16 @@ def source_mixture(
     vectorized pass.  Default demo mixture: even sources halved."""
     if rates_pm is None:
         rates_pm = {f"src{i}": (500 if i % 2 == 0 else 1000) for i in range(20)}
+    # rate lookup as a sorted-key searchsorted (vectorized; the rate table
+    # is tiny and built once per task closure, never per row)
+    rate_keys = np.array(sorted(rates_pm))
+    rate_vals = np.array([rates_pm[k] for k in rate_keys], dtype=np.int64)
 
     def keep(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
         src = batch.column("source").to_numpy(zero_copy_only=False)
-        thr = np.array([rates_pm.get(s, default_pm) for s in src], dtype=np.int64)
+        idx = np.clip(np.searchsorted(rate_keys, src), 0, len(rate_keys) - 1)
+        thr = np.where(rate_keys[idx] == src, rate_vals[idx], default_pm)
         key = (doc.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
         mask = (key % np.uint64(1000)).astype(np.int64) < thr
         return pa.table(
