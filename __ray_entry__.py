@@ -205,6 +205,118 @@ FROM t8
 """
 
 
+def _jenkins_round_sql(a: str, pfx: str) -> tuple[str, str]:
+    """SQL column chain for one vectorized Jenkins 32-bit avalanche round
+    (geom/rng.py:jenkins_mix) over the uint32-valued BIGINT expression
+    ``a`` — lateral alias references, every add/shift reduced mod 2^32 so
+    DuckDB BIGINT arithmetic reproduces the numpy uint32 wraparound
+    bit-for-bit.  Returns (select-list fragment, final alias)."""
+    M = 4294967296
+    cols = [
+        f"({a} + {0x7ED55D16} + {a} * 4096) % {M} AS {pfx}1",
+        f"xor(xor({pfx}1, {0xC761C23C}), {pfx}1 // 524288) AS {pfx}2",
+        f"({pfx}2 + {0x165667B1} + {pfx}2 * 32) % {M} AS {pfx}3",
+        f"xor(({pfx}3 + {0xD3A2646C}) % {M}, ({pfx}3 * 512) % {M}) AS {pfx}4",
+        f"({pfx}4 + {0xFD7046C5} + {pfx}4 * 8) % {M} AS {pfx}5",
+        f"xor(xor({pfx}5, {0xB55A4F09}), {pfx}5 // 65536) AS {pfx}6",
+    ]
+    return ", ".join(cols), f"{pfx}6"
+
+
+def _lod_sample_sql() -> str:
+    """SQL mirror of geo.q_lod_sample: the keep rule is a pure integer
+    function of (osm_id, subcell) — Jenkins hash u < 0.25 ⟺ h < 2^30
+    (exact: h/2^32 is a power-of-two division), plus the min-(u, osm_id)
+    row per 12×12 sub-cell."""
+    M = 4294967296
+    tagmix = (77 * 2654435761) % M
+    mix1, h1 = _jenkins_round_sql("a0", "j")
+    mix2, h2 = _jenkins_round_sql("a1", "k")
+    return f"""
+WITH b AS (SELECT osm_id, centroid_x, centroid_y
+           FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')),
+g AS (
+  SELECT osm_id,
+    LEAST(GREATEST(CAST(FLOOR((centroid_x + {_W}) / {_T}) AS BIGINT), 0), 65535) AS tx,
+    LEAST(GREATEST(CAST(FLOOR(({_W} - centroid_y) / {_T}) AS BIGINT), 0), 65535) AS ty,
+    (centroid_x + {_W}) / {_T} AS fx0,
+    ({_W} - centroid_y) / {_T} AS fy0
+  FROM b
+),
+gg AS (
+  SELECT osm_id, tx, ty,
+    LEAST(CAST(FLOOR((fx0 - FLOOR(fx0)) * 12) AS BIGINT), 11) AS gx,
+    LEAST(CAST(FLOOR((fy0 - FLOOR(fy0)) * 12) AS BIGINT), 11) AS gy
+  FROM g
+), r AS (
+  SELECT osm_id, (tx * 1048576 + ty) * 144 + gx * 12 + gy AS subcell,
+         xor(osm_id % {M}, {tagmix}) AS a0
+  FROM gg
+),
+m1 AS (SELECT osm_id, subcell, {mix1} FROM r),
+m1b AS (SELECT osm_id, subcell, xor({h1}, (osm_id // {M}) % {M}) AS a1 FROM m1),
+m2 AS (SELECT osm_id, subcell, {mix2} FROM m1b),
+s AS (
+  SELECT osm_id, subcell, {h2} AS hh,
+         row_number() OVER (PARTITION BY subcell ORDER BY {h2}, osm_id) AS rn
+  FROM m2
+)
+SELECT osm_id, subcell FROM s WHERE hh < 1073741824 OR rn = 1
+"""
+
+
+def _point_in_polygon_sql() -> str:
+    """SQL mirror of geo.q_point_in_polygon: bbox prefilter, then the
+    identical ray-cast (geom/rings.py:point_in_ring — same IEEE-double
+    expression ((x2-x1)*(py-y1))/(y2-y1)+x1, odd crossings) per ring;
+    inside ⟺ in outer ring and in no hole ring."""
+    b = f"read_parquet('{_SYNTH_001}/buildings/*.parquet')"
+    qp = f"read_parquet('{_SYNTH_001}/query_points.parquet')"
+    return f"""
+WITH cand AS (
+  SELECT q.qid, q.x AS px, q.y AS py, b.osm_id, b.coords, b.ring_offsets,
+         CAST(len(b.coords) // 2 AS BIGINT) AS nv
+  FROM {qp} q JOIN {b} b
+    ON q.x >= b.minx AND q.x <= b.maxx AND q.y >= b.miny AND q.y <= b.maxy
+),
+rings AS (
+  SELECT qid, px, py, osm_id, coords, nv, ring_offsets,
+         unnest(range(0, len(ring_offsets))) AS ri
+  FROM cand
+),
+spans AS (
+  SELECT qid, px, py, osm_id, coords, ri,
+         CAST(ring_offsets[ri + 1] AS BIGINT) AS s,
+         CAST(CASE WHEN ri + 1 < len(ring_offsets)
+                   THEN ring_offsets[ri + 2] ELSE nv END AS BIGINT) AS e
+  FROM rings
+),
+edges AS (
+  SELECT qid, px, py, osm_id, ri, coords, s, e, unnest(range(s, e)) AS j
+  FROM spans
+),
+xy AS (
+  SELECT qid, px, py, osm_id, ri,
+         coords[2 * j + 1] AS x1, coords[2 * j + 2] AS y1,
+         coords[2 * (s + ((j - s + 1) % (e - s))) + 1] AS x2,
+         coords[2 * (s + ((j - s + 1) % (e - s))) + 2] AS y2
+  FROM edges
+),
+hits AS (
+  SELECT qid, osm_id, ri,
+         SUM(CASE WHEN (y1 > py) <> (y2 > py)
+                  THEN CASE WHEN px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                            THEN 1 ELSE 0 END
+                  ELSE 0 END) AS nhit
+  FROM xy GROUP BY qid, osm_id, ri
+),
+inr AS (SELECT qid, osm_id, ri, (nhit % 2 = 1) AS inside FROM hits)
+SELECT qid, osm_id FROM inr
+GROUP BY qid, osm_id
+HAVING BOOL_OR(ri = 0 AND inside) AND NOT BOOL_OR(ri > 0 AND inside)
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: documents (spans) → parse → per-building
     3D geometry (actor pool: walls + roof dispatch) → per-tile stats
@@ -275,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events.sessionize,
         "events_asof_last_order": events.asof_last_order,
         "events_distinct_users_hll": events.distinct_users_hll,
+        "events_distinct_users_exact": events.distinct_users_exact,
         "events_sliding_window": events.sliding_window,
         "events_type_quantiles": events.type_quantiles,
         "events_quantiles_tdigest": events.value_quantiles_tdigest,
@@ -332,6 +445,8 @@ SELECT osm_id,
        CAST((tile_x1 - tile_x + 1) * (tile_y1 - tile_y + 1) AS BIGINT) AS n_cells
 FROM ({_TILE_SQL})
 """,
+        "geo_point_in_polygon": _point_in_polygon_sql(),
+        "geo_lod_sample": _lod_sample_sql(),
         "geo_knn": f"""
 WITH d AS (
   SELECT q.qid, b.osm_id, q.k,
@@ -530,6 +645,17 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(FLOOR(SUM(value) * 1000000 + 0.5) AS BIGINT) AS sum_value_micro
 FROM events GROUP BY 1, 2
+""",
+        "events_distinct_users_exact": """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+""",
+        "top_terms": """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS est_count
+      FROM tok WHERE term <> '' GROUP BY 1)
+SELECT term, est_count,
+       CAST(row_number() OVER (ORDER BY est_count DESC, term) AS BIGINT) AS rank
+FROM c ORDER BY est_count DESC, term LIMIT 10
 """,
         "events_user_daily": """
 SELECT date_trunc('day', ts) AS day, user_id,

@@ -180,7 +180,7 @@ def main() -> None:
 
     n_docs, dt = _flagship(sf_dir)
     queries = _run_queries(sf_dir)
-    seed_dt = _seed_bench(sf_dir)
+    seed = _seed_bench(sf_dir)
     print(
         json.dumps(
             {
@@ -192,17 +192,24 @@ def main() -> None:
                 "num_cpus": num_cpus,
                 "n_docs": n_docs,
                 "docs_per_sec": round(n_docs / dt, 1),
-                "seed_write_sec": round(seed_dt, 3),
-                "seed_docs_per_sec": round(n_docs / seed_dt, 1),
+                "seed_write_sec": round(seed["sec"], 3),
+                "seed_docs_per_sec": round(n_docs / seed["sec"], 1),
+                "seed_runs_sec": seed["runs"],
+                "seed_stage_breakdown": seed["timings"],
             }
         )
     )
     ray.shutdown()
 
 
-def _seed_bench(sf_dir: str) -> float:
+def _seed_bench(sf_dir: str) -> dict:
     """Full seed-with-writes run (payload merge + partitioned parquet +
-    lineage + tileset) — the end-to-end-including-storage number."""
+    lineage + tileset) — the end-to-end-including-storage number.
+
+    Best-of-2 (like the ``--scaling`` legs): wall-clock on this shared
+    sandbox drifts ±2-3× between identical runs (BENCH_r02's seed leg was
+    2.25× BASELINE's for this reason), so the minimum plus the per-run
+    list and a per-stage wall breakdown make a slow leg attributable."""
     import shutil
     import time as _t
 
@@ -212,11 +219,21 @@ def _seed_bench(sf_dir: str) -> float:
     from osm_data_3d_tiles_ray.synth.generator import ensure_synth, sf_from_dir
 
     root = ensure_synth(sf_from_dir(sf_dir))
-    out = "/tmp/bench_seed"
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = _t.time()
-    seed_tiles(ray.data.read_parquet(str(root / "documents")), out)
-    return _t.time() - t0
+    reps = int(os.environ.get("RAY_GRAFT_SEED_REPS", "2"))
+    runs, best = [], None
+    for _ in range(reps):
+        out = "/tmp/bench_seed"
+        shutil.rmtree(out, ignore_errors=True)
+        timings: dict = {}
+        t0 = _t.time()
+        seed_tiles(
+            ray.data.read_parquet(str(root / "documents")), out, timings=timings
+        )
+        dt = _t.time() - t0
+        runs.append(round(dt, 3))
+        if best is None or dt < best["sec"]:
+            best = {"sec": dt, "timings": timings}
+    return {"sec": best["sec"], "runs": runs, "timings": best["timings"]}
 
 
 def _sf(sf_dir: str) -> float:

@@ -30,7 +30,6 @@ from ..stages.accumulate import (
 )
 from ..stages.build3d import Build3D, Build3DStats
 from ..stages.parse import parse_documents
-from ..stages.tileset import build_tileset_tree, write_tileset
 
 
 def built_ds(
@@ -94,6 +93,7 @@ def seed_tiles(
     out_dir: str,
     projection: str = "mercator",
     compact: bool = True,
+    timings: dict | None = None,
     **kw,
 ) -> dict:
     """Resumable seed run (the reference's ``seed-b3dm`` path, checkpointed).
@@ -161,31 +161,109 @@ def seed_tiles(
                 merge_one_cell(group.slice(s, e - s).drop_columns(["parent_cell"]))
             )
         table = pa.concat_tables(merged)
+        # this task holds EVERY leaf row of this z12 parent, so it writes
+        # the parent's tileset node JSON here — distributed fan-in with
+        # zero extra read or shuffle (reference walks the same z12 grid,
+        # generate-tileset.ts:37-65).  Node before fragment commit: a
+        # crash in between re-runs the partition (idempotent rewrite); a
+        # committed fragment therefore always has its node on disk, so
+        # resume's skip path is safe.
+        import pandas as pd
+
+        from ..stages.tileset import write_parent_node_json
+
+        z, tx, ty = cell_to_tile(
+            table.column("cell_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        leaf_df = pd.DataFrame(
+            {
+                "tile_z": z,
+                "tile_x": tx,
+                "tile_y": ty,
+                "max_z": table.column("max_z").to_numpy(zero_copy_only=False),
+            }
+        )
+        write_parent_node_json(px, py, leaf_df, out_dir, projection=projection)
         rec = writer.write(pid, table, rows_in, fingerprint)
         return pa.table({k: [v] for k, v in _manifest_row(rec).items()})
+
+    import time as _time
 
     manifest_ds = (
         built.map_batches(add_parent, batch_format="pyarrow")
         .groupby("parent_cell")
         .map_groups(write_parent, batch_format="pyarrow")
     )
-    manifest_ds.count()  # drive the stream
+    t0 = _time.time()
+    manifest_ds = manifest_ds.materialize()  # drive the stream
+    t1 = _time.time()
     manifest = finalize_manifest(out_dir)
+    t2 = _time.time()
+    if timings is not None:
+        timings["build_merge_write_sec"] = round(t1 - t0, 3)
+        timings["manifest_commit_sec"] = round(t2 - t1, 3)
+        timings["stage_wall_sec"] = _stage_wall_seconds(manifest_ds)
 
-    # tileset tree from the committed fragments
-    frag_paths = [f"{out_dir}/{f}" for f in manifest["fragments"]]
-    if frag_paths:
-        stats = ray.data.read_parquet(
-            frag_paths, columns=["cell_id", "batch_length", "vertex_count", "max_z"]
-        ).to_pandas()
-        z, tx, ty = cell_to_tile(stats["cell_id"].to_numpy().astype("uint64"))
-        stats["tile_z"] = z
-        stats["tile_x"] = tx
-        stats["tile_y"] = ty
-        from ..stages.tileset import build_tileset_tree, write_tileset
+    # node JSONs were written in-task by write_parent; the root needs only
+    # the committed parent coordinates, which the manifest already carries
+    if manifest["fragments"]:
+        from ..stages.tileset import write_root_from_parents
 
-        write_tileset(build_tileset_tree(stats, projection=projection), out_dir)
+        pids = [f.rsplit(".", 1)[0] for f in manifest["fragments"]]
+        coords = np.array(
+            [[int(p.split("_")[1]), int(p.split("_")[2])] for p in pids],
+            dtype=np.int64,
+        )
+        write_root_from_parents(
+            coords[:, 0], coords[:, 1], out_dir, projection=projection
+        )
+    if timings is not None:
+        timings["tileset_sec"] = round(_time.time() - t2, 3)
     return manifest
+
+
+def _stage_wall_seconds(ds) -> dict[str, float]:
+    """Per-operator remote wall-time totals parsed from ``ds.stats()`` —
+    the coarse stage breakdown bench.py publishes so a slow seed leg can
+    be attributed to a stage, not guessed at.  Best-effort: returns {} if
+    the stats text shape changes."""
+    import re
+
+    out: dict[str, float] = {}
+    try:
+        text = ds.stats()
+        op = None
+        for line in text.splitlines():
+            m = re.match(r"Operator \d+ (\S+):", line)
+            if m:
+                op = m.group(1)
+                continue
+            m = re.search(
+                r"Remote wall time:.*?([\d.]+)(us|ms|s|m) total", line
+            )
+            if m and op:
+                v = float(m.group(1))
+                unit = m.group(2)
+                sec = {"us": v / 1e6, "ms": v / 1e3, "s": v, "m": v * 60}[unit]
+                out[op] = round(out.get(op, 0.0) + sec, 3)
+    except Exception:
+        return {}
+    return out
+
+
+def _add_tile_coords(batch: pa.Table) -> pa.Table:
+    import numpy as np
+
+    from ..geom.transforms import cell_to_tile
+
+    z, tx, ty = cell_to_tile(
+        batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    )
+    return (
+        batch.append_column("tile_z", pa.array(z))
+        .append_column("tile_x", pa.array(tx))
+        .append_column("tile_y", pa.array(ty))
+    )
 
 
 def _manifest_row(rec: dict) -> dict:
@@ -210,18 +288,17 @@ def full_pipeline(
     if out_dir is None:
         return tiles
     tiles.write_parquet(out_dir)
+    from ..stages.tileset import write_tileset_distributed
+
     stats = ray.data.read_parquet(
         out_dir,
         columns=["cell_id", "batch_length", "vertex_count", "max_z"],
-    ).to_pandas()
-    from ..geom.transforms import cell_to_tile
-
-    z, tx, ty = cell_to_tile(stats["cell_id"].to_numpy().astype("uint64"))
-    stats["tile_z"] = z
-    stats["tile_x"] = tx
-    stats["tile_y"] = ty
-    tree = build_tileset_tree(stats, projection=projection)
-    write_tileset(tree, out_dir)
+    )
+    write_tileset_distributed(
+        stats.map_batches(_add_tile_coords, batch_format="pyarrow"),
+        out_dir,
+        projection=projection,
+    )
     return tiles
 
 
@@ -272,9 +349,14 @@ def export_b3dm(
             }
         )
 
-    meta = tiles.map_batches(write_files, batch_format="pyarrow").to_pandas()
-    tree = build_tileset_tree(
-        meta, projection=projection, uri_pattern="{z}_{x}_{y}.b3dm"
+    from ..stages.tileset import write_tileset_distributed
+
+    # materialize holds only the small per-tile METADATA rows (payloads
+    # were already written to disk inside the tasks above) — cluster
+    # object store, not the driver
+    meta = tiles.map_batches(write_files, batch_format="pyarrow").materialize()
+    n_tiles = meta.count()
+    write_tileset_distributed(
+        meta, out_dir, projection=projection, uri_pattern="{z}_{x}_{y}.b3dm"
     )
-    write_tileset(tree, out_dir)
-    return len(meta)
+    return n_tiles

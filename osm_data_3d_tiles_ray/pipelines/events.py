@@ -416,6 +416,35 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> "pa.Table":
     return pa.table({"n_users_hll": pa.array([int(round(est))], type=pa.int64())})
 
 
+def distinct_users_exact(sf_dir: str) -> "pa.Table":
+    """Exact COUNT(DISTINCT user_id) — the shuffle-bounded exact path next
+    to the HLL sketch above: each batch locally dedups its ids (only
+    unique ids leave the scan), then one hash-partition exchange
+    co-locates every occurrence of an id so per-partition unique counts
+    sum exactly (pipelines/partition.py — P vectorized calls, never a
+    per-id group).  At 100 TB the shuffle carries ≤ #distinct ids per
+    block, and the partition count scales with the cluster."""
+    from .partition import map_key_partitions
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pa.array(np.unique(uid))})
+
+    def count_part(part: pa.Table) -> pa.Table:
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([np.unique(uid).size], type=pa.int64())})
+
+    parts = map_key_partitions(
+        _events(sf_dir)
+        .select_columns(["user_id"])
+        .map_batches(local_unique, batch_format="pyarrow"),
+        ["user_id"],
+        count_part,
+    )
+    total = parts.sum("n") or 0
+    return pa.table({"n_users": pa.array([int(total)], type=pa.int64())})
+
+
 def sliding_window(sf_dir: str, hours: int = 6) -> "ray.data.Dataset":
     """Sliding-window aggregate (window = ``hours`` long, sliding by 1 h):
     every event contributes to the ``hours`` windows covering it.

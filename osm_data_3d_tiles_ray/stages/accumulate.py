@@ -84,19 +84,17 @@ def _combine_partials(batch: pa.Table) -> pa.Table:
 def tile_geometry_stats(built: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-building geometry rows → per-tile stats.
 
-    Combiner tree instead of a sort-based groupby: per-block partials →
-    coalesce → associative combine → final combine in one block.  The
-    partial rows are bounded by the number of DISTINCT z16 cells touched
-    (≤ ~67M globally), so the final combine block stays small even at
-    100 TB input; a hash groupby would shuffle the same rows with sort
-    overhead on top."""
+    Combiner-before-shuffle, then a hash-partitioned final combine: the
+    per-block partial rows are bounded by the number of DISTINCT z16
+    cells a block touches, and the only exchange is those partial rows
+    keyed by cell-id hash (pipelines/partition.py — one vectorized
+    ``_combine_partials`` call per partition).  No ``repartition(1)`` /
+    single-block fan-in: at 100 TB the ≤ ~67M distinct cells spread over
+    the partitions instead of one final block."""
+    from ..pipelines.partition import map_key_partitions
+
     partial = built.map_batches(_partial_tile_geom_stats, batch_format="pyarrow")
-    level1 = partial.repartition(8).map_batches(
-        _combine_partials, batch_format="pyarrow", batch_size=None
-    )
-    final = level1.repartition(1).map_batches(
-        _combine_partials, batch_format="pyarrow", batch_size=None
-    )
+    final = map_key_partitions(partial, ["cell_id"], _combine_partials)
 
     def finish(batch: pa.Table) -> pa.Table:
         cells = batch.column("cell_id").to_numpy(zero_copy_only=False)
