@@ -340,6 +340,16 @@ def _q_geometry_stats(sf_dir: str) -> Any:
     return geometry_stats(ray.data.read_parquet(str(root / "documents")))
 
 
+def _q_tile_compression(sf_dir: str) -> Any:
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.buildings import tile_compression
+    from osm_data_3d_tiles_ray.synth.generator import sf_from_dir
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    return tile_compression(ray.data.read_parquet(str(root / "documents")))
+
+
 def _q_media_features(sf_dir: str) -> Any:
     from osm_data_3d_tiles_ray.stages.media import media_features
 
@@ -369,6 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full geometry build (vertex counts not SQL-expressible → rows-only
         # check here; pytest goldens cover the kernels, SURVEY.md §5.1)
         "geo_geometry_stats": _q_geometry_stats,
+        # Draco-equivalent per-tile mesh compression (weld + delta/deflate;
+        # codec roundtrip is pytest-oracled, sizes not SQL-expressible)
+        "tile_compression": _q_tile_compression,
         # training-data companions
         "dedup_exact": textops.dedup_exact,
         "text_stats": textops.text_stats,

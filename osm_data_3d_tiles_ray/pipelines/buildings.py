@@ -62,6 +62,28 @@ def geometry_stats(documents: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     return tile_geometry_stats(built_ds(documents, emit_buffers=False, **kw))
 
 
+def tile_compression(documents: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
+    """Per-tile Draco-equivalent compression stats (weld → delta/zigzag/
+    varint → deflate; reference welds then Draco-compresses every tile,
+    b3dmGenerator.ts:169-195).  Payload bytes stay inside the encode tasks;
+    only the small metadata columns return."""
+    from ..stages.meshcodec import encode_tiles_compressed
+
+    tiles = accumulate_tiles(built_ds(documents, emit_buffers=True, **kw))
+    return tiles.map_batches(
+        encode_tiles_compressed, batch_format="pyarrow"
+    ).select_columns(
+        [
+            "cell_id",
+            "batch_length",
+            "vertex_count",
+            "unique_vertices",
+            "payload_bytes",
+            "compression_ratio",
+        ]
+    )
+
+
 def partition_fingerprint(group: pa.Table) -> str:
     """Order-independent per-partition content hash: wrapping uint64 SUM of
     per-row hashes over the row's identity + geometry bytes.  A changed

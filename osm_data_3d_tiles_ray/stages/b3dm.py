@@ -254,14 +254,17 @@ def encode_tiles_b3dm(batch: pa.Table) -> pa.Table:
 
     Feature table: ``{"BATCH_LENGTH": n}``; batch table carries per-building
     ``osm_id`` and ``osm_url`` (b3dmGenerator.ts:227-249)."""
+    from .meshcodec import _flat_list_columns
+
+    cols = _flat_list_columns(
+        batch, ("position", "normal", "uv", "batch_id", "osm_ids")
+    )
     payloads = []
     for i in range(len(batch)):
 
         def col(name):
-            c = batch.column(name)
-            if isinstance(c, pa.ChunkedArray):
-                c = c.combine_chunks()
-            return np.asarray(c[i].values)
+            flat, off = cols[name]
+            return flat[off[i] : off[i + 1]]
 
         osm_ids = col("osm_ids")
         glb = build_glb(

@@ -104,30 +104,42 @@ def decode_tile(payload: bytes) -> dict:
 
 
 def encode_tiles(batch: pa.Table) -> pa.Table:
-    """map_batches stage: merged per-tile rows → binary payload column."""
+    """map_batches stage: merged per-tile rows → binary payload column.
+
+    List columns are flattened to (values, offsets) numpy pairs ONCE per
+    batch — per-row chunked-scalar access costs ~10 ms/row on large_list
+    columns, dwarfing the actual packing work."""
+    from .meshcodec import _flat_list_columns
+
+    cols = _flat_list_columns(
+        batch, ("position", "normal", "uv", "texture_id", "batch_id", "osm_ids")
+    )
+    cell_ids = batch.column("cell_id").to_numpy(zero_copy_only=False)
+    bounds = np.stack(
+        [
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")
+        ],
+        axis=1,
+    )
     payloads = []
     for i in range(len(batch)):
 
         def col(name):
-            c = batch.column(name)
-            if isinstance(c, pa.ChunkedArray):
-                c = c.combine_chunks()
-            return np.asarray(c[i].values)
+            flat, off = cols[name]
+            return flat[off[i] : off[i + 1]]
 
         pos = col("position").reshape(-1, 3)
         payloads.append(
             encode_tile_row(
-                batch.column("cell_id")[i].as_py(),
+                int(cell_ids[i]),
                 col("osm_ids"),
                 pos,
                 col("normal").reshape(-1, 3),
                 col("uv").reshape(-1, 2),
                 col("texture_id"),
                 col("batch_id"),
-                tuple(
-                    batch.column(c)[i].as_py()
-                    for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")
-                ),
+                tuple(bounds[i]),
             )
         )
     return pa.table(

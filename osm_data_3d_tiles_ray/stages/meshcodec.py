@@ -1,0 +1,401 @@
+"""Draco-equivalent mesh compression (the reference's weld + KHR_draco step).
+
+The reference welds each tile mesh and Draco-compresses it inside the glb
+(``/root/reference/src/b3dmGenerator.ts:169-195``: ``weld({tolerance:
+1e-10})`` then ``KHRDracoMeshCompression`` with EDGEBREAKER and
+``quantizationVolume: "scene"``).  Draco itself is not available in this
+environment, so this module is a from-scratch codec built on the same
+published ideas Draco uses (quantization + connectivity reuse + prediction
++ entropy coding), implemented with numpy + stdlib zlib only:
+
+1. **Quantize** attributes exactly like the OT3D v1 payload
+   (``stages/encode.py``): position u16/bbox, normal i8, uv u16-fract.
+2. **Weld** on the *quantized* tuple (lossless w.r.t. the quantized
+   representation, and strictly more merges than a float weld) →
+   unique-vertex table in first-use order + uint32 triangle index list.
+3. **Predict + pack**: every stream is delta-encoded against its
+   predecessor (first-use order makes consecutive vertices spatially
+   close, so deltas are small), zigzag-mapped to unsigned, and packed as
+   LEB128 varints — both directions fully vectorized (no per-value Python).
+4. **Entropy-code** the concatenated streams with zlib (DEFLATE).
+
+``decompress_mesh`` is an exact inverse of steps 2–4: the decoded indexed
+mesh expands to a triangle soup whose quantized values are bit-identical
+to what OT3D v1 stores for the same input, so the codec's loss is exactly
+the v1 quantization loss and nothing more (tests assert this).
+
+Payload layout (magic "OT3C"):
+
+    [4s "OT3C"][u32 version][u32 json_len][json header]
+    [u32 zlib_len][zlib(deflate) of the concatenated varint streams]
+
+The json header carries bbox and the index/vertex counts; all streams are
+delta+zigzag'd then varint-packed through ONE vectorized pass (stream
+boundaries are implied by the counts), so encode/decode cost is a handful
+of numpy calls per tile regardless of stream count.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"OT3C"
+VERSION = 1
+
+# stream order inside the inflated buffer (each delta+zigzag+varint packed)
+_STREAMS = (
+    "index",
+    "pos_x",
+    "pos_y",
+    "pos_z",
+    "nrm_x",
+    "nrm_y",
+    "nrm_z",
+    "uv_u",
+    "uv_v",
+    "texture_id",
+    "batch_id",
+)
+
+
+# ---------------------------------------------------------------- varint ---
+
+
+def zigzag_encode(v: np.ndarray) -> np.ndarray:
+    """int64 → uint64 zigzag (0,-1,1,-2 → 0,1,2,3)."""
+    v = v.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(u & np.uint64(1)).astype(
+        np.int64
+    )
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """Vectorized LEB128: uint64 values → packed bytes (7 payload bits per
+    byte, high bit = continuation)."""
+    v = vals.astype(np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bit_length-1 / 7); bound the scan
+    # by the actual max so small-delta streams cost 1-2 passes, not 9
+    max_k = max(1, (int(v.max()).bit_length() + 6) // 7)
+    nb = np.ones(n, np.int64)
+    for k in range(1, max_k):
+        nb[v >= (np.uint64(1) << np.uint64(7 * k))] = k + 1
+    starts = np.cumsum(nb) - nb
+    out = np.zeros(int(starts[-1] + nb[-1]), np.uint8)
+    for j in range(int(nb.max())):
+        m = nb > j
+        byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] > j + 1).astype(np.uint8)
+        out[starts[m] + j] = byte | (cont << 7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, n: int) -> np.ndarray:
+    """Vectorized LEB128 decode of exactly ``n`` values."""
+    if n == 0:
+        return np.empty(0, np.uint64)
+    b = np.frombuffer(buf, np.uint8)
+    term = (b & 0x80) == 0
+    # value index for each byte = terminators strictly before it
+    val_id = np.cumsum(term) - term
+    # byte position within its value
+    starts_mask = np.empty(len(b), bool)
+    starts_mask[0] = True
+    starts_mask[1:] = term[:-1]
+    start_pos = np.flatnonzero(starts_mask)
+    pos_in_val = np.arange(len(b)) - np.repeat(
+        start_pos, np.diff(np.r_[start_pos, len(b)])
+    )
+    vals = np.zeros(n, np.uint64)
+    contrib = (b & 0x7F).astype(np.uint64) << (
+        np.uint64(7) * pos_in_val.astype(np.uint64)
+    )
+    np.add.at(vals, val_id, contrib)
+    return vals
+
+
+def _pack_streams(streams: list[np.ndarray]) -> bytes:
+    """Delta each stream vs its predecessor, then zigzag + varint ALL
+    streams through one vectorized call (one numpy pass instead of 11 —
+    per-call overhead dominates on per-tile-sized arrays)."""
+    deltas = [
+        np.diff(s.astype(np.int64), prepend=np.int64(0)) for s in streams
+    ]
+    allv = np.concatenate(deltas) if deltas else np.empty(0, np.int64)
+    return varint_encode(zigzag_encode(allv))
+
+
+def _unpack_streams(buf: bytes, counts: list[int]) -> list[np.ndarray]:
+    total = int(sum(counts))
+    d = zigzag_decode(varint_decode(buf, total))
+    out, pos = [], 0
+    for n in counts:
+        out.append(np.cumsum(d[pos : pos + n]))
+        pos += n
+    return out
+
+
+# ----------------------------------------------------------- quantization ---
+
+
+def _quantize(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    bbox: tuple[float, float, float, float, float, float],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Identical quantizer to encode.encode_tile_row (u16/bbox, i8, u16)."""
+    mn = np.array(bbox[:3])
+    mx = np.array(bbox[3:])
+    extent = np.where(mx > mn, mx - mn, 1.0)
+    q_pos = np.clip((positions - mn) / extent, 0, 1)
+    q_pos = np.floor(q_pos * 65535 + 0.5).astype(np.uint16)
+    q_nrm = np.clip(np.floor(normals * 127 + 0.5), -127, 127).astype(np.int8)
+    q_uv = np.floor((uvs % 1.0) * 65535 + 0.5).astype(np.uint16)
+    return q_pos, q_nrm, q_uv
+
+
+# ----------------------------------------------------------------- codec ---
+
+
+def compress_mesh(
+    cell_id: int,
+    osm_ids: np.ndarray,
+    positions: np.ndarray,  # (v, 3) float
+    normals: np.ndarray,  # (v, 3) float
+    uvs: np.ndarray,  # (v, 2) float
+    texture_ids: np.ndarray,  # (v,) uint8
+    batch_ids: np.ndarray,  # (v,) uint16
+    bbox: tuple[float, float, float, float, float, float],
+    zlevel: int = 6,
+) -> bytes:
+    v = len(positions)
+    q_pos, q_nrm, q_uv = _quantize(positions, normals, uvs, bbox)
+
+    # weld on the quantized tuple (11 bytes/vertex), first-use order
+    rec = np.zeros(
+        v,
+        dtype=[
+            ("p", np.uint16, 3),
+            ("n", np.int8, 3),
+            ("t", np.uint16, 2),
+            ("x", np.uint8),
+            ("b", np.uint16),
+        ],
+    )
+    if v:
+        rec["p"], rec["n"], rec["t"] = q_pos, q_nrm, q_uv
+        rec["x"], rec["b"] = texture_ids, batch_ids
+    # weld via 2×uint64-key lexsort: native-int sort is several× faster
+    # than np.unique's void-dtype row sort on this shape (the packed
+    # attribute struct is exactly 16 bytes/vertex)
+    assert rec.itemsize == 16
+    keys = rec.view(np.uint64).reshape(v, 2)
+    if v:
+        srt = np.lexsort((keys[:, 1], keys[:, 0]))  # stable → min original
+        ks = keys[srt]
+        new_grp = np.empty(v, bool)
+        new_grp[0] = True
+        new_grp[1:] = (ks[1:, 0] != ks[:-1, 0]) | (ks[1:, 1] != ks[:-1, 1])
+        grp_of_sorted = np.cumsum(new_grp) - 1
+        inverse = np.empty(v, np.int64)
+        inverse[srt] = grp_of_sorted
+        first_idx = srt[new_grp]  # first original index per sorted group
+        order = np.argsort(first_idx, kind="stable")
+        remap = np.empty(len(order), np.uint32)
+        remap[order] = np.arange(len(order), dtype=np.uint32)
+        sel = first_idx[order]
+        index = remap[inverse]
+    else:
+        sel = np.empty(0, np.int64)
+        index = np.empty(0, np.uint32)
+    u = len(sel)
+
+    streams = [
+        index,
+        q_pos[sel, 0],
+        q_pos[sel, 1],
+        q_pos[sel, 2],
+        q_nrm[sel, 0],
+        q_nrm[sel, 1],
+        q_nrm[sel, 2],
+        q_uv[sel, 0],
+        q_uv[sel, 1],
+        texture_ids[sel] if v else np.empty(0, np.uint8),
+        batch_ids[sel] if v else np.empty(0, np.uint16),
+    ]
+    blob = _pack_streams(streams)
+    comp = zlib.compress(blob, zlevel)
+
+    header = {
+        "featureTable": {"BATCH_LENGTH": int(len(osm_ids))},
+        "batchTable": {"osm_id": [int(x) for x in osm_ids]},
+        "cell_id": int(cell_id),
+        "bbox": [float(x) for x in bbox],
+        "n_index": int(len(index)),
+        "n_vertices": int(u),
+        "quantization": {"position": "u16/bbox", "normal": "i8", "uv": "u16-fract"},
+    }
+    j = json.dumps(header, separators=(",", ":")).encode()
+    return b"".join(
+        (
+            MAGIC,
+            struct.pack("<II", VERSION, len(j)),
+            j,
+            struct.pack("<I", len(comp)),
+            comp,
+        )
+    )
+
+
+def decompress_mesh(payload: bytes) -> dict:
+    """Exact inverse of :func:`compress_mesh`.
+
+    Returns the indexed mesh (``index`` + unique-vertex attribute arrays,
+    quantized domain and dequantized floats) plus ``position``/``normal``/
+    ``uv``/``texture_id``/``batch_id`` expanded to the original triangle
+    soup — bit-identical in the quantized domain to OT3D v1."""
+    assert payload[:4] == MAGIC
+    version, jlen = struct.unpack_from("<II", payload, 4)
+    assert version == VERSION
+    off = 12
+    header = json.loads(payload[off : off + jlen])
+    off += jlen
+    (clen,) = struct.unpack_from("<I", payload, off)
+    off += 4
+    blob = zlib.decompress(payload[off : off + clen])
+
+    n_idx = header["n_index"]
+    u = header["n_vertices"]
+    counts = [n_idx] + [u] * (len(_STREAMS) - 1)
+    vals = dict(zip(_STREAMS, _unpack_streams(blob, counts)))
+
+    index = vals["index"].astype(np.uint32)
+    q_pos = np.stack(
+        [vals["pos_x"], vals["pos_y"], vals["pos_z"]], axis=1
+    ).astype(np.uint16)
+    q_nrm = np.stack(
+        [vals["nrm_x"], vals["nrm_y"], vals["nrm_z"]], axis=1
+    ).astype(np.int8)
+    q_uv = np.stack([vals["uv_u"], vals["uv_v"]], axis=1).astype(np.uint16)
+    tid = vals["texture_id"].astype(np.uint8)
+    bid = vals["batch_id"].astype(np.uint16)
+
+    bbox = header["bbox"]
+    mn = np.array(bbox[:3])
+    mx = np.array(bbox[3:])
+    extent = np.where(mx > mn, mx - mn, 1.0)
+    dq_pos = mn + q_pos.astype(np.float64) / 65535 * extent
+    dq_nrm = q_nrm.astype(np.float64) / 127
+    dq_uv = q_uv.astype(np.float64) / 65535
+    return {
+        "header": header,
+        "index": index,
+        "vertices": {
+            "q_position": q_pos,
+            "q_normal": q_nrm,
+            "q_uv": q_uv,
+            "position": dq_pos,
+            "normal": dq_nrm,
+            "uv": dq_uv,
+            "texture_id": tid,
+            "batch_id": bid,
+        },
+        # expanded triangle soup (original vertex order)
+        "position": dq_pos[index],
+        "normal": dq_nrm[index],
+        "uv": dq_uv[index],
+        "texture_id": tid[index],
+        "batch_id": bid[index],
+    }
+
+
+# ------------------------------------------------------------- map stage ---
+
+
+def _flat_list_columns(
+    batch: pa.Table, names: tuple[str, ...]
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """List columns → (flat numpy values, int64 row offsets), combined ONCE
+    per batch.  Per-row ``combine_chunks``/scalar access is ~10 ms per call
+    on chunked large_list columns — 50× the actual codec work."""
+    out = {}
+    for name in names:
+        c = batch.column(name)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        out[name] = (
+            np.asarray(c.values),
+            np.asarray(c.offsets).astype(np.int64),
+        )
+    return out
+
+
+def encode_tiles_compressed(batch: pa.Table) -> pa.Table:
+    """map_batches stage: merged per-tile rows → compressed OT3C payloads.
+
+    Same input contract as ``encode.encode_tiles``; adds the welded
+    unique-vertex count and the compression ratio vs the flat 11 B/vertex
+    v1 body so the size win is observable per tile."""
+    cols = _flat_list_columns(
+        batch, ("position", "normal", "uv", "texture_id", "batch_id", "osm_ids")
+    )
+    cell_ids = batch.column("cell_id").to_numpy(zero_copy_only=False)
+    bounds = np.stack(
+        [
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")
+        ],
+        axis=1,
+    )
+    payloads, n_unique = [], []
+    for i in range(len(batch)):
+
+        def col(name):
+            flat, off = cols[name]
+            return flat[off[i] : off[i + 1]]
+
+        pos = col("position").reshape(-1, 3)
+        payload = compress_mesh(
+            int(cell_ids[i]),
+            col("osm_ids"),
+            pos,
+            col("normal").reshape(-1, 3),
+            col("uv").reshape(-1, 2),
+            col("texture_id"),
+            col("batch_id"),
+            tuple(bounds[i]),
+        )
+        payloads.append(payload)
+        _, jlen = struct.unpack_from("<II", payload, 4)
+        hdr = json.loads(payload[12 : 12 + jlen])
+        n_unique.append(hdr["n_vertices"])
+
+    vcount = batch.column("vertex_count").to_numpy()
+    raw_body = 11 * vcount  # OT3D v1 body bytes/vertex
+    sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    return pa.table(
+        {
+            "cell_id": batch.column("cell_id"),
+            "batch_length": batch.column("batch_length"),
+            "vertex_count": batch.column("vertex_count"),
+            "unique_vertices": pa.array(np.asarray(n_unique, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "payload_bytes": pa.array(sizes),
+            "compression_ratio": pa.array(
+                np.where(sizes > 0, raw_body / np.maximum(sizes, 1), 0.0)
+            ),
+        }
+    )
