@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": textops.top_terms,
         "term_counts_cms": textops.term_counts_cms,
         "source_mixture": textops.source_mixture,
+        "stratified_sample": textops.stratified_sample,
+        "doc_repetition": textops.doc_repetition,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -519,6 +521,42 @@ FROM documents GROUP BY text
         "source_mixture": """
 SELECT doc_id, source FROM documents
 WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 1000 WHEN 'src2' THEN 500 WHEN 'src3' THEN 1000 WHEN 'src4' THEN 500 WHEN 'src5' THEN 1000 WHEN 'src6' THEN 500 WHEN 'src7' THEN 1000 WHEN 'src8' THEN 500 WHEN 'src9' THEN 1000 WHEN 'src10' THEN 500 WHEN 'src11' THEN 1000 WHEN 'src12' THEN 500 WHEN 'src13' THEN 1000 WHEN 'src14' THEN 500 WHEN 'src15' THEN 1000 WHEN 'src16' THEN 500 WHEN 'src17' THEN 1000 WHEN 'src18' THEN 500 WHEN 'src19' THEN 1000 ELSE 1000 END)
+""",
+        "stratified_sample": """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 12
+""",
+        "doc_repetition": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), w AS (
+  SELECT doc_id, unnest(a) AS word FROM t
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_unique_words,
+         CAST(MAX(c) AS BIGINT) AS top_word_count
+  FROM wc GROUP BY 1
+), ix AS (
+  SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t
+), bg AS (
+  SELECT doc_id, array_to_string(a[i:i+1], chr(1)) AS bigram FROM ix
+), bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY 1
+)
+SELECT ws.doc_id AS doc_id, ws.n_words, ws.n_unique_words, ws.top_word_count,
+       CAST(GREATEST(ws.n_words - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(bs.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
 """,
         "decontaminate": """
 WITH t AS (

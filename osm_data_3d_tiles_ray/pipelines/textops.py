@@ -1262,3 +1262,141 @@ def source_mixture(
         .select_columns(["doc_id", "source"])
         .map_batches(keep, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+
+
+def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document repetition quality signals (the Gopher/C4 family of
+    "excessive repetition" filters): total/unique word counts, the count of
+    the most frequent word, bigram count and the count of the most frequent
+    bigram.  All integers so the DuckDB oracle hash-matches exactly.
+
+    Fully per-document → shuffle-free single ``map_batches`` pass.  Words
+    are dictionary-encoded by Arrow (zero per-row Python), bigrams become
+    ``code[i] * V + code[i+1]`` integer keys, and per-(doc, key) counts come
+    from one lexsort + run-boundary ``reduceat`` over the whole batch."""
+
+    def signals(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = words.values
+        offs = np.asarray(words.offsets).astype(np.int64)
+        counts = np.diff(offs)
+        n = len(batch)
+        codes = np.asarray(
+            flat.dictionary_encode().indices, dtype=np.int64
+        )
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+
+        def per_key_stats(row_ids, keys, n_rows):
+            """(max run length, distinct keys) per row via one lexsort."""
+            if len(keys) == 0:
+                z = np.zeros(n_rows, np.int64)
+                return z, z
+            order = np.lexsort((keys, row_ids))
+            r, k = row_ids[order], keys[order]
+            new_run = np.empty(len(k), bool)
+            new_run[0] = True
+            new_run[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+            starts = np.flatnonzero(new_run)
+            run_len = np.diff(np.r_[starts, len(k)])
+            run_row = r[starts]
+            top = np.zeros(n_rows, np.int64)
+            np.maximum.at(top, run_row, run_len)
+            uniq = np.zeros(n_rows, np.int64)
+            np.add.at(uniq, run_row, 1)
+            return top, uniq
+
+        top_word, n_unique = per_key_stats(row, codes, n)
+        same_row = row[:-1] == row[1:] if len(row) else np.empty(0, bool)
+        bg_keys = codes[:-1][same_row] * vocab + codes[1:][same_row]
+        bg_rows = row[:-1][same_row]
+        top_bigram, _ = per_key_stats(bg_rows, bg_keys, n)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(counts),
+                "n_unique_words": pa.array(n_unique),
+                "top_word_count": pa.array(top_word),
+                "n_bigrams": pa.array(np.maximum(counts - 1, 0)),
+                "top_bigram_count": pa.array(top_bigram),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        signals, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified exact-quota sampling
+
+
+def stratified_sample(sf_dir: str, quota: int = 12) -> "ray.data.Dataset":
+    """Exactly ``quota`` documents per source, chosen by deterministic
+    hash rank (``knuth(doc_id)``, ties by doc_id) — the exact-quota
+    stratified counterpart of :func:`source_mixture`'s rate-based keep.
+
+    Scale shape: a combiner *tree*, not one gather.  Each input block
+    reduces to its local top-``quota`` per source (only ``quota × sources``
+    16-byte candidate rows per block leave the map stage — never document
+    text); an intermediate ``repartition(16)`` level re-reduces so the
+    final single-block pass sees ≤ ``16 × quota × sources`` rows no matter
+    how many input blocks there were.  The rank key
+    ``(knuth_hash(doc_id), doc_id)`` is total and partition-independent,
+    so the tree reduce is exact, not approximate."""
+
+    def _keep_topk(doc, src, h):
+        """Indices of the top-``quota`` (h, doc) rows per source run."""
+        n = len(src)
+        if n == 0:
+            return np.empty(0, np.int64)
+        order = np.lexsort((doc, h, src))
+        s = src[order]
+        new_grp = np.empty(n, bool)
+        new_grp[0] = True
+        new_grp[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new_grp)
+        grp_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        rank = np.arange(n) - grp_start
+        return order[rank < quota]
+
+    def _cand_table(doc, src, h, keep, with_h):
+        cols = {
+            "doc_id": pa.array(doc[keep]),
+            "source": pa.array(src[keep].astype(object), type=pa.string()),
+        }
+        if with_h:
+            cols["h"] = pa.array(h[keep])
+        return pa.table(cols)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        h = (doc.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        h = h.astype(np.int64)
+        return _cand_table(doc, src, h, _keep_topk(doc, src, h), with_h=True)
+
+    def re_reduce(with_h):
+        def fn(batch: pa.Table) -> pa.Table:
+            doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            src = batch.column("source").to_numpy(zero_copy_only=False)
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            return _cand_table(doc, src, h, _keep_topk(doc, src, h), with_h)
+
+        return fn
+
+    cand = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "source"])
+        .map_batches(local_topk, batch_format="pyarrow")
+    )
+    # tree combine: bounded intermediate level, then the exact global rank
+    cand = cand.repartition(16).map_batches(re_reduce(True), batch_format="pyarrow")
+    return cand.repartition(1).map_batches(re_reduce(False), batch_format="pyarrow")

@@ -363,3 +363,50 @@ def test_seq_pack_randomized_vs_bruteforce(tmp_path, ray_session):
         prefix = np.concatenate([[0], np.cumsum(ntok)[:-1]])
         assert got["example_id"].tolist() == (prefix // 64).tolist(), f"seed {seed}"
         assert got["tok_offset"].tolist() == (prefix % 64).tolist(), f"seed {seed}"
+
+
+def test_doc_repetition_brute_force(ray_session):
+    """Engine repetition signals equal a per-doc Python Counter oracle."""
+    import collections
+
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.textops import doc_repetition
+
+    out = doc_repetition(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    assert len(out) == len(docs)
+    for _, r in docs.iterrows():
+        words = r.text.split(" ")
+        wc = collections.Counter(words)
+        bc = collections.Counter(zip(words, words[1:]))
+        row = out.loc[r.doc_id]
+        assert row.n_words == len(words)
+        assert row.n_unique_words == len(wc)
+        assert row.top_word_count == max(wc.values())
+        assert row.n_bigrams == max(len(words) - 1, 0)
+        assert row.top_bigram_count == (max(bc.values()) if bc else 0)
+
+
+def test_stratified_sample_exact_quota(ray_session):
+    """Tree-combined stratified sample equals the global hash-rank oracle."""
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.textops import stratified_sample
+
+    quota = 7
+    out = stratified_sample(SF, quota=quota).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "source"]]
+    docs["h"] = (
+        docs.doc_id.to_numpy().astype(np.uint64) * np.uint64(2654435761)
+    ) % np.uint64(2**32)
+    expect = (
+        docs.sort_values(["source", "h", "doc_id"]).groupby("source").head(quota)
+    )
+    assert set(zip(out.doc_id, out.source)) == set(
+        zip(expect.doc_id, expect.source)
+    )
+    sizes = out.groupby("source").size()
+    full = docs.groupby("source").size()
+    for src, n_avail in full.items():
+        assert sizes.get(src, 0) == min(quota, n_avail)
