@@ -414,6 +414,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": textops.source_mixture,
         "stratified_sample": textops.stratified_sample,
         "doc_repetition": textops.doc_repetition,
+        "quality_filter": textops.quality_filter,
+        "chunk_dedup": textops.chunk_dedup,
+        "embedding_centroid_sim": ann.embedding_centroid_sim,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -557,6 +560,63 @@ SELECT ws.doc_id AS doc_id, ws.n_words, ws.n_unique_words, ws.top_word_count,
        CAST(GREATEST(ws.n_words - 1, 0) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(bs.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
 FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+""",
+        "quality_filter": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top FROM wc GROUP BY 1
+), t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT m.doc_id AS doc_id,
+       CASE WHEN m.n_words < 12 THEN 'short'
+            WHEN 4 * m.top > m.n_words THEN 'repetitive'
+            WHEN 10 * t.n_alpha < 7 * t.n_chars THEN 'low_alpha'
+            ELSE 'ok' END AS reason,
+       CAST(CASE WHEN m.n_words >= 12 AND 4 * m.top <= m.n_words
+                  AND 10 * t.n_alpha >= 7 * t.n_chars THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m JOIN t ON m.doc_id = t.doc_id
+""",
+        "chunk_dedup": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), ix AS (
+  SELECT doc_id, a, unnest(range(0, len(a) // 8)) AS j FROM t
+), ch AS (
+  SELECT doc_id, array_to_string(a[j*8+1 : j*8+8], ' ') AS chunk FROM ix
+), cc AS (
+  SELECT chunk, COUNT(*) AS c FROM ch GROUP BY 1
+), per AS (
+  SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN cc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+  FROM ch JOIN cc USING (chunk) GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(per.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+        "embedding_centroid_sim": """
+WITH u AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+), c AS (
+  SELECT label, d, AVG(v) AS cv FROM u GROUP BY 1, 2
+), j AS (
+  SELECT u.vec_id, u.label,
+         SUM(u.v * c.cv) AS dot, SUM(u.v * u.v) AS nv, SUM(c.cv * c.cv) AS nc
+  FROM u JOIN c ON u.label = c.label AND u.d = c.d
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(FLOOR(dot / (sqrt(nv) * sqrt(nc)) * 1000000 + 0.5) AS BIGINT) AS centroid_sim_e6
+FROM j
 """,
         "decontaminate": """
 WITH t AS (

@@ -476,3 +476,88 @@ def ann_ivf_topk(
         )
 
     return partials.groupby("qid").map_groups(refine, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid similarity (embedding outlier scoring)
+
+
+def embedding_centroid_sim(sf_dir: str) -> "ray.data.Dataset":
+    """Per-vector cosine similarity to its own label centroid — the
+    embedding outlier / label-noise score used to prune off-cluster or
+    mislabeled examples before training.
+
+    Scale shape: stage 1 partial-combines per-(label, dim) sums INSIDE
+    ``map_batches`` (each block emits ``labels x dims`` fixed-width rows —
+    embeddings themselves never shuffle); the groupby over those partials
+    is tiny because the label space is bounded (a classification space),
+    so the resulting centroid matrix is a bounded driver gather (same
+    contract as :func:`ann_topk`'s query broadcast and ``seq_pack``'s
+    range totals).  Stage 2 is a shuffle-free pass computing each vector's
+    cosine against the broadcast centroid row.
+
+    Output: (vec_id, label, centroid_sim_e6) in integer 1e-6 units
+    (oracle float rule: scale <= 1e6 for results that mix float
+    association orders)."""
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dims = len(emb[0]) if len(emb) else 0
+        m = np.asarray(
+            emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(-1, dims)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), dims), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, dims)),
+                "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), len(ulab))),
+                "s": pa.array(sums.reshape(-1)),
+                "c": pa.array(np.repeat(cnt, dims)),
+            }
+        )
+
+    partials = _embeddings(sf_dir).map_batches(partial_sums, batch_format="pyarrow")
+    agg = (
+        partials.groupby(["label", "dim"])
+        .aggregate(
+            ray.data.aggregate.Sum("s", alias_name="s"),
+            ray.data.aggregate.Sum("c", alias_name="c"),
+        )
+        .to_pandas()  # bounded: labels x dims rows
+        .sort_values(["label", "dim"])
+    )
+    labels = np.sort(agg["label"].unique())
+    dims = int(agg["dim"].max()) + 1
+    cmat = (
+        agg["s"].to_numpy().reshape(len(labels), dims)
+        / agg["c"].to_numpy().reshape(len(labels), dims)
+    )
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(
+            emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(-1, dims)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(labels, lab)
+        dot = (m * cmat[pos]).sum(axis=1)
+        sim = dot / (np.sqrt((m * m).sum(axis=1)) * cnorm[pos])
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "label": pa.array(lab),
+                "centroid_sim_e6": pa.array(
+                    np.floor(sim * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return _embeddings(sf_dir).map_batches(score, batch_format="pyarrow")

@@ -1268,6 +1268,43 @@ def source_mixture(
 # Gopher-style repetition signals
 
 
+def _run_top_and_unique(row_ids, keys, n_rows):
+    """Per row-id: (max occurrences of one key, distinct keys) via one
+    lexsort + run-boundary reduction — no per-row Python."""
+    if len(keys) == 0:
+        z = np.zeros(n_rows, np.int64)
+        return z, z
+    order = np.lexsort((keys, row_ids))
+    r, k = row_ids[order], keys[order]
+    new_run = np.empty(len(k), bool)
+    new_run[0] = True
+    new_run[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.r_[starts, len(k)])
+    run_row = r[starts]
+    top = np.zeros(n_rows, np.int64)
+    np.maximum.at(top, run_row, run_len)
+    uniq = np.zeros(n_rows, np.int64)
+    np.add.at(uniq, run_row, 1)
+    return top, uniq
+
+
+def _word_codes(batch: pa.Table):
+    """Dictionary-encoded word stream of a batch: (codes, row-of-word,
+    words-per-doc, vocab-size).  Split keeps empty tokens (single-space
+    separator), matching ``string_split`` in the DuckDB oracles."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, " ")
+    offs = np.asarray(words.offsets).astype(np.int64)
+    counts = np.diff(offs)
+    codes = np.asarray(words.values.dictionary_encode().indices, dtype=np.int64)
+    row = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+    return codes, row, counts, vocab
+
+
 def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
     """Per-document repetition quality signals (the Gopher/C4 family of
     "excessive repetition" filters): total/unique word counts, the count of
@@ -1280,44 +1317,13 @@ def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
     from one lexsort + run-boundary ``reduceat`` over the whole batch."""
 
     def signals(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        words = pc.split_pattern(text, " ")
-        flat = words.values
-        offs = np.asarray(words.offsets).astype(np.int64)
-        counts = np.diff(offs)
         n = len(batch)
-        codes = np.asarray(
-            flat.dictionary_encode().indices, dtype=np.int64
-        )
-        row = np.repeat(np.arange(n, dtype=np.int64), counts)
-        vocab = int(codes.max()) + 1 if len(codes) else 1
-
-        def per_key_stats(row_ids, keys, n_rows):
-            """(max run length, distinct keys) per row via one lexsort."""
-            if len(keys) == 0:
-                z = np.zeros(n_rows, np.int64)
-                return z, z
-            order = np.lexsort((keys, row_ids))
-            r, k = row_ids[order], keys[order]
-            new_run = np.empty(len(k), bool)
-            new_run[0] = True
-            new_run[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
-            starts = np.flatnonzero(new_run)
-            run_len = np.diff(np.r_[starts, len(k)])
-            run_row = r[starts]
-            top = np.zeros(n_rows, np.int64)
-            np.maximum.at(top, run_row, run_len)
-            uniq = np.zeros(n_rows, np.int64)
-            np.add.at(uniq, run_row, 1)
-            return top, uniq
-
-        top_word, n_unique = per_key_stats(row, codes, n)
+        codes, row, counts, vocab = _word_codes(batch)
+        top_word, n_unique = _run_top_and_unique(row, codes, n)
         same_row = row[:-1] == row[1:] if len(row) else np.empty(0, bool)
         bg_keys = codes[:-1][same_row] * vocab + codes[1:][same_row]
         bg_rows = row[:-1][same_row]
-        top_bigram, _ = per_key_stats(bg_rows, bg_keys, n)
+        top_bigram, _ = _run_top_and_unique(bg_rows, bg_keys, n)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -1400,3 +1406,182 @@ def stratified_sample(sf_dir: str, quota: int = 12) -> "ray.data.Dataset":
     # tree combine: bounded intermediate level, then the exact global rank
     cand = cand.repartition(16).map_batches(re_reduce(True), batch_format="pyarrow")
     return cand.repartition(1).map_batches(re_reduce(False), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# composite quality filter
+
+
+def quality_filter(sf_dir: str) -> "ray.data.Dataset":
+    """C4/Gopher-style composite keep/drop decision per document, fusing
+    length, repetition and alphabetic-ratio signals in ONE shuffle-free
+    ``map_batches`` pass (reuses :func:`doc_repetition`'s dictionary-encode
+    run kernel and :func:`text_stats`' pyarrow count kernels).
+
+    Integer-only predicates so the DuckDB oracle hash-matches exactly —
+    first failing rule wins:
+
+      * ``short``      — fewer than 12 words;
+      * ``repetitive`` — most frequent word > 25% of words
+                         (``4 * top_word_count > n_words``);
+      * ``low_alpha``  — alphabetic chars < 70% of chars
+                         (``10 * n_alpha < 7 * n_chars``);
+      * ``ok``         — keep.
+
+    Output: (doc_id, reason, keep) with keep ∈ {0, 1} int64."""
+
+    def decide(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        codes, row, counts, _ = _word_codes(batch)
+        top_word, _ = _run_top_and_unique(row, codes, n)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+        n_alpha = np.asarray(
+            pc.count_substring_regex(text, "[A-Za-z]"), dtype=np.int64
+        )
+        short = counts < 12
+        repetitive = 4 * top_word > counts
+        low_alpha = 10 * n_alpha < 7 * n_chars
+        reason = np.where(
+            short,
+            "short",
+            np.where(repetitive, "repetitive", np.where(low_alpha, "low_alpha", "ok")),
+        )
+        keep = (~(short | repetitive | low_alpha)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "reason": pa.array(reason.astype(object), type=pa.string()),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        decide, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-window chunk-level exact dedup (paragraph-dedup analog)
+
+
+def chunk_dedup(
+    sf_dir: str, k: int = 8, num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """Chunk-level exact duplication profile: split each document into
+    consecutive non-overlapping ``k``-word chunks and count, per document,
+    how many of its chunks occur at least twice anywhere in the corpus —
+    the fixed-window analog of paragraph-level dedup (RefinedWeb /
+    MassiveText line-dedup) for corpora without paragraph structure.
+
+    Scale shape: documents explode to 24-byte (h1, h2, doc_id) chunk
+    occurrence rows in one pass — the chunk key is a degree-``k``
+    polynomial combine of per-word 64-bit hashes under two seeds (128-bit
+    effective key; text never shuffles).  Duplicate detection is a
+    hash-partitioned segment reduction (pipelines/partition.py), per-doc
+    chunk totals ride along as tagged base rows spread by a doc-id hash
+    (no second tokenization pass), and the final per-doc sum is a groupby
+    over fixed-width partial rows.
+
+    Output: (doc_id, n_chunks, n_dup_chunks), one row per document.
+    """
+    import polars as pl
+
+    from .partition import map_key_partitions, run_starts
+
+    P1 = np.uint64(0x100000001B3)
+    P2 = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = words.values
+        offs = np.asarray(words.offsets).astype(np.int64)
+        counts = np.diff(offs)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chunks = counts // k
+        pos_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], counts
+        )
+        keep = pos_in_doc < np.repeat(n_chunks * k, counts)
+        s = pl.Series("w", flat)
+        w1 = s.hash(seed=0x9E3779B9).to_numpy()[keep].reshape(-1, k)
+        w2 = s.hash(seed=0x85EBCA6B).to_numpy()[keep].reshape(-1, k)
+        h1 = np.zeros(len(w1), dtype=np.uint64)
+        h2 = np.zeros(len(w2), dtype=np.uint64)
+        for j in range(k):  # k column ops, vectorized over all chunks
+            h1 = h1 * P1 + w1[:, j]
+            h2 = h2 * P2 + w2[:, j]
+        occ_doc = np.repeat(doc_ids, n_chunks)
+        base_h = (doc_ids.astype(np.uint64) * P2).view(np.int64)
+        n_occ, n = len(occ_doc), len(batch)
+        return pa.table(
+            {
+                "h1": pa.array(np.concatenate([h1.view(np.int64), base_h])),
+                "h2": pa.array(
+                    np.concatenate([h2.view(np.int64), np.zeros(n, np.int64)])
+                ),
+                "doc_id": pa.array(np.concatenate([occ_doc, doc_ids])),
+                "n_chunks": pa.array(
+                    np.concatenate([np.zeros(n_occ, np.int64), n_chunks])
+                ),
+                "is_base": pa.array(
+                    np.concatenate([np.zeros(n_occ, np.int8), np.ones(n, np.int8)])
+                ),
+            }
+        )
+
+    def part_fn(tbl: pa.Table) -> pa.Table:
+        is_base = tbl.column("is_base").to_numpy(zero_copy_only=False) == 1
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        chunks_col = tbl.column("n_chunks").to_numpy(zero_copy_only=False)
+        out_doc = [doc[is_base]]
+        out_chunks = [chunks_col[is_base].astype(np.int64)]
+        out_dups = [np.zeros(int(is_base.sum()), np.int64)]
+        occ = ~is_base
+        if occ.any():
+            h1 = tbl.column("h1").to_numpy(zero_copy_only=False)[occ]
+            h2 = tbl.column("h2").to_numpy(zero_copy_only=False)[occ]
+            od = doc[occ]
+            order = np.lexsort((h2, h1))
+            h1s, h2s, ods = h1[order], h2[order], od[order]
+            starts = np.flatnonzero(run_starts(h1s, h2s))
+            run_len = np.diff(np.r_[starts, len(h1s)])
+            dup_docs = ods[np.repeat(run_len >= 2, run_len)]
+            u, c = np.unique(dup_docs, return_counts=True)
+            out_doc.append(u)
+            out_chunks.append(np.zeros(len(u), np.int64))
+            out_dups.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "n_chunks": pa.array(np.concatenate(out_chunks)),
+                "n_dup_chunks": pa.array(np.concatenate(out_dups)),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+    )
+    partials = map_key_partitions(rows, ["h1"], part_fn, num_partitions)
+    g = partials.groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("n_chunks", alias_name="n_chunks"),
+        ray.data.aggregate.Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+    )
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chunks": pc.cast(batch.column("n_chunks"), pa.int64()),
+                "n_dup_chunks": pc.cast(batch.column("n_dup_chunks"), pa.int64()),
+            }
+        )
+
+    return g.map_batches(cast_cols, batch_format="pyarrow")

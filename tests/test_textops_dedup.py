@@ -410,3 +410,99 @@ def test_stratified_sample_exact_quota(ray_session):
     full = docs.groupby("source").size()
     for src, n_avail in full.items():
         assert sizes.get(src, 0) == min(quota, n_avail)
+
+
+def test_quality_filter_brute_force(ray_session, tmp_path):
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.textops import quality_filter
+
+    out = quality_filter(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    for _, r in docs.iterrows():
+        words = r.text.split(" ")
+        top = max(collections.Counter(words).values())
+        n_alpha = sum(ch.isascii() and ch.isalpha() for ch in r.text)
+        if len(words) < 12:
+            want = "short"
+        elif 4 * top > len(words):
+            want = "repetitive"
+        elif 10 * n_alpha < 7 * len(r.text):
+            want = "low_alpha"
+        else:
+            want = "ok"
+        row = out.loc[r.doc_id]
+        assert row.reason == want, r.doc_id
+        assert row.keep == int(want == "ok")
+
+    # the sf corpus never triggers low_alpha — exercise that branch too
+    texts = [
+        "1 2 3 4 5 6 7 8 9 10 11 12 13 14",
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike nov",
+    ]
+    d = tmp_path / "la"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["s", "s"]),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = quality_filter(str(d)).to_pandas().set_index("doc_id")
+    assert got.loc[0].reason == "low_alpha" and got.loc[0].keep == 0
+    assert got.loc[1].reason == "ok" and got.loc[1].keep == 1
+
+
+def test_chunk_dedup_brute_force(ray_session):
+    import collections
+
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.textops import chunk_dedup
+
+    K = 8
+    out = chunk_dedup(SF, k=K).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    corpus = collections.Counter()
+    per_doc = {}
+    for _, r in docs.iterrows():
+        words = r.text.split(" ")
+        chunks = [
+            tuple(words[j * K : (j + 1) * K]) for j in range(len(words) // K)
+        ]
+        per_doc[r.doc_id] = chunks
+        corpus.update(chunks)
+    assert len(out) == len(docs)
+    for doc_id, chunks in per_doc.items():
+        row = out.loc[doc_id]
+        assert row.n_chunks == len(chunks)
+        assert row.n_dup_chunks == sum(corpus[c] >= 2 for c in chunks)
+
+
+def test_embedding_centroid_sim_brute_force(ray_session):
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.ann import embedding_centroid_sim
+
+    out = embedding_centroid_sim(SF).to_pandas().set_index("vec_id")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    lab = emb.label.to_numpy()
+    for l in np.unique(lab):
+        c = m[lab == l].mean(axis=0)
+        sims = (m[lab == l] @ c) / (
+            np.linalg.norm(m[lab == l], axis=1) * np.linalg.norm(c)
+        )
+        want = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        got = out.loc[emb.vec_id[lab == l]].centroid_sim_e6.to_numpy()
+        assert (np.abs(got - want) <= 1).all()
