@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": textops.quality_filter,
         "chunk_dedup": textops.chunk_dedup,
         "embedding_centroid_sim": ann.embedding_centroid_sim,
+        "bm25_topk": textops.bm25_topk,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -617,6 +618,45 @@ WITH u AS (
 SELECT vec_id, CAST(label AS BIGINT) AS label,
        CAST(FLOOR(dot / (sqrt(nv) * sqrt(nc)) * 1000000 + 0.5) AS BIGINT) AS centroid_sim_e6
 FROM j
+""",
+        "bm25_topk": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok2 GROUP BY 1
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS avgdl
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), q AS (
+  SELECT DISTINCT doc_id AS qid, term FROM tok2 WHERE doc_id < 5
+), sc AS (
+  SELECT q.qid, tf.doc_id,
+         SUM( ln((s.n_docs - df.df + 0.5e0) / (df.df + 0.5e0) + 1.0e0)
+              * tf.tf * (1.2e0 + 1.0e0)
+              / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.qid
+  GROUP BY 1, 2
+), r AS (
+  SELECT qid, doc_id, CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+  FROM sc
+), rk AS (
+  SELECT qid, doc_id, score_e6,
+         row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS rn
+  FROM r
+)
+SELECT qid, doc_id, score_e6, CAST(rn AS BIGINT) AS rank FROM rk WHERE rn <= 10
 """,
         "decontaminate": """
 WITH t AS (

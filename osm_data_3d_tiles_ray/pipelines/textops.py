@@ -1585,3 +1585,175 @@ def chunk_dedup(
         )
 
     return g.map_batches(cast_cols, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval top-k
+
+
+def bm25_topk(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "ray.data.Dataset":
+    """Distributed BM25 retrieval: score every document against each query
+    (query ``qid`` = the distinct terms of document ``qid`` for
+    ``doc_id < n_queries``) and return the global top-``k`` per query —
+    the classical sparse-retrieval primitive next to the dense ANN family.
+
+    Scale shape (two streaming passes over text, nothing wide shuffles):
+
+    * pass B per batch emits ONE fixed-width partial row — doc count,
+      token count, and a df count per query term (bounded by the query
+      vocabulary, not the corpus vocabulary) — summed into broadcast
+      constants (idf, avgdl) on the driver;
+    * pass C re-tokenizes each batch, computes per-doc tf over query
+      terms with one lexsort + run reduction, applies the BM25 formula
+      vectorized over (doc, term) matches, and keeps a block-local
+      top-``k`` per qid; a bounded combiner tree (same as
+      :func:`stratified_sample`) picks the global winners.
+
+    Ranking compares the INTEGER micro-score (ties by doc_id), so rank is
+    exactly reproducible by the DuckDB oracle — no float-order ambiguity.
+
+    Output: (qid, doc_id, score_e6, rank), k rows per query.
+    """
+    import pyarrow.parquet as pq_mod
+
+    # pass A: the query term sets (n_queries docs — a bounded driver read)
+    qt = pq_mod.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    qmask = pc.less(qt.column("doc_id"), n_queries)
+    qt = qt.filter(qmask)
+    qids = qt.column("doc_id").to_numpy(zero_copy_only=False)
+    qterms: dict[int, np.ndarray] = {}
+    for qid, text in zip(qids, qt.column("text").to_pylist()):
+        terms = np.unique([w for w in text.split(" ") if w != ""])
+        qterms[int(qid)] = terms
+    all_q = np.unique(np.concatenate(list(qterms.values())))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        counts = np.diff(offs)
+        row = np.repeat(np.arange(len(batch)), counts)
+        keep = flat != ""
+        flat, row = flat[keep], row[keep]
+        n_tokens = int(len(flat))
+        # df partial: #docs in this batch containing each query term
+        ti = np.searchsorted(all_q, flat)
+        hit = (ti < len(all_q)) & (all_q[np.minimum(ti, len(all_q) - 1)] == flat)
+        pair = np.unique(ti[hit] * len(batch) + row[hit])
+        dfp = np.bincount(pair // len(batch), minlength=len(all_q))
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], type=pa.int64()),
+                "n_tokens": pa.array([n_tokens], type=pa.int64()),
+                "df": pa.array([dfp.astype(np.int64)], type=pa.list_(pa.int64())),
+            }
+        )
+
+    parts = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: one row per block
+    )
+    n_docs = int(parts["n_docs"].sum())
+    avgdl = float(parts["n_tokens"].sum()) / n_docs
+    df = np.sum(np.stack(parts["df"].to_numpy()), axis=0).astype(np.float64)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    # per-qid views into the global query-term array
+    q_term_idx = {qid: np.searchsorted(all_q, t) for qid, t in qterms.items()}
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(text, " ")
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        counts = np.diff(offs)
+        row = np.repeat(np.arange(len(batch)), counts)
+        keep = flat != ""
+        flat, row = flat[keep], row[keep]
+        dl = np.bincount(row, minlength=len(batch)).astype(np.float64)
+        ti = np.searchsorted(all_q, flat)
+        hit = (ti < len(all_q)) & (all_q[np.minimum(ti, len(all_q) - 1)] == flat)
+        pair = ti[hit].astype(np.int64) * len(batch) + row[hit]
+        upair, tf = np.unique(pair, return_counts=True)
+        m_term = upair // len(batch)
+        m_row = upair % len(batch)
+        tf = tf.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[m_row] / avgdl)
+        contrib = idf[m_term] * tf * (k1 + 1.0) / denom
+        out_q, out_d, out_s = [], [], []
+        for qid, tidx in q_term_idx.items():
+            sel = np.isin(m_term, tidx)
+            sc = np.zeros(len(batch), np.float64)
+            np.add.at(sc, m_row[sel], contrib[sel])
+            nz = np.flatnonzero((sc > 0) & (doc_ids != qid))
+            sc_e6 = np.floor(sc[nz] * 1e6 + 0.5).astype(np.int64)
+            # block-local top-k: (-score, doc_id) ascending
+            order = np.lexsort((doc_ids[nz], -sc_e6))[:k]
+            out_q.append(np.full(len(order), qid, np.int64))
+            out_d.append(doc_ids[nz][order])
+            out_s.append(sc_e6[order])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q) if out_q else np.empty(0, np.int64)),
+                "doc_id": pa.array(np.concatenate(out_d) if out_d else np.empty(0, np.int64)),
+                "score_e6": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.int64)),
+            }
+        )
+
+    def reduce_topk(final: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            q = batch.column("qid").to_numpy(zero_copy_only=False)
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            s = batch.column("score_e6").to_numpy(zero_copy_only=False)
+            order = np.lexsort((d, -s, q))
+            qs = q[order]
+            n = len(qs)
+            if n:
+                new_grp = np.empty(n, bool)
+                new_grp[0] = True
+                new_grp[1:] = qs[1:] != qs[:-1]
+                starts = np.flatnonzero(new_grp)
+                grp_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+                rank = np.arange(n) - grp_start
+                keepm = rank < k
+            else:
+                keepm = np.empty(0, bool)
+                rank = np.empty(0, np.int64)
+            cols = {
+                "qid": pa.array(q[order][keepm]),
+                "doc_id": pa.array(d[order][keepm]),
+                "score_e6": pa.array(s[order][keepm]),
+            }
+            if final:
+                cols["rank"] = pa.array((rank[keepm] + 1).astype(np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    scored = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(score_block, batch_format="pyarrow")
+    )
+    scored = scored.repartition(16).map_batches(
+        reduce_topk(False), batch_format="pyarrow"
+    )
+    return scored.repartition(1).map_batches(
+        reduce_topk(True), batch_format="pyarrow"
+    )

@@ -506,3 +506,50 @@ def test_embedding_centroid_sim_brute_force(ray_session):
         want = np.floor(sims * 1e6 + 0.5).astype(np.int64)
         got = out.loc[emb.vec_id[lab == l]].centroid_sim_e6.to_numpy()
         assert (np.abs(got - want) <= 1).all()
+
+
+def test_bm25_topk_brute_force(ray_session):
+    import collections
+
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.textops import bm25_topk
+
+    k1, b, K = 1.2, 0.75, 10
+    out = (
+        bm25_topk(SF)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    toks = {r.doc_id: [w for w in r.text.split(" ") if w] for _, r in docs.iterrows()}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = collections.Counter()
+    for t in toks.values():
+        df.update(set(t))
+    rows = []
+    for qid in range(5):
+        qset = set(toks[qid])
+        scores = []
+        for did, t in toks.items():
+            if did == qid:
+                continue
+            tf = collections.Counter(t)
+            s = 0.0
+            for term in qset & set(t):
+                idf = np.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+                s += idf * tf[term] * (k1 + 1) / (
+                    tf[term] + k1 * (1 - b + b * len(t) / avgdl)
+                )
+            if s > 0:
+                scores.append((int(np.floor(s * 1e6 + 0.5)), did))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (se6, did) in enumerate(scores[:K], 1):
+            rows.append((qid, did, se6, rank))
+    want = pd.DataFrame(rows, columns=["qid", "doc_id", "score_e6", "rank"])
+    assert out[["qid", "doc_id", "rank"]].values.tolist() == want[
+        ["qid", "doc_id", "rank"]
+    ].values.tolist()
+    assert (np.abs(out.score_e6.to_numpy() - want.score_e6.to_numpy()) <= 1).all()
