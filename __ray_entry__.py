@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantiles": events.type_quantiles,
         "events_quantiles_tdigest": events.value_quantiles_tdigest,
         "events_user_value_rank": events.user_value_rank,
+        "events_value_outliers": events.value_outliers,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
         "tf_idf": textops.tf_idf,
@@ -859,6 +860,17 @@ SELECT e.event_id AS event_id, e.user_id AS user_id,
        o.o_orderdate AS last_order_date
 FROM events e ASOF JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "events_value_outliers": """
+WITH th AS (
+  SELECT event_type,
+         CAST(FLOOR(quantile_cont(value, 0.95) * 10000 + 0.5) AS BIGINT) AS q95_e4
+  FROM events GROUP BY 1
+)
+SELECT e.event_id AS event_id, e.event_type AS event_type,
+       CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT) AS value_e4
+FROM events e JOIN th USING (event_type)
+WHERE CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT) > th.q95_e4
 """,
         "events_user_value_rank": """
 WITH r AS (

@@ -66,12 +66,26 @@ def tile_compression(documents: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     """Per-tile Draco-equivalent compression stats (weld → delta/zigzag/
     varint → deflate; reference welds then Draco-compresses every tile,
     b3dmGenerator.ts:169-195).  Payload bytes stay inside the encode tasks;
-    only the small metadata columns return."""
-    from ..stages.meshcodec import encode_tiles_compressed
+    only the small metadata columns return.
 
-    tiles = accumulate_tiles(built_ds(documents, emit_buffers=True, **kw))
+    Scale shape: feeds from the COMPACT tile merge (11 B/vertex quantized
+    records through the cell shuffle — the seed path's format), so the fat
+    float soup never moves; the codec requantizes positions to the tile
+    frame and passes the integer normal/uv/texture streams through
+    untouched (meshcodec.encode_compact_tiles_compressed).  The raw-path
+    stage (encode_tiles_compressed over the float merge) remains as the
+    reference-parity variant and is pytest-oracled for exact v1 parity."""
+    from ..stages.accumulate import accumulate_tiles_compact
+    from ..stages.meshcodec import encode_compact_tiles_compressed
+
+    tiles = accumulate_tiles_compact(built_ds(documents, emit_buffers=True, **kw))
+    # the sort-range groupby puts contiguous cell_ids in one task — dense
+    # urban ranges skew a partition to many× the mean (observed 98 s max vs
+    # 16 s mean task).  Rebalance merged tiles across many blocks before the
+    # CPU-heavy codec so the actor pool stays level.
+    tiles = tiles.repartition(512)
     return tiles.map_batches(
-        encode_tiles_compressed, batch_format="pyarrow"
+        encode_compact_tiles_compressed, batch_format="pyarrow"
     ).select_columns(
         [
             "cell_id",

@@ -636,3 +636,46 @@ def value_quantiles_tdigest(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# per-type quantile-threshold outlier filter
+
+
+def value_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Events whose value exceeds their type's 95th percentile — the
+    threshold-filter composite over :func:`type_quantiles` (anomaly
+    triage / heavy-tail pruning).
+
+    Scale shape: the per-type threshold table is bounded by the
+    event-type space → a bounded driver gather broadcast into ONE
+    shuffle-free filter pass (the exact-quantile shuffle cost lives in
+    ``type_quantiles`` and is paid once).
+
+    Correctness shape: the comparison is between IDENTICAL integer units
+    on both sides (``floor(value * 1e4 + 0.5) > q95_e4``), so rows at the
+    threshold boundary cannot flip between the engine and the DuckDB
+    oracle even though the quantile itself is float-interpolated.
+
+    Output: (event_id, event_type, value_e4)."""
+    th = type_quantiles(sf_dir).to_pandas()  # bounded: one row per type
+    order = np.argsort(th["event_type"].to_numpy())
+    types = th["event_type"].to_numpy()[order]
+    q95 = th["q95_e4"].to_numpy()[order]
+
+    def filt(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        ve4 = np.floor(v * 1e4 + 0.5).astype(np.int64)
+        keep = ve4 > q95[np.searchsorted(types, et)]
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").filter(pa.array(keep)),
+                "event_type": batch.column("event_type").filter(pa.array(keep)),
+                "value_e4": pa.array(ve4[keep]),
+            }
+        )
+
+    return _events(sf_dir).select_columns(
+        ["event_id", "event_type", "value"]
+    ).map_batches(filt, batch_format="pyarrow")

@@ -181,8 +181,27 @@ def compress_mesh(
     bbox: tuple[float, float, float, float, float, float],
     zlevel: int = 6,
 ) -> bytes:
-    v = len(positions)
     q_pos, q_nrm, q_uv = _quantize(positions, normals, uvs, bbox)
+    return compress_mesh_quantized(
+        cell_id, osm_ids, q_pos, q_nrm, q_uv, texture_ids, batch_ids, bbox, zlevel
+    )
+
+
+def compress_mesh_quantized(
+    cell_id: int,
+    osm_ids: np.ndarray,
+    q_pos: np.ndarray,  # (v, 3) uint16
+    q_nrm: np.ndarray,  # (v, 3) int8
+    q_uv: np.ndarray,  # (v, 2) uint16
+    texture_ids: np.ndarray,  # (v,) uint8
+    batch_ids: np.ndarray,  # (v,) uint16
+    bbox: tuple[float, float, float, float, float, float],
+    zlevel: int = 6,
+) -> bytes:
+    """Codec entry for ALREADY-quantized attribute streams (the compact
+    shuffle records carry these directly — requantizing through floats
+    would lose uv==65535 to the fract wrap)."""
+    v = len(q_pos)
 
     # weld on the quantized tuple (11 bytes/vertex), first-use order
     rec = np.zeros(
@@ -396,6 +415,110 @@ def encode_tiles_compressed(batch: pa.Table) -> pa.Table:
             "payload_bytes": pa.array(sizes),
             "compression_ratio": pa.array(
                 np.where(sizes > 0, raw_body / np.maximum(sizes, 1), 0.0)
+            ),
+        }
+    )
+
+
+def encode_compact_tiles_compressed(batch: pa.Table) -> pa.Table:
+    """map_batches stage over ``accumulate_tiles_compact`` rows (the 100 TB
+    write path): compress each merged tile directly from its quantized
+    building-record stream instead of a raw float-soup merge.
+
+    Only positions are requantized (building frame → common tile frame,
+    the same math as :func:`_quantize` on the dequantized coordinates);
+    normal / uv / texture-id streams pass through as the integers the
+    compact records already carry, and per-vertex batch ids derive from
+    the osm_id-sorted building order — identical to the raw-path
+    assignment.  The raw-path :func:`encode_tiles_compressed` remains as
+    the reference-parity variant (reference compresses the float mesh,
+    b3dmGenerator.ts:169-195); this stage is what a production seed run
+    would execute, because the floats it would consume no longer exist
+    after the compact shuffle."""
+    from .accumulate import _REC_FMT, _REC_HEADER_SIZE, _REC_MAGIC
+
+    payload_col = batch.column("payload")
+    if isinstance(payload_col, pa.ChunkedArray):
+        payload_col = payload_col.combine_chunks()
+    lens_col = batch.column("blob_lengths")
+    if isinstance(lens_col, pa.ChunkedArray):
+        lens_col = lens_col.combine_chunks()
+    osm_col = batch.column("osm_ids")
+    if isinstance(osm_col, pa.ChunkedArray):
+        osm_col = osm_col.combine_chunks()
+    cell_ids = batch.column("cell_id").to_numpy(zero_copy_only=False)
+    bounds = np.stack(
+        [
+            batch.column(c).to_numpy(zero_copy_only=False)
+            for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")
+        ],
+        axis=1,
+    )
+    payloads, n_unique = [], []
+    for i in range(len(batch)):
+        blob = payload_col[i].as_py()
+        lens = np.asarray(lens_col[i].as_py(), dtype=np.int64)
+        osm_ids = np.asarray(osm_col[i].as_py(), dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        qp_l, qn_l, qu_l, tid_l, verts_l = [], [], [], [], []
+        for o in offs[:-1]:
+            o = int(o)
+            magic, _osm, v, *bb = struct.unpack_from(_REC_FMT, blob, o)
+            assert magic == _REC_MAGIC
+            p = o + _REC_HEADER_SIZE
+            qp = np.frombuffer(blob, np.uint16, v * 3, p).reshape(v, 3)
+            p += v * 6
+            qn = np.frombuffer(blob, np.int8, v * 3, p).reshape(v, 3)
+            p += v * 3
+            qu = np.frombuffer(blob, np.uint16, v * 2, p).reshape(v, 2)
+            p += v * 4
+            tid = np.frombuffer(blob, np.uint8, v, p)
+            mn_b = np.array(bb[:3])
+            ext_b = np.maximum(np.array(bb[3:]) - mn_b, 1e-12)
+            # dequantize to the building frame, requantize to the tile frame
+            pos = mn_b + qp.astype(np.float64) / 65535 * ext_b
+            mn_t = bounds[i, :3]
+            ext_t = np.where(
+                bounds[i, 3:] > mn_t, bounds[i, 3:] - mn_t, 1.0
+            )
+            qp_t = np.floor(
+                np.clip((pos - mn_t) / ext_t, 0, 1) * 65535 + 0.5
+            ).astype(np.uint16)
+            qp_l.append(qp_t)
+            qn_l.append(qn)
+            qu_l.append(qu)
+            tid_l.append(tid)
+            verts_l.append(v)
+        verts = np.asarray(verts_l, dtype=np.int64)
+        bid = np.repeat(
+            np.arange(len(verts), dtype=np.uint16), verts
+        ) if len(verts) else np.empty(0, np.uint16)
+        payload = compress_mesh_quantized(
+            int(cell_ids[i]),
+            osm_ids,
+            np.concatenate(qp_l) if qp_l else np.empty((0, 3), np.uint16),
+            np.concatenate(qn_l) if qn_l else np.empty((0, 3), np.int8),
+            np.concatenate(qu_l) if qu_l else np.empty((0, 2), np.uint16),
+            np.concatenate(tid_l) if tid_l else np.empty(0, np.uint8),
+            bid,
+            tuple(bounds[i]),
+        )
+        payloads.append(payload)
+        _, jlen = struct.unpack_from("<II", payload, 4)
+        n_unique.append(json.loads(payload[12 : 12 + jlen])["n_vertices"])
+
+    vcount = batch.column("vertex_count").to_numpy(zero_copy_only=False)
+    sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    return pa.table(
+        {
+            "cell_id": batch.column("cell_id"),
+            "batch_length": batch.column("batch_length"),
+            "vertex_count": batch.column("vertex_count"),
+            "unique_vertices": pa.array(np.asarray(n_unique, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "payload_bytes": pa.array(sizes),
+            "compression_ratio": pa.array(
+                np.where(sizes > 0, 11 * vcount / np.maximum(sizes, 1), 0.0)
             ),
         }
     )

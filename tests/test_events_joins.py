@@ -251,3 +251,23 @@ def test_sliding_window_vs_bruteforce(tiny_dir, ray_session):
         int(r.window_start.value // 1000): r.n_events for r in got.itertuples()
     }
     assert got_counts == want
+
+
+def test_value_outliers_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.events import value_outliers
+
+    sf = "/root/testdata/sf0.001"
+    out = value_outliers(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")[["event_id", "event_type", "value"]]
+    want_ids = set()
+    for et, g in ev.groupby("event_type"):
+        q95 = int(np.floor(np.quantile(g.value.to_numpy(), 0.95) * 1e4 + 0.5))
+        ve4 = np.floor(g.value.to_numpy() * 1e4 + 0.5).astype(np.int64)
+        want_ids |= set(g.event_id.to_numpy()[ve4 > q95])
+    assert set(out.event_id) == want_ids
+    assert (out.value_e4 == np.floor(
+        ev.set_index("event_id").loc[out.event_id, "value"].to_numpy() * 1e4 + 0.5
+    ).astype(np.int64)).all()

@@ -131,3 +131,70 @@ def test_batch_size_invariance(ray_session):
     assert set(whole.index) == set(sliced.index)
     for cid in whole.index:
         assert whole.loc[cid, "payload"] == sliced.loc[cid, "payload"]
+
+
+def test_compact_path_matches_record_stream(ray_session):
+    """The compact-shuffle codec stage must be lossless w.r.t. the building
+    record stream: decompressed normal/uv/texture streams equal the record
+    integers exactly, positions equal the tile-frame requantization of the
+    dequantized records, batch ids follow osm order."""
+    import struct as _struct
+
+    from osm_data_3d_tiles_ray.stages.accumulate import (
+        _REC_FMT,
+        _REC_HEADER_SIZE,
+        accumulate_tiles_compact,
+    )
+    from osm_data_3d_tiles_ray.stages.meshcodec import (
+        encode_compact_tiles_compressed,
+    )
+
+    docs, _ = generate_shard(5, 200)
+    tiles = accumulate_tiles_compact(
+        built_ds(ray.data.from_arrow(docs), emit_buffers=True)
+    )
+    tbl = pa.concat_tables(
+        [b for b in tiles.iter_batches(batch_size=None, batch_format="pyarrow")]
+    )
+    out = encode_compact_tiles_compressed(tbl)
+    assert out.num_rows == tbl.num_rows
+    checked = 0
+    for i in range(min(20, tbl.num_rows)):
+        blob = tbl.column("payload")[i].as_py()
+        lens = tbl.column("blob_lengths")[i].as_py()
+        bbox = [tbl.column(c)[i].as_py() for c in
+                ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z")]
+        dec = decompress_mesh(out.column("payload")[i].as_py())
+        qn_all, qu_all, tid_all, qp_all, bid_all = [], [], [], [], []
+        off = 0
+        for b_i, ln in enumerate(lens):
+            _m, _osm, v, *bb = _struct.unpack_from(_REC_FMT, blob, off)
+            p = off + _REC_HEADER_SIZE
+            qp = np.frombuffer(blob, np.uint16, v * 3, p).reshape(v, 3)
+            p += v * 6
+            qn = np.frombuffer(blob, np.int8, v * 3, p).reshape(v, 3)
+            p += v * 3
+            qu = np.frombuffer(blob, np.uint16, v * 2, p).reshape(v, 2)
+            p += v * 4
+            tid = np.frombuffer(blob, np.uint8, v, p)
+            mn_b = np.array(bb[:3]); ext_b = np.maximum(np.array(bb[3:]) - mn_b, 1e-12)
+            pos = mn_b + qp.astype(np.float64) / 65535 * ext_b
+            mn_t = np.array(bbox[:3])
+            ext_t = np.where(np.array(bbox[3:]) > mn_t, np.array(bbox[3:]) - mn_t, 1.0)
+            qp_all.append(np.floor(np.clip((pos - mn_t) / ext_t, 0, 1) * 65535 + 0.5).astype(np.uint16))
+            qn_all.append(qn); qu_all.append(qu); tid_all.append(tid)
+            bid_all.append(np.full(v, b_i, np.uint16))
+            off += ln
+        idx = dec["index"]
+        assert np.array_equal(dec["vertices"]["q_normal"][idx], np.concatenate(qn_all))
+        assert np.array_equal(dec["vertices"]["q_uv"][idx], np.concatenate(qu_all))
+        assert np.array_equal(dec["texture_id"], np.concatenate(tid_all))
+        assert np.array_equal(dec["vertices"]["q_position"][idx], np.concatenate(qp_all))
+        assert np.array_equal(dec["batch_id"], np.concatenate(bid_all))
+        checked += 1
+    assert checked > 0
+    # the size win carries over to the compact path
+    assert (
+        out.column("payload_bytes").to_numpy().sum()
+        < 11 * out.column("vertex_count").to_numpy().sum() * 0.7
+    )
