@@ -406,11 +406,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_tdigest": events.value_quantiles_tdigest,
         "events_user_value_rank": events.user_value_rank,
         "events_value_outliers": events.value_outliers,
+        "events_top_users": events.top_users,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
         "tf_idf": textops.tf_idf,
         "seq_pack": textops.seq_pack,
         "top_terms": textops.top_terms,
+        "top_terms_by_lang": textops.top_terms_by_lang,
         "term_counts_cms": textops.term_counts_cms,
         "source_mixture": textops.source_mixture,
         "stratified_sample": textops.stratified_sample,
@@ -427,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": relational.pricing_summary,
         "rel_orders_by_segment": relational.orders_by_segment,
         "rel_top_suppliers": relational.top_suppliers,
+        "rel_customers_no_orders": relational.customers_no_orders,
+        "rel_shipping_priority": relational.shipping_priority,
     }
 
 
@@ -902,6 +906,54 @@ SELECT l_suppkey,
 FROM lineitem GROUP BY 1
 ORDER BY total_qty_cent DESC, l_suppkey
 LIMIT 5
+""",
+        "rel_customers_no_orders": """
+SELECT c_custkey, c_name,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cent
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+""",
+        "rel_shipping_priority": """
+SELECT l.l_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cent
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2
+ORDER BY revenue_cent DESC, o_orderkey
+LIMIT 10
+""",
+        "events_top_users": """
+SELECT user_id,
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+ORDER BY total_value_e4 DESC, user_id
+LIMIT 10
+""",
+        "top_terms_by_lang": """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, term, n,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, term) AS BIGINT) AS rank
+  FROM c
+)
+SELECT lang, term, n, rank FROM r WHERE rank <= 5
 """,
         "lang_id": r"""
 WITH c AS (

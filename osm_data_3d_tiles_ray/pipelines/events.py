@@ -679,3 +679,65 @@ def value_outliers(sf_dir: str) -> "ray.data.Dataset":
     return _events(sf_dir).select_columns(
         ["event_id", "event_type", "value"]
     ).map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# top-k users by total event value
+
+
+def top_users(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Top-k users by total event value — the grouped-aggregate + global
+    top-k composite (engagement leaderboard).
+
+    Scale shape: values convert to integer e4 units PER ROW before any
+    combine (``floor(value*1e4+0.5)``), so the per-batch partial sums, the
+    groupby combine tree, and the single-pass SQL oracle are all exact
+    integer arithmetic — association-free.  The user-key groupby is the
+    one shuffle (carries one row per (batch, user)); the final top-k sorts
+    the small per-user aggregate.
+
+    Output: (user_id, total_value_e4, n_events)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        ve4 = np.floor(v * 1e4 + 0.5).astype(np.int64)
+        uk, inv = np.unique(uid, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, ve4)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uk),
+                "p_sum": pa.array(sums),
+                "p_cnt": pa.array(cnt),
+            }
+        )
+
+    merged = (
+        _events(sf_dir)
+        .select_columns(["user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Sum("p_sum", alias_name="total_value_e4"),
+            ray.data.aggregate.Sum("p_cnt", alias_name="n_events"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "total_value_e4": pc.cast(
+                    batch.column("total_value_e4"), pa.int64()
+                ),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(finish, batch_format="pyarrow")
+        .sort(["total_value_e4", "user_id"], descending=[True, False])
+        .limit(k)
+    )

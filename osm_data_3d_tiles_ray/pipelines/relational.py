@@ -177,3 +177,241 @@ def top_suppliers(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         .sort(["total_qty_cent", "l_suppkey"], descending=[True, False])
         .limit(k)
     )
+
+def customers_no_orders(sf_dir: str, since: str = "1997-01-01") -> "ray.data.Dataset":
+    """Distributed ANTI-join: customers with no order since ``since``
+    (churn candidates).
+
+    Scale shape: neither side broadcasts (both tables are unbounded at
+    100 TB).  Both sides project to a shared ``(key, side, name,
+    acctbal_cent)`` row shape and UNION; ONE hash shuffle on the key
+    co-locates each custkey's rows (the asof/tf_idf tag-union pattern,
+    SURVEY.md §7.3); inside a partition a sorted boundary pass marks keys
+    that have at least one probe-side row.  The probe side pre-shrinks to
+    its per-batch DISTINCT keys before the shuffle, so the exchange
+    carries at most one probe row per (batch, custkey).
+
+    Output: (c_custkey, c_name, acctbal_cent)."""
+    from .partition import map_key_partitions
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": batch.column("c_custkey"),
+                "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                "name": batch.column("c_name"),
+                "acctbal_cent": pa.array(
+                    np.floor(bal * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    since_us = (
+        np.datetime64(since).astype("datetime64[us]").astype(np.int64)
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        recent = od.cast(pa.int64()).to_numpy(zero_copy_only=False) >= since_us
+        keys = np.unique(
+            batch.column("o_custkey").to_numpy(zero_copy_only=False)[recent]
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                "name": pa.array([None] * len(keys), type=pa.string()),
+                "acctbal_cent": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def anti(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_custkey": pa.array([], type=pa.int64()),
+                "c_name": pa.array([], type=pa.string()),
+                "acctbal_cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        # keys with ANY probe-side row: sort keys of probe rows once and
+        # membership-test the build side (both arrays partition-local)
+        probe = np.unique(key[side == 1])
+        build = side == 0
+        keep = build & ~np.isin(key, probe)
+        if not keep.any():
+            return empty
+        out = tbl.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": out.column("key"),
+                "c_name": out.column("name"),
+                "acctbal_cent": out.column("acctbal_cent"),
+            }
+        )
+
+    return map_key_partitions(cust.union(ords), ["key"], anti)
+
+
+def shipping_priority(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """TPC-H Q3-shaped shipping priority: top-k open orders of BUILDING
+    customers by outstanding lineitem revenue.
+
+    Scale shape — TWO chained hash-partition joins, no broadcast of any
+    unbounded side:
+
+    1. custkey exchange: BUILDING customers (key rows) union orders
+       filtered to ``o_orderdate < CUTOFF`` → semi-join keeps qualifying
+       orders (one sorted membership pass per partition).
+    2. orderkey exchange: qualifying orders union per-batch PARTIAL
+       lineitem revenue (lineitem pre-aggregates ``sum(cents)`` per
+       orderkey inside ``map_batches``, so the shuffle carries one row
+       per (batch, orderkey), never raw lineitems) → inner join +
+       segment-sum per orderkey.
+
+    Revenue is exact integer cents from the per-row expression
+    ``floor(l_extendedprice*(1-l_discount)*100 + 0.5)`` summed as int64 —
+    associativity-free, so the combine tree matches single-pass SQL
+    exactly.  Final top-k is a distributed sort over the small aggregate.
+
+    Output: (o_orderkey, o_orderdate, revenue_cent)."""
+    from .partition import map_key_partitions
+
+    CUTOFF = np.datetime64("1995-03-15")
+    cutoff_us = CUTOFF.astype("datetime64[us]").astype(np.int64)
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        seg = batch.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        keys = keys[seg == "BUILDING"]
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "orderkey": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "odate_us": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        od_us = od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = od_us < cutoff_us
+        return pa.table(
+            {
+                "key": batch.column("o_custkey").filter(pa.array(keep)),
+                "side": pa.array(np.ones(int(keep.sum()), dtype=np.int8)),
+                "orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+                "odate_us": pa.array(od_us[keep]),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def semi(tbl: pa.Table) -> pa.Table:
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        build = np.unique(key[side == 0])
+        keep = (side == 1) & np.isin(key, build)
+        out = tbl.filter(pa.array(keep))
+        return pa.table(
+            {
+                "key": out.column("orderkey"),  # re-key for the 2nd exchange
+                "side": pa.array(np.zeros(len(out), dtype=np.int8)),
+                "odate_us": out.column("odate_us"),
+                "rev_cent": pa.array(np.zeros(len(out), dtype=np.int64)),
+            }
+        )
+
+    qual_orders = map_key_partitions(cust.union(ords), ["key"], semi)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        sd_us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = sd_us > cutoff_us
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        # per-batch partial: one row per orderkey in this batch
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table(
+            {
+                "key": pa.array(uk),
+                "side": pa.array(np.ones(len(uk), dtype=np.int8)),
+                "odate_us": pa.array(np.zeros(len(uk), dtype=np.int64)),
+                "rev_cent": pa.array(sums),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(line_partial, batch_format="pyarrow")
+
+    def join_sum(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                "revenue_cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        odate = tbl.column("odate_us").to_numpy(zero_copy_only=False)
+        rev = tbl.column("rev_cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))  # order row (side 0) first per key
+        key, side, odate, rev = key[order], side[order], odate[order], rev[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )
+        # a key qualifies iff its first row is the order side
+        ok = side[starts] == 0
+        seg_sum = np.add.reduceat(rev, starts)
+        n_rows = np.diff(np.append(starts, len(key)))
+        keep = ok & (n_rows > 1)  # must also have lineitem revenue rows
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key[starts][keep]),
+                "o_orderdate": pa.array(odate[starts][keep]).cast(
+                    pa.timestamp("us")
+                ),
+                "revenue_cent": pa.array(seg_sum[keep]),
+            }
+        )
+
+    joined = map_key_partitions(qual_orders.union(lines), ["key"], join_sum)
+    return joined.sort(
+        ["revenue_cent", "o_orderkey"], descending=[True, False]
+    ).limit(k)

@@ -1757,3 +1757,88 @@ def bm25_topk(
     return scored.repartition(1).map_batches(
         reduce_topk(True), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact per-language top-k terms (grouped heavy hitters, exact variant)
+
+
+def top_terms_by_lang(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Exact top-``k`` most frequent terms PER LANGUAGE — the grouped
+    variant of :func:`top_terms`, exact instead of sketched.
+
+    Scale shape: each batch pre-aggregates its (lang, term) counts (one
+    vectorized ``np.unique`` over lexically fused keys), so the shuffle
+    carries one row per (batch, lang, term) — bounded by per-batch
+    vocabulary, never raw tokens.  The groupby combine is Ray's Sum over
+    the composite key; the final per-lang top-k hash-partitions by lang
+    (bounded key space) and reduces each language run with one lexsort +
+    boundary mask — no per-term dispatch.
+
+    Output: (lang, term, n, rank) with rank 1..k per lang, ties broken by
+    term ascending (matches the SQL ``ROW_NUMBER`` tiebreak)."""
+    from .partition import map_key_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(text, " ")
+        offs = np.asarray(toks.offsets)
+        words = toks.flatten().to_numpy(zero_copy_only=False)
+        wl = lang[np.repeat(np.arange(len(batch)), np.diff(offs))]
+        keep = words != ""
+        words, wl = words[keep], wl[keep]
+        # dictionary-encode both columns, fuse the integer ids so ONE
+        # np.unique counts the composite (no fused-string materialization)
+        _, il = np.unique(wl, return_inverse=True)
+        uw, iw = np.unique(words, return_inverse=True)
+        fused = il.astype(np.int64) * len(uw) + iw
+        _, idx, counts = np.unique(fused, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(wl[idx]),
+                "term": pa.array(words[idx]),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        _docs(sf_dir)
+        .select_columns(["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "term": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        lang = tbl.column("lang").to_numpy(zero_copy_only=False)
+        term = tbl.column("term").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((term, -n, lang))
+        lang, term, n = lang[order], term[order], n[order]
+        starts = np.concatenate([[True], lang[1:] != lang[:-1]])
+        run_id = np.cumsum(starts) - 1
+        pos = np.arange(len(lang)) - np.flatnonzero(starts)[run_id]
+        keep = pos < k
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep]),
+                "term": pa.array(term[keep]),
+                "n": pa.array(n[keep]),
+                "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+            }
+        )
+
+    return map_key_partitions(merged, ["lang"], topk, num_partitions=16)

@@ -1,0 +1,99 @@
+"""Brute-force (pandas) oracles for the relational join/top-k operators
+and the grouped exact heavy-hitter ops added in round 3."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_customers_no_orders_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import customers_no_orders
+
+    # sf0.01 has a non-empty result; sf0.001 exercises the empty path
+    for sf in (SF01, SF):
+        got = customers_no_orders(sf)
+        cust = pd.read_parquet(f"{sf}/customer.parquet")
+        orders = pd.read_parquet(f"{sf}/orders.parquet")
+        recent = orders[orders.o_orderdate >= pd.Timestamp("1997-01-01")]
+        want = cust[~cust.c_custkey.isin(set(recent.o_custkey))]
+        assert got.schema().names == ["c_custkey", "c_name", "acctbal_cent"]
+        got_df = got.to_pandas()
+        if len(want) == 0:
+            assert got.count() == 0
+            continue
+        got_df = got_df.sort_values("c_custkey").reset_index(drop=True)
+        want = want.sort_values("c_custkey").reset_index(drop=True)
+        assert got_df.c_custkey.tolist() == want.c_custkey.tolist()
+        assert got_df.c_name.tolist() == want.c_name.tolist()
+        assert got_df.acctbal_cent.tolist() == [
+            int(np.floor(b * 100 + 0.5)) for b in want.c_acctbal
+        ]
+
+
+def test_shipping_priority_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import shipping_priority
+
+    got = shipping_priority(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cutoff = pd.Timestamp("1995-03-15")
+    bld = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+    o = orders[(orders.o_orderdate < cutoff) & orders.o_custkey.isin(bld)]
+    l = li[li.l_shipdate > cutoff].copy()
+    l["cent"] = np.floor(
+        l.l_extendedprice.to_numpy() * (1 - l.l_discount.to_numpy()) * 100 + 0.5
+    ).astype(np.int64)
+    j = l.merge(o[["o_orderkey", "o_orderdate"]], left_on="l_orderkey",
+                right_on="o_orderkey")
+    want = (
+        j.groupby(["o_orderkey", "o_orderdate"], as_index=False)["cent"].sum()
+        .sort_values(["cent", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got.o_orderkey.tolist() == want.o_orderkey.tolist()
+    assert got.revenue_cent.tolist() == want.cent.tolist()
+    assert list(got.o_orderdate) == list(want.o_orderdate)
+
+
+def test_top_users_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import top_users
+
+    got = top_users(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["e4"] = np.floor(ev.value.to_numpy() * 1e4 + 0.5).astype(np.int64)
+    agg = ev.groupby("user_id", as_index=False).agg(
+        total_value_e4=("e4", "sum"), n_events=("e4", "size")
+    )
+    want = agg.sort_values(
+        ["total_value_e4", "user_id"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
+    assert got.user_id.tolist() == want.user_id.tolist()
+    assert got.total_value_e4.tolist() == want.total_value_e4.tolist()
+    assert got.n_events.tolist() == want.n_events.tolist()
+
+
+def test_top_terms_by_lang_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import top_terms_by_lang
+
+    got = top_terms_by_lang(SF, k=5).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    counts: dict[str, collections.Counter] = {}
+    for lang, text in zip(docs.lang, docs.text):
+        c = counts.setdefault(lang, collections.Counter())
+        c.update(w for w in text.split(" ") if w)
+    want_rows = []
+    for lang in sorted(counts):
+        ranked = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for r, (term, n) in enumerate(ranked, 1):
+            want_rows.append((lang, term, n, r))
+    got_rows = sorted(
+        zip(got.lang, got.term, got.n, got["rank"]),
+        key=lambda t: (t[0], t[3]),
+    )
+    assert [tuple(r) for r in got_rows] == want_rows
