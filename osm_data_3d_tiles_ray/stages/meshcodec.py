@@ -126,15 +126,26 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
     return vals
 
 
+_ENC_CHUNK = 1 << 21  # 2M values: temporaries stay ~16 MB → warm reuse
+
+
 def _pack_streams(streams: list[np.ndarray]) -> bytes:
     """Delta each stream vs its predecessor, then zigzag + varint ALL
-    streams through one vectorized call (one numpy pass instead of 11 —
-    per-call overhead dominates on per-tile-sized arrays)."""
+    streams through one vectorized pass per CHUNK (one numpy pass instead
+    of 11 — per-call overhead dominates on per-tile-sized arrays; chunking
+    keeps every temporary small enough for the allocator to reuse warm
+    pages — a multi-million-vertex tile otherwise first-touches gigabytes
+    of int64 temporaries and page faults dominate the codec ~10×)."""
     deltas = [
         np.diff(s.astype(np.int64), prepend=np.int64(0)) for s in streams
     ]
     allv = np.concatenate(deltas) if deltas else np.empty(0, np.int64)
-    return varint_encode(zigzag_encode(allv))
+    if len(allv) <= _ENC_CHUNK:
+        return varint_encode(zigzag_encode(allv))
+    parts = []
+    for o in range(0, len(allv), _ENC_CHUNK):
+        parts.append(varint_encode(zigzag_encode(allv[o : o + _ENC_CHUNK])))
+    return b"".join(parts)
 
 
 def _unpack_streams(buf: bytes, counts: list[int]) -> list[np.ndarray]:
@@ -434,8 +445,14 @@ def encode_compact_tiles_compressed(batch: pa.Table) -> pa.Table:
     the reference-parity variant (reference compresses the float mesh,
     b3dmGenerator.ts:169-195); this stage is what a production seed run
     would execute, because the floats it would consume no longer exist
-    after the compact shuffle."""
-    from .accumulate import _REC_FMT, _REC_HEADER_SIZE, _REC_MAGIC
+    after the compact shuffle.
+
+    The record-stream decode is fully vectorized per tile: headers gather
+    as one (n_rec, 64) byte matrix, each attribute stream gathers with a
+    single concatenated-arange fancy index (never a per-building
+    ``struct.unpack``/``frombuffer`` loop — measured 710 s of task time
+    at sf0.1 for the loop vs vector ops)."""
+    from .accumulate import _REC_HEADER_SIZE, _REC_MAGIC
 
     payload_col = batch.column("payload")
     if isinstance(payload_col, pa.ChunkedArray):
@@ -454,53 +471,58 @@ def encode_compact_tiles_compressed(batch: pa.Table) -> pa.Table:
         ],
         axis=1,
     )
+    magic_bytes = np.frombuffer(_REC_MAGIC, np.uint8)
+
+    def seg_gather(raw, starts, nbytes):
+        """raw[concat(arange(s, s+n) for s, n in zip(starts, nbytes))]."""
+        total = int(nbytes.sum())
+        if total == 0:
+            return np.empty(0, np.uint8)
+        cum = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, nbytes)
+        return raw[np.repeat(starts, nbytes) + within]
+
     payloads, n_unique = [], []
     for i in range(len(batch)):
         blob = payload_col[i].as_py()
         lens = np.asarray(lens_col[i].as_py(), dtype=np.int64)
         osm_ids = np.asarray(osm_col[i].as_py(), dtype=np.int64)
-        offs = np.concatenate([[0], np.cumsum(lens)])
-        qp_l, qn_l, qu_l, tid_l, verts_l = [], [], [], [], []
-        for o in offs[:-1]:
-            o = int(o)
-            magic, _osm, v, *bb = struct.unpack_from(_REC_FMT, blob, o)
-            assert magic == _REC_MAGIC
-            p = o + _REC_HEADER_SIZE
-            qp = np.frombuffer(blob, np.uint16, v * 3, p).reshape(v, 3)
-            p += v * 6
-            qn = np.frombuffer(blob, np.int8, v * 3, p).reshape(v, 3)
-            p += v * 3
-            qu = np.frombuffer(blob, np.uint16, v * 2, p).reshape(v, 2)
-            p += v * 4
-            tid = np.frombuffer(blob, np.uint8, v, p)
-            mn_b = np.array(bb[:3])
-            ext_b = np.maximum(np.array(bb[3:]) - mn_b, 1e-12)
-            # dequantize to the building frame, requantize to the tile frame
-            pos = mn_b + qp.astype(np.float64) / 65535 * ext_b
-            mn_t = bounds[i, :3]
-            ext_t = np.where(
-                bounds[i, 3:] > mn_t, bounds[i, 3:] - mn_t, 1.0
-            )
-            qp_t = np.floor(
-                np.clip((pos - mn_t) / ext_t, 0, 1) * 65535 + 0.5
-            ).astype(np.uint16)
-            qp_l.append(qp_t)
-            qn_l.append(qn)
-            qu_l.append(qu)
-            tid_l.append(tid)
-            verts_l.append(v)
-        verts = np.asarray(verts_l, dtype=np.int64)
+        raw = np.frombuffer(blob, np.uint8)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        # headers: one (n_rec, 64) gather
+        hdr = raw[offs[:, None] + np.arange(_REC_HEADER_SIZE)]
+        assert (hdr[:, :4] == magic_bytes).all()
+        verts = hdr[:, 12:16].copy().view(np.uint32).ravel().astype(np.int64)
+        bboxes = hdr[:, 16:64].copy().view(np.float64).reshape(-1, 6)
+        base = offs + _REC_HEADER_SIZE
+        qp = (
+            seg_gather(raw, base, verts * 6).view(np.uint16).reshape(-1, 3)
+        )
+        qn = seg_gather(raw, base + verts * 6, verts * 3).view(
+            np.int8
+        ).reshape(-1, 3)
+        qu = (
+            seg_gather(raw, base + verts * 9, verts * 4)
+            .view(np.uint16)
+            .reshape(-1, 2)
+        )
+        tid = seg_gather(raw, base + verts * 13, verts)
+        # dequantize to each building frame, requantize to the tile frame
+        mn_b = np.repeat(bboxes[:, :3], verts, axis=0)
+        ext_b = np.repeat(
+            np.maximum(bboxes[:, 3:] - bboxes[:, :3], 1e-12), verts, axis=0
+        )
+        pos = mn_b + qp.astype(np.float64) / 65535 * ext_b
+        mn_t = bounds[i, :3]
+        ext_t = np.where(bounds[i, 3:] > mn_t, bounds[i, 3:] - mn_t, 1.0)
+        qp_t = np.floor(
+            np.clip((pos - mn_t) / ext_t, 0, 1) * 65535 + 0.5
+        ).astype(np.uint16)
         bid = np.repeat(
             np.arange(len(verts), dtype=np.uint16), verts
-        ) if len(verts) else np.empty(0, np.uint16)
+        )
         payload = compress_mesh_quantized(
-            int(cell_ids[i]),
-            osm_ids,
-            np.concatenate(qp_l) if qp_l else np.empty((0, 3), np.uint16),
-            np.concatenate(qn_l) if qn_l else np.empty((0, 3), np.int8),
-            np.concatenate(qu_l) if qu_l else np.empty((0, 2), np.uint16),
-            np.concatenate(tid_l) if tid_l else np.empty(0, np.uint8),
-            bid,
+            int(cell_ids[i]), osm_ids, qp_t, qn, qu, tid, bid,
             tuple(bounds[i]),
         )
         payloads.append(payload)
