@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": textops.quality_filter,
         "chunk_dedup": textops.chunk_dedup,
         "embedding_centroid_sim": ann.embedding_centroid_sim,
+        "ann_range_search": ann.range_search,
         "bm25_topk": textops.bm25_topk,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
@@ -929,6 +930,26 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1, 2
 ORDER BY revenue_cent DESC, o_orderkey
 LIMIT 10
+""",
+        "ann_range_search": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ee
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+),
+un AS (
+  SELECT qid, vec_id,
+         CAST(UNNEST(qe) AS DOUBLE) AS qa, CAST(UNNEST(ee) AS DOUBLE) AS ea
+  FROM pairs
+),
+sims AS (
+  SELECT qid, vec_id,
+         SUM(qa * ea) / (sqrt(SUM(qa * qa)) * sqrt(SUM(ea * ea))) AS sim
+  FROM un GROUP BY qid, vec_id
+)
+SELECT qid, vec_id,
+       CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+FROM sims WHERE sim >= 0.35
 """,
         "events_top_users": """
 SELECT user_id,

@@ -561,3 +561,73 @@ def embedding_centroid_sim(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _embeddings(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def range_search(
+    sf_dir: str, threshold: float = 0.35
+) -> "ray.data.Dataset":
+    """Cosine RANGE search: every (query, vector) pair with similarity
+    ≥ ``threshold`` (radius query — the dedup/retrieval primitive when the
+    match count per query is unknown, unlike top-k).
+
+    Scale shape: entirely shuffle-free — the bounded query matrix
+    broadcasts once via the actor pool constructor (object-store shared),
+    each batch does one normalized matmul and emits only the pairs above
+    the threshold.  No groupby/refine stage at all: thresholding is local,
+    so the output streams straight out of the map stage.
+
+    Correctness shape: similarities are emitted as integer e6 units
+    (``floor(sim*1e6+0.5)``, CLAUDE.md float-oracle rule); the ≥ test uses
+    the raw float64 cosine on both the engine and the DuckDB side.
+
+    Output: (qid, vec_id, sim_e6)."""
+    qid, qmat = _load_queries(sf_dir)
+
+    class _RangePartial:
+        def __init__(self, qid, qmat, threshold):
+            self.qid = qid
+            self.qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            empty = pa.table(
+                {
+                    "qid": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim_e6": pa.array([], type=pa.int64()),
+                }
+            )
+            if len(vid) == 0:
+                return empty
+            dims = self.qn.shape[1]
+            m = np.asarray(
+                emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+            ).reshape(-1, dims)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = self.qn @ mn.T  # (n_q, n_batch)
+            qi, bi = np.nonzero(sims >= self.threshold)
+            keep = self.qid[qi] != vid[bi]  # exclude self-match
+            qi, bi = qi[keep], bi[keep]
+            if len(qi) == 0:
+                return empty
+            return pa.table(
+                {
+                    "qid": pa.array(self.qid[qi].astype(np.int64)),
+                    "vec_id": pa.array(vid[bi].astype(np.int64)),
+                    "sim_e6": pa.array(
+                        np.floor(sims[qi, bi] * 1e6 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+    return _embeddings(sf_dir).select_columns(["vec_id", "embedding"]).map_batches(
+        _RangePartial,
+        fn_constructor_args=(qid, qmat, threshold),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+        batch_size=4096,
+    )

@@ -74,3 +74,27 @@ def test_distributed_kmeans_matches_sample_quality(clustered_dir):
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     best = (mn @ cents.T).max(axis=1)
     assert best.mean() > 0.85
+
+
+def test_range_search_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.ann import range_search
+
+    sf = "/root/testdata/sf0.001"
+    got = range_search(sf).to_pandas()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    vid = emb.vec_id.to_numpy()
+    qsel = vid < 10
+    sims = mat[qsel] @ mat.T
+    qi, bi = np.nonzero(sims >= 0.35)
+    keep = vid[qsel][qi] != vid[bi]
+    want = {
+        (int(vid[qsel][q]), int(vid[b]), int(np.floor(sims[q, b] * 1e6 + 0.5)))
+        for q, b in zip(qi[keep], bi[keep])
+    }
+    assert set(zip(got.qid, got.vec_id, got.sim_e6)) == want
+    assert len(got) == len(want) > 0
