@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_value_rank": events.user_value_rank,
         "events_value_outliers": events.value_outliers,
         "events_top_users": events.top_users,
+        "events_funnel": events.funnel,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
         "tf_idf": textops.tf_idf,
@@ -959,6 +960,21 @@ SELECT user_id,
 FROM events GROUP BY 1
 ORDER BY total_value_e4 DESC, user_id
 LIMIT 10
+""",
+        "events_funnel": """
+WITH a AS (SELECT user_id, MIN(ts) ta FROM events WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, MIN(e.ts) tb FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) tc FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN c.user_id IS NOT NULL THEN 3
+                 WHEN b.user_id IS NOT NULL THEN 2
+                 WHEN a.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
+LEFT JOIN c USING (user_id)
 """,
         "top_terms_by_lang": """
 WITH tok AS (

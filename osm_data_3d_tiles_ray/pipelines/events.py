@@ -741,3 +741,90 @@ def top_users(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         .sort(["total_value_e4", "user_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (greedy earliest-completion stage progression)
+
+
+def funnel(
+    sf_dir: str, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> "ray.data.Dataset":
+    """Per-user funnel progression: how many of the ordered ``stages`` the
+    user completed greedily (stage k counts only if an event of type
+    ``stages[k]`` happens STRICTLY after the earliest completion of stage
+    k-1 — the standard product-analytics funnel).
+
+    Scale shape: one hash shuffle on user_id (rows pre-project to
+    (user_id, ts_us, stage_idx) and rows of non-funnel types are dropped
+    at the read); inside each partition one lexsort + a per-stage
+    ``np.minimum.reduceat`` chain — no per-user dispatch, the stage count
+    is a constant factor.
+
+    Output: (user_id, funnel_stage) for every user with ≥1 event of any
+    type (stage 0 = never even saw stage 1)."""
+    from .partition import map_key_partitions
+
+    stage_of = {s: i for i, s in enumerate(stages)}
+    SENT = np.iinfo(np.int64).max
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        sidx = np.full(len(et), -1, dtype=np.int8)
+        for s, i in stage_of.items():
+            sidx[et == s] = i
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": ts.cast(pa.int64()),
+                "stage_idx": pa.array(sidx),
+            }
+        )
+
+    rows = _events(sf_dir).select_columns(
+        ["user_id", "ts", "event_type"]
+    ).map_batches(project, batch_format="pyarrow")
+
+    def reduce_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "funnel_stage": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        sidx = tbl.column("stage_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsv, uid))
+        uid, tsv, sidx = uid[order], tsv[order], sidx[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        )
+        run_id = np.cumsum(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        ) - 1
+        prev_t = np.full(len(starts), np.int64(-1))  # stage-0 "completed at -inf"
+        stage_cnt = np.zeros(len(starts), dtype=np.int64)
+        for k in range(len(stage_of)):
+            cand = np.where(
+                (sidx == k) & (tsv > prev_t[run_id]), tsv, SENT
+            )
+            tk = np.minimum.reduceat(cand, starts)
+            done = tk < SENT
+            stage_cnt += done
+            prev_t = np.where(done, tk, SENT)
+            if not done.any():
+                break
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "funnel_stage": pa.array(stage_cnt),
+            }
+        )
+
+    return map_key_partitions(rows, ["user_id"], reduce_part)

@@ -271,3 +271,56 @@ def test_value_outliers_brute_force(ray_session):
     assert (out.value_e4 == np.floor(
         ev.set_index("event_id").loc[out.event_id, "value"].to_numpy() * 1e4 + 0.5
     ).astype(np.int64)).all()
+
+
+def test_funnel_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.events import funnel
+
+    sf = "/root/testdata/sf0.001"
+    got = funnel(sf).to_pandas().set_index("user_id").funnel_stage
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        prev = pd.Timestamp.min
+        stage = 0
+        for s in ("view", "click", "purchase"):
+            cand = g[(g.event_type == s) & (g.ts > prev)]
+            if len(cand) == 0:
+                break
+            prev = cand.ts.iloc[0]
+            stage += 1
+        want[uid] = stage
+    assert dict(got) == want
+
+
+def test_funnel_stage_variety(ray_session, tmp_path):
+    """Greedy-order semantics on a hand-built corpus covering every stage:
+    u0 never views; u1 views only; u2 view→click; u3 completes; u4 has
+    purchase BEFORE click (stage 2, the order matters); u5's click ties
+    the view timestamp exactly (strict >, so the click does not count)."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.events import funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        (0, t0, "error"),
+        (1, t0, "view"),
+        (2, t0, "view"), (2, t0 + s, "click"),
+        (3, t0, "view"), (3, t0 + s, "click"), (3, t0 + 2 * s, "purchase"),
+        (4, t0, "view"), (4, t0 + s, "purchase"), (4, t0 + 2 * s, "click"),
+        (5, t0, "view"), (5, t0, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["event_id"] = np.arange(len(df))
+    df["value"] = 1.0
+    df["props"] = ""
+    df.to_parquet(tmp_path / "events.parquet")
+    got = funnel(str(tmp_path)).to_pandas().set_index("user_id").funnel_stage
+    assert dict(got) == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1}
