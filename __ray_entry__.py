@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_suppliers": relational.top_suppliers,
         "rel_customers_no_orders": relational.customers_no_orders,
         "rel_shipping_priority": relational.shipping_priority,
+        "rel_late_shipment_priority": relational.late_shipment_priority,
     }
 
 
@@ -951,6 +952,16 @@ sims AS (
 SELECT qid, vec_id,
        CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
 FROM sims WHERE sim >= 0.35
+""",
+        "rel_late_shipment_priority": """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY 1
 """,
         "events_top_users": """
 SELECT user_id,

@@ -415,3 +415,112 @@ def shipping_priority(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     return joined.sort(
         ["revenue_cent", "o_orderkey"], descending=[True, False]
     ).limit(k)
+
+
+def late_shipment_priority(sf_dir: str, grace_days: int = 90) -> "ray.data.Dataset":
+    """TPC-H Q4-shaped EXISTS semi-join: per order priority, how many
+    orders had at least one LATE shipment (a lineitem shipped more than
+    ``grace_days`` after the order date; the schema here has no
+    commit/receipt dates, so lateness is ship-vs-order-date).
+
+    Scale shape: the EXISTS collapses to a per-orderkey MAX — lineitem
+    pre-reduces each batch to one (orderkey, max_shipdate) row, so the
+    orderkey exchange carries one row per (batch, orderkey) from the fat
+    side; the per-partition join is one sorted boundary pass; the final
+    priority rollup is a bounded groupby.
+
+    Output: (o_orderpriority, n_late_orders)."""
+    from .partition import map_key_partitions
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        return pa.table(
+            {
+                "key": batch.column("o_orderkey"),
+                "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                "ts_us": od.cast(pa.int64()),
+                "priority": batch.column("o_orderpriority"),
+            }
+        )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sd_us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, sd_us)
+        return pa.table(
+            {
+                "key": pa.array(uk),
+                "side": pa.array(np.ones(len(uk), dtype=np.int8)),
+                "ts_us": pa.array(mx),
+                "priority": pa.array([""] * len(uk), type=pa.string()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(line_partial, batch_format="pyarrow")
+
+    def exists_late(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderpriority": pa.array([], type=pa.string()),
+                "n_part": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        prio = tbl.column("priority").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))  # order row first per key
+        key, side, ts, prio = key[order], side[order], ts[order], prio[order]
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        run_id = np.cumsum(np.concatenate([[True], key[1:] != key[:-1]])) - 1
+        has_order = side[starts] == 0
+        odate = ts[starts]  # valid only where has_order
+        # per-key max shipdate over the lineitem rows
+        mx = np.full(len(starts), np.iinfo(np.int64).min)
+        lmask = side == 1
+        np.maximum.at(mx, run_id[lmask], ts[lmask])
+        late = has_order & (mx > odate + np.int64(grace_days) * DAY_US)
+        if not late.any():
+            return empty
+        p = prio[starts][late]
+        up, cnt = np.unique(p, return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(up),
+                "n_part": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = map_key_partitions(orders.union(lines), ["key"], exists_late)
+    merged = parts.groupby("o_orderpriority").aggregate(
+        ray.data.aggregate.Sum("n_part", alias_name="n_late_orders")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_late_orders": pc.cast(
+                    batch.column("n_late_orders"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

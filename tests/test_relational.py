@@ -97,3 +97,16 @@ def test_top_terms_by_lang_brute_force(ray_session):
         key=lambda t: (t[0], t[3]),
     )
     assert [tuple(r) for r in got_rows] == want_rows
+
+
+def test_late_shipment_priority_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import late_shipment_priority
+
+    got = late_shipment_priority(SF).to_pandas().set_index("o_orderpriority")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    mx = li.groupby("l_orderkey").l_shipdate.max()
+    j = orders.join(mx, on="o_orderkey")
+    late = j[j.l_shipdate > j.o_orderdate + pd.Timedelta(days=90)]
+    want = late.groupby("o_orderpriority").size()
+    assert dict(got.n_late_orders) == dict(want)
