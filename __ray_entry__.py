@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": events.value_outliers,
         "events_top_users": events.top_users,
         "events_funnel": events.funnel,
+        "events_percent_rank": events.value_percent_rank,
         "lang_id": textops.lang_id,
         "token_count_bpe": textops.token_count_bpe,
         "tf_idf": textops.tf_idf,
@@ -971,6 +972,12 @@ SELECT user_id,
 FROM events GROUP BY 1
 ORDER BY total_value_e4 DESC, user_id
 LIMIT 10
+""",
+        "events_percent_rank": """
+SELECT event_id, event_type,
+       CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+                  * 1000000 + 0.5) AS BIGINT) AS pct_e6
+FROM events
 """,
         "events_funnel": """
 WITH a AS (SELECT user_id, MIN(ts) ta FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -828,3 +828,47 @@ def funnel(
         )
 
     return map_key_partitions(rows, ["user_id"], reduce_part)
+
+
+# ---------------------------------------------------------------------------
+# per-type percent-rank normalization
+
+
+def value_percent_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Percent-rank of every event's value WITHIN its type (rank
+    normalization — the feature-scaling step that makes heavy-tailed
+    value distributions comparable across types).
+
+    Exact SQL ``percent_rank()`` semantics: ``count(strictly smaller) /
+    (n - 1)`` with ties sharing a rank — computed per type via one sort +
+    a self-``searchsorted`` (left side), never a per-row loop.  Both the
+    engine and the oracle divide the same two integers in float64, so the
+    e6 integer output cannot diverge.
+
+    One shuffle on event_type; the per-type sort is the honest exact-rank
+    cost (same bounded-type-space note as :func:`type_quantiles` — the
+    skew-safe alternative at extreme type cardinality is the t-digest
+    approximation).  Output: (event_id, event_type, pct_e6)."""
+
+    def per_type(group: pa.Table) -> pa.Table:
+        v = group.column("value").to_numpy(zero_copy_only=False)
+        n = len(v)
+        sv = np.sort(v)
+        smaller = np.searchsorted(sv, v, side="left")
+        pct = smaller / (n - 1) if n > 1 else np.zeros(n)
+        return pa.table(
+            {
+                "event_id": group.column("event_id"),
+                "event_type": group.column("event_type"),
+                "pct_e6": pa.array(
+                    np.floor(pct * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .select_columns(["event_id", "event_type", "value"])
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pyarrow")
+    )

@@ -324,3 +324,27 @@ def test_funnel_stage_variety(ray_session, tmp_path):
     df.to_parquet(tmp_path / "events.parquet")
     got = funnel(str(tmp_path)).to_pandas().set_index("user_id").funnel_stage
     assert dict(got) == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_percent_rank_brute_force_with_ties(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.events import value_percent_rank
+
+    # hand-built corpus with heavy ties + a single-row type (n==1 edge)
+    rows = []
+    vals = [1.0, 1.0, 2.0, 2.0, 2.0, 3.0]
+    for i, v in enumerate(vals):
+        rows.append((i, pd.Timestamp("2024-01-01"), i, "a", v, ""))
+    rows.append((99, pd.Timestamp("2024-01-01"), 99, "b", 7.0, ""))
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    got = value_percent_rank(str(tmp_path)).to_pandas().set_index("event_id")
+    # percent_rank: count(strictly smaller)/(n-1)
+    want = {0: 0, 1: 0, 2: int(np.floor(2 / 5 * 1e6 + 0.5)),
+            3: int(np.floor(2 / 5 * 1e6 + 0.5)), 4: int(np.floor(2 / 5 * 1e6 + 0.5)),
+            5: 1_000_000, 99: 0}
+    assert dict(got.pct_e6) == want
