@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customers_no_orders": relational.customers_no_orders,
         "rel_shipping_priority": relational.shipping_priority,
         "rel_late_shipment_priority": relational.late_shipment_priority,
+        "rel_running_totals": relational.running_customer_totals,
+        "events_user_gaps": events.user_gap_stats,
     }
 
 
@@ -972,6 +974,28 @@ SELECT user_id,
 FROM events GROUP BY 1
 ORDER BY total_value_e4 DESC, user_id
 LIMIT 10
+""",
+        "rel_running_totals": """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS running_total_cent
+FROM orders
+""",
+        "events_user_gaps": """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY 1
 """,
         "events_percent_rank": """
 SELECT event_id, event_type,

@@ -872,3 +872,74 @@ def value_percent_rank(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .map_groups(per_type, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-user inter-event gap statistics
+
+
+def user_gap_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user inter-event time gaps: count, total, and maximum gap in
+    microseconds (engagement-cadence features; users with one event have
+    no gaps and are excluded, matching the SQL LAG inner aggregation).
+
+    Scale shape: one hash shuffle on user_id; per partition one lexsort
+    by (user, ts, event_id) + a masked ``np.diff`` (run-crossing deltas
+    dropped by one boundary mask) + ``add/maximum.reduceat`` — all exact
+    int64 microseconds, no floats anywhere.
+
+    Output: (user_id, n_gaps, sum_gap_us, max_gap_us)."""
+    from .partition import map_key_partitions
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": ts.cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    rows = _events(sf_dir).select_columns(
+        ["user_id", "ts", "event_id"]
+    ).map_batches(project, batch_format="pyarrow")
+
+    def gaps_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_gaps": pa.array([], type=pa.int64()),
+                "sum_gap_us": pa.array([], type=pa.int64()),
+                "max_gap_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsv, uid))
+        uid, tsv = uid[order], tsv[order]
+        same = uid[1:] == uid[:-1]  # gap rows (i-1 → i within one user)
+        if not same.any():
+            return empty
+        gaps = (tsv[1:] - tsv[:-1])[same]
+        guid = uid[1:][same]
+        starts = np.flatnonzero(
+            np.concatenate([[True], guid[1:] != guid[:-1]])
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(guid[starts]),
+                "n_gaps": pa.array(
+                    np.diff(np.append(starts, len(guid))).astype(np.int64)
+                ),
+                "sum_gap_us": pa.array(np.add.reduceat(gaps, starts)),
+                "max_gap_us": pa.array(np.maximum.reduceat(gaps, starts)),
+            }
+        )
+
+    return map_key_partitions(rows, ["user_id"], gaps_part)

@@ -524,3 +524,70 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 90) -> "ray.data.Datas
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def running_customer_totals(sf_dir: str) -> "ray.data.Dataset":
+    """Windowed running total: each order annotated with its customer's
+    cumulative spend so far (the classic ``SUM() OVER (PARTITION BY
+    customer ORDER BY date)`` — lifetime-value feature).
+
+    Scale shape: one hash shuffle on custkey; inside each partition one
+    lexsort by (custkey, orderdate, orderkey) + a per-run padded cumsum
+    (the engine's batch-size-invariant cumulative pattern — subtract the
+    run-start prefix instead of segment loops).  Totals accumulate in
+    integer cents from the per-row expression, so the running values are
+    association-free and match single-pass SQL exactly.
+
+    Output: (o_orderkey, o_custkey, running_total_cent)."""
+    from .partition import map_key_partitions
+
+    def project(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "odate_us": od.cast(pa.int64()),
+                "cent": pa.array(
+                    np.floor(price * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(project, batch_format="pyarrow")
+
+    def cum_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "running_total_cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        ck = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = tbl.column("o_orderkey").to_numpy(zero_copy_only=False)
+        od = tbl.column("odate_us").to_numpy(zero_copy_only=False)
+        cent = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od, ck))
+        ck, ok, cent = ck[order], ok[order], cent[order]
+        csum = np.cumsum(cent)
+        starts = np.flatnonzero(np.concatenate([[True], ck[1:] != ck[:-1]]))
+        run_id = np.cumsum(np.concatenate([[True], ck[1:] != ck[:-1]])) - 1
+        base = (csum[starts] - cent[starts])[run_id]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "o_custkey": pa.array(ck),
+                "running_total_cent": pa.array(csum - base),
+            }
+        )
+
+    return map_key_partitions(rows, ["o_custkey"], cum_part)

@@ -110,3 +110,35 @@ def test_late_shipment_priority_brute_force(ray_session):
     late = j[j.l_shipdate > j.o_orderdate + pd.Timedelta(days=90)]
     want = late.groupby("o_orderpriority").size()
     assert dict(got.n_late_orders) == dict(want)
+
+
+def test_running_totals_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import running_customer_totals
+
+    got = running_customer_totals(SF).to_pandas().set_index("o_orderkey")
+    orders = pd.read_parquet(f"{SF}/orders.parquet").copy()
+    orders["cent"] = np.floor(orders.o_totalprice.to_numpy() * 100 + 0.5).astype(np.int64)
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    orders["run"] = orders.groupby("o_custkey").cent.cumsum()
+    want = dict(zip(orders.o_orderkey, orders.run))
+    assert dict(got.running_total_cent) == want
+
+
+def test_user_gap_stats_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import user_gap_stats
+
+    got = user_gap_stats(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        # datetime64[us] → int64 is already microseconds
+        ts = g.sort_values(["ts", "event_id"]).ts.astype("int64").to_numpy()
+        if len(ts) < 2:
+            continue
+        gaps = np.diff(ts)
+        want[uid] = (len(gaps), int(gaps.sum()), int(gaps.max()))
+    got_d = {
+        u: (int(r.n_gaps), int(r.sum_gap_us), int(r.max_gap_us))
+        for u, r in got.iterrows()
+    }
+    assert got_d == want
