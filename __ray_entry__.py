@@ -437,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_late_shipment_priority": relational.late_shipment_priority,
         "rel_running_totals": relational.running_customer_totals,
         "events_user_gaps": events.user_gap_stats,
+        "events_value_histogram": events.value_histogram,
+        "events_distinct_users_by_type": events.distinct_users_by_type,
     }
 
 
@@ -996,6 +998,15 @@ SELECT user_id,
        CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
 FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+""",
+        "events_value_histogram": """
+SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+        "events_distinct_users_by_type": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
 """,
         "events_percent_rank": """
 SELECT event_id, event_type,

@@ -943,3 +943,138 @@ def user_gap_stats(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(rows, ["user_id"], gaps_part)
+
+
+# ---------------------------------------------------------------------------
+# per-type fixed-bin histogram
+
+
+def value_histogram(sf_dir: str, bin_width: float = 10.0) -> "ray.data.Dataset":
+    """Per-type fixed-width value histogram: ``bin = floor(value / w)``
+    counts (distribution profiling — the exact companion to the t-digest).
+
+    Scale shape: shuffle-free until the final bounded aggregate — each
+    batch reduces to its distinct (type, bin) partial counts via one
+    fused-id ``np.unique``; the groupby then carries one row per
+    (batch, type, bin), bounded by the bin space, never raw events.
+
+    Output: (event_type, bin, n)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        ut, it = np.unique(et, return_inverse=True)
+        # fuse (type, bin) — bins are small non-negative ints here, but
+        # offset defensively so negative bins fuse correctly
+        boff = bins - bins.min() if len(bins) else bins
+        span = int(boff.max()) + 1 if len(boff) else 1
+        fused = it.astype(np.int64) * span + boff
+        _, idx, counts = np.unique(fused, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(et[idx]),
+                "bin": pa.array(bins[idx]),
+                "p_n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "bin": pc.cast(batch.column("bin"), pa.int64()),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact distinct users per type (two-level distinct)
+
+
+def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT distinct user count per event type — the grouped companion to
+    the HLL sketch (:func:`distinct_users_hll` is the approximate path
+    when per-key exactness isn't worth the shuffle).
+
+    Scale shape: two-level distinct — each batch pre-distincts its
+    (type, user) pairs (one fused-id ``np.unique``), the pair stream
+    hash-partitions ONCE for a global distinct (sorted boundary pass),
+    and the surviving one-row-per-pair stream pre-counts per batch before
+    the final bounded per-type sum.  Raw events never shuffle.
+
+    Output: (event_type, n_users)."""
+    from .partition import map_key_partitions, run_starts
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ut, it = np.unique(et, return_inverse=True)
+        # user ids are arbitrary int64 — fuse as (user * span + type_id);
+        # exact because the type span is tiny and user*span stays inside int64
+        span = np.int64(len(ut))
+        fused = uid * span + it
+        _, idx = np.unique(fused, return_index=True)
+        return pa.table(
+            {
+                "event_type": pa.array(et[idx]),
+                "user_id": pa.array(uid[idx]),
+            }
+        )
+
+    pairs = (
+        _events(sf_dir)
+        .select_columns(["event_type", "user_id"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+    )
+
+    def distinct_then_count(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], type=pa.string()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, et))
+        et, uid = et[order], uid[order]
+        firsts = run_starts(et, uid)
+        et = et[firsts]
+        ut, counts = np.unique(et, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(ut),
+                "p_n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = map_key_partitions(
+        pairs, ["event_type", "user_id"], distinct_then_count
+    )
+    merged = parts.groupby("event_type").aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n_users")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_users": pc.cast(batch.column("n_users"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -348,3 +348,29 @@ def test_percent_rank_brute_force_with_ties(ray_session, tmp_path):
             3: int(np.floor(2 / 5 * 1e6 + 0.5)), 4: int(np.floor(2 / 5 * 1e6 + 0.5)),
             5: 1_000_000, 99: 0}
     assert dict(got.pct_e6) == want
+
+
+def test_value_histogram_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.events import value_histogram
+
+    sf = "/root/testdata/sf0.001"
+    got = value_histogram(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["bin"] = np.floor(ev.value.to_numpy() / 10.0).astype(np.int64)
+    want = ev.groupby(["event_type", "bin"]).size().to_dict()
+    assert {(r.event_type, r.bin): r.n for r in got.itertuples()} == want
+
+
+def test_distinct_users_by_type_brute_force(ray_session):
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.events import distinct_users_by_type
+
+    sf = "/root/testdata/sf0.001"
+    got = distinct_users_by_type(sf).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    want = ev.groupby("event_type").user_id.nunique().to_dict()
+    assert dict(got.n_users) == want
