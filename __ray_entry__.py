@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shipping_priority": relational.shipping_priority,
         "rel_late_shipment_priority": relational.late_shipment_priority,
         "rel_running_totals": relational.running_customer_totals,
+        "rel_revenue_by_nation": relational.revenue_by_nation,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -976,6 +977,16 @@ SELECT user_id,
 FROM events GROUP BY 1
 ORDER BY total_value_e4 DESC, user_id
 LIMIT 10
+""",
+        "rel_revenue_by_nation": """
+SELECT n.n_name, r.r_name,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cent
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
 """,
         "rel_running_totals": """
 SELECT o_orderkey, o_custkey,

@@ -591,3 +591,92 @@ def running_customer_totals(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(rows, ["o_custkey"], cum_part)
+
+
+def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q5-flavored rollup: lineitem revenue by the SUPPLIER's nation
+    and region — a chained dimension-broadcast join (supplier → nation →
+    region are all bounded dimension tables, so the star join needs NO
+    shuffle at all: the fact table maps once with a composed lookup and
+    only the per-(nation, region) partials aggregate).
+
+    The three dimension tables pre-compose driver-side into ONE sorted
+    suppkey → (nation, region) array (bounded by supplier count), stored
+    in the object store once via the map task's closure capture.
+
+    Output: (n_name, r_name, revenue_cent)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nkey = nat.column("n_nationkey").to_numpy()
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    nreg = nat.column("n_regionkey").to_numpy()
+    rkey = reg.column("r_regionkey").to_numpy()
+    rname = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    r_of = dict(zip(rkey.tolist(), rname.tolist()))
+    n_order = np.argsort(nkey)
+    skey = sup.column("s_suppkey").to_numpy()
+    snat = sup.column("s_nationkey").to_numpy()
+    s_order = np.argsort(skey)
+    skey = skey[s_order]
+    pos = np.searchsorted(nkey[n_order], snat[s_order])
+    s_nname = nname[n_order][pos]
+    s_rname = np.asarray(
+        [r_of[int(k)] for k in nreg[n_order][pos]], dtype=object
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        p = np.searchsorted(skey, sk)
+        p = np.clip(p, 0, len(skey) - 1)
+        ok = skey[p] == sk
+        nn, rn = s_nname[p[ok]], s_rname[p[ok]]
+        c = cents[ok]
+        un, inv = np.unique(nn.astype(str), return_inverse=True)
+        sums = np.zeros(len(un), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        # region follows the nation 1:1
+        first = np.zeros(len(un), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(inv))[::-1]
+        return pa.table(
+            {
+                "n_name": pa.array(un),
+                "r_name": pa.array(rn[first].astype(str)),
+                "p_cent": pa.array(sums),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["n_name", "r_name"])
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "r_name": batch.column("r_name"),
+                "revenue_cent": pc.cast(
+                    batch.column("revenue_cent"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

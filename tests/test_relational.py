@@ -142,3 +142,24 @@ def test_user_gap_stats_brute_force(ray_session):
         for u, r in got.iterrows()
     }
     assert got_d == want
+
+
+def test_revenue_by_nation_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import revenue_by_nation
+
+    got = revenue_by_nation(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    reg = pd.read_parquet(f"{SF}/region.parquet")
+    li = li.copy()
+    li["cent"] = np.floor(
+        li.l_extendedprice.to_numpy() * (1 - li.l_discount.to_numpy()) * 100 + 0.5
+    ).astype(np.int64)
+    j = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    want = j.groupby(["n_name", "r_name"]).cent.sum().to_dict()
+    assert {(r.n_name, r.r_name): r.revenue_cent for r in got.itertuples()} == want
