@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": textops.chunk_dedup,
         "embedding_centroid_sim": ann.embedding_centroid_sim,
         "ann_range_search": ann.range_search,
+        "semantic_dedup": ann.semantic_dedup,
         "bm25_topk": textops.bm25_topk,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,

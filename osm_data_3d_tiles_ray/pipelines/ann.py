@@ -631,3 +631,57 @@ def range_search(
         concurrency=_pool(),
         batch_size=4096,
     )
+
+
+def semantic_dedup(
+    sf_dir: str, threshold: float = 0.35, n_planes: int = 8
+) -> "ray.data.Dataset":
+    """SemDeDup-style keep/drop decision over the embedding near-dup
+    relation (Abbas et al. 2023): a vector is DROPPED iff some vector with
+    a smaller id is cosine-similar above ``threshold`` — the greedy
+    keep-lowest-id rule applied to :func:`embedding_near_dup`'s pair
+    stream (which already emits ``vec_id > dup_of``).
+
+    Scale shape: the pair stream is a tiny fraction of the corpus; one
+    bounded groupby-min gives each dropped id its smallest similar
+    partner, and the keep flag attaches to the full embedding table with
+    a broadcast of ONLY the dropped-id array (bounded by the dup count,
+    the quantity a dedup run wants small) — embeddings never shuffle.
+
+    Output: (vec_id, keep:int64 0/1, dup_of — smallest similar smaller
+    id, or -1 for kept rows)."""
+    pairs = embedding_near_dup(sf_dir, threshold=threshold, n_planes=n_planes)
+    agg = pairs.groupby("vec_id").aggregate(
+        ray.data.aggregate.Min("dup_of", alias_name="dup_of_min")
+    )
+    drop_tbl = agg.to_pandas()  # bounded: one row per DROPPED vector
+    if len(drop_tbl) == 0:  # to_pandas drops columns on empty datasets
+        drop_ids = np.empty(0, dtype=np.int64)
+        drop_of = np.empty(0, dtype=np.int64)
+    else:
+        drop_ids = drop_tbl["vec_id"].to_numpy()
+        drop_of = drop_tbl["dup_of_min"].to_numpy()
+        order = np.argsort(drop_ids)
+        drop_ids, drop_of = drop_ids[order], drop_of[order]
+
+    def flag(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(drop_ids, vid)
+        pos_c = np.clip(pos, 0, max(len(drop_ids) - 1, 0))
+        hit = (
+            (drop_ids[pos_c] == vid)
+            if len(drop_ids)
+            else np.zeros(len(vid), dtype=bool)
+        )
+        dup = np.where(hit, drop_of[pos_c] if len(drop_ids) else -1, -1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "keep": pa.array((~hit).astype(np.int64)),
+                "dup_of": pa.array(dup.astype(np.int64)),
+            }
+        )
+
+    return _embeddings(sf_dir).select_columns(["vec_id"]).map_batches(
+        flag, batch_format="pyarrow"
+    )

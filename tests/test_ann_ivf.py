@@ -98,3 +98,35 @@ def test_range_search_brute_force(ray_session):
     }
     assert set(zip(got.qid, got.vec_id, got.sim_e6)) == want
     assert len(got) == len(want) > 0
+
+
+def test_semantic_dedup_consistent_with_pairs(ray_session):
+    """The keep/drop decision must equal the greedy keep-lowest-id rule
+    applied to the operator's own pair stream, and kept+dropped must
+    partition the full id space."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_data_3d_tiles_ray.pipelines.ann import (
+        embedding_near_dup,
+        semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = embedding_near_dup(sf, threshold=0.35).to_pandas()
+    got = semantic_dedup(sf, threshold=0.35).to_pandas().set_index("vec_id")
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    assert set(got.index) == set(emb.vec_id)
+    want_drop = {}
+    for r in pairs.itertuples():
+        cur = want_drop.get(r.vec_id)
+        want_drop[r.vec_id] = min(cur, r.dup_of) if cur is not None else r.dup_of
+    dropped = got[got.keep == 0]
+    assert dict(dropped.dup_of) == want_drop
+    assert (got[got.keep == 1].dup_of == -1).all()
+    assert len(dropped) > 0  # threshold chosen so the corpus has dups
+
+    # no-dup edge: an unreachable threshold keeps everything
+    none = semantic_dedup(sf, threshold=0.999999).to_pandas()
+    assert (none.keep == 1).all() and (none.dup_of == -1).all()
+    assert len(none) == len(emb)
