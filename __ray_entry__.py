@@ -438,6 +438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_late_shipment_priority": relational.late_shipment_priority,
         "rel_running_totals": relational.running_customer_totals,
         "rel_revenue_by_nation": relational.revenue_by_nation,
+        "rel_forecast_revenue": relational.forecast_revenue,
+        "rel_promo_revenue": relational.promo_revenue,
+        "rel_large_orders": relational.large_orders,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -988,6 +991,43 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2
+""",
+        "rel_forecast_revenue": """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cent,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "rel_promo_revenue": """
+WITH j AS (
+  SELECT CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS cent,
+         COALESCE(p.p_type = 'PROMO', FALSE) AS is_promo
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+), s AS (
+  SELECT SUM(CASE WHEN is_promo THEN cent ELSE 0 END) AS pr, SUM(cent) AS tot
+  FROM j
+)
+SELECT CAST(pr AS BIGINT) AS promo_cent, CAST(tot AS BIGINT) AS total_cent,
+       CAST((pr * 10000) // GREATEST(tot, 1) AS BIGINT) AS promo_share_e4
+FROM s
+""",
+        "rel_large_orders": """
+WITH q AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_name, o.o_orderkey,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS odate_us,
+       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_price_cent,
+       q.total_qty
+FROM q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
 """,
         "rel_running_totals": """
 SELECT o_orderkey, o_custkey,

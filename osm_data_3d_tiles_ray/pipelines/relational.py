@@ -680,3 +680,238 @@ def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q6-shaped: revenue uplift from discount changes — a pure
+    filter + scalar aggregate with NO shuffle at all.
+
+    Scale shape: columns pruned at the read (4 of 11), the predicate and
+    the per-row integer-cent revenue both evaluate vectorized per batch,
+    and only ONE (p_cent, p_cnt) partial row per batch leaves the map
+    stage; the global combine sums a handful of tiny rows.  Per-row
+    ``floor(price*disc*100+0.5)`` BEFORE any summation keeps the total
+    association-free (exact vs single-pass SQL).
+
+    Output: one row (revenue_cent, n_rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        ts = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+        hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+        keep = (
+            (ts >= lo) & (ts < hi)
+            & (disc >= 0.03) & (disc <= 0.07)
+            & (qty < 24.0)
+        )
+        cents = np.floor(price[keep] * disc[keep] * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "p_cent": pa.array([int(cents.sum())], type=pa.int64()),
+                "p_cnt": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_shipdate", "l_quantity", "l_discount", "l_extendedprice",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"),
+            ray.data.aggregate.Sum("p_cnt", alias_name="n_rows"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_cent": pc.cast(
+                    batch.column("revenue_cent"), pa.int64()
+                ),
+                "n_rows": pc.cast(batch.column("n_rows"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def promo_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q14-shaped: share of revenue from PROMO-type parts — a
+    fact-side scan with a BROADCAST dimension lookup (part is bounded),
+    so the only exchange is the single-row partial combine.
+
+    The promo flag attaches via a sorted-partkey searchsorted probe; both
+    the promo and total revenues accumulate per-row in integer cents, and
+    the e4 promo share derives from the two exact integers, so the oracle
+    match is exact.
+
+    Output: one row (promo_cent, total_cent, promo_share_e4)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pkey = part.column("p_partkey").to_numpy()
+    promo = pc.equal(part.column("p_type"), pa.scalar("PROMO")).to_numpy(
+        zero_copy_only=False
+    )
+    order = np.argsort(pkey)
+    pkey, promo = pkey[order], promo[order]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        pos = np.clip(np.searchsorted(pkey, pk), 0, len(pkey) - 1)
+        is_promo = (pkey[pos] == pk) & promo[pos]
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "p_promo": pa.array(
+                    [int(cents[is_promo].sum())], type=pa.int64()
+                ),
+                "p_total": pa.array([int(cents.sum())], type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            ray.data.aggregate.Sum("p_promo", alias_name="promo_cent"),
+            ray.data.aggregate.Sum("p_total", alias_name="total_cent"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pr = batch.column("promo_cent").to_numpy(zero_copy_only=False)
+        tot = batch.column("total_cent").to_numpy(zero_copy_only=False)
+        share = (pr.astype(np.int64) * 10000) // np.maximum(tot, 1)
+        return pa.table(
+            {
+                "promo_cent": pa.array(pr.astype(np.int64)),
+                "total_cent": pa.array(tot.astype(np.int64)),
+                "promo_share_e4": pa.array(share.astype(np.int64)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def large_orders(sf_dir: str, min_qty: float = 300.0) -> "ray.data.Dataset":
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds a
+    threshold, annotated with the order row and the customer name.
+
+    Scale shape: stage 1 pre-aggregates quantity per orderkey inside each
+    batch, so the ONLY shuffle carries (orderkey, partial_qty) pairs —
+    never lineitem rows.  The HAVING filter makes the winner set small by
+    construction (that is the query's point), so winners broadcast as a
+    sorted key array into a shuffle-free orders scan; customer names
+    attach from a second bounded broadcast.
+
+    Output: (c_name, o_orderkey, odate_us, total_price_cent, total_qty)."""
+    import pyarrow.parquet as pq
+
+    def lpartial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        keys, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(keys), dtype=np.float64)
+        np.add.at(sums, inv, qty)
+        return pa.table(
+            {"l_orderkey": pa.array(keys), "p_qty": pa.array(sums)}
+        )
+
+    qty_tbl = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(lpartial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(ray.data.aggregate.Sum("p_qty", alias_name="total_qty"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("total_qty"), min_qty)),
+            batch_format="pyarrow",
+        )
+    )
+    winners = qty_tbl.to_pandas()  # bounded: HAVING-filtered winner set
+    if len(winners) == 0:
+        wkey = np.empty(0, dtype=np.int64)
+        wqty = np.empty(0, dtype=np.float64)
+    else:
+        wkey = winners["l_orderkey"].to_numpy()
+        wqty = winners["total_qty"].to_numpy()
+        order = np.argsort(wkey)
+        wkey, wqty = wkey[order], wqty[order]
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    ckey = cust.column("c_custkey").to_numpy()
+    cname = np.asarray(cust.column("c_name").to_pylist(), dtype=object)
+    corder = np.argsort(ckey)
+    ckey, cname = ckey[corder], cname[corder]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_name": pa.array([], type=pa.string()),
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "odate_us": pa.array([], type=pa.int64()),
+                "total_price_cent": pa.array([], type=pa.int64()),
+                "total_qty": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(wkey) == 0 or len(batch) == 0:
+            return empty
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(wkey, ok), 0, len(wkey) - 1)
+        hit = wkey[pos] == ok
+        if not hit.any():
+            return empty
+        sub = batch.filter(pa.array(hit))
+        ok = ok[hit]
+        qty = wqty[pos[hit]]
+        ck = sub.column("o_custkey").to_numpy(zero_copy_only=False)
+        cpos = np.clip(np.searchsorted(ckey, ck), 0, len(ckey) - 1)
+        names = np.where(ckey[cpos] == ck, cname[cpos], None)
+        od = sub.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        price = sub.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_name": pa.array(names.tolist(), type=pa.string()),
+                "o_orderkey": pa.array(ok),
+                "odate_us": od.cast(pa.int64()),
+                "total_price_cent": pa.array(
+                    np.floor(price * 100 + 0.5).astype(np.int64)
+                ),
+                "total_qty": pa.array(qty),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(attach, batch_format="pyarrow")

@@ -163,3 +163,83 @@ def test_revenue_by_nation_brute_force(ray_session):
     )
     want = j.groupby(["n_name", "r_name"]).cent.sum().to_dict()
     assert {(r.n_name, r.r_name): r.revenue_cent for r in got.itertuples()} == want
+
+
+def test_forecast_revenue_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import forecast_revenue
+
+    got = forecast_revenue(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    keep = (
+        (li.l_shipdate >= pd.Timestamp("1996-01-01"))
+        & (li.l_shipdate < pd.Timestamp("1997-01-01"))
+        & (li.l_discount >= 0.03)
+        & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    )
+    sub = li[keep]
+    cents = np.floor(
+        sub.l_extendedprice.to_numpy() * sub.l_discount.to_numpy() * 100 + 0.5
+    ).astype(np.int64)
+    assert len(got) == 1
+    assert int(got.revenue_cent.iloc[0]) == int(cents.sum())
+    assert int(got.n_rows.iloc[0]) == int(keep.sum())
+
+
+def test_promo_revenue_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import promo_revenue
+
+    got = promo_revenue(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    promo = set(part[part.p_type == "PROMO"].p_partkey)
+    cents = np.floor(
+        li.l_extendedprice.to_numpy() * (1 - li.l_discount.to_numpy()) * 100
+        + 0.5
+    ).astype(np.int64)
+    is_promo = li.l_partkey.isin(promo).to_numpy()
+    pr, tot = int(cents[is_promo].sum()), int(cents.sum())
+    assert len(got) == 1
+    assert int(got.promo_cent.iloc[0]) == pr
+    assert int(got.total_cent.iloc[0]) == tot
+    assert int(got.promo_share_e4.iloc[0]) == (pr * 10000) // max(tot, 1)
+
+
+def test_large_orders_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import large_orders
+
+    # low threshold so sf0.001 has winners; also exercise the empty path
+    got = large_orders(SF, min_qty=120.0).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    qty = li.groupby("l_orderkey").l_quantity.sum()
+    winners = qty[qty > 120.0]
+    assert len(winners) > 0, "fixture should produce winners at 120"
+    j = orders[orders.o_orderkey.isin(winners.index)].merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    want = {
+        int(r.o_orderkey): (
+            r.c_name,
+            int(np.floor(r.o_totalprice * 100 + 0.5)),
+            float(winners[r.o_orderkey]),
+        )
+        for r in j.itertuples()
+    }
+    got_d = {
+        int(r.o_orderkey): (
+            r.c_name,
+            int(r.total_price_cent),
+            float(r.total_qty),
+        )
+        for r in got.itertuples()
+    }
+    assert got_d == want
+    # odate_us is microseconds since epoch of o_orderdate
+    od = dict(zip(orders.o_orderkey, orders.o_orderdate.astype("int64")))
+    for r in got.itertuples():
+        assert int(r.odate_us) == od[int(r.o_orderkey)]
+
+    empty = large_orders(SF, min_qty=1e12)
+    assert empty.count() == 0
