@@ -444,6 +444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
+        "events_props_hist": events.props_k_histogram,
+        "events_retention": events.retention_cohorts,
+        "doc_chunks": textops.doc_chunks,
     }
 
 
@@ -1050,6 +1053,42 @@ SELECT user_id,
        CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
 FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+""",
+        "events_props_hist": """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM events GROUP BY 1, 2
+""",
+        "events_retention": """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY 1
+)
+SELECT f.cohort AS cohort_day,
+       CAST(date_diff('day', f.cohort, ud.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN f USING (user_id) GROUP BY 1, 2
+""",
+        "doc_chunks": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         unnest(range(0, CASE WHEN n = 0 THEN 0
+                              ELSE (GREATEST(n - 32, 1) + 95) // 96 END))
+           AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 96 AS BIGINT) AS tok_start,
+       CAST(LEAST(128, n - chunk_id * 96) AS BIGINT) AS n_tokens
+FROM c
 """,
         "events_value_histogram": """
 SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,

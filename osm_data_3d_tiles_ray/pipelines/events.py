@@ -1078,3 +1078,161 @@ def distinct_users_by_type(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def props_k_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured extraction: pull the integer ``k`` field out of the
+    JSON ``props`` string column and roll up a per-(event_type, k-decade)
+    histogram with the summed event value — the "parse the JSON blob a
+    producer stuffed into one column" step of every event pipeline.
+
+    Scale shape: the extraction is one vectorized RE2 pass per batch
+    (``pc.extract_regex`` — no per-row json.loads), the per-row value
+    converts to integer e4 units BEFORE any summation (association-free),
+    and per-batch partials pre-aggregate so the only shuffle carries the
+    bounded (event_type, k_bin) key space.
+
+    Output: (event_type, k_bin, n, sum_value_e4) with k_bin = k // 10."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        e4 = np.floor(val * 1e4 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k_bin": pa.array(k // 10),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "e4": pa.array(e4),
+            }
+        )
+        g = t.group_by(["event_type", "k_bin"]).aggregate(
+            [("one", "sum"), ("e4", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "k_bin": g.column("k_bin"),
+                "p_n": pc.cast(g.column("one_sum"), pa.int64()),
+                "p_e4": pc.cast(g.column("e4_sum"), pa.int64()),
+            }
+        )
+
+    merged = (
+        _events(sf_dir)
+        .select_columns(["event_type", "props", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "k_bin"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_e4", alias_name="sum_value_e4"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k_bin": pc.cast(batch.column("k_bin"), pa.int64()),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+                "sum_value_e4": pc.cast(
+                    batch.column("sum_value_e4"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention: users grouped by their first-active day, counted
+    at each later day offset — the standard product-analytics retention
+    triangle.
+
+    Scale shape: stage 1 shrinks each batch to its DISTINCT (user, day)
+    pairs before anything shuffles; ONE hash shuffle on user_id co-locates
+    each user's days (``map_key_partitions`` — bounded partition count,
+    no per-user group dispatch); inside a partition a (user, day) lexsort
+    + run boundaries yield each user's cohort day and offsets vectorized,
+    and the partition emits pre-aggregated (cohort_day, day_offset)
+    partial counts, so the final shuffle carries only the bounded
+    calendar-triangle key space.
+
+    Output: (cohort_day, day_offset, n_users)."""
+    from .partition import map_key_partitions, run_starts
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pc.floor_temporal(ts, unit="day")
+        t = pa.table({"user_id": batch.column("user_id"), "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = (
+        _events(sf_dir)
+        .select_columns(["ts", "user_id"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+    )
+
+    US_PER_DAY = 86_400_000_000
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        day_type = tbl.schema.field("day").type
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], type=day_type),
+                    "day_offset": pa.array([], type=pa.int64()),
+                    "p_n": pa.array([], type=pa.int64()),
+                }
+            )
+        day_col = tbl.column("day")
+        if isinstance(day_col, pa.ChunkedArray):
+            day_col = day_col.combine_chunks()
+        day_us = day_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = day_us // US_PER_DAY  # small day index — safe to composite
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        day, uid = day[order], uid[order]
+        # cross-batch duplicates of (user, day) may survive stage 1
+        keep = run_starts(uid, day)
+        day, uid = day[keep], uid[keep]
+        starts = np.flatnonzero(run_starts(uid))
+        run_len = np.diff(np.append(starts, len(uid)))
+        cohort = np.repeat(day[starts], run_len)
+        offset = day - cohort
+        key = cohort * 100_000 + offset  # offsets ≪ 1e5 days
+        ukey, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    (ukey // 100_000) * US_PER_DAY
+                ).cast(day_type),
+                "day_offset": pa.array(ukey % 100_000),
+                "p_n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = map_key_partitions(pairs, ["user_id"], per_partition)
+
+    merged = partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n_users")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": batch.column("cohort_day"),
+                "day_offset": pc.cast(batch.column("day_offset"), pa.int64()),
+                "n_users": pc.cast(batch.column("n_users"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -1842,3 +1842,65 @@ def top_terms_by_lang(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(merged, ["lang"], topk, num_partitions=16)
+
+
+def doc_chunks(
+    sf_dir: str, chunk: int = 128, overlap: int = 32
+) -> "ray.data.Dataset":
+    """Fixed-window document chunking with overlap — the retrieval/embedding
+    preprocessing step (split every document into ``chunk``-token windows
+    advancing by ``chunk - overlap`` tokens) every RAG/embedding pipeline
+    runs before vectorizing.
+
+    Scale shape: entirely shuffle-free — chunk boundaries are pure per-doc
+    arithmetic on the token count, computed vectorized per batch
+    (``count_substring_regex`` for counts, ``np.repeat`` + per-run offsets
+    for the explode).  Output rows are 4 small integers; the text itself
+    never leaves the stage.  A window always starts while tokens remain
+    beyond the previous window's overlap, so every token is covered and
+    consecutive chunks share exactly ``overlap`` tokens (except a shorter
+    final chunk).
+
+    Output: (doc_id, chunk_id, tok_start, n_tokens)."""
+    stride = chunk - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = (
+            pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # chunks per doc: ceil(max(n - overlap, 1) / stride); 0 when empty
+        n_chunks = np.where(
+            n_tok > 0,
+            -(-np.maximum(n_tok - overlap, 1) // stride),
+            0,
+        ).astype(np.int64)
+        doc_rep = np.repeat(doc, n_chunks)
+        ntok_rep = np.repeat(n_tok, n_chunks)
+        # per-doc chunk index 0..n_chunks-1 via global-cumsum subtraction
+        total = int(n_chunks.sum())
+        ends = np.cumsum(n_chunks)
+        starts_of_doc = np.repeat(ends - n_chunks, n_chunks)
+        chunk_id = np.arange(total, dtype=np.int64) - starts_of_doc
+        tok_start = chunk_id * stride
+        n_in_chunk = np.minimum(chunk, ntok_rep - tok_start)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "chunk_id": pa.array(chunk_id),
+                "tok_start": pa.array(tok_start),
+                "n_tokens": pa.array(n_in_chunk.astype(np.int64)),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+    )

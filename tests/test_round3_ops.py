@@ -1,0 +1,95 @@
+"""Brute-force oracles for the round-3 session operators: doc chunking,
+JSON props extraction, cohort retention (and later additions)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_doc_chunks_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import doc_chunks
+
+    got = doc_chunks(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        n = len([w for w in text.split() if w])
+        if n == 0:
+            continue
+        k = -(-max(n - 32, 1) // 96)
+        for c in range(k):
+            want.append((doc_id, c, c * 96, min(128, n - c * 96)))
+    got_rows = sorted(
+        zip(got.doc_id, got.chunk_id, got.tok_start, got.n_tokens)
+    )
+    assert [tuple(map(int, r)) for r in got_rows] == sorted(want)
+    # invariants: full coverage, exact overlap between consecutive chunks
+    for doc_id, c, start, ntok in want:
+        assert ntok >= 1
+        if c > 0:
+            prev_end = (c - 1) * 96 + 128
+            assert start < prev_end  # overlap
+
+
+def test_doc_chunks_edge_lengths(ray_session):
+    # boundary arithmetic: n = stride, chunk, chunk+1 land correctly
+    from osm_data_3d_tiles_ray.pipelines.textops import doc_chunks  # noqa: F401
+
+    def n_chunks(n, chunk=128, overlap=32):
+        stride = chunk - overlap
+        return 0 if n == 0 else -(-max(n - overlap, 1) // stride)
+
+    assert n_chunks(0) == 0
+    assert n_chunks(1) == 1
+    assert n_chunks(96) == 1
+    assert n_chunks(128) == 1
+    assert n_chunks(129) == 2
+    assert n_chunks(224) == 2
+    assert n_chunks(225) == 3
+
+
+def test_props_k_histogram_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import props_k_histogram
+
+    got = props_k_histogram(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["k_bin"] = [json.loads(p)["k"] // 10 for p in ev.props]
+    ev["e4"] = np.floor(ev.value.to_numpy() * 1e4 + 0.5).astype(np.int64)
+    want = ev.groupby(["event_type", "k_bin"]).agg(
+        n=("e4", "size"), sum_value_e4=("e4", "sum")
+    )
+    got_d = {
+        (r.event_type, int(r.k_bin)): (int(r.n), int(r.sum_value_e4))
+        for r in got.itertuples()
+    }
+    want_d = {
+        (et, int(kb)): (int(r.n), int(r.sum_value_e4))
+        for (et, kb), r in want.iterrows()
+    }
+    assert got_d == want_d
+
+
+def test_retention_cohorts_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import retention_cohorts
+
+    got = retention_cohorts(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev.ts.dt.floor("D")
+    ud = ev[["user_id", "day"]].drop_duplicates()
+    first = ud.groupby("user_id").day.min().rename("cohort")
+    j = ud.join(first, on="user_id")
+    j["off"] = (j.day - j.cohort).dt.days
+    want = j.groupby(["cohort", "off"]).size()
+    got_d = {
+        (r.cohort_day, int(r.day_offset)): int(r.n_users)
+        for r in got.itertuples()
+    }
+    want_d = {(c, int(o)): int(n) for (c, o), n in want.items()}
+    assert got_d == want_d
+    # cohort sizes: offset-0 row equals the number of users first seen that day
+    day0 = {c: n for (c, o), n in want_d.items() if o == 0}
+    sizes = first.value_counts().to_dict()
+    assert day0 == {c: int(n) for c, n in sizes.items()}
