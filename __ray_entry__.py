@@ -441,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_forecast_revenue": relational.forecast_revenue,
         "rel_promo_revenue": relational.promo_revenue,
         "rel_large_orders": relational.large_orders,
+        "rel_returned_customers": relational.returned_customers,
+        "rel_parts_supplier_count": relational.parts_supplier_count,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1031,6 +1033,29 @@ SELECT c.c_name, o.o_orderkey,
 FROM q
 JOIN orders o ON o.o_orderkey = q.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+        "rel_returned_customers": """
+WITH rev AS (
+  SELECT o.o_custkey,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS cent
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o.o_orderdate < TIMESTAMP '1996-10-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1
+), top AS (
+  SELECT o_custkey, cent FROM rev
+  ORDER BY cent DESC, o_custkey LIMIT 20
+)
+SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
+FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "rel_parts_supplier_count": """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
 """,
         "rel_running_totals": """
 SELECT o_orderkey, o_custkey,

@@ -915,3 +915,286 @@ def large_orders(sf_dir: str, min_qty: float = 300.0) -> "ray.data.Dataset":
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     ).map_batches(attach, batch_format="pyarrow")
+
+
+def returned_customers(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """TPC-H Q10-shaped: top-k customers by revenue of RETURNED items in
+    one quarter — the churn-triage query.
+
+    Scale shape: lineitem filters to returnflag='R' and pre-aggregates
+    integer cents per orderkey inside each batch; orders filter to the
+    quarter; ONE orderkey hash exchange joins them (tag-union, sorted
+    segment pass) and re-emits (custkey, cents) partials; the custkey
+    rollup is a second grouped exchange over small rows; the global top-k
+    sorts only the per-customer aggregate.  Customer names attach LAST —
+    only the k winner keys probe the customer scan, so no unbounded side
+    ever broadcasts.
+
+    Output: (c_custkey, c_name, revenue_cent)."""
+    from .partition import map_key_partitions
+
+    lo = np.datetime64("1996-07-01", "us").astype(np.int64)
+    hi = np.datetime64("1996-10-01", "us").astype(np.int64)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        od_us = od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od_us >= lo) & (od_us < hi)
+        return pa.table(
+            {
+                "key": batch.column("o_orderkey").filter(pa.array(keep)),
+                "side": pa.array(np.zeros(int(keep.sum()), dtype=np.int8)),
+                "custkey": batch.column("o_custkey").filter(pa.array(keep)),
+                "rev_cent": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        keep = flag == "R"
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table(
+            {
+                "key": pa.array(uk),
+                "side": pa.array(np.ones(len(uk), dtype=np.int8)),
+                "custkey": pa.array(np.zeros(len(uk), dtype=np.int64)),
+                "rev_cent": pa.array(sums),
+            }
+        )
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(line_partial, batch_format="pyarrow")
+
+    def join_to_cust(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "custkey": pa.array([], type=pa.int64()),
+                "p_cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        ck = tbl.column("custkey").to_numpy(zero_copy_only=False)
+        rev = tbl.column("rev_cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))  # order row first within each key
+        key, side, ck, rev = key[order], side[order], ck[order], rev[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )
+        qualifies = side[starts] == 0  # key has its order row present
+        seg_rev = np.add.reduceat(rev, starts)  # order rows contribute 0
+        seg_ck = ck[starts]
+        keep = qualifies & (seg_rev != 0)
+        seg_ck, seg_rev = seg_ck[keep], seg_rev[keep]
+        # pre-aggregate per custkey inside the partition
+        uk, inv = np.unique(seg_ck, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, seg_rev)
+        return pa.table({"custkey": pa.array(uk), "p_cent": pa.array(sums)})
+
+    per_cust = (
+        map_key_partitions(ords.union(lines), ["key"], join_to_cust)
+        .groupby("custkey")
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b.column("custkey"),
+                    "revenue_cent": pc.cast(
+                        b.column("revenue_cent"), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_cent", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    winners = per_cust.to_pandas()  # bounded: exactly k rows
+    wkey = winners["c_custkey"].to_numpy()
+    wrev = winners["revenue_cent"].to_numpy()
+    order = np.argsort(wkey)
+    wkey_s, wrev_s = wkey[order], wrev[order]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        if len(wkey_s) == 0 or len(ck) == 0:
+            hit = np.zeros(len(ck), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(wkey_s, ck), 0, len(wkey_s) - 1)
+            hit = wkey_s[pos] == ck
+        sub = batch.filter(pa.array(hit))
+        if len(sub) == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], type=pa.int64()),
+                    "c_name": pa.array([], type=pa.string()),
+                    "revenue_cent": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = np.searchsorted(wkey_s, sub.column("c_custkey").to_numpy())
+        return pa.table(
+            {
+                "c_custkey": sub.column("c_custkey"),
+                "c_name": sub.column("c_name"),
+                "revenue_cent": pa.array(wrev_s[pos]),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(attach, batch_format="pyarrow")
+
+
+def parts_supplier_count(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q16-shaped: per (brand, type, size) the number of DISTINCT
+    suppliers that shipped such parts — grouped COUNT(DISTINCT) across a
+    fact→dimension join.
+
+    Scale shape: neither side broadcasts.  Stage 1 shrinks lineitem
+    batches to their distinct (partkey, suppkey) pairs; exchange 1 hash-
+    partitions on partkey and tag-union joins the part attribute rows,
+    emitting partition-deduped (brand, type, size, suppkey) rows; exchange
+    2 hash-partitions on the group attributes, where a sorted run-boundary
+    pass performs the global distinct-suppkey count (each group's rows are
+    fully co-located, so the count is final — no per-group dispatch).
+
+    Output: (p_brand, p_type, p_size, supplier_cnt)."""
+    from .partition import map_key_partitions, run_starts
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        # distinct pairs without bit-packing (either key may exceed any
+        # fixed bit budget at scale): lexsort + run boundaries
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        from .partition import run_starts
+
+        keep = run_starts(pk, sk) if len(pk) else np.zeros(0, dtype=bool)
+        upk, usk = pk[keep], sk[keep]
+        n = len(upk)
+        return pa.table(
+            {
+                "key": pa.array(upk),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "suppkey": pa.array(usk),
+                "p_brand": pa.array([""] * n, type=pa.string()),
+                "p_type": pa.array([""] * n, type=pa.string()),
+                "p_size": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("p_partkey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "suppkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "p_brand": batch.column("p_brand"),
+                "p_type": batch.column("p_type"),
+                "p_size": batch.column("p_size"),
+            }
+        )
+
+    pairs = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(pair_rows, batch_format="pyarrow")
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(part_rows, batch_format="pyarrow")
+
+    def attach_attrs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "p_brand": pa.array([], type=pa.string()),
+                "p_type": pa.array([], type=pa.string()),
+                "p_size": pa.array([], type=pa.int32()),
+                "suppkey": pa.array([], type=pa.int64()),
+            }
+        )
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        is_dim = side == 0
+        if is_dim.all() or not is_dim.any():
+            return empty
+        dims = tbl.filter(pa.array(is_dim)).sort_by("key")
+        facts = tbl.filter(pa.array(~is_dim))
+        dkeys = dims.column("key").to_numpy(zero_copy_only=False)
+        fkeys = facts.column("key").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dkeys, fkeys), 0, len(dkeys) - 1)
+        hit = dkeys[pos] == fkeys
+        facts = facts.filter(pa.array(hit))
+        pos = pos[hit]
+        out = pa.table(
+            {
+                "p_brand": dims.column("p_brand").take(pa.array(pos)),
+                "p_type": dims.column("p_type").take(pa.array(pos)),
+                "p_size": dims.column("p_size").take(pa.array(pos)),
+                "suppkey": facts.column("suppkey"),
+            }
+        )
+        # partition-level dedup: cross-batch (partkey, suppkey) repeats
+        # collapse here; cross-PARTKEY repeats of (group, suppkey) remain
+        # and fall to exchange 2's global distinct.
+        return out.group_by(
+            ["p_brand", "p_type", "p_size", "suppkey"]
+        ).aggregate([])
+
+    group_rows = map_key_partitions(pairs.union(parts), ["key"], attach_attrs)
+
+    def count_distinct(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], type=pa.string()),
+                    "p_type": pa.array([], type=pa.string()),
+                    "p_size": pa.array([], type=pa.int32()),
+                    "supplier_cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        brand = tbl.column("p_brand").to_numpy(zero_copy_only=False)
+        ptype = tbl.column("p_type").to_numpy(zero_copy_only=False)
+        size = tbl.column("p_size").to_numpy(zero_copy_only=False)
+        sk = tbl.column("suppkey").to_numpy(zero_copy_only=False)
+        bcode = np.unique(brand, return_inverse=True)[1]
+        tcode = np.unique(ptype, return_inverse=True)[1]
+        order = np.lexsort((sk, size, tcode, bcode))
+        b, t, s, k_ = bcode[order], tcode[order], size[order], sk[order]
+        grp_start = run_starts(b, t, s)
+        distinct = run_starts(b, t, s, k_)
+        gidx = np.cumsum(grp_start) - 1
+        cnt = np.zeros(int(grp_start.sum()), dtype=np.int64)
+        np.add.at(cnt, gidx[distinct], 1)
+        sel = np.flatnonzero(grp_start)
+        take = pa.array(order[sel])
+        return pa.table(
+            {
+                "p_brand": tbl.column("p_brand").take(take),
+                "p_type": tbl.column("p_type").take(take),
+                "p_size": tbl.column("p_size").take(take),
+                "supplier_cnt": pa.array(cnt),
+            }
+        )
+
+    return map_key_partitions(
+        group_rows, ["p_brand", "p_type", "p_size"], count_distinct
+    )

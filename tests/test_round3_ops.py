@@ -93,3 +93,57 @@ def test_retention_cohorts_brute_force(ray_session):
     day0 = {c: n for (c, o), n in want_d.items() if o == 0}
     sizes = first.value_counts().to_dict()
     assert day0 == {c: int(n) for c, n in sizes.items()}
+
+
+def test_returned_customers_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import returned_customers
+
+    got = returned_customers(SF, k=10).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    o = orders[
+        (orders.o_orderdate >= pd.Timestamp("1996-07-01"))
+        & (orders.o_orderdate < pd.Timestamp("1996-10-01"))
+    ]
+    l = li[li.l_returnflag == "R"].copy()
+    l["cent"] = np.floor(
+        l.l_extendedprice.to_numpy() * (1 - l.l_discount.to_numpy()) * 100
+        + 0.5
+    ).astype(np.int64)
+    j = l.merge(o[["o_orderkey", "o_custkey"]], left_on="l_orderkey",
+                right_on="o_orderkey")
+    rev = j.groupby("o_custkey").cent.sum().reset_index()
+    rev = rev.sort_values(["cent", "o_custkey"], ascending=[False, True])
+    top = rev.head(10)
+    names = dict(zip(cust.c_custkey, cust.c_name))
+    want = {
+        int(r.o_custkey): (names[int(r.o_custkey)], int(r.cent))
+        for r in top.itertuples()
+    }
+    got_d = {
+        int(r.c_custkey): (r.c_name, int(r.revenue_cent))
+        for r in got.itertuples()
+    }
+    assert got_d == want
+    assert len(want) > 0, "fixture should have returned items in window"
+
+
+def test_parts_supplier_count_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import parts_supplier_count
+
+    got = parts_supplier_count(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    j = li[["l_partkey", "l_suppkey"]].merge(
+        part[["p_partkey", "p_brand", "p_type", "p_size"]],
+        left_on="l_partkey", right_on="p_partkey",
+    )
+    want = (
+        j.groupby(["p_brand", "p_type", "p_size"]).l_suppkey.nunique()
+    ).to_dict()
+    got_d = {
+        (r.p_brand, r.p_type, int(r.p_size)): int(r.supplier_cnt)
+        for r in got.itertuples()
+    }
+    assert got_d == {(b, t, int(s)): int(n) for (b, t, s), n in want.items()}
