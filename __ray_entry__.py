@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": ann.range_search,
         "semantic_dedup": ann.semantic_dedup,
         "bm25_topk": textops.bm25_topk,
+        "bigram_lm_score": textops.bigram_lm_score,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -680,6 +681,31 @@ WITH tok AS (
   FROM r
 )
 SELECT qid, doc_id, score_e6, CAST(rn AS BIGINT) AS rank FROM rk WHERE rn <= 10
+""",
+        "bigram_lm_score": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents
+), ix AS (
+  SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t
+), bg AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM ix
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+), uc AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uc
+)
+SELECT bg.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(FLOOR(ln((bc.c2 + 1.0) / (uc.c1 + v.v)) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS logprob_e6
+FROM bg
+JOIN bc USING (w1, w2)
+JOIN uc USING (w1)
+CROSS JOIN v
+GROUP BY 1
 """,
         "decontaminate": """
 WITH t AS (

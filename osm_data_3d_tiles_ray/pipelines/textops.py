@@ -1904,3 +1904,217 @@ def doc_chunks(
         .select_columns(["doc_id", "text"])
         .map_batches(explode, batch_format="pyarrow")
     )
+
+
+def _bigram_rows(batch: pa.Table) -> pa.Table:
+    """Explode one batch of documents to (h1, h12, doc_id, cnt) bigram rows.
+
+    Tokenization matches ``_term_tf_rows`` (vectorized space split, empties
+    dropped); bigrams pair consecutive tokens WITHIN a document (the
+    row-boundary mask kills cross-doc pairs).  Tokens travel as 64-bit
+    hashes — every downstream shuffle and join keys on fixed-width ints,
+    never strings (collisions birthday-bounded as in tf_idf)."""
+    import polars as pl
+
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = toks.flatten()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    offs = np.asarray(toks.offsets)
+    row_of_tok = np.repeat(np.arange(len(batch)), np.diff(offs))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = words != ""
+    words, row_of_tok = words[keep], row_of_tok[keep]
+    if len(words) < 2:
+        return pa.table(
+            {
+                "h1": pa.array([], type=pa.int64()),
+                "h12": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+    h = (
+        pl.Series(words.astype(object)).hash(seed=0x2B1A).to_numpy()
+        .view(np.int64)
+    )
+    valid = row_of_tok[1:] == row_of_tok[:-1]
+    h1, h2 = h[:-1][valid], h[1:][valid]
+    row = row_of_tok[:-1][valid]
+    # single 64-bit bigram identity (Weyl-constant mix of the two token
+    # hashes) so every downstream shuffle/probe keys ONE fixed-width int —
+    # collision class identical to tf_idf's term_hash
+    h12 = (
+        h1.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + h2.view(np.uint64)
+    ).view(np.int64)
+    # per-(doc, bigram) occurrence counts via lexsort + run boundaries
+    order = np.lexsort((h12, row))
+    row, h1, h12 = row[order], h1[order], h12[order]
+    from .partition import run_starts
+
+    starts = run_starts(row, h12)
+    idx = np.flatnonzero(starts)
+    cnt = np.diff(np.append(idx, len(row)))
+    return pa.table(
+        {
+            "h1": pa.array(h1[idx]),
+            "h12": pa.array(h12[idx]),
+            "doc_id": pa.array(doc_ids[row[idx]]),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def bigram_lm_score(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset":
+    """Per-document bigram language-model log-probability (add-one
+    smoothed) — the KenLM-style fluency/perplexity signal quality
+    filters rank web documents by, with the LM trained ON the corpus
+    itself in the same distributed job.
+
+    Model: ln P(doc) = Σ over bigram instances ln((c2+1) / (c1+V)) with
+    c2 = corpus count of the bigram, c1 = corpus count of its first word
+    as a bigram start, V = distinct bigram-start vocabulary size.
+
+    Scale shape (the tf_idf discipline end-to-end): documents explode
+    once per consumer into fixed-width (h1, h2, doc_id, cnt) rows; the
+    model tables are groupby aggregates over those SAME rows (bc keyed
+    (h1,h2), uc keyed h1 — partial counts pre-combine per batch by
+    construction); each attach is ONE hash-partitioned tag-union join
+    (pipelines/partition.py) — the vocabulary never materializes on the
+    driver (V is a single scalar count).  Per-instance scores floor to
+    integer micro-nats BEFORE the per-doc sum, so the combine tree is
+    association-free and the oracle match exact (transcendental 1e6
+    scale per the repo float rules).
+
+    Output: (doc_id, n_bigrams, logprob_e6)."""
+    from .partition import map_key_partitions
+
+    doc_rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(_bigram_rows, batch_format="pyarrow")
+    )
+
+    # the trained model: materialized ONCE (distributed blocks in the
+    # object store — the train→score checkpoint; each rel is one row per
+    # distinct bigram/unigram, spillable, never driver-side) so that
+    # uc.count() and the join unions don't re-run the corpus explode.
+    # bc keeps h1 alongside h12 (h12 determines h1) so BOTH model attaches
+    # ride ONE h1-keyed exchange.
+    bc = doc_rows.groupby(["h1", "h12"]).aggregate(
+        ray.data.aggregate.Sum("cnt", alias_name="c2")
+    ).materialize()
+    uc = doc_rows.groupby("h1").aggregate(
+        ray.data.aggregate.Sum("cnt", alias_name="c1")
+    ).materialize()
+    v_size = uc.count()  # scalar: distinct bigram-start vocabulary
+
+    # one exchange keyed h1 co-locates each first-word's bigram-model rows
+    # (side 1), its unigram-model row (side 2) and every doc bigram row
+    # (side 0); skew is bounded by the hash partitioning (a partition holds
+    # many first-words, a hot word never exceeds its partition)
+    def bc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "h1": batch.column("h1"),
+                "h12": batch.column("h12"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "c": pc.cast(batch.column("c2"), pa.int64()),
+            }
+        )
+
+    def uc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "h1": batch.column("h1"),
+                "h12": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.full(n, 2, dtype=np.int8)),
+                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "c": pc.cast(batch.column("c1"), pa.int64()),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "h1": batch.column("h1"),
+                "h12": batch.column("h12"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "doc_id": batch.column("doc_id"),
+                "cnt": batch.column("cnt"),
+                "c": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def score_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "p_n": pa.array([], type=pa.int64()),
+                "p_lp": pa.array([], type=pa.int64()),
+            }
+        )
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        if not (side == 0).any():
+            return empty
+        bmodel = tbl.filter(pa.array(side == 1)).sort_by("h12")
+        umodel = tbl.filter(pa.array(side == 2)).sort_by("h1")
+        docs = tbl.filter(pa.array(side == 0))
+        bk = bmodel.column("h12").to_numpy(zero_copy_only=False)
+        bc2 = bmodel.column("c").to_numpy(zero_copy_only=False)
+        uk = umodel.column("h1").to_numpy(zero_copy_only=False)
+        uc1 = umodel.column("c").to_numpy(zero_copy_only=False)
+        dk12 = docs.column("h12").to_numpy(zero_copy_only=False)
+        dk1 = docs.column("h1").to_numpy(zero_copy_only=False)
+        # every doc bigram has both model rows (built from the same rel)
+        c2 = bc2[np.searchsorted(bk, dk12)].astype(np.float64)
+        c1 = uc1[np.searchsorted(uk, dk1)].astype(np.float64)
+        cnt = docs.column("cnt").to_numpy(zero_copy_only=False)
+        per_inst = np.floor(
+            np.log((c2 + 1.0) / (c1 + float(v_size))) * 1e6 + 0.5
+        ).astype(np.int64)
+        did = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(did, return_inverse=True)
+        n_sum = np.zeros(len(ud), dtype=np.int64)
+        lp_sum = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(n_sum, inv, cnt)
+        np.add.at(lp_sum, inv, per_inst * cnt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud),
+                "p_n": pa.array(n_sum),
+                "p_lp": pa.array(lp_sum),
+            }
+        )
+
+    tagged = (
+        bc.map_batches(bc_side, batch_format="pyarrow")
+        .union(uc.map_batches(uc_side, batch_format="pyarrow"))
+        .union(doc_rows.map_batches(doc_side, batch_format="pyarrow"))
+    )
+    partials = map_key_partitions(tagged, ["h1"], score_part, num_partitions)
+
+    merged = partials.groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n_bigrams"),
+        ray.data.aggregate.Sum("p_lp", alias_name="logprob_e6"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pc.cast(batch.column("n_bigrams"), pa.int64()),
+                "logprob_e6": pc.cast(batch.column("logprob_e6"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -147,3 +147,34 @@ def test_parts_supplier_count_brute_force(ray_session):
         for r in got.itertuples()
     }
     assert got_d == {(b, t, int(s)): int(n) for (b, t, s), n in want.items()}
+
+
+def test_bigram_lm_score_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import bigram_lm_score
+
+    got = bigram_lm_score(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    bc, uc = Counter(), Counter()
+    doc_bigrams = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = [w for w in text.split(" ") if w]
+        bgs = list(zip(toks[:-1], toks[1:]))
+        if bgs:
+            doc_bigrams[doc_id] = bgs
+        bc.update(bgs)
+        uc.update(w1 for w1, _ in bgs)
+    V = len(uc)
+    want = {}
+    for doc_id, bgs in doc_bigrams.items():
+        lp = sum(
+            int(np.floor(np.log((bc[b] + 1.0) / (uc[b[0]] + V)) * 1e6 + 0.5))
+            for b in bgs
+        )
+        want[doc_id] = (len(bgs), lp)
+    got_d = {
+        int(r.doc_id): (int(r.n_bigrams), int(r.logprob_e6))
+        for r in got.itertuples()
+    }
+    assert got_d == want
