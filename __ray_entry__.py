@@ -449,6 +449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_by_type": events.distinct_users_by_type,
         "events_props_hist": events.props_k_histogram,
         "events_retention": events.retention_cohorts,
+        "events_hourly_anomaly": events.hourly_anomaly,
+        "events_type_transitions": events.type_transitions,
         "doc_chunks": textops.doc_chunks,
     }
 
@@ -1112,6 +1114,45 @@ SELECT event_type,
        CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_value_e4
 FROM events GROUP BY 1, 2
+""",
+        "events_hourly_anomaly": """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT a.event_type, a.hour, a.n,
+         CAST(COUNT(b.hour) AS BIGINT) AS base_n,
+         CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS base_sum,
+         CAST(COALESCE(SUM(b.n * b.n), 0) AS BIGINT) AS base_sumsq
+  FROM h a LEFT JOIN h b
+    ON a.event_type = b.event_type
+   AND b.hour >= a.hour - INTERVAL 24 HOUR AND b.hour < a.hour
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, hour AS window_start, n AS n_events,
+       base_n, base_sum, base_sumsq
+FROM w
+WHERE base_n > 0 AND (n * base_n - base_sum) > 0
+  AND (n * base_n - base_sum) * (n * base_n - base_sum)
+      > 9 * (base_n * base_sumsq - base_sum * base_sum)
+""",
+        "events_type_transitions": """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), p AS (
+  SELECT event_type AS prev_type, nxt AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT prev_type, SUM(n) AS tot FROM p GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.n,
+       CAST(p.n * 1000000 // t.tot AS BIGINT) AS prob_e6
+FROM p JOIN t USING (prev_type)
 """,
         "events_retention": """
 WITH ud AS (

@@ -1236,3 +1236,229 @@ def retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def hourly_anomaly(sf_dir: str, window: int = 24, z: int = 3) -> "ray.data.Dataset":
+    """Trailing-window anomaly flags on the hourly event-count series: an
+    (event_type, hour) bucket is anomalous when its count exceeds the
+    trailing ``window``-hour mean by more than ``z`` standard deviations —
+    the ops-monitoring spike detector, evaluated EXACTLY in integers.
+
+    The z-test never touches floats: with W = trailing bucket count,
+    S = Σcount, Q = Σcount², the condition
+    ``n > mean + z·std  ⟺  (n·W − S) > 0  ∧  (n·W − S)² > z²·(W·Q − S²)``
+    is pure int64 arithmetic (hour counts are ≪ 2^31, so no overflow),
+    which is why the DuckDB oracle matches hash-exactly — no variance
+    association error, no sqrt.
+
+    Scale shape: the raw stream collapses to per-batch (type, hour)
+    partials immediately (bounded key space: types × hours); the windowed
+    pass runs per type over the bounded hourly series inside one hash
+    partition.  Only anomalous rows are emitted.
+
+    Output: (event_type, window_start, n_events, base_n, base_sum,
+    base_sumsq)."""
+    from .partition import map_key_partitions, run_starts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = pc.floor_temporal(ts, unit="hour")
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "hour": hour}
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate([("hour", "count")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "hour": g.column("hour"),
+                "p_n": pc.cast(g.column("hour_count"), pa.int64()),
+            }
+        )
+
+    hourly = (
+        _events(sf_dir)
+        .select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_events"))
+    )
+
+    US_PER_HOUR = 3_600_000_000
+
+    def flag_part(tbl: pa.Table) -> pa.Table:
+        hour_type = tbl.schema.field("hour").type
+        empty = pa.table(
+            {
+                "event_type": pa.array([], type=pa.string()),
+                "window_start": pa.array([], type=hour_type),
+                "n_events": pa.array([], type=pa.int64()),
+                "base_n": pa.array([], type=pa.int64()),
+                "base_sum": pa.array([], type=pa.int64()),
+                "base_sumsq": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        hour_col = tbl.column("hour")
+        if isinstance(hour_col, pa.ChunkedArray):
+            hour_col = hour_col.combine_chunks()
+        # Ray's Aggregate may downcast timestamp[us] → timestamp[s];
+        # normalize BEFORE the integer cast or every hour collapses to 0
+        hr = (
+            hour_col.cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False) // US_PER_HOUR
+        )
+        n = tbl.column("n_events").to_numpy(zero_copy_only=False)
+        code = np.unique(et, return_inverse=True)[1]
+        order = np.lexsort((hr, code))
+        code, hr, n = code[order], hr[order], n[order]
+        starts = run_starts(code)
+        flags = np.zeros(len(n), dtype=bool)
+        bn = np.zeros(len(n), dtype=np.int64)
+        bs = np.zeros(len(n), dtype=np.int64)
+        bq = np.zeros(len(n), dtype=np.int64)
+        seg = np.flatnonzero(starts)
+        for a, b in zip(seg, np.append(seg[1:], len(n))):
+            # per-type series is BOUNDED (hours in the horizon) — the
+            # trailing sums are a sliding two-pointer pass, not per-event
+            h, c = hr[a:b], n[a:b]
+            csum = np.concatenate([[0], np.cumsum(c)])
+            csq = np.concatenate([[0], np.cumsum(c * c)])
+            lo = np.searchsorted(h, h - window, side="left")
+            hi = np.searchsorted(h, h, side="left")  # strictly before
+            W = hi - lo
+            S = csum[hi] - csum[lo]
+            Q = csq[hi] - csq[lo]
+            d = c * W - S
+            ok = (W > 0) & (d > 0) & (d * d > z * z * (W * Q - S * S))
+            flags[a:b] = ok
+            bn[a:b], bs[a:b], bq[a:b] = W, S, Q
+        sel = np.flatnonzero(flags)
+        take = pa.array(order[sel])
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type").take(take),
+                "window_start": tbl.column("hour").take(take),
+                "n_events": tbl.column("n_events").take(take),
+                "base_n": pa.array(bn[sel]),
+                "base_sum": pa.array(bs[sel]),
+                "base_sumsq": pa.array(bq[sel]),
+            }
+        )
+
+    out = map_key_partitions(hourly, ["event_type"], flag_part)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": batch.column("window_start"),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+                "base_n": pc.cast(batch.column("base_n"), pa.int64()),
+                "base_sum": pc.cast(batch.column("base_sum"), pa.int64()),
+                "base_sumsq": pc.cast(batch.column("base_sumsq"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def type_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Markov transition counts of per-user event-type sequences: how often
+    type A is immediately followed by type B in a user's timeline — the
+    behavioral-model fit every recommendation/abuse pipeline starts with.
+
+    Scale shape: ONE hash exchange on user_id (map_key_partitions, no
+    per-user dispatch); inside a partition a (user, ts, event_id) lexsort
+    + shifted-slice comparison yields each user's consecutive pairs
+    vectorized, pre-aggregated to (prev, next) partial counts; the final
+    rollup shuffles only the bounded type×type matrix.  Probabilities
+    derive from exact integer counts (e6 floor division).
+
+    Output: (prev_type, next_type, n, prob_e6) with
+    prob_e6 = floor(n * 1e6 / row_total)."""
+    from .partition import map_key_partitions, run_starts
+
+    def pair_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], type=pa.string()),
+                "next_type": pa.array([], type=pa.string()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) < 2:
+            return empty
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts_col = tbl.column("ts")
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        ts = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        types, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, code = uid[order], code[order]
+        same_user = uid[1:] == uid[:-1]
+        prev_c, next_c = code[:-1][same_user], code[1:][same_user]
+        if len(prev_c) == 0:
+            return empty
+        k = len(types)
+        pair = prev_c.astype(np.int64) * k + next_c
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": pa.array(types[upair // k]),
+                "next_type": pa.array(types[upair % k]),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    pairs = map_key_partitions(
+        _events(sf_dir).select_columns(
+            ["user_id", "ts", "event_id", "event_type"]
+        ),
+        ["user_id"],
+        pair_part,
+    )
+
+    counts = pairs.groupby(["prev_type", "next_type"]).aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n")
+    )
+
+    # row totals: the matrix is bounded (types²) — normalize per prev_type
+    # inside one partitioned pass, no driver round-trip
+    def normalize(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], type=pa.string()),
+                    "next_type": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "prob_e6": pa.array([], type=pa.int64()),
+                }
+            )
+        prev = tbl.column("prev_type").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        code = np.unique(prev, return_inverse=True)[1]
+        order = np.argsort(code, kind="stable")
+        code_s, n_s = code[order], n[order]
+        starts = run_starts(code_s)
+        gidx = np.cumsum(starts) - 1
+        totals = np.zeros(int(starts.sum()), dtype=np.int64)
+        np.add.at(totals, gidx, n_s)
+        row_total = np.empty(len(n), dtype=np.int64)
+        row_total[order] = totals[gidx]
+        return pa.table(
+            {
+                "prev_type": tbl.column("prev_type"),
+                "next_type": tbl.column("next_type"),
+                "n": pa.array(n),
+                "prob_e6": pa.array(n * 1_000_000 // row_total),
+            }
+        )
+
+    return map_key_partitions(counts, ["prev_type"], normalize)

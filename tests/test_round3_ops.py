@@ -178,3 +178,64 @@ def test_bigram_lm_score_brute_force(ray_session):
         for r in got.itertuples()
     }
     assert got_d == want
+
+
+def test_type_transitions_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import type_transitions
+
+    got = type_transitions(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    cnt = Counter()
+    for _, g in ev.groupby("user_id"):
+        types = g.event_type.tolist()
+        cnt.update(zip(types[:-1], types[1:]))
+    tot = Counter()
+    for (p, _), n in cnt.items():
+        tot[p] += n
+    want = {
+        (p, nx): (n, n * 1_000_000 // tot[p]) for (p, nx), n in cnt.items()
+    }
+    got_d = {
+        (r.prev_type, r.next_type): (int(r.n), int(r.prob_e6))
+        for r in got.itertuples()
+    }
+    assert got_d == want
+    # each prev row's probabilities sum to ~1 (floor division undershoot)
+    by_prev = {}
+    for (p, _), (_, pe6) in got_d.items():
+        by_prev[p] = by_prev.get(p, 0) + pe6
+    for p, s in by_prev.items():
+        assert 1_000_000 - len([1 for k in got_d if k[0] == p]) <= s <= 1_000_000
+
+
+def test_hourly_anomaly_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import hourly_anomaly
+
+    got = hourly_anomaly(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["hour"] = ev.ts.dt.floor("h")
+    h = ev.groupby(["event_type", "hour"]).size().rename("n").reset_index()
+    want = {}
+    for et, g in h.groupby("event_type"):
+        g = g.sort_values("hour")
+        hrs = (g.hour.astype("int64").to_numpy() // 3_600_000_000)
+        c = g.n.to_numpy().astype(np.int64)
+        for i in range(len(c)):
+            mask = (hrs >= hrs[i] - 24) & (hrs < hrs[i])
+            W = int(mask.sum())
+            S = int(c[mask].sum())
+            Q = int((c[mask] ** 2).sum())
+            d = int(c[i]) * W - S
+            if W > 0 and d > 0 and d * d > 9 * (W * Q - S * S):
+                want[(et, g.hour.iloc[i])] = (int(c[i]), W, S, Q)
+    got_d = {
+        (r.event_type, pd.Timestamp(r.window_start)): (
+            int(r.n_events), int(r.base_n), int(r.base_sum),
+            int(r.base_sumsq),
+        )
+        for r in got.itertuples()
+    }
+    assert got_d == want
