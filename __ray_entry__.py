@@ -317,6 +317,33 @@ HAVING BOOL_OR(ri = 0 AND inside) AND NOT BOOL_OR(ri > 0 AND inside)
 """
 
 
+def _random_projection_sql() -> str:
+    """SQL mirror of ann.random_projection: the ±1 sign matrix is bit 0 of
+    one Jenkins avalanche round over ``d*k + j`` (geom/rng.py:jenkins_mix
+    ≡ _jenkins_round_sql), so DuckDB derives the identical matrix."""
+    mix, h = _jenkins_round_sql("a0", "m")
+    return f"""
+WITH u AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+),
+s0 AS (
+  SELECT CAST(dd.d AS BIGINT) AS d, CAST(t2.range AS BIGINT) AS jj,
+         CAST(dd.d * 16 + t2.range AS BIGINT) AS a0
+  FROM (SELECT DISTINCT d FROM u) dd CROSS JOIN range(0, 16) t2
+),
+s1 AS (SELECT d, jj, {mix} FROM s0),
+s AS (SELECT d, jj,
+             CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+      FROM s1)
+SELECT u.vec_id, CAST(s.jj AS BIGINT) AS j,
+       CAST(FLOOR(SUM(u.v * s.sign) * 0.25 * 1000000 + 0.5) AS BIGINT) AS y_e6
+FROM u JOIN s USING (d)
+GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: documents (spans) → parse → per-building
     3D geometry (actor pool: walls + roof dispatch) → per-tile stats
@@ -424,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_sim": ann.embedding_centroid_sim,
         "ann_range_search": ann.range_search,
         "semantic_dedup": ann.semantic_dedup,
+        "embedding_random_projection": ann.random_projection,
         "bm25_topk": textops.bm25_topk,
         "bigram_lm_score": textops.bigram_lm_score,
         "decontaminate": textops.decontaminate,
@@ -819,6 +847,7 @@ SELECT doc_id,
           + len(regexp_extract_all(lower(text), '\bfor\b')) AS BIGINT) AS n_stopwords
 FROM documents
 """,
+        "embedding_random_projection": _random_projection_sql(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
 pairs AS (

@@ -685,3 +685,60 @@ def semantic_dedup(
     return _embeddings(sf_dir).select_columns(["vec_id"]).map_batches(
         flag, batch_format="pyarrow"
     )
+
+
+def random_projection(sf_dir: str, out_dims: int = 16) -> "ray.data.Dataset":
+    """Johnson–Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    ±1 sign matrix: y_j = (1/√k) Σ_d v_d · sign(d, j), where the sign is
+    bit 0 of the engine's keyed Jenkins hash of ``d·k + j`` — the matrix
+    is pure code, identically derivable anywhere (including inside the
+    DuckDB oracle via the SQL Jenkins mirror), so even this vector op is
+    hash-oracled.
+
+    Scale shape: entirely shuffle-free — the sign matrix (dims × k,
+    a few KB) builds once per task closure and each batch is ONE float64
+    matmul; outputs floor to e6 integers per element (sums of ≤dims
+    in-order terms, association noise ≪ the e6 grid).
+
+    Output: (vec_id, j, y_e6) — one row per (vector, output dim)."""
+    import pyarrow.parquet as pq
+
+    from ..geom.rng import jenkins_mix
+
+    meta = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dims = len(meta.column("embedding")[0])
+    seeds = (
+        np.arange(dims, dtype=np.uint32)[:, None] * np.uint32(out_dims)
+        + np.arange(out_dims, dtype=np.uint32)[None, :]
+    )
+    signs = 1.0 - 2.0 * (jenkins_mix(seeds.ravel()) & np.uint32(1)).astype(
+        np.float64
+    ).reshape(dims, out_dims)
+    scale = 1.0 / np.sqrt(float(out_dims))
+
+    def project(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.asarray(
+            emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(-1, dims)
+        y = (m @ signs) * scale
+        e6 = np.floor(y * 1e6 + 0.5).astype(np.int64)
+        n = len(vid)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, out_dims)),
+                "j": pa.array(np.tile(np.arange(out_dims, dtype=np.int64), n)),
+                "y_e6": pa.array(e6.reshape(-1)),
+            }
+        )
+
+    return (
+        _embeddings(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(project, batch_format="pyarrow")
+    )

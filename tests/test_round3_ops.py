@@ -239,3 +239,35 @@ def test_hourly_anomaly_brute_force(ray_session):
         for r in got.itertuples()
     }
     assert got_d == want
+
+
+def test_random_projection_brute_force_and_jl(ray_session):
+    from osm_data_3d_tiles_ray.geom.rng import jenkins_mix
+    from osm_data_3d_tiles_ray.pipelines.ann import random_projection
+
+    got = random_projection(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    dims = len(emb.embedding.iloc[0])
+    k = 16
+    seeds = (
+        np.arange(dims, dtype=np.uint32)[:, None] * np.uint32(k)
+        + np.arange(k, dtype=np.uint32)[None, :]
+    )
+    signs = 1.0 - 2.0 * (jenkins_mix(seeds.ravel()) & np.uint32(1)).astype(
+        np.float64
+    ).reshape(dims, k)
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    y = (m @ signs) / np.sqrt(k)
+    want_e6 = np.floor(y * 1e6 + 0.5).astype(np.int64)
+    got_piv = got.pivot(index="vec_id", columns="j", values="y_e6")
+    got_mat = got_piv.loc[emb.vec_id].to_numpy()
+    assert (got_mat == want_e6).all()
+    # JL property: projected pairwise sq-distances concentrate around the
+    # originals (loose bound — sanity, not a proof)
+    rng = np.random.default_rng(7)
+    idx = rng.choice(len(m), size=(50, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d_orig = np.sum((m[idx[:, 0]] - m[idx[:, 1]]) ** 2, axis=1)
+    d_proj = np.sum((y[idx[:, 0]] - y[idx[:, 1]]) ** 2, axis=1)
+    ratio = d_proj / d_orig
+    assert 0.3 < np.median(ratio) < 1.7
