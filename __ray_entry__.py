@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_random_projection": ann.random_projection,
         "bm25_topk": textops.bm25_topk,
         "bigram_lm_score": textops.bigram_lm_score,
+        "corpus_prep": textops.corpus_prep,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -472,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_large_orders": relational.large_orders,
         "rel_returned_customers": relational.returned_customers,
         "rel_parts_supplier_count": relational.parts_supplier_count,
+        "rel_linestatus_priority": relational.linestatus_priority,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -711,6 +713,40 @@ WITH tok AS (
   FROM r
 )
 SELECT qid, doc_id, score_e6, CAST(rn AS BIGINT) AS rank FROM rk WHERE rn <= 10
+""",
+        "corpus_prep": r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top
+  FROM wc GROUP BY 1
+), t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         text
+  FROM documents
+), q AS (
+  SELECT t.doc_id, t.n_tokens, t.text
+  FROM m JOIN t ON m.doc_id = t.doc_id
+  WHERE m.n_words >= 12 AND 4 * m.top <= m.n_words
+    AND 10 * t.n_alpha >= 7 * t.n_chars
+), d AS (
+  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text
+), s AS (
+  SELECT q.doc_id, q.n_tokens FROM q JOIN d USING (doc_id)
+), p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM s
+)
+SELECT doc_id, CAST(prefix // 512 AS BIGINT) AS example_id,
+       CAST(prefix % 512 AS BIGINT) AS tok_offset
+FROM p
 """,
         "bigram_lm_score": """
 WITH t AS (
@@ -1107,6 +1143,17 @@ WITH rev AS (
 )
 SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "rel_linestatus_priority": """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
 """,
         "rel_parts_supplier_count": """
 SELECT p.p_brand, p.p_type, p.p_size,

@@ -1198,3 +1198,125 @@ def parts_supplier_count(sf_dir: str) -> "ray.data.Dataset":
     return map_key_partitions(
         group_rows, ["p_brand", "p_type", "p_size"], count_distinct
     )
+
+
+def linestatus_priority(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q12-shaped: per lineitem linestatus, how many line items
+    belong to high-priority orders (1-URGENT / 2-HIGH) vs all others,
+    within a ship-date year — the CASE-bucketed join rollup.
+
+    Scale shape: ONE orderkey tag-union hash exchange (the Q3/Q10
+    pattern); the orders side ships a single int8 priority flag, the
+    lineitem side ships (orderkey, linestatus) for rows passing the
+    pushed-down date filter, and each partition emits bounded
+    (linestatus, hi/lo) partial counts.
+
+    Output: (l_linestatus, high_line_count, low_line_count)."""
+    from .partition import map_key_partitions
+
+    lo_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        pr = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        high = (pr == "1-URGENT") | (pr == "2-HIGH")
+        return pa.table(
+            {
+                "key": batch.column("o_orderkey"),
+                "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                "flag": pa.array(high.astype(np.int8)),
+                "l_linestatus": pa.array([""] * len(batch), type=pa.string()),
+            }
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        sd_us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (sd_us >= lo_us) & (sd_us < hi_us)
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "key": batch.column("l_orderkey").filter(pa.array(keep)),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "flag": pa.array(np.zeros(n, dtype=np.int8)),
+                "l_linestatus": batch.column("l_linestatus").filter(
+                    pa.array(keep)
+                ),
+            }
+        )
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def join_count(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_linestatus": pa.array([], type=pa.string()),
+                "p_high": pa.array([], type=pa.int64()),
+                "p_low": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        flag = tbl.column("flag").to_numpy(zero_copy_only=False)
+        ls = tbl.column("l_linestatus").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))  # order row first per key
+        key, side, flag, ls = key[order], side[order], flag[order], ls[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )
+        # forward-fill each key's order flag onto its lineitem rows
+        gidx = np.cumsum(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        ) - 1
+        has_order = side[starts] == 0
+        key_flag = np.where(has_order, flag[starts], 0).astype(np.int64)
+        is_line = side == 1
+        line_ok = is_line & has_order[gidx]
+        ls_l = ls[line_ok]
+        hi_l = key_flag[gidx[line_ok]]
+        codes, inv = np.unique(ls_l, return_inverse=True)
+        p_high = np.zeros(len(codes), dtype=np.int64)
+        p_low = np.zeros(len(codes), dtype=np.int64)
+        np.add.at(p_high, inv, hi_l)
+        np.add.at(p_low, inv, 1 - hi_l)
+        return pa.table(
+            {
+                "l_linestatus": pa.array(codes),
+                "p_high": pa.array(p_high),
+                "p_low": pa.array(p_low),
+            }
+        )
+
+    merged = (
+        map_key_partitions(ords.union(lines), ["key"], join_count)
+        .groupby("l_linestatus")
+        .aggregate(
+            ray.data.aggregate.Sum("p_high", alias_name="high_line_count"),
+            ray.data.aggregate.Sum("p_low", alias_name="low_line_count"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_linestatus": batch.column("l_linestatus"),
+                "high_line_count": pc.cast(
+                    batch.column("high_line_count"), pa.int64()
+                ),
+                "low_line_count": pc.cast(
+                    batch.column("low_line_count"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -2118,3 +2118,126 @@ def bigram_lm_score(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def corpus_prep(
+    sf_dir: str, budget: int = 512, n_ranges: int = 256,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """End-to-end training-corpus preparation: quality filter → exact
+    dedup → sequence packing, composed as ONE streaming pipeline — the
+    canonical pretraining-data chain, demonstrating that the engine's
+    operators fuse without materializing intermediates.
+
+    Stage shapes (each inherits its standalone operator's 100 TB
+    discipline):
+
+    1. quality+digest (shuffle-free ``map_batches``): the
+       :func:`quality_filter` integer predicates decide keep/drop, and
+       surviving rows emit only (doc_id, h1, h2, n_tokens) — 32 bytes —
+       so document text NEVER leaves stage 1.
+    2. exact dedup (one hash exchange on the 128-bit digest,
+       :func:`dedup_exact_hashed` semantics): per partition a
+       (h1, h2, doc_id) sort keeps each text's min doc_id.
+    3. packing (the :func:`seq_pack` distributed scan): per-range token
+       totals → driver cumsum of ``n_ranges`` bases → per-range local
+       prefix scan.
+
+    Output: (doc_id, example_id, tok_offset) over the cleaned corpus."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from .partition import map_key_partitions, run_starts
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    span = max(1, -(-n_docs // n_ranges))
+
+    def stage_a(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        codes, row, counts, _ = _word_codes(batch)
+        top_word, _ = _run_top_and_unique(row, codes, n)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+        n_alpha = np.asarray(
+            pc.count_substring_regex(text, "[A-Za-z]"), dtype=np.int64
+        )
+        keep = ~(
+            (counts < 12) | (4 * top_word > counts) | (10 * n_alpha < 7 * n_chars)
+        )
+        sub = text.filter(pa.array(keep))
+        s = pl.Series("t", sub)
+        h1 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
+        h2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
+        n_tok = np.asarray(
+            pc.count_substring_regex(sub, r"\S+"), dtype=np.int64
+        )
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(stage_a, batch_format="pyarrow")
+    )
+
+    def winners(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "range_id": pa.array([], type=pa.int64()),
+                }
+            )
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        ntk = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h2, h1))
+        h1, h2, doc, ntk = h1[order], h2[order], doc[order], ntk[order]
+        first = run_starts(h1, h2)
+        doc, ntk = doc[first], ntk[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "n_tokens": pa.array(ntk),
+                "range_id": pa.array(doc // span),
+            }
+        )
+
+    surv = map_key_partitions(rows, ["h1", "h2"], winners, num_partitions)
+
+    totals = surv.groupby("range_id").sum("n_tokens")
+    trows = totals.take_all()  # bounded: n_ranges rows
+    rid = np.array([r["range_id"] for r in trows], dtype=np.int64)
+    tot = np.array([r["sum(n_tokens)"] for r in trows], dtype=np.int64)
+    order = np.argsort(rid)
+    rid, tot = rid[order], tot[order]
+    bases = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    base_of = dict(zip(rid.tolist(), bases.tolist()))
+
+    def scan(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ntk = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc)
+        doc, ntk = doc[order], ntk[order]
+        base = base_of[int(group.column("range_id")[0].as_py())]
+        prefix = base + np.concatenate([[0], np.cumsum(ntk)[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "example_id": pa.array(prefix // budget),
+                "tok_offset": pa.array(prefix % budget),
+            }
+        )
+
+    return surv.groupby("range_id").map_groups(scan, batch_format="pyarrow")

@@ -271,3 +271,59 @@ def test_random_projection_brute_force_and_jl(ray_session):
     d_proj = np.sum((y[idx[:, 0]] - y[idx[:, 1]]) ** 2, axis=1)
     ratio = d_proj / d_orig
     assert 0.3 < np.median(ratio) < 1.7
+
+
+def test_linestatus_priority_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import linestatus_priority
+
+    got = linestatus_priority(SF).to_pandas().set_index("l_linestatus")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    l = li[
+        (li.l_shipdate >= pd.Timestamp("1996-01-01"))
+        & (li.l_shipdate < pd.Timestamp("1997-01-01"))
+    ]
+    j = l.merge(
+        orders[["o_orderkey", "o_orderpriority"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    j["high"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    want = j.groupby("l_linestatus").high.agg(["sum", "count"])
+    for ls, r in want.iterrows():
+        assert int(got.loc[ls].high_line_count) == int(r["sum"])
+        assert int(got.loc[ls].low_line_count) == int(r["count"] - r["sum"])
+    assert set(got.index) == set(want.index)
+
+
+def test_corpus_prep_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import corpus_prep
+
+    got = corpus_prep(SF).to_pandas().sort_values("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    surv = []
+    seen_texts = {}
+    for doc_id, text in sorted(zip(docs.doc_id, docs.text)):
+        words = text.split(" ")
+        n_words = len(words)
+        from collections import Counter
+
+        top = max(Counter(words).values()) if words else 0
+        n_chars = len(text)
+        n_alpha = sum(ch.isascii() and ch.isalpha() for ch in text)
+        if n_words < 12 or 4 * top > n_words or 10 * n_alpha < 7 * n_chars:
+            continue
+        if text in seen_texts:
+            continue
+        seen_texts[text] = doc_id
+        surv.append((doc_id, len([w for w in text.split() if w])))
+    prefix = 0
+    want = []
+    for doc_id, ntok in surv:
+        want.append((doc_id, prefix // 512, prefix % 512))
+        prefix += ntok
+    got_rows = [
+        (int(r.doc_id), int(r.example_id), int(r.tok_offset))
+        for r in got.itertuples()
+    ]
+    assert got_rows == want
+    assert len(want) > 0
