@@ -455,6 +455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": textops.bm25_topk,
         "bigram_lm_score": textops.bigram_lm_score,
         "corpus_prep": textops.corpus_prep,
+        "source_contamination": textops.source_contamination,
+        "bpe_merge_candidates": textops.bpe_merge_candidates,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -713,6 +715,39 @@ WITH tok AS (
   FROM r
 )
 SELECT qid, doc_id, score_e6, CAST(rn AS BIGINT) AS rank FROM rk WHERE rn <= 10
+""",
+        "bpe_merge_candidates": """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+  FROM w WHERE word <> '' GROUP BY 1
+), ix AS (
+  SELECT word, f, unnest(range(1, length(word))) AS i FROM wf
+), p AS (
+  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair,
+         CAST(SUM(f) AS BIGINT) AS n
+  FROM ix GROUP BY 1
+), r AS (
+  SELECT pair, n,
+         CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+  FROM p
+)
+SELECT pair, n, rank FROM r WHERE rank <= 20
+""",
+        "source_contamination": """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS a FROM documents
+), ix AS (
+  SELECT source, a, unnest(range(0, len(a) // 8)) AS j FROM t
+), ch AS (
+  SELECT DISTINCT source, array_to_string(a[j*8+1 : j*8+8], ' ') AS chunk
+  FROM ix
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.source < b.source
+GROUP BY 1, 2
 """,
         "corpus_prep": r"""
 WITH w AS (

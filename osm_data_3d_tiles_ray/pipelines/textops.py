@@ -2241,3 +2241,237 @@ def corpus_prep(
         )
 
     return surv.groupby("range_id").map_groups(scan, batch_format="pyarrow")
+
+
+def source_contamination(
+    sf_dir: str, k: int = 8, num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of DISTINCT ``k``-word chunks they share — the audit that tells
+    you which corpus slices leak into which (mirror-site detection, eval
+    bleed between subsets) before mixing them into a training run.
+
+    Scale shape: stage 1 shrinks each batch to distinct (source, chunk
+    128-bit hash) rows (chunk keys are :func:`chunk_dedup`'s polynomial
+    word-hash combine — text never shuffles); one hash exchange on the
+    chunk key co-locates each chunk's source set; inside a partition a
+    (h, source) sort + shift-join enumerates each chunk run's source
+    pairs vectorized (the shift loop is bounded by the DISTINCT source
+    count of a run, never row count); partials pre-aggregate so the final
+    exchange carries only the bounded source×source matrix.
+
+    Output: (src_a, src_b, n_shared_chunks) with src_a < src_b."""
+    import polars as pl
+
+    from .partition import map_key_partitions, run_starts
+
+    P1 = np.uint64(0x100000001B3)
+    P2 = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = words.values
+        offs = np.asarray(words.offsets).astype(np.int64)
+        counts = np.diff(offs)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        n_chunks = counts // k
+        pos_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], counts
+        )
+        keep = pos_in_doc < np.repeat(n_chunks * k, counts)
+        s = pl.Series("w", flat)
+        w1 = s.hash(seed=0x9E3779B9).to_numpy()[keep].reshape(-1, k)
+        w2 = s.hash(seed=0x85EBCA6B).to_numpy()[keep].reshape(-1, k)
+        h1 = np.zeros(len(w1), dtype=np.uint64)
+        h2 = np.zeros(len(w2), dtype=np.uint64)
+        for j in range(k):
+            h1 = h1 * P1 + w1[:, j]
+            h2 = h2 * P2 + w2[:, j]
+        chunk_src = np.repeat(src, n_chunks)
+        t = pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64)),
+                "h2": pa.array(h2.view(np.int64)),
+                "source": pa.array(chunk_src),
+            }
+        )
+        return t.group_by(["h1", "h2", "source"]).aggregate([])
+
+    rows = (
+        _docs(sf_dir)
+        .select_columns(["source", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+    )
+
+    def pair_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_a": pa.array([], type=pa.string()),
+                "src_b": pa.array([], type=pa.string()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        srcs, code = np.unique(src, return_inverse=True)
+        order = np.lexsort((code, h2, h1))
+        h1, h2, code = h1[order], h2[order], code[order]
+        # cross-batch duplicates of (chunk, source) collapse here
+        first = run_starts(h1, h2, code)
+        h1, h2, code = h1[first], h2[first], code[first]
+        run_id = np.cumsum(run_starts(h1, h2)) - 1
+        n_src = len(srcs)
+        pair_counts = np.zeros((n_src, n_src), dtype=np.int64)
+        # enumerate pairs by shift: sources within a run are distinct and
+        # sorted, so run length ≤ n_src — the loop is bounded by the
+        # SOURCE CARDINALITY, not by rows
+        for shift in range(1, n_src):
+            same = run_id[shift:] == run_id[:-shift]
+            a = code[:-shift][same]
+            b = code[shift:][same]
+            np.add.at(pair_counts, (a, b), 1)
+        ia, ib = np.nonzero(pair_counts)
+        if len(ia) == 0:
+            return empty
+        return pa.table(
+            {
+                "src_a": pa.array(srcs[ia]),
+                "src_b": pa.array(srcs[ib]),
+                "p_n": pa.array(pair_counts[ia, ib]),
+            }
+        )
+
+    pairs = map_key_partitions(rows, ["h1", "h2"], pair_part, num_partitions)
+
+    merged = pairs.groupby(["src_a", "src_b"]).aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n_shared_chunks")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_a": batch.column("src_a"),
+                "src_b": batch.column("src_b"),
+                "n_shared_chunks": pc.cast(
+                    batch.column("n_shared_chunks"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def bpe_merge_candidates(sf_dir: str, top_n: int = 20) -> "ray.data.Dataset":
+    """First iteration of BPE vocabulary training: count adjacent
+    byte-pair occurrences inside words across the corpus and rank the
+    top merge candidates — the statistic a GPT-2-style byte-level BPE
+    trainer computes before every merge.
+
+    Scale shape: shuffle-free until the final bounded rollup — each batch
+    dedups its words (pair counts are additive over occurrences, so the
+    per-unique-word pair profile multiplies by the batch frequency), the
+    pair extraction is one ``np.frombuffer`` pass over the
+    separator-joined word bytes (no per-word Python), and the per-batch
+    partial is at most alphabet² rows.  The groupby therefore carries a
+    bounded pair space, and the top-k sorts a tiny aggregate.
+
+    Output: (pair, n, rank) for the ``top_n`` candidates (byte pairs
+    rendered as 2-char strings; corpus is ASCII so byte==char — the
+    DuckDB oracle uses 2-char substrings)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        words = toks.flatten().to_numpy(zero_copy_only=False)
+        words = words[words != ""]
+        if len(words) == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], type=pa.string()),
+                    "p_n": pa.array([], type=pa.int64()),
+                }
+            )
+        uw, freq = np.unique(words, return_counts=True)
+        joined = "\x00".join(uw.tolist()).encode("utf-8")
+        b = np.frombuffer(joined, dtype=np.uint8)
+        # byte length per unique word (bounded by batch vocab, not rows)
+        blens = np.array([len(w.encode("utf-8")) for w in uw.tolist()])
+        word_of_byte = np.repeat(
+            np.arange(len(uw), dtype=np.int64), blens + 1
+        )[: len(b)]
+        sep = b == 0
+        valid = (~sep[:-1]) & (~sep[1:]) & (
+            word_of_byte[:-1] == word_of_byte[1:]
+        )
+        key = (
+            b[:-1][valid].astype(np.int64) * 256 + b[1:][valid].astype(np.int64)
+        )
+        w_of_pair = word_of_byte[:-1][valid]
+        # weight each unique word's pairs by its batch frequency
+        weight = freq[w_of_pair].astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        key_s, weight_s = key[order], weight[order]
+        first = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+        idx = np.flatnonzero(first)
+        sums = np.add.reduceat(weight_s, idx)
+        ukey = key_s[idx]
+        pair_str = [
+            bytes([int(kk) // 256, int(kk) % 256]).decode("utf-8")
+            for kk in ukey
+        ]  # bounded: ≤ alphabet² distinct pairs per batch
+        return pa.table(
+            {
+                "pair": pa.array(pair_str, type=pa.string()),
+                "p_n": pa.array(sums),
+            }
+        )
+
+    merged = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pair": batch.column("pair"),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    ranked = (
+        merged.map_batches(finish, batch_format="pyarrow")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(top_n)
+        .repartition(1)  # bounded: exactly top_n rows
+    )
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        pairs = batch.column("pair").to_numpy(zero_copy_only=False)
+        code = np.unique(pairs, return_inverse=True)[1]
+        order = np.lexsort((code, -n))
+        rank = np.empty(len(n), dtype=np.int64)
+        rank[order] = np.arange(1, len(n) + 1)
+        return pa.table(
+            {
+                "pair": batch.column("pair"),
+                "n": batch.column("n"),
+                "rank": pa.array(rank),
+            }
+        )
+
+    return ranked.map_batches(
+        add_rank, batch_format="pyarrow", batch_size=None
+    )

@@ -327,3 +327,51 @@ def test_corpus_prep_brute_force(ray_session):
     ]
     assert got_rows == want
     assert len(want) > 0
+
+
+def test_source_contamination_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import source_contamination
+
+    got = source_contamination(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_src = {}
+    for src, text in zip(docs.source, docs.text):
+        a = text.split(" ")
+        chunks = {
+            " ".join(a[j * 8:(j + 1) * 8]) for j in range(len(a) // 8)
+        }
+        per_src.setdefault(src, set()).update(chunks)
+    srcs = sorted(per_src)
+    want = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            n = len(per_src[sa] & per_src[sb])
+            if n:
+                want[(sa, sb)] = n
+    got_d = {
+        (r.src_a, r.src_b): int(r.n_shared_chunks) for r in got.itertuples()
+    }
+    assert got_d == want
+
+
+def test_bpe_merge_candidates_brute_force(ray_session):
+    from collections import Counter
+
+    from osm_data_3d_tiles_ray.pipelines.textops import bpe_merge_candidates
+
+    got = bpe_merge_candidates(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt = Counter()
+    for text in docs.text:
+        for w in text.split(" "):
+            if not w:
+                continue
+            for i in range(len(w) - 1):
+                cnt[w[i:i + 2]] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [(p, n, r) for r, (p, n) in enumerate(ranked, 1)]
+    got_rows = sorted(
+        [(r.pair, int(r.n), int(r["rank"])) for _, r in got.iterrows()],
+        key=lambda t: t[2],
+    )
+    assert got_rows == want
