@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_labels": geo.q_labels,
         "geo_lod_sample": geo.q_lod_sample,
         "geo_sample_points": geo.q_sample_points,
+        "geo_simplify": geo.q_simplify,
         # full geometry build (vertex counts not SQL-expressible → rows-only
         # check here; pytest goldens cover the kernels, SURVEY.md §5.1)
         "geo_geometry_stats": _q_geometry_stats,

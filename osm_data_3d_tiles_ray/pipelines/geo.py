@@ -673,3 +673,65 @@ def q_dem_sample(sf_dir: str) -> "ray.data.Dataset":
         concurrency=_pool(),
         batch_size=16384,
     )
+
+
+def q_simplify(sf_dir: str, eps: float = 2.0) -> "ray.data.Dataset":
+    """Douglas–Peucker footprint simplification (LOD companion op the
+    reference lacks): per building, simplify the OUTER ring with an
+    ``eps``-meter tolerance and report vertex + shoelace-area changes.
+
+    Rows-only check (recursive geometry, not SQL-expressible); pytest
+    asserts the DP invariants — anchors retained, every dropped vertex
+    within eps of the simplified chord, determinism across batch sizes.
+
+    Shuffle-free: one ``map_batches`` pass, per-ring stack DP with
+    vectorized span distances (geom/simplify.py).  Output:
+    (osm_id, n_vertices, n_simplified, area_e4, area_simplified_e4)."""
+    from ..geom.simplify import simplify_ring
+
+    def _area(ring: np.ndarray) -> float:
+        x, y = ring[:, 0], ring[:, 1]
+        return 0.5 * abs(
+            float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        )
+
+    def simplify(batch: pa.Table) -> pa.Table:
+        coords_col = batch.column("coords")
+        if isinstance(coords_col, pa.ChunkedArray):
+            coords_col = coords_col.combine_chunks()
+        ring_off = batch.column("ring_offsets")
+        if isinstance(ring_off, pa.ChunkedArray):
+            ring_off = ring_off.combine_chunks()
+        n = len(batch)
+        nv = np.zeros(n, dtype=np.int64)
+        ns = np.zeros(n, dtype=np.int64)
+        a0 = np.zeros(n, dtype=np.int64)
+        a1 = np.zeros(n, dtype=np.int64)
+        flat_all = np.asarray(coords_col.values).reshape(-1, 2)
+        voffs = np.asarray(coords_col.offsets).astype(np.int64) // 2
+        rs_vals = np.asarray(ring_off.values).astype(np.int64)
+        rs_offs = np.asarray(ring_off.offsets).astype(np.int64)
+        for i in range(n):
+            flat = flat_all[voffs[i] : voffs[i + 1]]
+            starts = rs_vals[rs_offs[i] : rs_offs[i + 1]]
+            end = starts[1] if len(starts) > 1 else len(flat)
+            outer = flat[starts[0] : end]
+            keep = simplify_ring(outer, eps)
+            simp = outer[keep]
+            nv[i] = len(outer)
+            ns[i] = len(simp)
+            a0[i] = np.floor(_area(outer) * 1e4 + 0.5)
+            a1[i] = np.floor(_area(simp) * 1e4 + 0.5)
+        return pa.table(
+            {
+                "osm_id": batch.column("osm_id"),
+                "n_vertices": pa.array(nv),
+                "n_simplified": pa.array(ns),
+                "area_e4": pa.array(a0),
+                "area_simplified_e4": pa.array(a1),
+            }
+        )
+
+    return parsed_ds(sf_dir).map_batches(
+        simplify, batch_format="pyarrow", batch_size=4096
+    )
