@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_point_bbox_join": geo.q_point_bbox_join,
         "geo_point_in_polygon": geo.q_point_in_polygon,
         "geo_dem_sample": geo.q_dem_sample,
+        "geo_dem_zonal": geo.q_dem_zonal,
         "geo_batch_table": geo.q_batch_table,
         "geo_labels": geo.q_labels,
         "geo_lod_sample": geo.q_lod_sample,
@@ -569,6 +570,26 @@ JOIN {dem} z00 ON z00.row = f.j0     AND z00.col = f.i0
 JOIN {dem} z10 ON z10.row = f.j0     AND z10.col = f.i0 + 1
 JOIN {dem} z01 ON z01.row = f.j0 + 1 AND z01.col = f.i0
 JOIN {dem} z11 ON z11.row = f.j0 + 1 AND z11.col = f.i0 + 1
+""",
+        "geo_dem_zonal": f"""
+WITH c AS (
+  SELECT CAST(FLOOR(CAST(z AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS z6,
+         x0 + (col + 0.5) * dx AS cx,
+         y0 + (row + 0.5) * dy AS cy
+  FROM {dem}
+), j AS (
+  SELECT b.osm_id,
+         CAST(COUNT(c.z6) AS BIGINT) AS n_cells,
+         CAST(COALESCE(SUM(c.z6), 0) AS BIGINT) AS s
+  FROM {b} b LEFT JOIN c
+    ON c.cx >= b.minx AND c.cx <= b.maxx
+   AND c.cy >= b.miny AND c.cy <= b.maxy
+  GROUP BY 1
+)
+SELECT osm_id, n_cells, s AS sum_z_e6,
+       CAST(CASE WHEN n_cells > 0 THEN s // n_cells ELSE 0 END AS BIGINT)
+         AS mean_z_e6
+FROM j
 """,
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups

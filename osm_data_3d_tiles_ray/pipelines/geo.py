@@ -735,3 +735,93 @@ def q_simplify(sf_dir: str, eps: float = 2.0) -> "ray.data.Dataset":
     return parsed_ds(sf_dir).map_batches(
         simplify, batch_format="pyarrow", batch_size=4096
     )
+
+
+def q_dem_zonal(sf_dir: str) -> "ray.data.Dataset":
+    """Zonal statistics (raster→vector): per building, count/sum/mean of
+    the DEM cells whose CENTERS fall inside the footprint bbox — the
+    classic zonal-mean elevation rollup.
+
+    Exactness: cell z converts to integer micro-units BEFORE any
+    summation, so the rectangle sums are int64-exact and the DuckDB
+    oracle (a center-in-bbox join + SUM) hash-matches.  Cell selection
+    evaluates the boundary with the IDENTICAL float expression the SQL
+    uses (``x0 + (col + 0.5) * dx ⋛ minx``): the index range comes from
+    arithmetic, then each edge column/row is verified-and-nudged with
+    that expression, so engine and oracle can never disagree on a tie.
+    z is non-negative in this corpus, so `sum // n` floor division
+    matches DuckDB's truncating `//`.
+
+    Scale shape: the raster is per-actor broadcast state (a real
+    deployment holds one DEM TILE per task — bounded); per building the
+    rectangle sum is O(1) via a summed-area table, the whole batch
+    vectorized; no shuffle at all.
+
+    Output: (osm_id, n_cells, sum_z_e6, mean_z_e6)."""
+    import pyarrow.parquet as pq
+
+    from ..synth.generator import ensure_synth, sf_from_dir
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    dem = pq.read_table(str(root / "dem.parquet"))
+    row = dem.column("row").to_numpy()
+    col = dem.column("col").to_numpy()
+    z = dem.column("z").to_numpy().astype(np.float64)
+    x0 = float(dem.column("x0")[0].as_py())
+    y0 = float(dem.column("y0")[0].as_py())
+    dx = float(dem.column("dx")[0].as_py())
+    dy = float(dem.column("dy")[0].as_py())
+    n = int(row.max()) + 1
+    z6 = np.zeros((n, n), dtype=np.int64)
+    z6[row, col] = np.floor(z * 1e6 + 0.5).astype(np.int64)
+    sat = np.zeros((n + 1, n + 1), dtype=np.int64)
+    sat[1:, 1:] = z6.cumsum(0).cumsum(1)
+
+    def _range(lo_val: np.ndarray, hi_val: np.ndarray, o: float, d: float):
+        """Index range [lo, hi] of cells with center in [lo_val, hi_val],
+        centers at o + (i + 0.5) * d — arithmetic guess, then the exact
+        boundary expression nudges each edge."""
+        lo = np.ceil((lo_val - o) / d - 0.5).astype(np.int64)
+        hi = np.floor((hi_val - o) / d - 0.5).astype(np.int64)
+        c = lambda i: o + (i + 0.5) * d  # noqa: E731 — the shared expression
+        step = (lo - 1 >= 0) & (c(lo - 1) >= lo_val)
+        lo = lo - step
+        step = (c(lo) < lo_val)
+        lo = lo + step
+        step = (hi + 1 <= n - 1) & (c(hi + 1) <= hi_val)
+        hi = hi + step
+        step = (c(hi) > hi_val)
+        hi = hi - step
+        # lo may clip to n (bbox right of grid) and hi to -1 (left of it):
+        # both make the range empty and stay valid SAT indices
+        return np.clip(lo, 0, n), np.clip(hi, -1, n - 1)
+
+    def zonal(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        lo_c, hi_c = _range(minx, maxx, x0, dx)
+        lo_r, hi_r = _range(miny, maxy, y0, dy)
+        w = np.maximum(hi_c - lo_c + 1, 0)
+        h = np.maximum(hi_r - lo_r + 1, 0)
+        n_cells = w * h
+        hi_r1, hi_c1 = hi_r + 1, hi_c + 1
+        s = (
+            sat[hi_r1, hi_c1]
+            - sat[lo_r, hi_c1]
+            - sat[hi_r1, lo_c]
+            + sat[lo_r, lo_c]
+        )
+        s = np.where(n_cells > 0, s, 0)
+        mean = np.where(n_cells > 0, s // np.maximum(n_cells, 1), 0)
+        return pa.table(
+            {
+                "osm_id": batch.column("osm_id"),
+                "n_cells": pa.array(n_cells.astype(np.int64)),
+                "sum_z_e6": pa.array(s.astype(np.int64)),
+                "mean_z_e6": pa.array(mean.astype(np.int64)),
+            }
+        )
+
+    return parsed_ds(sf_dir).map_batches(zonal, batch_format="pyarrow")

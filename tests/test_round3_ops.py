@@ -375,3 +375,29 @@ def test_bpe_merge_candidates_brute_force(ray_session):
         key=lambda t: t[2],
     )
     assert got_rows == want
+
+
+def test_dem_zonal_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.geo import q_dem_zonal
+    from osm_data_3d_tiles_ray.synth.generator import ensure_synth
+
+    got = q_dem_zonal(SF).to_pandas().set_index("osm_id")
+    root = ensure_synth(0.001)
+    dem = pd.read_parquet(str(root / "dem.parquet"))
+    b = pd.read_parquet(str(root / "buildings"))
+    x0, y0 = dem.x0.iloc[0], dem.y0.iloc[0]
+    dx, dy = dem.dx.iloc[0], dem.dy.iloc[0]
+    cx = x0 + (dem.col.to_numpy() + 0.5) * dx
+    cy = y0 + (dem.row.to_numpy() + 0.5) * dy
+    z6 = np.floor(dem.z.to_numpy().astype(np.float64) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    rng = np.random.default_rng(3)
+    for i in rng.choice(len(b), size=200, replace=False):
+        r = b.iloc[i]
+        m = (cx >= r.minx) & (cx <= r.maxx) & (cy >= r.miny) & (cy <= r.maxy)
+        gr = got.loc[r.osm_id]
+        assert int(gr.n_cells) == int(m.sum())
+        assert int(gr.sum_z_e6) == int(z6[m].sum())
+        if m.sum():
+            assert int(gr.mean_z_e6) == int(z6[m].sum()) // int(m.sum())
