@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": textops.corpus_prep,
         "source_contamination": textops.source_contamination,
         "bpe_merge_candidates": textops.bpe_merge_candidates,
+        "winnow_fingerprints": textops.winnow_fingerprints,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -737,6 +738,35 @@ WITH tok AS (
   FROM r
 )
 SELECT qid, doc_id, score_e6, CAST(rn AS BIGINT) AS rank FROM rk WHERE rn <= 10
+""",
+        "winnow_fingerprints": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents
+), ix AS (
+  SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i FROM t
+), g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(a[i:i+2], ' ') AS gram
+  FROM ix
+), n AS (
+  SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY 1
+), q AS (
+  SELECT g.doc_id, g.pos AS q
+  FROM g JOIN n USING (doc_id)
+  WHERE g.pos <= GREATEST(n.ng - 4, 0)
+), j AS (
+  SELECT q.doc_id, q.q, g.pos, g.gram
+  FROM q JOIN g ON g.doc_id = q.doc_id AND g.pos BETWEEN q.q AND q.q + 3
+), m AS (
+  SELECT doc_id, q, MIN(gram) AS mg FROM j GROUP BY 1, 2
+), r AS (
+  SELECT j.doc_id, j.q, MAX(j.pos) AS pos
+  FROM j JOIN m ON j.doc_id = m.doc_id AND j.q = m.q AND j.gram = m.mg
+  GROUP BY 1, 2
+)
+SELECT DISTINCT r.doc_id, r.pos, g.gram
+FROM r JOIN g ON g.doc_id = r.doc_id AND g.pos = r.pos
 """,
         "bpe_merge_candidates": """
 WITH w AS (

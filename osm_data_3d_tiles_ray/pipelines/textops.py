@@ -2475,3 +2475,104 @@ def bpe_merge_candidates(sf_dir: str, top_n: int = 20) -> "ray.data.Dataset":
     return ranked.map_batches(
         add_rank, batch_format="pyarrow", batch_size=None
     )
+
+
+def winnow_fingerprints(
+    sf_dir: str, k: int = 3, w: int = 4
+) -> "ray.data.Dataset":
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): slide a ``w``-window over each document's ``k``-gram
+    stream and select each window's minimum gram (rightmost on ties),
+    deduplicating selections — the guaranteed-coverage sparse fingerprint
+    set used for plagiarism/near-dup detection at document scale.
+
+    This variant orders grams LEXICOGRAPHICALLY (any total order
+    satisfies the winnowing guarantee), which makes the selection — not
+    just the counts — exactly reproducible in the DuckDB oracle.
+
+    Scale shape: entirely shuffle-free — one ``map_batches`` pass;
+    per-batch grams dictionary-encode once (``np.unique`` codes preserve
+    lexicographic order), the window minimum is a vectorized
+    ``sliding_window_view`` reduction (w is a small constant), and only
+    the selected (doc_id, pos, gram) rows leave the stage.
+
+    Output: (doc_id, pos, gram) — pos is the 0-based k-gram index."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def select(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "gram": pa.array([], type=pa.string()),
+            }
+        )
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        row_of = np.repeat(np.arange(len(batch)), np.diff(offs))
+        keep = flat != ""
+        words, row_of = flat[keep], row_of[keep]
+        if len(words) < k:
+            return empty
+        # k-gram strings via stacked shifted joins (vectorized join of k
+        # columns), valid where all k tokens share a row
+        ws = words.astype(str)
+        cols = [ws[i : len(ws) - (k - 1) + i] for i in range(k)]
+        valid = row_of[: len(words) - (k - 1)] == row_of[k - 1 :]
+        grams = cols[0]
+        for c in cols[1:]:
+            grams = np.char.add(np.char.add(grams, " "), c)
+        grams = grams[valid]
+        grow = row_of[: len(words) - (k - 1)][valid]
+        if len(grams) == 0:
+            return empty
+        # per-doc gram position
+        starts = np.flatnonzero(
+            np.concatenate([[True], grow[1:] != grow[:-1]])
+        )
+        run_len = np.diff(np.append(starts, len(grow)))
+        pos = np.arange(len(grow)) - np.repeat(starts, run_len)
+        # lexicographic codes (np.unique sorts) — order-isomorphic to the
+        # gram strings, so window minima match the SQL MIN(gram)
+        _, codes = np.unique(grams.astype(str), return_inverse=True)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_g = len(codes)
+        selected = np.zeros(n_g, dtype=bool)
+        # full windows, whole batch at once: window q valid iff grams q and
+        # q+w-1 belong to the same doc
+        if n_g >= w:
+            wins = sliding_window_view(codes, w)
+            valid_w = grow[: n_g - w + 1] == grow[w - 1 :]
+            rev_arg = wins[:, ::-1].argmin(axis=1)
+            sel = np.arange(len(wins)) + (w - 1) - rev_arg
+            selected[sel[valid_w]] = True
+        # short docs (fewer grams than the window): one whole-doc window —
+        # rightmost gram equal to the run minimum
+        short = run_len < w
+        if short.any():
+            run_min = np.minimum.reduceat(codes, starts)
+            run_of = np.repeat(np.arange(len(starts)), run_len)
+            is_min = codes == run_min[run_of]
+            idx = np.where(is_min, np.arange(n_g), -1)
+            rightmost = np.maximum.reduceat(idx, starts)
+            selected[rightmost[short]] = True
+        sel_idx = np.flatnonzero(selected)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[grow[sel_idx]]),
+                "pos": pa.array(pos[sel_idx].astype(np.int64)),
+                "gram": pa.array(
+                    grams[sel_idx].astype(object), type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(select, batch_format="pyarrow")
+    )

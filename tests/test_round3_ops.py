@@ -401,3 +401,35 @@ def test_dem_zonal_brute_force(ray_session):
         assert int(gr.sum_z_e6) == int(z6[m].sum())
         if m.sum():
             assert int(gr.mean_z_e6) == int(z6[m].sum()) // int(m.sum())
+
+
+def test_winnow_fingerprints_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import winnow_fingerprints
+
+    k, w = 3, 4
+    got = winnow_fingerprints(SF, k=k, w=w).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = set()
+    coverage_ok = True
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = [x for x in text.split(" ") if x]
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if not grams:
+            continue
+        sel = set()
+        n = len(grams)
+        starts = range(max(n - w + 1, 1))
+        for q in starts:
+            win = grams[q:q + w]
+            mg = min(win)
+            p = q + max(i for i, g in enumerate(win) if g == mg)
+            sel.add(p)
+        for p in sel:
+            want.add((doc_id, p, grams[p]))
+        # winnowing guarantee: every window has a selection inside it
+        for q in starts:
+            assert any(q <= p <= q + w - 1 for p in sel)
+    got_set = {
+        (int(r.doc_id), int(r.pos), r.gram) for r in got.itertuples()
+    }
+    assert got_set == want
