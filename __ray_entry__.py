@@ -383,6 +383,12 @@ def _q_media_features(sf_dir: str) -> Any:
     return media_features(sf_dir)
 
 
+def _q_media_frame_sample(sf_dir: str) -> Any:
+    from osm_data_3d_tiles_ray.stages.media import media_frame_sample
+
+    return media_frame_sample(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osm_data_3d_tiles_ray.pipelines import ann, events, geo, relational, textops
 
@@ -421,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": ann.embedding_near_dup,
         "doc_fingerprint": textops.doc_fingerprint,
         "media_features": _q_media_features,
+        "media_frame_sample": _q_media_frame_sample,
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,

@@ -131,3 +131,110 @@ def _explode_refs(batch: pa.Table) -> pa.Table:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return pa.table({"media_ref": col.flatten()})
+
+
+# ---------------------------------------------------------------------------
+# video-style frame sampling (plumbing real, codec a deterministic fake)
+
+_FRAME_W = 16
+_FRAME_H = 12
+
+
+def synth_video_table(refs: list[str]) -> pa.Table:
+    """Deterministic fake video store: payload = n_frames × h × w bytes."""
+    payloads, n_frames = [], []
+    for r in refs:
+        seed = np.frombuffer(r.encode() + b"\0" * 8, dtype=np.uint8)[:8].copy()
+        rng = np.random.default_rng(int.from_bytes(seed.tobytes(), "little") ^ 0xF1)
+        nf = int(rng.integers(8, 33))
+        payloads.append(
+            rng.integers(
+                0, 256, size=nf * _FRAME_W * _FRAME_H, dtype=np.uint8
+            ).tobytes()
+        )
+        n_frames.append(nf)
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "media_type": pa.array(["video/fake"] * len(refs), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_frames": pa.array(n_frames, type=pa.int32()),
+            "fps": pa.array([10] * len(refs), type=pa.int32()),
+        }
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: decode (fake) → sample every ``stride``-th frame →
+    per-frame row with timestamp + mean intensity.
+
+    The EXPLODE shape matters at scale: one input row (a whole video
+    payload) becomes many small output rows, so ``batch_size`` must stay
+    small (payload bytes × batch must fit the worker heap) while the
+    output rows are tiny and re-block downstream.  Constructor state
+    (stride) is per-actor; a real build swaps the fake decode for
+    ffmpeg-style demux inside ``__call__`` only."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_numpy(zero_copy_only=False)
+        nfs = batch.column("n_frames").to_numpy(zero_copy_only=False)
+        fps = batch.column("fps").to_numpy(zero_copy_only=False)
+        out_ref, out_idx, out_ts, out_mean = [], [], [], []
+        for r, p, nf, f in zip(refs, payloads, nfs, fps):
+            # DETERMINISTIC FAKE decode: bytes → (nf, h, w); real builds
+            # demux only the sampled frames (keyframe seek), not the stream
+            frames = np.frombuffer(p, dtype=np.uint8).reshape(
+                int(nf), _FRAME_H, _FRAME_W
+            )
+            idx = np.arange(0, int(nf), self.stride)
+            sampled = frames[idx]
+            means = sampled.reshape(len(idx), -1).mean(axis=1)
+            out_ref.append(np.full(len(idx), r, dtype=object))
+            out_idx.append(idx.astype(np.int64))
+            out_ts.append((idx * 1000 // int(f)).astype(np.int64))
+            out_mean.append(np.floor(means * 1e4 + 0.5).astype(np.int64))
+        if not out_ref:
+            return pa.table(
+                {
+                    "media_ref": pa.array([], type=pa.string()),
+                    "frame_idx": pa.array([], type=pa.int64()),
+                    "ts_ms": pa.array([], type=pa.int64()),
+                    "mean_intensity_e4": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    np.concatenate(out_ref), type=pa.string()
+                ),
+                "frame_idx": pa.array(np.concatenate(out_idx)),
+                "ts_ms": pa.array(np.concatenate(out_ts)),
+                "mean_intensity_e4": pa.array(np.concatenate(out_mean)),
+            }
+        )
+
+
+def media_frame_sample(sf_dir: str, stride: int = 4) -> "ray.data.Dataset":
+    """Pipeline: distinct media refs → fake video store → actor-pool frame
+    sampling (one row per sampled frame).  Rows-only check; pytest
+    brute-forces the sampled indices, timestamps and intensities."""
+    from ..pipelines.geo import parsed_ds
+
+    refs = (
+        parsed_ds(sf_dir)
+        .select_columns(["media_refs"])
+        .map_batches(_explode_refs, batch_format="pyarrow")
+        .unique("media_ref")
+    )
+    videos = synth_video_table(sorted(refs))
+    return ray.data.from_arrow(videos).map_batches(
+        FrameSampler,
+        fn_constructor_args=(stride,),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=16,  # whole-video payloads → very small batches
+    )

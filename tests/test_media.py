@@ -46,3 +46,37 @@ def test_media_pipeline_end_to_end():
     # the synthetic corpus uses 7 atlas refs
     assert len(df) == 7
     assert set(df.columns) == {"media_ref", "media_type", "feature", "thumb"}
+
+
+def test_frame_sampler_brute_force(ray_session):
+    import numpy as np
+
+    from osm_data_3d_tiles_ray.stages.media import (
+        _FRAME_H,
+        _FRAME_W,
+        media_frame_sample,
+        synth_video_table,
+    )
+
+    got = media_frame_sample("/root/testdata/sf0.001", stride=4).to_pandas()
+    assert len(got) > 0
+    # brute-force one ref end-to-end
+    refs = sorted(got.media_ref.unique())
+    vt = synth_video_table(refs)
+    for i, ref in enumerate(refs[:3]):
+        p = vt.column("payload")[i].as_py()
+        nf = vt.column("n_frames")[i].as_py()
+        fps = vt.column("fps")[i].as_py()
+        frames = np.frombuffer(p, dtype=np.uint8).reshape(nf, _FRAME_H, _FRAME_W)
+        idx = np.arange(0, nf, 4)
+        sub = got[got.media_ref == ref].sort_values("frame_idx")
+        assert sub.frame_idx.tolist() == idx.tolist()
+        assert sub.ts_ms.tolist() == (idx * 1000 // fps).tolist()
+        means = frames[idx].reshape(len(idx), -1).mean(axis=1)
+        want = np.floor(means * 1e4 + 0.5).astype(np.int64)
+        assert sub.mean_intensity_e4.tolist() == want.tolist()
+    # every ref contributes ceil(n_frames / stride) rows
+    counts = got.groupby("media_ref").size()
+    nf_of = dict(zip(vt.column("media_ref").to_pylist(), vt.column("n_frames").to_pylist()))
+    for ref, c in counts.items():
+        assert c == -(-nf_of[ref] // 4)
