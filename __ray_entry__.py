@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_contamination": textops.source_contamination,
         "bpe_merge_candidates": textops.bpe_merge_candidates,
         "winnow_fingerprints": textops.winnow_fingerprints,
+        "jaccard_word_pairs": textops.jaccard_word_pairs,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -745,6 +746,34 @@ WITH tok AS (
   FROM r
 )
 SELECT qid, doc_id, score_e6, CAST(rn AS BIGINT) AS rank FROM rk WHERE rn <= 10
+""",
+        "jaccard_word_pairs": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents
+), ix AS (
+  SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i FROM t
+), g0 AS (
+  SELECT DISTINCT doc_id, array_to_string(a[i:i+2], ' ') AS gram FROM ix
+), df AS (
+  SELECT gram, COUNT(*) AS c FROM g0 GROUP BY 1
+), g AS (
+  SELECT g0.doc_id, g0.gram FROM g0 JOIN df USING (gram) WHERE df.c <= 50
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter,
+       CAST(p.inter * 10000 // GREATEST(sa.n + sb.n - p.inter, 1) AS BIGINT)
+         AS jaccard_e4
+FROM p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE p.inter * 10000 >= 5000 * (sa.n + sb.n - p.inter)
 """,
         "winnow_fingerprints": """
 WITH t AS (

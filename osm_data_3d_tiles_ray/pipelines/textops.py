@@ -2576,3 +2576,281 @@ def winnow_fingerprints(
         .select_columns(["doc_id", "text"])
         .map_batches(select, batch_format="pyarrow")
     )
+
+
+def jaccard_word_pairs(
+    sf_dir: str, k: int = 3, max_df: int = 50, tau_e4: int = 5000,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Exact word-shingle Jaccard near-duplicate pairs, fully oracled:
+    two documents pair when the Jaccard similarity of their word
+    ``k``-gram sets reaches ``tau_e4``/1e4 — computed over sets with
+    stop-shingles removed (grams appearing in more than ``max_df`` docs
+    are excluded from EVERY set, the standard guard that keeps a
+    boilerplate shingle from generating quadratic candidate pairs).
+
+    Scale shape — four fixed-width exchanges, text never shuffles:
+
+    1. per-batch distinct (gram-hash128, doc_id) rows;
+    2. ONE gram-key exchange where each gram's run length IS its
+       document frequency: runs past ``max_df`` drop (stop-shingles),
+       surviving runs emit BOTH per-gram doc pairs (shift-join, bounded
+       by ``max_df``, pre-aggregated per partition) and per-doc kept-gram
+       size partials — one exchange feeds both relations;
+    3. bounded rollups: pair intersections and doc set sizes;
+    4. two doc-keyed tag-union exchanges attach |A| and |B|; the
+       threshold evaluates in exact integers
+       (``inter · 1e4 ≥ tau · (|A|+|B|−inter)``).
+
+    Output: (doc_a, doc_b, inter, jaccard_e4) with doc_a < doc_b."""
+    import polars as pl
+
+    from .partition import map_key_partitions, run_starts
+
+    P1 = np.uint64(0x100000001B3)
+    P2 = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        row_of = np.repeat(np.arange(len(batch)), np.diff(offs))
+        keepw = flat != ""
+        words, row_of = flat[keepw], row_of[keepw]
+        empty = pa.table(
+            {
+                "h1": pa.array([], type=pa.int64()),
+                "h2": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(words) < k:
+            return empty
+        s = pl.Series("w", words.astype(object))
+        w1 = s.hash(seed=0x9E3779B9).to_numpy()
+        w2 = s.hash(seed=0x85EBCA6B).to_numpy()
+        m = len(words) - (k - 1)
+        valid = row_of[:m] == row_of[k - 1 :]
+        h1 = np.zeros(m, dtype=np.uint64)
+        h2 = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h1 = h1 * P1 + w1[j : m + j]
+            h2 = h2 * P2 + w2[j : m + j]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc = doc_ids[row_of[:m][valid]]
+        h1, h2 = h1[valid].view(np.int64), h2[valid].view(np.int64)
+        t = pa.table(
+            {"h1": pa.array(h1), "h2": pa.array(h2), "doc_id": pa.array(doc)}
+        )
+        return t.group_by(["h1", "h2", "doc_id"]).aggregate([])
+
+    grams = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+    )
+
+    def pairs_and_sizes(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "is_pair": pa.array([], type=pa.int8()),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h2, h1))
+        h1, h2, doc = h1[order], h2[order], doc[order]
+        # cross-batch (gram, doc) duplicates collapse
+        first = run_starts(h1, h2, doc)
+        h1, h2, doc = h1[first], h2[first], doc[first]
+        gstart = run_starts(h1, h2)
+        run_id = np.cumsum(gstart) - 1
+        starts_idx = np.flatnonzero(gstart)
+        run_len = np.diff(np.append(starts_idx, len(doc)))
+        keep_run = run_len <= max_df  # stop-shingle guard
+        keep_row = np.repeat(keep_run, run_len)
+        doc_k, run_k = doc[keep_row], run_id[keep_row]
+        parts = []
+        # per-doc kept-gram size partials
+        ud, cnt = np.unique(doc_k, return_counts=True)
+        parts.append(
+            pa.table(
+                {
+                    "is_pair": pa.array(np.zeros(len(ud), dtype=np.int8)),
+                    "doc_a": pa.array(ud),
+                    "doc_b": pa.array(np.zeros(len(ud), dtype=np.int64)),
+                    "cnt": pa.array(cnt.astype(np.int64)),
+                }
+            )
+        )
+        # per-gram doc pairs via shift-join (docs sorted within a run)
+        max_run = int(run_len[keep_run].max()) if keep_run.any() else 0
+        pa_l, pb_l = [], []
+        for shift in range(1, max_run):
+            same = run_k[shift:] == run_k[:-shift]
+            pa_l.append(doc_k[:-shift][same])
+            pb_l.append(doc_k[shift:][same])
+        if pa_l:
+            da = np.concatenate(pa_l)
+            db = np.concatenate(pb_l)
+            o2 = np.lexsort((db, da))
+            da, db = da[o2], db[o2]
+            f2 = run_starts(da, db)
+            i2 = np.flatnonzero(f2)
+            inter = np.diff(np.append(i2, len(da)))
+            parts.append(
+                pa.table(
+                    {
+                        "is_pair": pa.array(np.ones(len(i2), dtype=np.int8)),
+                        "doc_a": pa.array(da[i2]),
+                        "doc_b": pa.array(db[i2]),
+                        "cnt": pa.array(inter.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    # consumed by TWO rollups (sizes + pairs): materialize the fixed-width
+    # partial rows once (distributed blocks, spillable) instead of running
+    # the explode + gram exchange twice
+    both = map_key_partitions(
+        grams, ["h1", "h2"], pairs_and_sizes, num_partitions
+    ).materialize()
+
+    sizes = (
+        both.map_batches(
+            lambda b: b.filter(pc.equal(b.column("is_pair"), 0)).select(
+                ["doc_a", "cnt"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_a")
+        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="n_grams"))
+    )
+    pair_rel = (
+        both.map_batches(
+            lambda b: b.filter(pc.equal(b.column("is_pair"), 1)),
+            batch_format="pyarrow",
+        )
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="inter"))
+    )
+
+    def size_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("doc_a"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "doc_a": pa.array(np.zeros(n, dtype=np.int64)),
+                "doc_b": pa.array(np.zeros(n, dtype=np.int64)),
+                "inter": pa.array(np.zeros(n, dtype=np.int64)),
+                "na": pa.array(np.zeros(n, dtype=np.int64)),
+                "sz": pc.cast(batch.column("n_grams"), pa.int64()),
+            }
+        )
+
+    # attach |A| then |B| via two keyed tag-union exchanges
+    def pair_side1(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("doc_a"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "inter": pc.cast(batch.column("inter"), pa.int64()),
+                "na": pa.array(np.zeros(n, dtype=np.int64)),
+                "sz": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def join_sz(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "inter": pa.array([], type=pa.int64()),
+                "na": pa.array([], type=pa.int64()),
+            }
+        )
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        if (side == 0).sum() == 0 or (side == 1).sum() == 0:
+            return empty
+        sz_rows = tbl.filter(pa.array(side == 1)).sort_by("key")
+        prs = tbl.filter(pa.array(side == 0))
+        skey = sz_rows.column("key").to_numpy(zero_copy_only=False)
+        sval = sz_rows.column("sz").to_numpy(zero_copy_only=False)
+        pkey = prs.column("key").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skey, pkey)  # every pair doc has a size row
+        return pa.table(
+            {
+                "doc_a": prs.column("doc_a"),
+                "doc_b": prs.column("doc_b"),
+                "inter": prs.column("inter"),
+                "na": pa.array(
+                    prs.column("na").to_numpy(zero_copy_only=False)
+                    + sval[pos]
+                ),
+            }
+        )
+
+    size_rows1 = sizes.map_batches(size_side, batch_format="pyarrow")
+    tag1 = size_rows1.union(pair_rel.map_batches(pair_side1, batch_format="pyarrow"))
+    with_na = map_key_partitions(tag1, ["key"], join_sz, num_partitions)
+
+    def pair_side2(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("doc_b"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "inter": batch.column("inter"),
+                "na": batch.column("na"),
+                "sz": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    tag2 = size_rows1.union(
+        with_na.map_batches(pair_side2, batch_format="pyarrow")
+    )
+
+    def join_finish(tbl: pa.Table) -> pa.Table:
+        t = join_sz(tbl)  # na column now holds na + nb accumulated
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "jaccard_e4": pa.array([], type=pa.int64()),
+                }
+            )
+        inter = t.column("inter").to_numpy(zero_copy_only=False)
+        nab = t.column("na").to_numpy(zero_copy_only=False)
+        union = nab - inter
+        keep = inter * 10000 >= tau_e4 * union
+        t = t.filter(pa.array(keep))
+        inter = t.column("inter").to_numpy(zero_copy_only=False)
+        union = t.column("na").to_numpy(zero_copy_only=False) - inter
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "inter": t.column("inter"),
+                "jaccard_e4": pa.array(inter * 10000 // np.maximum(union, 1)),
+            }
+        )
+
+    return map_key_partitions(tag2, ["key"], join_finish, num_partitions)

@@ -433,3 +433,41 @@ def test_winnow_fingerprints_brute_force(ray_session):
         (int(r.doc_id), int(r.pos), r.gram) for r in got.itertuples()
     }
     assert got_set == want
+
+
+def test_jaccard_word_pairs_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import jaccard_word_pairs
+
+    got = jaccard_word_pairs(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    k, max_df, tau = 3, 50, 5000
+    from collections import Counter
+
+    sets = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = [x for x in text.split(" ") if x]
+        sets[doc_id] = {
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        }
+    df = Counter()
+    for s in sets.values():
+        df.update(s)
+    sets = {
+        d: {g for g in s if df[g] <= max_df} for d, s in sets.items()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            union = len(sets[a] | sets[b])
+            if inter * 10000 >= tau * union:
+                want[(a, b)] = (inter, inter * 10000 // max(union, 1))
+    got_d = {
+        (int(r.doc_a), int(r.doc_b)): (int(r.inter), int(r.jaccard_e4))
+        for r in got.itertuples()
+    }
+    assert got_d == want
+    assert len(want) > 0
