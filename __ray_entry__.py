@@ -487,6 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_returned_customers": relational.returned_customers,
         "rel_parts_supplier_count": relational.parts_supplier_count,
         "rel_linestatus_priority": relational.linestatus_priority,
+        "rel_customer_order_counts": relational.customer_order_counts,
+        "rel_monthly_growth": relational.monthly_revenue_growth,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1266,6 +1268,31 @@ WITH rev AS (
 )
 SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "rel_customer_order_counts": """
+WITH pc AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM pc GROUP BY 1
+""",
+        "rel_monthly_growth": """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT month, rev,
+         LAG(rev) OVER (ORDER BY month) AS prev
+  FROM m
+)
+SELECT CAST(epoch_us(month) AS BIGINT) AS month_us,
+       CAST(rev AS BIGINT) AS revenue_cent,
+       CAST(COALESCE((rev - prev) * 10000 // GREATEST(prev, 1), 0) AS BIGINT)
+         AS growth_e4
+FROM l
 """,
         "rel_linestatus_priority": """
 SELECT l.l_linestatus,

@@ -1320,3 +1320,165 @@ def linestatus_priority(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_order_counts(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q13-shaped: the distribution of customers by how many orders
+    they placed — INCLUDING the zero-order customers a LEFT JOIN keeps.
+
+    Scale shape: orders pre-aggregate per-batch custkey counts, ONE
+    grouped exchange produces per-customer order counts, and a second
+    bounded exchange histograms them.  The zero bucket needs |customer| −
+    |customers with ≥1 order|: both are scalar aggregates (a count and
+    the first rollup's cardinality), so no customer row ever joins —
+    the LEFT JOIN collapses to counting.
+
+    Output: (c_count, custdist) sorted nowhere (hash compare)."""
+
+    def opartial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        keys, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {"custkey": pa.array(keys), "p_n": pa.array(cnt.astype(np.int64))}
+        )
+
+    per_cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .map_batches(opartial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_orders"))
+    )
+
+    def hpartial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_orders"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keys, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(keys),
+                "p_d": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        per_cust.map_batches(hpartial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(ray.data.aggregate.Sum("p_d", alias_name="custdist"))
+    )
+
+    # zero-order bucket: |customer| − |custkeys with orders| (two scalars)
+    import pyarrow.parquet as pq
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    n_with = per_cust.count()
+    zero = n_cust - n_with
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": pc.cast(batch.column("c_count"), pa.int64()),
+                "custdist": pc.cast(batch.column("custdist"), pa.int64()),
+            }
+        )
+
+    out = hist.map_batches(finish, batch_format="pyarrow")
+    if zero > 0:
+        out = out.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "c_count": pa.array([0], type=pa.int64()),
+                        "custdist": pa.array([int(zero)], type=pa.int64()),
+                    }
+                )
+            )
+        )
+    return out
+
+
+def monthly_revenue_growth(sf_dir: str) -> "ray.data.Dataset":
+    """Month-over-month revenue trend: per order month, exact total cents
+    plus the growth rate vs the previous month — the LAG window pattern
+    over a time rollup.
+
+    Scale shape: per-batch (month, cents) partials → one bounded exchange
+    (months in the horizon) → the lag computes inside a single partition
+    pass over the sorted bounded series.  Growth in exact integer e4
+    (``(rev − prev) * 1e4 // prev``; first month NULL-free with 0).
+
+    Output: (month_us, revenue_cent, growth_e4)."""
+    from .partition import map_key_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        m = pc.floor_temporal(od.cast(pa.timestamp("us")), unit="month")
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        t = pa.table({"month": m, "cent": pa.array(cents)})
+        g = t.group_by(["month"]).aggregate([("cent", "sum")])
+        return pa.table(
+            {
+                "month": g.column("month"),
+                "p_cent": pc.cast(g.column("cent_sum"), pa.int64()),
+            }
+        )
+
+    monthly = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"))
+    )
+
+    def lag_part(tbl: pa.Table) -> pa.Table:
+        m_col = tbl.column("month")
+        if isinstance(m_col, pa.ChunkedArray):
+            m_col = m_col.combine_chunks()
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "month_us": pa.array([], type=pa.int64()),
+                    "revenue_cent": pa.array([], type=pa.int64()),
+                    "growth_e4": pa.array([], type=pa.int64()),
+                }
+            )
+        mus = m_col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rev = pc.cast(tbl.column("revenue_cent"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(mus)
+        mus, rev = mus[order], rev[order]
+        growth = np.zeros(len(rev), dtype=np.int64)
+        if len(rev) > 1:
+            prev = np.maximum(rev[:-1], 1)
+            d = (rev[1:] - rev[:-1]) * 10_000
+            # TRUNCATING division (matches DuckDB //; numpy // floors)
+            growth[1:] = np.sign(d) * (np.abs(d) // prev)
+        return pa.table(
+            {
+                "month_us": pa.array(mus),
+                "revenue_cent": pa.array(rev),
+                "growth_e4": pa.array(growth),
+            }
+        )
+
+    # the month series is bounded — ONE partition holds it all so the lag
+    # is a single sorted pass (constant key ⇒ one group)
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "k", pa.array(np.zeros(len(batch), dtype=np.int64))
+        )
+
+    return map_key_partitions(
+        monthly.map_batches(tag, batch_format="pyarrow"), ["k"], lag_part, 1
+    )

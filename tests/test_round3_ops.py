@@ -471,3 +471,40 @@ def test_jaccard_word_pairs_brute_force(ray_session):
     }
     assert got_d == want
     assert len(want) > 0
+
+
+def test_customer_order_counts_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import customer_order_counts
+
+    got = customer_order_counts(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    per = orders.groupby("o_custkey").size()
+    counts = cust.c_custkey.map(per).fillna(0).astype(int)
+    want = counts.value_counts().to_dict()
+    got_d = {int(r.c_count): int(r.custdist) for r in got.itertuples()}
+    assert got_d == {int(k): int(v) for k, v in want.items()}
+    assert got_d.get(0, 0) == int((counts == 0).sum())
+
+
+def test_monthly_growth_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import monthly_revenue_growth
+
+    got = monthly_revenue_growth(SF).to_pandas().sort_values("month_us")
+    orders = pd.read_parquet(f"{SF}/orders.parquet").copy()
+    orders["month"] = orders.o_orderdate.dt.to_period("M").dt.to_timestamp()
+    orders["cent"] = np.floor(
+        orders.o_totalprice.to_numpy() * 100 + 0.5
+    ).astype(np.int64)
+    m = orders.groupby("month").cent.sum().sort_index()
+    rev = m.to_numpy()
+    months = m.index.astype("int64").to_numpy()  # datetime64[ns] → ns
+    assert got.month_us.tolist() == (months // 1000).tolist()
+    assert got.revenue_cent.tolist() == rev.tolist()
+    want_growth = [0]
+    for i in range(1, len(rev)):
+        d = int(rev[i] - rev[i - 1]) * 10_000
+        p = max(int(rev[i - 1]), 1)
+        q = abs(d) // p
+        want_growth.append(q if d >= 0 else -q)
+    assert got.growth_e4.tolist() == want_growth
