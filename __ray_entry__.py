@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_linestatus_priority": relational.linestatus_priority,
         "rel_customer_order_counts": relational.customer_order_counts,
         "rel_monthly_growth": relational.monthly_revenue_growth,
+        "rel_min_balance_supplier": relational.min_balance_supplier,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1268,6 +1269,23 @@ WITH rev AS (
 )
 SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "rel_min_balance_supplier": """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), j AS (
+  SELECT ps.l_partkey, ps.l_suppkey, s.s_acctbal
+  FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+), m AS (
+  SELECT l_partkey, MIN(s_acctbal) AS mn FROM j GROUP BY 1
+), w AS (
+  SELECT j.l_partkey, MIN(j.l_suppkey) AS s_suppkey
+  FROM j JOIN m ON j.l_partkey = m.l_partkey AND j.s_acctbal = m.mn
+  GROUP BY 1
+)
+SELECT w.l_partkey AS p_partkey, w.s_suppkey,
+       CAST(FLOOR(m.mn * 100 + 0.5) AS BIGINT) AS acctbal_cent
+FROM w JOIN m USING (l_partkey)
 """,
         "rel_customer_order_counts": """
 WITH pc AS (

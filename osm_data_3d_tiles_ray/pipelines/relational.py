@@ -1482,3 +1482,109 @@ def monthly_revenue_growth(sf_dir: str) -> "ray.data.Dataset":
     return map_key_partitions(
         monthly.map_batches(tag, batch_format="pyarrow"), ["k"], lag_part, 1
     )
+
+
+def min_balance_supplier(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q2-flavored distributed ARGMIN join: for every part, the
+    supplier (among those that shipped it) with the minimum account
+    balance — ties break to the lowest suppkey.
+
+    Scale shape: two keyed tag-union exchanges, no broadcast of either
+    unbounded side.  Exchange 1 (suppkey) attaches the balance to the
+    per-batch-distinct (partkey, suppkey) pairs; exchange 2 (partkey)
+    reduces each part's run to its argmin row via one lexsort — the
+    grouped-argmin pattern SQL expresses as MIN-filter-MIN.
+
+    Output: (p_partkey, s_suppkey, acctbal_cent)."""
+    from .partition import map_key_partitions, run_starts
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        keep = run_starts(pk, sk) if len(pk) else np.zeros(0, dtype=bool)
+        pk, sk = pk[keep], sk[keep]
+        n = len(pk)
+        return pa.table(
+            {
+                "key": pa.array(sk),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "partkey": pa.array(pk),
+                "bal": pa.array(np.zeros(n, dtype=np.float64)),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("s_suppkey"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "partkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "bal": pc.cast(batch.column("s_acctbal"), pa.float64()),
+            }
+        )
+
+    pairs = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(pair_rows, batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(supp_rows, batch_format="pyarrow")
+
+    def attach_bal(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "partkey": pa.array([], type=pa.int64()),
+                "suppkey": pa.array([], type=pa.int64()),
+                "bal": pa.array([], type=pa.float64()),
+            }
+        )
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        if (side == 0).sum() == 0 or (side == 1).sum() == 0:
+            return empty
+        sup = tbl.filter(pa.array(side == 1)).sort_by("key")
+        prs = tbl.filter(pa.array(side == 0))
+        skey = sup.column("key").to_numpy(zero_copy_only=False)
+        sbal = sup.column("bal").to_numpy(zero_copy_only=False)
+        pkey = prs.column("key").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(skey, pkey), 0, len(skey) - 1)
+        hit = skey[pos] == pkey
+        prs = prs.filter(pa.array(hit))
+        return pa.table(
+            {
+                "partkey": prs.column("partkey"),
+                "suppkey": prs.column("key"),
+                "bal": pa.array(sbal[pos[hit]]),
+            }
+        )
+
+    with_bal = map_key_partitions(pairs.union(supp), ["key"], attach_bal)
+
+    def argmin_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], type=pa.int64()),
+                    "s_suppkey": pa.array([], type=pa.int64()),
+                    "acctbal_cent": pa.array([], type=pa.int64()),
+                }
+            )
+        pk = tbl.column("partkey").to_numpy(zero_copy_only=False)
+        sk = tbl.column("suppkey").to_numpy(zero_copy_only=False)
+        bal = tbl.column("bal").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, bal, pk))
+        pk, sk, bal = pk[order], sk[order], bal[order]
+        first = run_starts(pk)
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk[first]),
+                "s_suppkey": pa.array(sk[first]),
+                "acctbal_cent": pa.array(
+                    np.floor(bal[first] * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return map_key_partitions(with_bal, ["partkey"], argmin_part)

@@ -508,3 +508,24 @@ def test_monthly_growth_brute_force(ray_session):
         q = abs(d) // p
         want_growth.append(q if d >= 0 else -q)
     assert got.growth_e4.tolist() == want_growth
+
+
+def test_min_balance_supplier_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import min_balance_supplier
+
+    got = min_balance_supplier(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    bal = dict(zip(sup.s_suppkey, sup.s_acctbal))
+    pairs = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    want = {}
+    for pk, g in pairs.groupby("l_partkey"):
+        best = min(
+            (bal[s], s) for s in g.l_suppkey if s in bal
+        )
+        want[int(pk)] = (int(best[1]), int(np.floor(best[0] * 100 + 0.5)))
+    got_d = {
+        int(r.p_partkey): (int(r.s_suppkey), int(r.acctbal_cent))
+        for r in got.itertuples()
+    }
+    assert got_d == want
