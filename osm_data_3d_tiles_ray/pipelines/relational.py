@@ -751,8 +751,12 @@ def forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
 
 def promo_revenue(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q14-shaped: share of revenue from PROMO-type parts — a
-    fact-side scan with a BROADCAST dimension lookup (part is bounded),
-    so the only exchange is the single-row partial combine.
+    fact-side scan with a BROADCAST dimension lookup, so the only
+    exchange is the single-row partial combine.  The broadcast is the
+    (partkey, is_promo-bit) projection only; when the part dimension is
+    itself unbounded, swap this for the keyed tag-union exchange
+    demonstrated by :func:`parts_supplier_count` — the broadcast variant
+    is kept as the canonical small-dim pattern.
 
     The promo flag attaches via a sorted-partkey searchsorted probe; both
     the promo and total revenues accumulate per-row in integer cents, and
@@ -824,12 +828,13 @@ def large_orders(sf_dir: str, min_qty: float = 300.0) -> "ray.data.Dataset":
     Scale shape: stage 1 pre-aggregates quantity per orderkey inside each
     batch, so the ONLY shuffle carries (orderkey, partial_qty) pairs —
     never lineitem rows.  The HAVING filter makes the winner set small by
-    construction (that is the query's point), so winners broadcast as a
-    sorted key array into a shuffle-free orders scan; customer names
-    attach from a second bounded broadcast.
+    construction (that is the query's point), so every later step works
+    with BOUNDED broadcasts only: the winner orderkeys probe a
+    shuffle-free orders scan (collecting exactly |winners| rows), and the
+    winners' custkeys then probe a shuffle-free customer scan — no
+    unbounded table is ever pulled to the driver or closure-shipped.
 
     Output: (c_name, o_orderkey, odate_us, total_price_cent, total_qty)."""
-    import pyarrow.parquet as pq
 
     def lpartial(batch: pa.Table) -> pa.Table:
         ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
@@ -864,57 +869,73 @@ def large_orders(sf_dir: str, min_qty: float = 300.0) -> "ray.data.Dataset":
         order = np.argsort(wkey)
         wkey, wqty = wkey[order], wqty[order]
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    empty = pa.table(
+        {
+            "c_name": pa.array([], type=pa.string()),
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "odate_us": pa.array([], type=pa.int64()),
+            "total_price_cent": pa.array([], type=pa.int64()),
+            "total_qty": pa.array([], type=pa.float64()),
+        }
     )
-    ckey = cust.column("c_custkey").to_numpy()
-    cname = np.asarray(cust.column("c_name").to_pylist(), dtype=object)
-    corder = np.argsort(ckey)
-    ckey, cname = ckey[corder], cname[corder]
+    if len(wkey) == 0:
+        return ray.data.from_arrow(empty)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "c_name": pa.array([], type=pa.string()),
-                "o_orderkey": pa.array([], type=pa.int64()),
-                "odate_us": pa.array([], type=pa.int64()),
-                "total_price_cent": pa.array([], type=pa.int64()),
-                "total_qty": pa.array([], type=pa.float64()),
-            }
-        )
-        if len(wkey) == 0 or len(batch) == 0:
-            return empty
+    def order_probe(batch: pa.Table) -> pa.Table:
         ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if len(ok) == 0:
+            return batch.slice(0, 0)
         pos = np.clip(np.searchsorted(wkey, ok), 0, len(wkey) - 1)
-        hit = wkey[pos] == ok
-        if not hit.any():
-            return empty
-        sub = batch.filter(pa.array(hit))
-        ok = ok[hit]
-        qty = wqty[pos[hit]]
-        ck = sub.column("o_custkey").to_numpy(zero_copy_only=False)
-        cpos = np.clip(np.searchsorted(ckey, ck), 0, len(ckey) - 1)
-        names = np.where(ckey[cpos] == ck, cname[cpos], None)
-        od = sub.column("o_orderdate")
-        if isinstance(od, pa.ChunkedArray):
-            od = od.combine_chunks()
-        price = sub.column("o_totalprice").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "c_name": pa.array(names.tolist(), type=pa.string()),
-                "o_orderkey": pa.array(ok),
-                "odate_us": od.cast(pa.int64()),
-                "total_price_cent": pa.array(
-                    np.floor(price * 100 + 0.5).astype(np.int64)
-                ),
-                "total_qty": pa.array(qty),
-            }
-        )
+        return batch.filter(pa.array(wkey[pos] == ok))
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    ).map_batches(attach, batch_format="pyarrow")
+    # exactly |winners| rows survive the probe — a bounded collect
+    worders = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(order_probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    wck = np.unique(worders["o_custkey"].to_numpy())
+
+    def cust_probe(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        if len(ck) == 0:
+            return batch.slice(0, 0)
+        pos = np.clip(np.searchsorted(wck, ck), 0, len(wck) - 1)
+        return batch.filter(pa.array(wck[pos] == ck))
+
+    names = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        .map_batches(cust_probe, batch_format="pyarrow")
+        .to_pandas()
+    )  # bounded: one row per winner customer
+    name_of = dict(zip(names["c_custkey"], names["c_name"]))
+    qty_of = dict(zip(wkey.tolist(), wqty.tolist()))
+    ok = worders["o_orderkey"].to_numpy()
+    price = worders["o_totalprice"].to_numpy()
+    out = pa.table(
+        {
+            "c_name": pa.array(
+                [name_of.get(int(c)) for c in worders["o_custkey"]],
+                type=pa.string(),
+            ),
+            "o_orderkey": pa.array(ok.astype(np.int64)),
+            "odate_us": pa.array(
+                worders["o_orderdate"].astype("int64").to_numpy()
+            ),  # datetime64[us] → µs (pandas 2 preserves the unit)
+            "total_price_cent": pa.array(
+                np.floor(price * 100 + 0.5).astype(np.int64)
+            ),
+            "total_qty": pa.array(
+                np.array([qty_of[int(o)] for o in ok], dtype=np.float64)
+            ),
+        }
+    )
+    return ray.data.from_arrow(out if len(out) else empty)
 
 
 def returned_customers(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
