@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": ann.range_search,
         "semantic_dedup": ann.semantic_dedup,
         "embedding_random_projection": ann.random_projection,
+        "embedding_class_cohesion": ann.class_cohesion,
         "bm25_topk": textops.bm25_topk,
         "bigram_lm_score": textops.bigram_lm_score,
         "corpus_prep": textops.corpus_prep,
@@ -1010,6 +1011,28 @@ SELECT doc_id,
 FROM documents
 """,
         "embedding_random_projection": _random_projection_sql(),
+        "embedding_class_cohesion": """
+WITH u AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, sqrt(SUM(v * v)) AS nn FROM u GROUP BY 1
+), un AS (
+  SELECT u.vec_id, u.label, u.d, u.v / nrm.nn AS uv
+  FROM u JOIN nrm USING (vec_id)
+), t AS (
+  SELECT label, d, SUM(uv) AS sd FROM un GROUP BY 1, 2
+), nl AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+), q AS (
+  SELECT label, SUM(sd * sd) AS norm2 FROM t GROUP BY 1
+)
+SELECT CAST(q.label AS BIGINT) AS label, nl.n AS n_vectors,
+       CAST(FLOOR((q.norm2 - nl.n) / GREATEST(nl.n * (nl.n - 1), 1)
+                  * 1000000 + 0.5) AS BIGINT) AS cohesion_e6
+FROM q JOIN nl USING (label)
+""",
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
 pairs AS (

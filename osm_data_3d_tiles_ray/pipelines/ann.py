@@ -742,3 +742,85 @@ def random_projection(sf_dir: str, out_dims: int = 16) -> "ray.data.Dataset":
         .select_columns(["vec_id", "embedding"])
         .map_batches(project, batch_format="pyarrow")
     )
+
+
+def class_cohesion(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label embedding cohesion: the MEAN PAIRWISE COSINE similarity
+    of all vector pairs sharing a label — the cluster-quality diagnostic —
+    computed WITHOUT materializing any pair: for unit vectors,
+    Σ_{i≠j} cos(u_i, u_j) = |Σ u|² − N, so one pass of per-label partial
+    sums suffices.
+
+    Scale shape: shuffle-free per-batch partials (each batch normalizes
+    its vectors and emits one (label, Σu, N) row — the (labels × dims)
+    partial space is bounded); one tiny grouped combine; the final
+    cohesion is pure arithmetic on the combined sums.  Output floors at
+    e6 like the other transcendental-free float results (the only float
+    ops are the per-vector normalization and one |Σu|², both identically
+    associated in the oracle's per-label SUM... comparison is at e6 where
+    the ~1e-12 association noise cannot flip the floor).
+
+    Output: (label, n_vectors, cohesion_e6)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dims = len(meta.column("embedding")[0])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.asarray(
+            emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(-1, dims)
+        u = m / np.linalg.norm(m, axis=1, keepdims=True)
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), dims), dtype=np.float64)
+        np.add.at(sums, inv, u)
+        cnt = np.bincount(inv).astype(np.int64)
+        out = {"label": pa.array(labs), "p_n": pa.array(cnt)}
+        for d in range(dims):
+            out[f"s{d}"] = pa.array(sums[:, d])
+        return pa.table(out)
+
+    aggs = [ray.data.aggregate.Sum("p_n", alias_name="n_vectors")] + [
+        ray.data.aggregate.Sum(f"s{d}", alias_name=f"t{d}")
+        for d in range(dims)
+    ]
+    merged = (
+        _embeddings(sf_dir)
+        .select_columns(["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(*aggs)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_vectors"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = np.stack(
+            [
+                batch.column(f"t{d}").to_numpy(zero_copy_only=False)
+                for d in range(dims)
+            ],
+            axis=1,
+        )
+        norm2 = (s * s).sum(axis=1)
+        denom = np.maximum(n * (n - 1), 1)
+        coh = (norm2 - n) / denom
+        return pa.table(
+            {
+                "label": pc.cast(batch.column("label"), pa.int64()),
+                "n_vectors": pa.array(n),
+                "cohesion_e6": pa.array(
+                    np.floor(coh * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -529,3 +529,20 @@ def test_min_balance_supplier_brute_force(ray_session):
         for r in got.itertuples()
     }
     assert got_d == want
+
+
+def test_class_cohesion_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.ann import class_cohesion
+
+    got = class_cohesion(SF).to_pandas().set_index("label")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for lab in sorted(emb.label.unique()):
+        ui = u[(emb.label == lab).to_numpy()]
+        n = len(ui)
+        sims = ui @ ui.T
+        mean_pair = (sims.sum() - n) / max(n * (n - 1), 1)
+        r = got.loc[int(lab)]
+        assert int(r.n_vectors) == n
+        assert abs(int(r.cohesion_e6) - mean_pair * 1e6) <= 1.01
