@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_candidates": textops.bpe_merge_candidates,
         "winnow_fingerprints": textops.winnow_fingerprints,
         "jaccard_word_pairs": textops.jaccard_word_pairs,
+        "token_budget_mix": textops.token_budget_mix,
         "decontaminate": textops.decontaminate,
         "dedup_clusters": textops.dedup_clusters,
         "leakage_safe_split": textops.leakage_safe_split,
@@ -750,6 +751,22 @@ WITH tok AS (
   FROM r
 )
 SELECT qid, doc_id, score_e6, CAST(rn AS BIGINT) AS rank FROM rk WHERE rn <= 10
+""",
+        "token_budget_mix": r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents
+), p AS (
+  SELECT doc_id, source,
+         COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pre
+  FROM t
+)
+SELECT doc_id, source, CAST(pre AS BIGINT) AS tok_prefix,
+       CAST(CASE WHEN pre < 2000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM p
 """,
         "jaccard_word_pairs": """
 WITH t AS (

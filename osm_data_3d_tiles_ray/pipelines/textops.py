@@ -2854,3 +2854,108 @@ def jaccard_word_pairs(
         )
 
     return map_key_partitions(tag2, ["key"], join_finish, num_partitions)
+
+
+def token_budget_mix(
+    sf_dir: str, budget: int = 2000, n_ranges: int = 64
+) -> "ray.data.Dataset":
+    """Token-budget corpus mixing (the Dolma/Pile recipe): walk each
+    source's documents in doc_id order and keep documents until the
+    source's token budget is exhausted — every kept doc knows its running
+    token offset within its source.
+
+    Scale shape: a PER-KEY distributed scan (the grouped generalization
+    of :func:`seq_pack`'s global scan): stage 1 emits fixed-width
+    (doc_id, source, n_tokens, range_id) rows; a combiner aggregate
+    produces per-(source, range) token totals — ``sources × n_ranges``
+    rows, bounded — whose per-source cumsum on the driver gives every
+    range its base offset; ONE hash exchange on (source, range) then
+    lets each range scan locally and add its broadcast base.  Text never
+    leaves stage 1; no stage sees more than one range of one source.
+
+    Output: (doc_id, source, tok_prefix, keep)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    span = max(1, -(-n_docs // n_ranges))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": n_tok,
+                "range_id": pa.array(doc // span),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "source", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+    )
+
+    totals = rows.groupby(["source", "range_id"]).sum("n_tokens")
+    trows = totals.take_all()  # bounded: sources × n_ranges
+    per_src: dict = {}
+    for r in trows:
+        per_src.setdefault(r["source"], []).append(
+            (int(r["range_id"]), int(r["sum(n_tokens)"]))
+        )
+    base_of: dict = {}
+    for src, lst in per_src.items():
+        lst.sort()
+        acc = 0
+        for rid, tot in lst:
+            base_of[(src, rid)] = acc
+            acc += tot
+
+    from .partition import map_key_partitions, run_starts
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "source": pa.array([], type=pa.string()),
+                    "tok_prefix": pa.array([], type=pa.int64()),
+                    "keep": pa.array([], type=pa.int64()),
+                }
+            )
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        ntk = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        rid = tbl.column("range_id").to_numpy(zero_copy_only=False)
+        code = np.unique(src, return_inverse=True)[1]
+        order = np.lexsort((doc, rid, code))
+        doc, src, ntk, rid, code = (
+            doc[order], src[order], ntk[order], rid[order], code[order],
+        )
+        starts = np.flatnonzero(run_starts(code, rid))
+        run_len = np.diff(np.append(starts, len(doc)))
+        # per-(source, range) local prefix + broadcast base: padded
+        # per-run cumsum (batch-size-invariant per repo rules)
+        csum = np.cumsum(ntk)
+        run_base0 = np.repeat(csum[starts] - ntk[starts], run_len)
+        local_pre = csum - ntk - run_base0
+        bases = np.array(
+            [base_of.get((src[s], int(rid[s])), 0) for s in starts],
+            dtype=np.int64,
+        )  # bounded: one lookup per (source, range) run, not per row
+        prefix = local_pre + np.repeat(bases, run_len)
+        keep = (prefix < budget).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "source": pa.array(src.astype(object), type=pa.string()),
+                "tok_prefix": pa.array(prefix.astype(np.int64)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return map_key_partitions(rows, ["source", "range_id"], scan)

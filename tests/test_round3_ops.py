@@ -546,3 +546,26 @@ def test_class_cohesion_brute_force(ray_session):
         r = got.loc[int(lab)]
         assert int(r.n_vectors) == n
         assert abs(int(r.cohesion_e6) - mean_pair * 1e6) <= 1.01
+
+
+def test_token_budget_mix_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import token_budget_mix
+
+    got = token_budget_mix(SF, budget=500).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    want = {}
+    acc = {}
+    for doc_id, src, text in zip(docs.doc_id, docs.source, docs.text):
+        n = len([w for w in text.split() if w])
+        pre = acc.get(src, 0)
+        want[int(doc_id)] = (src, pre, 1 if pre < 500 else 0)
+        acc[src] = pre + n
+    got_d = {
+        int(r.doc_id): (r.source, int(r.tok_prefix), int(r.keep))
+        for r in got.itertuples()
+    }
+    assert got_d == want
+    # budget rule actually trims something and keeps something per source
+    kept = got[got.keep == 1].groupby("source").size()
+    assert (kept >= 1).all()
+    assert (got.keep == 0).any()
