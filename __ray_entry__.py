@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": ann.semantic_dedup,
         "embedding_random_projection": ann.random_projection,
         "embedding_class_cohesion": ann.class_cohesion,
+        "text_embedding_fusion": ann.text_embedding_fusion,
         "bm25_topk": textops.bm25_topk,
         "bigram_lm_score": textops.bigram_lm_score,
         "corpus_prep": textops.corpus_prep,
@@ -1028,6 +1029,37 @@ SELECT doc_id,
 FROM documents
 """,
         "embedding_random_projection": _random_projection_sql(),
+        "text_embedding_fusion": r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top
+  FROM wc GROUP BY 1
+), t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+), d AS (
+  SELECT t.doc_id, t.n_tokens,
+         CAST(CASE WHEN m.n_words >= 12 AND 4 * m.top <= m.n_words
+                    AND 10 * t.n_alpha >= 7 * t.n_chars
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+  FROM m JOIN t ON m.doc_id = t.doc_id
+), u AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), e AS (
+  SELECT vec_id, CAST(any_value(label) AS BIGINT) AS label,
+         CAST(FLOOR(sqrt(SUM(v * v)) * 1000000 + 0.5) AS BIGINT) AS norm_e6
+  FROM u GROUP BY 1
+)
+SELECT d.doc_id, d.n_tokens, d.keep, e.label, e.norm_e6
+FROM d JOIN e ON e.vec_id = d.doc_id
+""",
         "embedding_class_cohesion": """
 WITH u AS (
   SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -824,3 +824,120 @@ def class_cohesion(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def text_embedding_fusion(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-modal fusion: join each document's TEXT signals (token count,
+    quality keep bit) with its EMBEDDING features (label, L2 norm) on the
+    shared id — the multimodal feature-assembly step that precedes any
+    quality-vs-geometry analysis over an interleaved corpus.
+
+    Scale shape: both modalities reduce to fixed-width feature rows
+    inside their own scans (text and vectors never co-shuffle raw); ONE
+    id-keyed tag-union exchange joins them with a sorted probe per
+    partition.  Output only for ids present in both tables (inner).
+
+    Output: (doc_id, n_tokens, keep, label, norm_e6)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .partition import map_key_partitions
+
+    meta = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dims = len(meta.column("embedding")[0])
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        from .textops import _run_top_and_unique, _word_codes
+
+        n = len(batch)
+        codes, row, counts, _ = _word_codes(batch)
+        top_word, _ = _run_top_and_unique(row, codes, n)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+        n_alpha = np.asarray(
+            pc.count_substring_regex(text, "[A-Za-z]"), dtype=np.int64
+        )
+        keep = ~(
+            (counts < 12) | (4 * top_word > counts) | (10 * n_alpha < 7 * n_chars)
+        )
+        n_tok = np.asarray(
+            pc.count_substring_regex(text, r"\S+"), dtype=np.int64
+        )
+        return pa.table(
+            {
+                "key": batch.column("doc_id"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "n_tokens": pa.array(n_tok),
+                "keep": pa.array(keep.astype(np.int64)),
+                "label": pa.array(np.zeros(n, dtype=np.int64)),
+                "norm_e6": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def emb_side(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(
+            emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(-1, dims)
+        norm = np.sqrt((m * m).sum(axis=1))
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("vec_id"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "n_tokens": pa.array(np.zeros(n, dtype=np.int64)),
+                "keep": pa.array(np.zeros(n, dtype=np.int64)),
+                "label": pc.cast(batch.column("label"), pa.int64()),
+                "norm_e6": pa.array(
+                    np.floor(norm * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(doc_side, batch_format="pyarrow")
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    ).map_batches(emb_side, batch_format="pyarrow")
+
+    def join_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64()),
+                "norm_e6": pa.array([], type=pa.int64()),
+            }
+        )
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        if (side == 0).sum() == 0 or (side == 1).sum() == 0:
+            return empty
+        d = tbl.filter(pa.array(side == 0)).sort_by("key")
+        e = tbl.filter(pa.array(side == 1))
+        dk = d.column("key").to_numpy(zero_copy_only=False)
+        ek = e.column("key").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dk, ek), 0, len(dk) - 1)
+        hit = dk[pos] == ek
+        e = e.filter(pa.array(hit))
+        pos = pos[hit]
+        take = pa.array(pos)
+        return pa.table(
+            {
+                "doc_id": e.column("key"),
+                "n_tokens": d.column("n_tokens").take(take),
+                "keep": d.column("keep").take(take),
+                "label": e.column("label"),
+                "norm_e6": e.column("norm_e6"),
+            }
+        )
+
+    return map_key_partitions(docs.union(embs), ["key"], join_part)

@@ -569,3 +569,36 @@ def test_token_budget_mix_brute_force(ray_session):
     kept = got[got.keep == 1].groupby("source").size()
     assert (kept >= 1).all()
     assert (got.keep == 0).any()
+
+
+def test_text_embedding_fusion_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.ann import text_embedding_fusion
+
+    got = text_embedding_fusion(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").set_index("vec_id")
+    from collections import Counter
+
+    joined = 0
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        if doc_id not in emb.index:
+            continue
+        joined += 1
+        r = got.loc[int(doc_id)]
+        words = text.split(" ")
+        top = max(Counter(words).values()) if words else 0
+        n_alpha = sum(ch.isascii() and ch.isalpha() for ch in text)
+        keep = int(
+            not (
+                len(words) < 12
+                or 4 * top > len(words)
+                or 10 * n_alpha < 7 * len(text)
+            )
+        )
+        assert int(r.keep) == keep
+        assert int(r.n_tokens) == len([w for w in text.split() if w])
+        e = emb.loc[doc_id]
+        assert int(r.label) == int(e.label)
+        norm = float(np.sqrt((np.asarray(e.embedding, dtype=np.float64) ** 2).sum()))
+        assert int(r.norm_e6) == int(np.floor(norm * 1e6 + 0.5))
+    assert joined == len(got)
