@@ -317,6 +317,104 @@ HAVING BOOL_OR(ri = 0 AND inside) AND NOT BOOL_OR(ri > 0 AND inside)
 """
 
 
+def _sample_points_sql() -> str:
+    """SQL mirror of geo.q_sample_points (G19): the jittered sampling grid
+    rebuilt cell-exactly — arange length/values via the identical float
+    expressions, the per-point jitter via the two-round keyed Jenkins
+    chain (geom/rng.py:keyed_uniform ≡ chained _jenkins_round_sql), and
+    the strict ray-cast PIP of the point_in_polygon oracle, point paired
+    with ITS building only."""
+    M = 4294967296
+    tag11 = (11 * 2654435761) % M
+    tag13 = (13 * 2654435761) % M
+    mix_a, h_a = _jenkins_round_sql("a0", "ja")
+    mix_b, h_b = _jenkins_round_sql("b0", "jb")
+    mix_c, h_c = _jenkins_round_sql("c0", "ka")
+    mix_d, h_d = _jenkins_round_sql("d0", "kb")
+    b = f"read_parquet('{_SYNTH_001}/buildings/*.parquet')"
+    return f"""
+WITH g AS (
+  SELECT osm_id, coords, ring_offsets, minx, miny, maxx, maxy,
+    CAST(CASE WHEN minx + 3.0 < maxx
+              THEN CEIL((maxx - (minx + 3.0)) / 6.0) ELSE 0 END AS BIGINT) AS nx,
+    CAST(CASE WHEN miny + 3.0 < maxy
+              THEN CEIL((maxy - (miny + 3.0)) / 6.0) ELSE 0 END AS BIGINT) AS ny
+  FROM {b}
+),
+p AS (
+  SELECT osm_id, coords, ring_offsets, minx, miny, nx,
+         unnest(range(0, nx * ny)) AS pidx
+  FROM g WHERE nx > 0 AND ny > 0
+),
+x0s AS (
+  SELECT osm_id, coords, ring_offsets, pidx,
+         (minx + 3.0) + (pidx % nx) * 6.0 AS gx0,
+         (miny + 3.0) + (pidx // nx) * 6.0 AS gy0,
+         osm_id * 1000003 + pidx AS keyv
+  FROM p
+),
+s0 AS (SELECT *, xor(keyv % {M}, {tag11}) AS a0 FROM x0s),
+s1 AS (SELECT osm_id, coords, ring_offsets, pidx, gx0, gy0, keyv, {mix_a} FROM s0),
+s2 AS (SELECT osm_id, coords, ring_offsets, pidx, gx0, gy0, keyv,
+              xor({h_a}, (keyv // {M}) % {M}) AS b0 FROM s1),
+s3 AS (SELECT osm_id, coords, ring_offsets, pidx, gx0, gy0, keyv, {mix_b} FROM s2),
+s4 AS (SELECT osm_id, coords, ring_offsets, pidx, gx0, gy0, keyv,
+              {h_b} / 4294967296.0 AS u11 FROM s3),
+t0 AS (SELECT *, xor(keyv % {M}, {tag13}) AS c0 FROM s4),
+t1 AS (SELECT osm_id, coords, ring_offsets, pidx, gx0, gy0, keyv, u11, {mix_c} FROM t0),
+t2 AS (SELECT osm_id, coords, ring_offsets, pidx, gx0, gy0, u11,
+              xor({h_c}, (keyv // {M}) % {M}) AS d0 FROM t1),
+t3 AS (SELECT osm_id, coords, ring_offsets, pidx, gx0, gy0, u11, {mix_d} FROM t2),
+pts AS (
+  SELECT osm_id, coords, ring_offsets, pidx,
+         gx0 + ((u11 - 0.5) * 0.4) * 6.0 AS px,
+         gy0 + (({h_d} / 4294967296.0 - 0.5) * 0.4) * 6.0 AS py,
+         CAST(len(coords) // 2 AS BIGINT) AS nv
+  FROM t3
+),
+rings AS (
+  SELECT osm_id, pidx, px, py, coords, nv, ring_offsets,
+         unnest(range(0, len(ring_offsets))) AS ri
+  FROM pts
+),
+spans AS (
+  SELECT osm_id, pidx, px, py, coords, ri,
+         CAST(ring_offsets[ri + 1] AS BIGINT) AS s,
+         CAST(CASE WHEN ri + 1 < len(ring_offsets)
+                   THEN ring_offsets[ri + 2] ELSE nv END AS BIGINT) AS e
+  FROM rings
+),
+edges AS (
+  SELECT osm_id, pidx, px, py, coords, ri, s, e, unnest(range(s, e)) AS j
+  FROM spans
+),
+xy AS (
+  SELECT osm_id, pidx, px, py, ri,
+         coords[2 * j + 1] AS x1, coords[2 * j + 2] AS y1,
+         coords[2 * (s + ((j - s + 1) % (e - s))) + 1] AS x2,
+         coords[2 * (s + ((j - s + 1) % (e - s))) + 2] AS y2
+  FROM edges
+),
+hits AS (
+  SELECT osm_id, pidx, ri,
+         SUM(CASE WHEN (y1 > py) <> (y2 > py)
+                  THEN CASE WHEN px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                            THEN 1 ELSE 0 END
+                  ELSE 0 END) AS nhit
+  FROM xy GROUP BY 1, 2, 3
+),
+inr AS (SELECT osm_id, pidx, ri, (nhit % 2 = 1) AS inside FROM hits),
+ok AS (
+  SELECT osm_id, pidx FROM inr
+  GROUP BY 1, 2
+  HAVING BOOL_OR(ri = 0 AND inside) AND NOT BOOL_OR(ri > 0 AND inside)
+),
+cnt AS (SELECT osm_id, CAST(COUNT(*) AS BIGINT) AS np FROM ok GROUP BY 1)
+SELECT bb.osm_id, CAST(COALESCE(cnt.np, 0) AS BIGINT) AS n_points
+FROM {b} bb LEFT JOIN cnt USING (osm_id)
+"""
+
+
 def _random_projection_sql() -> str:
     """SQL mirror of ann.random_projection: the ±1 sign matrix is bit 0 of
     one Jenkins avalanche round over ``d*k + j`` (geom/rng.py:jenkins_mix
@@ -541,6 +639,7 @@ FROM ({_TILE_SQL})
 """,
         "geo_point_in_polygon": _point_in_polygon_sql(),
         "geo_lod_sample": _lod_sample_sql(),
+        "geo_sample_points": _sample_points_sql(),
         "geo_knn": f"""
 WITH d AS (
   SELECT q.qid, b.osm_id, q.k,
