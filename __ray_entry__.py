@@ -597,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_hist": events.props_k_histogram,
         "events_retention": events.retention_cohorts,
         "events_hourly_anomaly": events.hourly_anomaly,
+        "events_value_zscore": events.value_zscore,
         "events_type_transitions": events.type_transitions,
         "doc_chunks": textops.doc_chunks,
     }
@@ -1529,6 +1530,24 @@ SELECT event_type,
        CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_value_e4
 FROM events GROUP BY 1, 2
+""",
+        "events_value_zscore": """
+WITH e4t AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
+  FROM events
+), st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS q
+  FROM e4t GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       CAST(FLOOR((e.x * st.n - st.s) * 1000000
+                  / sqrt(CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
+                         - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                  + 0.5)
+            AS BIGINT) AS z_e6
+FROM e4t e JOIN st USING (event_type)
 """,
         "events_hourly_anomaly": """
 WITH h AS (

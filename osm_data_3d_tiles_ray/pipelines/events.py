@@ -1462,3 +1462,91 @@ def type_transitions(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(counts, ["prev_type"], normalize)
+
+
+def value_zscore(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event z-score of ``value`` within its event type — the grouped
+    standardization step of every feature pipeline — with an EXACT oracle
+    despite the sqrt: all moments accumulate as int64 e4-unit sums
+    (N, S=Σx, Q=Σx²), so the only float ops are one int64→double
+    conversion, one IEEE-754 sqrt (correctly rounded — bit-identical in
+    numpy and DuckDB) and one division, evaluated with the identical
+    expression on both sides:
+
+        z_e6 = floor((x·N − S) · 1e6 / sqrt(N·Q − S²) + 0.5)
+
+    Scale shape: per-batch (type, N, S, Q) partials → bounded combine →
+    broadcast threshold row per type → shuffle-free scoring scan.
+
+    Output: (event_id, event_type, z_e6)."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        e4 = np.floor(val * 1e4 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "s": pa.array(e4),
+                "q": pa.array(e4 * e4),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("s", "sum"), ("q", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "p_n": pc.cast(g.column("one_sum"), pa.int64()),
+                "p_s": pc.cast(g.column("s_sum"), pa.int64()),
+                "p_q": pc.cast(g.column("q_sum"), pa.int64()),
+            }
+        )
+
+    stats = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_s", alias_name="s"),
+            ray.data.aggregate.Sum("p_q", alias_name="q"),
+        )
+        .to_pandas()  # bounded: one row per event type
+    )
+    et = stats["event_type"].to_numpy()
+    order = np.argsort(et)
+    et_s = et[order]
+    n_s = stats["n"].to_numpy().astype(np.int64)[order]
+    s_s = stats["s"].to_numpy().astype(np.int64)[order]
+    q_s = stats["q"].to_numpy().astype(np.int64)[order]
+    # variance term in float64 from the start: n·q overflows int64 at even
+    # moderate group sizes (numpy would WRAP silently, DuckDB errors).
+    # Both sides use the identical conversion+op sequence, so the doubles
+    # (and the IEEE sqrt) are bit-equal.
+    nf = n_s.astype(np.float64)
+    sf_ = s_s.astype(np.float64)
+    qf = q_s.astype(np.float64)
+    denom = np.sqrt(nf * qf - sf_ * sf_)
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        e4 = np.floor(val * 1e4 + 0.5).astype(np.int64)
+        pos = np.searchsorted(et_s, t)
+        num = (e4 * n_s[pos] - s_s[pos]) * 1_000_000
+        z = np.floor(num / denom[pos] + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "z_e6": pa.array(z),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .select_columns(["event_id", "event_type", "value"])
+        .map_batches(score, batch_format="pyarrow")
+    )

@@ -602,3 +602,24 @@ def test_text_embedding_fusion_brute_force(ray_session):
         norm = float(np.sqrt((np.asarray(e.embedding, dtype=np.float64) ** 2).sum()))
         assert int(r.norm_e6) == int(np.floor(norm * 1e6 + 0.5))
     assert joined == len(got)
+
+
+def test_value_zscore_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import value_zscore
+
+    got = value_zscore(SF).to_pandas().set_index("event_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    x = np.floor(ev.value.to_numpy() * 1e4 + 0.5).astype(np.int64)
+    for et in ev.event_type.unique():
+        m = (ev.event_type == et).to_numpy()
+        n = int(m.sum())
+        s = int(x[m].sum())
+        q = int((x[m].astype(object) ** 2).sum())  # exact Python ints
+        denom = np.sqrt(float(n) * float(q) - float(s) * float(s))
+        want = np.floor((x[m] * n - s) * 1_000_000 / denom + 0.5).astype(np.int64)
+        sub = got.loc[ev.event_id.to_numpy()[m]]
+        assert (sub.z_e6.to_numpy() == want).all()
+        # standardization sanity: per-type mean(z) ~ 0, std(z) ~ 1
+        z = sub.z_e6.to_numpy() / 1e6
+        assert abs(z.mean()) < 1e-3
+        assert abs(z.std() - np.sqrt((n - 1) / n)) < 1e-2
