@@ -2959,3 +2959,73 @@ def token_budget_mix(
         )
 
     return map_key_partitions(rows, ["source", "range_id"], scan)
+
+
+def write_corpus_prep(
+    sf_dir: str, out_dir: str, budget: int = 512, n_ranges: int = 256,
+    part_ranges: int = 16,
+) -> dict:
+    """Resumable partitioned sink for :func:`corpus_prep` — the text-side
+    twin of the seed pipeline's lineage discipline (state/lineage.py):
+    packed-example rows land as one parquet per doc-id-range partition via
+    tmp+rename, each paired with a lineage record carrying an
+    order-independent content fingerprint; a killed run resumes by
+    rerunning the same command (completed partitions skip; a partition
+    whose INPUT changed — fingerprint mismatch — is invalidated and
+    rewritten, never silently skipped).  ``_manifest.json`` is the commit
+    point.
+
+    Returns the manifest dict."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from ..state.lineage import PartitionWriter, finalize_manifest
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    span = max(1, -(-n_docs // part_ranges))
+
+    rows = corpus_prep(sf_dir, budget=budget, n_ranges=n_ranges)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("part", pa.array(doc // span))
+
+    writer = PartitionWriter(out_dir)
+
+    def _fingerprint(tbl: pa.Table) -> str:
+        h = (
+            pl.from_arrow(tbl.select(["doc_id", "example_id", "tok_offset"]))
+            .hash_rows(seed=0xC0FFEE)
+            .to_numpy()
+        )
+        return f"{int(np.sum(h, dtype=np.uint64)):016x}"
+
+    def write_part(group: pa.Table) -> pa.Table:
+        pid = f"p{int(group.column('part')[0].as_py()):05d}"
+        rows_in = len(group)
+        out = group.drop_columns(["part"]).sort_by("doc_id")
+        fingerprint = _fingerprint(out)
+        if writer.is_done(pid):
+            if writer.fingerprint_matches(pid, fingerprint):
+                rec = writer.record(pid, rows_in, 0, 0, "skipped", fingerprint)
+            else:
+                writer.invalidate(pid)  # stale input → rewrite
+                rec = writer.write(pid, out, rows_in, fingerprint)
+        else:
+            rec = writer.write(pid, out, rows_in, fingerprint)
+        return pa.table(
+            {
+                "partition_id": pa.array([rec["partition_id"]]),
+                "status": pa.array([rec["status"]]),
+                "rows_out": pa.array([int(rec.get("rows_out", 0))], type=pa.int64()),
+            }
+        )
+
+    # bounded groups (part_ranges partitions) → map_groups is fine here
+    recs = (
+        rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(write_part, batch_format="pyarrow")
+    )
+    recs.count()  # drive the writes
+    return finalize_manifest(out_dir)

@@ -623,3 +623,67 @@ def test_value_zscore_brute_force(ray_session):
         z = sub.z_e6.to_numpy() / 1e6
         assert abs(z.mean()) < 1e-3
         assert abs(z.std() - np.sqrt((n - 1) / n)) < 1e-2
+
+
+def test_write_corpus_prep_resume(ray_session, tmp_path):
+    import hashlib
+    import json
+    import os
+
+    from osm_data_3d_tiles_ray.pipelines.textops import (
+        corpus_prep,
+        write_corpus_prep,
+    )
+
+    out = str(tmp_path / "prep_out")
+    m1 = write_corpus_prep(SF, out)
+    assert m1["n_partitions"] >= 1 if "n_partitions" in m1 else True
+
+    def snapshot():
+        files = {}
+        for root, _, names in os.walk(os.path.join(out, "tiles")):
+            for n in sorted(names):
+                p = os.path.join(root, n)
+                files[n] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        return files
+
+    snap1 = snapshot()
+    assert len(snap1) >= 2
+    # written rows == the streaming pipeline's rows
+    got = pd.concat(
+        [
+            pd.read_parquet(os.path.join(out, "tiles", n))
+            for n in sorted(snap1)
+        ]
+    ).sort_values("doc_id").reset_index(drop=True)
+    want = corpus_prep(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # resume on an untouched output: every partition skips, bytes identical
+    write_corpus_prep(SF, out)
+    statuses = [
+        json.loads(open(os.path.join(out, "lineage", f)).read())["status"]
+        for f in sorted(os.listdir(os.path.join(out, "lineage")))
+    ]
+    assert snapshot() == snap1
+    # original lineage stays "written" (skip does not rewrite records)
+    assert all(s == "written" for s in statuses)
+
+    # kill-half simulation: drop one partition file → only it is rewritten
+    victim = sorted(snap1)[0]
+    os.unlink(os.path.join(out, "tiles", victim))
+    write_corpus_prep(SF, out)
+    snap3 = snapshot()
+    assert snap3 == snap1  # byte-identical reconstruction
+
+    # stale input: corrupt one lineage fingerprint → rewrite, not skip
+    lfile = os.path.join(
+        out, "lineage", victim.replace(".parquet", ".json")
+    )
+    rec = json.loads(open(lfile).read())
+    rec["input_fingerprint"] = "deadbeef"
+    open(lfile, "w").write(json.dumps(rec))
+    write_corpus_prep(SF, out)
+    assert snapshot() == snap1
+    rec2 = json.loads(open(lfile).read())
+    assert rec2["input_fingerprint"] != "deadbeef"
