@@ -591,6 +591,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customer_order_counts": relational.customer_order_counts,
         "rel_monthly_growth": relational.monthly_revenue_growth,
         "rel_min_balance_supplier": relational.min_balance_supplier,
+        "rel_volume_shipping": relational.volume_shipping,
+        "rel_small_qty_revenue": relational.small_qty_revenue,
+        "rel_important_parts": relational.important_parts,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1441,6 +1444,47 @@ WITH rev AS (
 )
 SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "rel_volume_shipping": """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS revenue_cent
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND s.s_nationkey <> c.c_nationkey
+GROUP BY 1, 2, 3
+""",
+        "rel_small_qty_revenue": """
+WITH stats AS (
+  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0)
+         AS revenue_cent,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN stats ON stats.pk = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND 5 * CAST(l.l_quantity AS BIGINT) * stats.cnt < stats.sq
+""",
+        "rel_important_parts": """
+WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS value_cent
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, value_cent FROM pp
+WHERE value_cent * 10000 > 1 * (SELECT SUM(value_cent) FROM pp)
 """,
         "rel_min_balance_supplier": """
 WITH ps AS (

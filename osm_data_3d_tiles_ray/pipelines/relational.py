@@ -1609,3 +1609,380 @@ def min_balance_supplier(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(with_bal, ["partkey"], argmin_part)
+
+
+def volume_shipping(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q7-shaped nation-pair trade volume: lineitem revenue shipped
+    in a two-year window, grouped by (supplier nation, customer nation,
+    ship year) for cross-nation pairs.
+
+    Scale shape — the supplier→nation attribute composes driver-side into
+    one bounded sorted array (the Q5 small-dim pattern; swap for a keyed
+    tag-union exchange when the supplier dimension itself is unbounded),
+    while the two genuinely unbounded joins run as chained hash
+    exchanges: (1) orderkey co-locates the date-filtered lineitem
+    partials with their order row to pick up the custkey, (2) custkey
+    co-locates those rows with the customer's nationkey.  Nation NAMES
+    attach last through the 25-row nation table, so both exchanges carry
+    int32 nation codes, an int16 year and int64 cents only.
+
+    Output: (supp_nation, cust_nation, l_year, revenue_cent)."""
+    import pyarrow.parquet as pq
+
+    from .partition import map_key_partitions
+
+    lo_us = np.datetime64("1995-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skey = sup.column("s_suppkey").to_numpy()
+    snat = sup.column("s_nationkey").to_numpy()
+    s_order = np.argsort(skey)
+    skey, snat = skey[s_order], snat[s_order]
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        sd_us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (sd_us >= lo_us) & (sd_us < hi_us)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        year = (
+            sd_us[keep]
+            .astype("datetime64[us]")
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        pos = np.clip(np.searchsorted(skey, sk), 0, max(len(skey) - 1, 0))
+        nat = np.where(skey[pos] == sk, snat[pos], -1).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ok),
+                "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "nat": pa.array(nat),
+                "year": pa.array(year.astype(np.int16)),
+                "cent": pa.array(cents),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("o_orderkey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "nat": batch.column("o_custkey"),  # custkey rides the
+                # nat slot on the dim side (int64 — custkeys exceed int32
+                # long before 100 TB)
+                "year": pa.array(np.zeros(n, dtype=np.int16)),
+                "cent": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(line_rows, batch_format="pyarrow")
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def pick_custkey(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int8()),
+                "nat": pa.array([], type=pa.int64()),
+                "year": pa.array([], type=pa.int16()),
+                "cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        nat = tbl.column("nat").to_numpy(zero_copy_only=False)
+        year = tbl.column("year").to_numpy(zero_copy_only=False)
+        cent = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))  # order row (side 0) first per key
+        key, side, nat, year, cent = (
+            key[order], side[order], nat[order], year[order], cent[order]
+        )
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        run_id = np.cumsum(np.concatenate([[True], key[1:] != key[:-1]])) - 1
+        has_order = side[starts] == 0
+        custkey = nat[starts].astype(np.int64)  # valid where has_order
+        fact = (side == 1) & has_order[run_id]
+        return pa.table(
+            {
+                "key": pa.array(custkey[run_id[fact]]),
+                "side": pa.array(np.ones(int(fact.sum()), dtype=np.int8)),
+                "nat": pa.array(nat[fact]),
+                "year": pa.array(year[fact]),
+                "cent": pa.array(cent[fact]),
+            }
+        )
+
+    with_cust = map_key_partitions(lines.union(ords), ["key"], pick_custkey)
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("c_custkey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "nat": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "year": pa.array(np.zeros(n, dtype=np.int16)),
+                "cent": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+
+    def pair_partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "snat": pa.array([], type=pa.int32()),
+                "cnat": pa.array([], type=pa.int32()),
+                "l_year": pa.array([], type=pa.int64()),
+                "p_cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        nat = tbl.column("nat").to_numpy(zero_copy_only=False)
+        year = tbl.column("year").to_numpy(zero_copy_only=False)
+        cent = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, nat, year, cent = (
+            key[order], side[order], nat[order], year[order], cent[order]
+        )
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        run_id = np.cumsum(np.concatenate([[True], key[1:] != key[:-1]])) - 1
+        has_cust = side[starts] == 0
+        cnat = nat[starts]  # valid where has_cust
+        fact = (side == 1) & has_cust[run_id]
+        snat_f = nat[fact]
+        cnat_f = cnat[run_id[fact]]
+        cross = snat_f != cnat_f
+        snat_f, cnat_f = snat_f[cross], cnat_f[cross]
+        year_f = year[fact][cross].astype(np.int64)
+        cent_f = cent[fact][cross]
+        if len(snat_f) == 0:
+            return empty
+        # partial per (snat, cnat, year) inside the partition
+        code = (
+            snat_f.astype(np.int64) * 32 * 4096
+            + cnat_f.astype(np.int64) * 4096
+            + (year_f - 1970)
+        )
+        uk, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cent_f)
+        return pa.table(
+            {
+                "snat": pa.array((uk // (32 * 4096)).astype(np.int32)),
+                "cnat": pa.array(((uk // 4096) % 32).astype(np.int32)),
+                "l_year": pa.array(uk % 4096 + 1970),
+                "p_cent": pa.array(sums),
+            }
+        )
+
+    partials = map_key_partitions(with_cust.union(cust), ["key"], pair_partial)
+    merged = partials.groupby(["snat", "cnat", "l_year"]).aggregate(
+        ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent")
+    )
+
+    nat_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey = nat_tbl.column("n_nationkey").to_numpy()
+    nname = np.asarray(nat_tbl.column("n_name").to_pylist(), dtype=object)
+    n_order = np.argsort(nkey)
+    nkey, nname = nkey[n_order], nname[n_order]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sn = batch.column("snat").to_numpy(zero_copy_only=False)
+        cn = batch.column("cnat").to_numpy(zero_copy_only=False)
+        sp = np.searchsorted(nkey, sn)
+        cp = np.searchsorted(nkey, cn)
+        return pa.table(
+            {
+                "supp_nation": pa.array(nname[sp].astype(str)),
+                "cust_nation": pa.array(nname[cp].astype(str)),
+                "l_year": pc.cast(batch.column("l_year"), pa.int64()),
+                "revenue_cent": pc.cast(
+                    batch.column("revenue_cent"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#11") -> "ray.data.Dataset":
+    """TPC-H Q17-shaped: revenue from lineitems of one brand's parts whose
+    quantity is below 20% of that part's average lineitem quantity — the
+    correlated-subquery-per-part pattern.
+
+    Scale shape: the brand's partkeys broadcast as one sorted array (the
+    Q14 small-dim projection; selectivity 1/|brands|), the brand-filtered
+    lineitem rows make ONE partkey hash exchange, and each partition
+    computes its complete per-part (count, sum-qty) stats with a sorted
+    ``reduceat`` pass before the per-row threshold filter — no second
+    lineitem scan, no per-part dispatch.
+
+    Exactness: quantities are integral doubles, so the predicate
+    ``qty < 0.2 * avg`` is evaluated in pure int64 as
+    ``5*qty*cnt < sum_qty`` — association-free and identical in SQL.
+
+    Output: one row (revenue_cent, n_rows)."""
+    import pyarrow.parquet as pq
+
+    from .partition import map_key_partitions
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    sel = pc.equal(part.column("p_brand"), pa.scalar(brand)).to_numpy(
+        zero_copy_only=False
+    )
+    bkeys = np.sort(part.column("p_partkey").to_numpy()[sel])
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(bkeys):
+            pos = np.clip(np.searchsorted(bkeys, pk), 0, len(bkeys) - 1)
+            keep = bkeys[pos] == pk
+        else:
+            keep = np.zeros(len(pk), dtype=bool)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "partkey": pa.array(pk[keep]),
+                "qty": pa.array(qty.astype(np.int64)),
+                "cent": pa.array(
+                    np.floor(price * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def threshold_partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], type=pa.int64()),
+                "p_cent": pa.array([], type=pa.int64()),
+                "p_cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        pk = tbl.column("partkey").to_numpy(zero_copy_only=False)
+        qty = tbl.column("qty").to_numpy(zero_copy_only=False)
+        cent = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk, qty, cent = pk[order], qty[order], cent[order]
+        starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+        run_id = np.cumsum(np.concatenate([[True], pk[1:] != pk[:-1]])) - 1
+        cnt = np.diff(np.append(starts, len(pk)))
+        sq = np.add.reduceat(qty, starts)
+        keep = 5 * qty * cnt[run_id] < sq[run_id]
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "p_cent": pa.array([int(cent[keep].sum())], type=pa.int64()),
+                "p_cnt": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    merged = (
+        map_key_partitions(rows, ["partkey"], threshold_partial)
+        .groupby("k")
+        .aggregate(
+            ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"),
+            ray.data.aggregate.Sum("p_cnt", alias_name="n_rows"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_cent": pc.cast(batch.column("revenue_cent"), pa.int64()),
+                "n_rows": pc.cast(batch.column("n_rows"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def important_parts(sf_dir: str, share_e4: int = 1) -> "ray.data.Dataset":
+    """TPC-H Q11-shaped: parts whose lineitem value exceeds a fraction of
+    the GLOBAL total — the aggregate-vs-global-scalar HAVING pattern.
+
+    Scale shape: per-batch partkey partials → one grouped exchange gives
+    the per-part value table (bounded by part count, ≪ lineitem count);
+    the small aggregate materializes ONCE so the global total (a single
+    scalar reduced by Ray's combine tree over int64 partials) and the
+    filter pass both read it without re-scanning lineitem.  The filter
+    compares ``value*10000 > share_e4*total`` in exact int64 — no float
+    share ever computed.
+
+    Output: (l_partkey, value_cent)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table({"l_partkey": pa.array(uk), "p_cent": pa.array(sums)})
+
+    per_part = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="value_cent"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "value_cent": pc.cast(b.column("value_cent"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # bounded: one row per part — read twice below
+    )
+    total = per_part.sum("value_cent")
+    thresh = int(share_e4) * int(total)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value_cent").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v * 10000 > thresh))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")

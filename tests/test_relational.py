@@ -243,3 +243,90 @@ def test_large_orders_brute_force(ray_session):
 
     empty = large_orders(SF, min_qty=1e12)
     assert empty.count() == 0
+
+
+def test_volume_shipping_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import volume_shipping
+
+    got = (
+        volume_shipping(SF)
+        .to_pandas()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    l = li[(li.l_shipdate >= pd.Timestamp("1995-01-01"))
+           & (li.l_shipdate < pd.Timestamp("1997-01-01"))].copy()
+    l["cent"] = np.floor(
+        l.l_extendedprice.to_numpy() * (1 - l.l_discount.to_numpy()) * 100 + 0.5
+    ).astype(np.int64)
+    l["l_year"] = l.l_shipdate.dt.year.astype(np.int64)
+    j = (
+        l.merge(orders[["o_orderkey", "o_custkey"]],
+                left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust[["c_custkey", "c_nationkey"]],
+               left_on="o_custkey", right_on="c_custkey")
+        .merge(sup[["s_suppkey", "s_nationkey"]],
+               left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j.s_nationkey != j.c_nationkey]
+    name = dict(zip(nat.n_nationkey, nat.n_name))
+    j["supp_nation"] = j.s_nationkey.map(name)
+    j["cust_nation"] = j.c_nationkey.map(name)
+    want = (
+        j.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False)["cent"]
+        .sum()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    assert got.supp_nation.tolist() == want.supp_nation.tolist()
+    assert got.cust_nation.tolist() == want.cust_nation.tolist()
+    assert got.l_year.tolist() == want.l_year.tolist()
+    assert got.revenue_cent.tolist() == want.cent.tolist()
+
+
+def test_small_qty_revenue_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import small_qty_revenue
+
+    got = small_qty_revenue(SF01).to_pandas()
+    li = pd.read_parquet(f"{SF01}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF01}/part.parquet")
+    bkeys = set(part[part.p_brand == "Brand#11"].p_partkey)
+    l = li[li.l_partkey.isin(bkeys)].copy()
+    stats = l.groupby("l_partkey").l_quantity.agg(["count", "sum"])
+    cnt = l.l_partkey.map(stats["count"]).to_numpy()
+    sq = l.l_partkey.map(stats["sum"]).to_numpy().astype(np.int64)
+    keep = 5 * l.l_quantity.to_numpy().astype(np.int64) * cnt < sq
+    want_cent = int(
+        np.floor(l.l_extendedprice.to_numpy()[keep] * 100 + 0.5)
+        .astype(np.int64)
+        .sum()
+    )
+    assert got.revenue_cent.iloc[0] == want_cent
+    assert got.n_rows.iloc[0] == int(keep.sum())
+
+
+def test_important_parts_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import important_parts
+
+    got = (
+        important_parts(SF)
+        .to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cent = np.floor(
+        li.l_extendedprice.to_numpy() * (1 - li.l_discount.to_numpy()) * 100 + 0.5
+    ).astype(np.int64)
+    pp = pd.DataFrame({"pk": li.l_partkey, "cent": cent}).groupby(
+        "pk", as_index=False
+    ).cent.sum()
+    total = int(pp.cent.sum())
+    want = pp[pp.cent * 10000 > total].sort_values("pk").reset_index(drop=True)
+    assert got.l_partkey.tolist() == want.pk.tolist()
+    assert got.value_cent.tolist() == want.cent.tolist()
