@@ -602,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomaly": events.hourly_anomaly,
         "events_value_zscore": events.value_zscore,
         "events_type_transitions": events.type_transitions,
+        "events_windowed_dedup": events.windowed_dedup,
+        "events_grid_smooth": events.grid_smooth,
         "doc_chunks": textops.doc_chunks,
     }
 
@@ -1444,6 +1446,31 @@ WITH rev AS (
 )
 SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "events_windowed_dedup": """
+WITH lagged AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > 60000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM lagged GROUP BY 1
+""",
+        "events_grid_smooth": """
+WITH g AS (
+  SELECT user_id % 32 AS gx, CAST(hour(ts) AS BIGINT) AS gy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT a.gx, a.gy, a.c AS n_events,
+       CAST(SUM(b.c) AS BIGINT) AS smooth3x3
+FROM g a JOIN g b
+  ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+GROUP BY 1, 2, 3
 """,
         "rel_volume_shipping": """
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,

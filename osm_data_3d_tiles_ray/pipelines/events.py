@@ -1550,3 +1550,185 @@ def value_zscore(sf_dir: str) -> "ray.data.Dataset":
         .select_columns(["event_id", "event_type", "value"])
         .map_batches(score, batch_format="pyarrow")
     )
+
+
+def windowed_dedup(sf_dir: str, window_sec: int = 60) -> "ray.data.Dataset":
+    """Time-window event dedup: within each (user, event_type) stream an
+    event is a duplicate if it follows the PREVIOUS event of that stream
+    by ``window_sec`` or less (the lag rule — debouncing repeated client
+    fires without the sequential greedy scan).
+
+    Scale shape: one user_id hash exchange (complete streams co-locate);
+    per partition one lexsort by (user, type, ts, event_id) and a
+    vectorized diff against run boundaries decides keep/drop for every
+    event at once; only bounded (event_type, totals) partials leave the
+    partition.
+
+    Output: (event_type, n_total, n_kept)."""
+    from .partition import map_key_partitions
+
+    win_us = np.int64(window_sec) * 1_000_000
+
+    def dedup_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], type=pa.string()),
+                "p_total": pa.array([], type=pa.int64()),
+                "p_kept": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        ts = tbl.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        ety = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        tcode = np.unique(ety, return_inverse=True)[1]
+        order = np.lexsort((eid, tsv, tcode, uid))
+        tsv, uid, tcode = tsv[order], uid[order], tcode[order]
+        keep = np.ones(len(tsv), dtype=bool)
+        same = (uid[1:] == uid[:-1]) & (tcode[1:] == tcode[:-1])
+        keep[1:] = ~same | (np.diff(tsv) > win_us)
+        n_types = int(tcode.max()) + 1
+        total = np.bincount(tcode, minlength=n_types)
+        kept = np.bincount(tcode[keep], minlength=n_types)
+        present = total > 0
+        names = np.unique(ety)  # unique() sorted order == code order
+        return pa.table(
+            {
+                "event_type": pa.array(names[present[: len(names)]].astype(str)),
+                "p_total": pa.array(total[present].astype(np.int64)),
+                "p_kept": pa.array(kept[present].astype(np.int64)),
+            }
+        )
+
+    partials = map_key_partitions(
+        _events(sf_dir).select_columns(
+            ["user_id", "event_type", "ts", "event_id"]
+        ),
+        ["user_id"],
+        dedup_part,
+    )
+    merged = partials.groupby("event_type").aggregate(
+        ray.data.aggregate.Sum("p_total", alias_name="n_total"),
+        ray.data.aggregate.Sum("p_kept", alias_name="n_kept"),
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_total": pc.cast(b.column("n_total"), pa.int64()),
+                "n_kept": pc.cast(b.column("n_kept"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def grid_smooth(sf_dir: str, nx: int = 32) -> "ray.data.Dataset":
+    """Distributed 3x3 stencil over a 2-D event grid: events bin to cells
+    (user_id % nx, hour-of-day), and every OCCUPIED cell reports its own
+    count plus the summed counts of its 3x3 neighborhood — the
+    neighbor-aggregation pattern (spatial smoothing / heatmap blur)
+    expressed as replicate-and-regroup.
+
+    Scale shape: per-batch partial counts → ONE grouped exchange builds
+    the bounded cell table; each cell row then replicates 9x keyed by the
+    TARGET cell (dx, dy ∈ {-1,0,1}) carrying (contribution, is_origin
+    flag, own count); a second bounded exchange segment-sums each target
+    key and keeps only keys whose origin row is present.  Volume through
+    the wire is 9x the OCCUPIED-cell count — never 9x the event count.
+
+    Output: (gx, gy, n_events, smooth3x3)."""
+    from .partition import map_key_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        gx = uid % nx
+        gy = (tsv // 3_600_000_000) % 24
+        code = gx * 24 + gy
+        uk, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "gx": pa.array(uk // 24),
+                "gy": pa.array(uk % 24),
+                "p_c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        _events(sf_dir)
+        .select_columns(["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["gx", "gy"])
+        .aggregate(ray.data.aggregate.Sum("p_c", alias_name="c"))
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        gx = batch.column("gx").to_numpy(zero_copy_only=False)
+        gy = batch.column("gy").to_numpy(zero_copy_only=False)
+        c = pc.cast(batch.column("c"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(gx)
+        dx = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1])
+        dy = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1])
+        tx = (gx[:, None] + dx[None, :]).ravel()
+        ty = (gy[:, None] + dy[None, :]).ravel()
+        origin = np.tile((dx == 0) & (dy == 0), n)
+        return pa.table(
+            {
+                "tx": pa.array(tx),
+                "ty": pa.array(ty),
+                "contrib": pa.array(np.repeat(c, 9)),
+                "own": pa.array(np.where(origin, np.repeat(c, 9), 0)),
+                "is_origin": pa.array(origin.astype(np.int8)),
+            }
+        )
+
+    def stencil_sum(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gx": pa.array([], type=pa.int64()),
+                "gy": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "smooth3x3": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        tx = tbl.column("tx").to_numpy(zero_copy_only=False)
+        ty = tbl.column("ty").to_numpy(zero_copy_only=False)
+        contrib = tbl.column("contrib").to_numpy(zero_copy_only=False)
+        own = tbl.column("own").to_numpy(zero_copy_only=False)
+        is_o = tbl.column("is_origin").to_numpy(zero_copy_only=False)
+        # ty ∈ [-1, 24] ⊂ [0, 1024) after the +1 shift
+        code = (tx + 1) * 1024 + (ty + 1)
+        uk, inv = np.unique(code, return_inverse=True)
+        smooth = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(smooth, inv, contrib)
+        n_ev = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n_ev, inv, own)
+        present = np.zeros(len(uk), dtype=bool)
+        np.logical_or.at(present, inv, is_o.astype(bool))
+        return pa.table(
+            {
+                "gx": pa.array((uk // 1024 - 1)[present]),
+                "gy": pa.array((uk % 1024 - 1)[present]),
+                "n_events": pa.array(n_ev[present]),
+                "smooth3x3": pa.array(smooth[present]),
+            }
+        )
+
+    return map_key_partitions(
+        cells.map_batches(replicate, batch_format="pyarrow"),
+        ["tx", "ty"],
+        stencil_sum,
+    )

@@ -5,6 +5,8 @@ the semantics (floor match, inner-join drop, tie-breaks) are pinned
 independently of the DuckDB driver comparison.
 """
 
+import collections
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -374,3 +376,57 @@ def test_distinct_users_by_type_brute_force(ray_session):
     ev = pd.read_parquet(f"{sf}/events.parquet")
     want = ev.groupby("event_type").user_id.nunique().to_dict()
     assert dict(got.n_users) == want
+
+
+def test_windowed_dedup_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    from osm_data_3d_tiles_ray.pipelines.events import windowed_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        windowed_dedup(sf)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    )
+    prev = ev.groupby(["user_id", "event_type"]).ts.shift()
+    gap_us = (ev.ts - prev).dt.total_seconds() * 1e6
+    kept = prev.isna() | (gap_us > 60_000_000)
+    want = pd.DataFrame(
+        {"event_type": ev.event_type, "kept": kept.astype(int)}
+    ).groupby("event_type").agg(n_total=("kept", "size"), n_kept=("kept", "sum"))
+    assert got.event_type.tolist() == list(want.index)
+    assert got.n_total.tolist() == want.n_total.tolist()
+    assert got.n_kept.tolist() == want.n_kept.tolist()
+
+
+def test_grid_smooth_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    from osm_data_3d_tiles_ray.pipelines.events import grid_smooth
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        grid_smooth(sf)
+        .to_pandas()
+        .sort_values(["gx", "gy"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    gx = (ev.user_id % 32).to_numpy()
+    gy = ev.ts.dt.hour.to_numpy().astype(np.int64)
+    grid = collections.Counter(zip(gx.tolist(), gy.tolist()))
+    rows = []
+    for (x, y), c in sorted(grid.items()):
+        s = sum(
+            grid.get((x + dx, y + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        rows.append((x, y, c, s))
+    want = pd.DataFrame(rows, columns=["gx", "gy", "n_events", "smooth3x3"])
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
