@@ -605,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_dedup": events.windowed_dedup,
         "events_grid_smooth": events.grid_smooth,
         "doc_chunks": textops.doc_chunks,
+        "term_scrub": textops.term_scrub,
+        "quality_top_percent": textops.quality_top_percent,
     }
 
 
@@ -1446,6 +1448,31 @@ WITH rev AS (
 )
 SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "term_scrub": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\\b(the|a|customer)\\b')))
+            AS BIGINT) AS n_hits,
+       CAST(SUM(length(regexp_replace(text, '\\b(the|a|customer)\\b', '', 'g')))
+            AS BIGINT) AS scrubbed_chars
+FROM documents GROUP BY 1
+""",
+        "quality_top_percent": """
+WITH s AS (
+  SELECT lang, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents
+), h AS (
+  SELECT tok AS score, COUNT(*) AS n FROM s GROUP BY 1
+), c AS (
+  SELECT score, SUM(n) OVER (ORDER BY score) AS cum FROM h
+), th AS (
+  SELECT MIN(score) AS t FROM c
+  WHERE cum >= (SELECT (90 * COUNT(*) + 99) // 100 FROM s)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens
+FROM s WHERE tok > (SELECT t FROM th)
+GROUP BY 1
 """,
         "events_windowed_dedup": """
 WITH lagged AS (

@@ -3029,3 +3029,161 @@ def write_corpus_prep(
     )
     recs.count()  # drive the writes
     return finalize_manifest(out_dir)
+
+
+def term_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """Pattern scrubbing (the PII-redaction shape on this synthetic
+    corpus): count and remove a term blocklist from every document and
+    report the per-source damage — the vectorized redaction pass every
+    training-data pipeline runs before tokenization.
+
+    Both the engine (``pyarrow.compute`` count/replace kernels) and the
+    DuckDB oracle evaluate the same RE2 regex, so the counts and the
+    post-scrub lengths match exactly.  Shape: pure map + bounded
+    per-source combine — no shuffle of text, no Python in the loop.
+
+    Output: (source, n_docs, n_hits, scrubbed_chars)."""
+    PATTERN = r"\b(the|a|customer)\b"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hits = pc.cast(
+            pc.count_substring_regex(text, PATTERN), pa.int64()
+        )
+        scrubbed = pc.replace_substring_regex(text, PATTERN, "")
+        left = pc.cast(pc.utf8_length(scrubbed), pa.int64())
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "hits": hits,
+                "left": left,
+            }
+        )
+        g = t.group_by(["source"]).aggregate(
+            [("hits", "sum"), ("left", "sum"), ("hits", "count")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "p_hits": g.column("hits_sum"),
+                "p_left": g.column("left_sum"),
+                "p_docs": pc.cast(g.column("hits_count"), pa.int64()),
+            }
+        )
+
+    merged = (
+        _docs(sf_dir)
+        .select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("p_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("p_hits", alias_name="n_hits"),
+            ray.data.aggregate.Sum("p_left", alias_name="scrubbed_chars"),
+        )
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+                "n_hits": pc.cast(b.column("n_hits"), pa.int64()),
+                "scrubbed_chars": pc.cast(
+                    b.column("scrubbed_chars"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def quality_top_percent(sf_dir: str, pct: int = 90) -> "ray.data.Dataset":
+    """Keep only documents above the EXACT global ``pct``-th percentile
+    of an integer quality score (token count) — the global-threshold
+    selection step of a filtered-pretraining pipeline, computed without
+    sorting the corpus.
+
+    Scale shape: pass 1 builds a distributed HISTOGRAM of the bounded
+    integer score domain (per-batch bincount partials → one grouped
+    exchange over |distinct scores| rows); the driver reduces the tiny
+    histogram to the exact threshold — the smallest score t with
+    ``count(score <= t) >= ceil(pct/100 * N)`` — and pass 2 re-scans with
+    a pure vectorized filter.  No sort, no quantile sketch, exact by
+    construction (the t-digest variant exists for non-integer scores:
+    :func:`osm_data_3d_tiles_ray.pipelines.events.value_quantiles_tdigest`).
+
+    Output: (lang, n_docs, sum_tokens) per language over the kept docs."""
+
+    def score_hist(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tok = pc.cast(
+            pc.count_substring_regex(text, r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(tok, return_counts=True)
+        return pa.table(
+            {"score": pa.array(uk), "p_n": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(score_hist, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct integer score
+        .sort_values("score")
+    )
+    counts = hist["n"].to_numpy().astype(np.int64)
+    scores = hist["score"].to_numpy().astype(np.int64)
+    total = int(counts.sum())
+    rank = -(-pct * total // 100)  # ceil(pct/100 * N), pure integers
+    cum = np.cumsum(counts)
+    thresh = int(scores[np.searchsorted(cum, rank)]) if total else 0
+
+    def keep_partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tok = pc.cast(
+            pc.count_substring_regex(text, r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = tok > thresh
+        t = pa.table(
+            {
+                "lang": batch.column("lang").filter(pa.array(keep)),
+                "tok": pa.array(tok[keep]),
+            }
+        )
+        g = t.group_by(["lang"]).aggregate([("tok", "sum"), ("tok", "count")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "p_tok": g.column("tok_sum"),
+                "p_docs": pc.cast(g.column("tok_count"), pa.int64()),
+            }
+        )
+
+    merged = (
+        _docs(sf_dir)
+        .select_columns(["lang", "text"])
+        .map_batches(keep_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            ray.data.aggregate.Sum("p_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("p_tok", alias_name="sum_tokens"),
+        )
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+                "sum_tokens": pc.cast(b.column("sum_tokens"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

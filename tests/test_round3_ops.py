@@ -687,3 +687,59 @@ def test_write_corpus_prep_resume(ray_session, tmp_path):
     assert snapshot() == snap1
     rec2 = json.loads(open(lfile).read())
     assert rec2["input_fingerprint"] != "deadbeef"
+
+
+def test_term_scrub_brute_force(ray_session):
+    import re
+
+    from osm_data_3d_tiles_ray.pipelines.textops import term_scrub
+
+    got = (
+        term_scrub(SF).to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    pat = re.compile(r"\b(the|a|customer)\b")
+    docs = docs.assign(
+        hits=docs.text.map(lambda t: len(pat.findall(t))),
+        left=docs.text.map(lambda t: len(pat.sub("", t))),
+    )
+    want = (
+        docs.groupby("source")
+        .agg(n_docs=("hits", "size"), n_hits=("hits", "sum"),
+             scrubbed_chars=("left", "sum"))
+        .reset_index()
+    )
+    assert got.source.tolist() == want.source.tolist()
+    assert got.n_hits.tolist() == want.n_hits.tolist()
+    assert got.scrubbed_chars.tolist() == want.scrubbed_chars.tolist()
+    assert got.n_docs.tolist() == want.n_docs.tolist()
+
+
+def test_quality_top_percent_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import quality_top_percent
+
+    got = (
+        quality_top_percent(SF)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tok = docs.text.str.split().map(len).to_numpy()
+    total = len(tok)
+    rank = -(-90 * total // 100)
+    srt = np.sort(tok)
+    thresh = srt[rank - 1]
+    # smallest t with count(<= t) >= rank == the rank-th order statistic
+    keep = tok > thresh
+    want = (
+        pd.DataFrame({"lang": docs.lang[keep], "tok": tok[keep]})
+        .groupby("lang")
+        .agg(n_docs=("tok", "size"), sum_tokens=("tok", "sum"))
+        .reset_index()
+    )
+    assert got.lang.tolist() == want.lang.tolist()
+    assert got.n_docs.tolist() == want.n_docs.tolist()
+    assert got.sum_tokens.tolist() == want.sum_tokens.tolist()
+    # the kept fraction is at most 100-pct percent
+    assert got.n_docs.sum() <= total - rank + 1
