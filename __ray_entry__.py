@@ -594,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_volume_shipping": relational.volume_shipping,
         "rel_small_qty_revenue": relational.small_qty_revenue,
         "rel_important_parts": relational.important_parts,
+        "rel_market_share": relational.market_share,
+        "rel_sales_opportunity": relational.sales_opportunity,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1498,6 +1500,43 @@ SELECT a.gx, a.gy, a.c AS n_events,
 FROM g a JOIN g b
   ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
 GROUP BY 1, 2, 3
+""",
+        "rel_market_share": """
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year, s.s_nationkey,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS cent
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+  GROUP BY 1, 2
+)
+SELECT rev.l_year, sn.n_name AS supp_nation,
+       CAST(rev.cent AS BIGINT) AS revenue_cent,
+       CAST(rev.cent * 10000 // SUM(rev.cent) OVER (PARTITION BY rev.l_year)
+            AS BIGINT) AS share_e4
+FROM rev JOIN nation sn ON sn.n_nationkey = rev.s_nationkey
+""",
+        "rel_sales_opportunity": """
+WITH avgpos AS (
+  SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-06-01'
+)
+SELECT n.n_name AS cust_nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS sum_bal_cent
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey, avgpos
+WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * avgpos.n > avgpos.s
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY 1
 """,
         "rel_volume_shipping": """
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,

@@ -1986,3 +1986,396 @@ def important_parts(sf_dir: str, share_e4: int = 1) -> "ray.data.Dataset":
         return batch.filter(pa.array(v * 10000 > thresh))
 
     return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def market_share(
+    sf_dir: str, region: str = "ASIA", p_type: str = "STANDARD"
+) -> "ray.data.Dataset":
+    """TPC-H Q8-shaped market share: for STANDARD-type parts delivered to
+    ASIA customers, each supplier nation's share of every order-year's
+    revenue — the windowed share-of-total over a multi-join rollup.
+
+    Scale shape: the part-type bit and the supplier→nation code broadcast
+    as bounded sorted projections (Q14/Q5 patterns); the two unbounded
+    joins (orders for the year+custkey, customer for the region) run as
+    chained hash exchanges carrying int codes and cents only; the final
+    share divides inside the BOUNDED (year × nation) aggregate in exact
+    int64 e4 units.
+
+    Output: (l_year, supp_nation, revenue_cent, share_e4)."""
+    import pyarrow.parquet as pq
+
+    from .partition import map_key_partitions
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pkey = part.column("p_partkey").to_numpy()
+    is_t = pc.equal(part.column("p_type"), pa.scalar(p_type)).to_numpy(
+        zero_copy_only=False
+    )
+    p_order = np.argsort(pkey)
+    pkey, is_t = pkey[p_order], is_t[p_order]
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skey = sup.column("s_suppkey").to_numpy()
+    snat = sup.column("s_nationkey").to_numpy()
+    s_order = np.argsort(skey)
+    skey, snat = skey[s_order], snat[s_order]
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkey = reg.column("r_regionkey").to_numpy()
+    rname = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    region_keys = set(rkey[rname == region].tolist())
+    nkey = nat.column("n_nationkey").to_numpy()
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    nreg = nat.column("n_regionkey").to_numpy()
+    n_order = np.argsort(nkey)
+    nkey, nname, nreg = nkey[n_order], nname[n_order], nreg[n_order]
+    in_region = np.isin(nreg, list(region_keys))
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pkey, pk), 0, max(len(pkey) - 1, 0))
+        keep = (pkey[pos] == pk) & is_t[pos]
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        sp = np.clip(np.searchsorted(skey, sk), 0, max(len(skey) - 1, 0))
+        nat_code = np.where(skey[sp] == sk, snat[sp], -1).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ok),
+                "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "a": pa.array(nat_code),
+                "b": pa.array(np.zeros(len(ok), dtype=np.int64)),
+                "cent": pa.array(cents),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        od_us = od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = (
+            od_us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("o_orderkey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "a": batch.column("o_custkey"),
+                "b": pa.array(year),
+                "cent": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(line_rows, batch_format="pyarrow")
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def join_orders(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int8()),
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        cent = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, a, b, cent = (
+            key[order], side[order], a[order], b[order], cent[order]
+        )
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        run_id = np.cumsum(np.concatenate([[True], key[1:] != key[:-1]])) - 1
+        has_ord = side[starts] == 0
+        custkey = a[starts]
+        year = b[starts]
+        fact = (side == 1) & has_ord[run_id]
+        # re-key by custkey; a carries supplier nation, b the year
+        return pa.table(
+            {
+                "key": pa.array(custkey[run_id[fact]]),
+                "side": pa.array(np.ones(int(fact.sum()), dtype=np.int8)),
+                "a": pa.array(a[fact]),
+                "b": pa.array(year[run_id[fact]]),
+                "cent": pa.array(cent[fact]),
+            }
+        )
+
+    with_year = map_key_partitions(lines.union(ords), ["key"], join_orders)
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nkey, cn)
+        keep = in_region[pos]
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "key": batch.column("c_custkey").filter(pa.array(keep)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "a": pa.array(np.zeros(n, dtype=np.int64)),
+                "b": pa.array(np.zeros(n, dtype=np.int64)),
+                "cent": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+
+    def region_partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_year": pa.array([], type=pa.int64()),
+                "snat": pa.array([], type=pa.int64()),
+                "p_cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        b = tbl.column("b").to_numpy(zero_copy_only=False)
+        cent = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        key, side, a, b, cent = (
+            key[order], side[order], a[order], b[order], cent[order]
+        )
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        run_id = np.cumsum(np.concatenate([[True], key[1:] != key[:-1]])) - 1
+        in_reg = side[starts] == 0  # the customer row exists ⇒ in region
+        fact = (side == 1) & in_reg[run_id]
+        if not fact.any():
+            return empty
+        code = b[fact] * 64 + a[fact]  # (year, nation) pack
+        uk, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cent[fact])
+        return pa.table(
+            {
+                "l_year": pa.array(uk // 64),
+                "snat": pa.array(uk % 64),
+                "p_cent": pa.array(sums),
+            }
+        )
+
+    merged = (
+        map_key_partitions(with_year.union(cust), ["key"], region_partial)
+        .groupby(["l_year", "snat"])
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # bounded: |years| × |nations| rows — the share divides in-batch
+        # only when the whole aggregate is one block; repartition(1)
+        # guarantees that below.
+        yr = batch.column("l_year").to_numpy(zero_copy_only=False)
+        sn = batch.column("snat").to_numpy(zero_copy_only=False)
+        cent = pc.cast(batch.column("revenue_cent"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uy, inv = np.unique(yr, return_inverse=True)
+        tot = np.zeros(len(uy), dtype=np.int64)
+        np.add.at(tot, inv, cent)
+        share = cent * 10000 // tot[inv]
+        pos = np.searchsorted(nkey, sn)
+        return pa.table(
+            {
+                "l_year": pa.array(yr),
+                "supp_nation": pa.array(nname[pos].astype(str)),
+                "revenue_cent": pa.array(cent),
+                "share_e4": pa.array(share),
+            }
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def sales_opportunity(
+    sf_dir: str, cutoff: str = "2000-06-01"
+) -> "ray.data.Dataset":
+    """TPC-H Q22-shaped: per nation, the count and total balance of
+    above-average-balance customers with NO recent order — the
+    anti-join-plus-global-scalar prospect list.
+
+    Scale shape: the positive-balance average reduces to TWO int64
+    scalars (sum of cents, count) through per-batch partials — the
+    predicate ``bal > avg`` evaluates as ``bal_cent * n > sum_cent`` in
+    exact integer math, no float division anywhere.  The anti-join is the
+    one-custkey-exchange pattern of :func:`customers_no_orders` (orders
+    pre-shrink to per-batch distinct recent custkeys).  Nation names
+    attach from the bounded 25-row table.
+
+    Output: (cust_nation, n_cust, sum_bal_cent)."""
+    import pyarrow.parquet as pq
+
+    from .partition import map_key_partitions
+
+    cut_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "p_s": pa.array([int(cents[pos].sum())], type=pa.int64()),
+                "p_n": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    scal = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
+        )
+        .map_batches(bal_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            ray.data.aggregate.Sum("p_s", alias_name="s"),
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+        )
+        .take_all()  # exactly one row of two int64 scalars
+    )
+    sum_cent = int(scal[0]["s"]) if scal else 0
+    n_pos = int(scal[0]["n"]) if scal else 0
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+        keep = cents * n_pos > sum_cent
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "key": batch.column("c_custkey").filter(pa.array(keep)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "nat": pa.array(
+                    pc.cast(
+                        batch.column("c_nationkey").filter(pa.array(keep)),
+                        pa.int64(),
+                    )
+                ),
+                "bal_cent": pa.array(cents[keep]),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        od_us = od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = np.unique(
+            batch.column("o_custkey").to_numpy(zero_copy_only=False)[
+                od_us >= cut_us
+            ]
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+                "nat": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "bal_cent": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def anti_partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nat": pa.array([], type=pa.int64()),
+                "p_n": pa.array([], type=pa.int64()),
+                "p_bal": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        nat = tbl.column("nat").to_numpy(zero_copy_only=False)
+        bal = tbl.column("bal_cent").to_numpy(zero_copy_only=False)
+        probe = np.unique(key[side == 1])
+        keep = (side == 0) & ~np.isin(key, probe)
+        if not keep.any():
+            return empty
+        un, inv = np.unique(nat[keep], return_inverse=True)
+        cnt = np.bincount(inv)
+        sums = np.zeros(len(un), dtype=np.int64)
+        np.add.at(sums, inv, bal[keep])
+        return pa.table(
+            {
+                "nat": pa.array(un),
+                "p_n": pa.array(cnt.astype(np.int64)),
+                "p_bal": pa.array(sums),
+            }
+        )
+
+    merged = (
+        map_key_partitions(cust.union(ords), ["key"], anti_partial)
+        .groupby("nat")
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n_cust"),
+            ray.data.aggregate.Sum("p_bal", alias_name="sum_bal_cent"),
+        )
+    )
+
+    nat_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey = nat_tbl.column("n_nationkey").to_numpy()
+    nname = np.asarray(nat_tbl.column("n_name").to_pylist(), dtype=object)
+    n_order = np.argsort(nkey)
+    nkey, nname = nkey[n_order], nname[n_order]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch.column("nat").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nkey, nt)
+        return pa.table(
+            {
+                "cust_nation": pa.array(nname[pos].astype(str)),
+                "n_cust": pc.cast(batch.column("n_cust"), pa.int64()),
+                "sum_bal_cent": pc.cast(
+                    batch.column("sum_bal_cent"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

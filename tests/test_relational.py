@@ -330,3 +330,86 @@ def test_important_parts_brute_force(ray_session):
     want = pp[pp.cent * 10000 > total].sort_values("pk").reset_index(drop=True)
     assert got.l_partkey.tolist() == want.pk.tolist()
     assert got.value_cent.tolist() == want.cent.tolist()
+
+
+def test_market_share_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import market_share
+
+    got = (
+        market_share(SF)
+        .to_pandas()
+        .sort_values(["l_year", "supp_nation"])
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    reg = pd.read_parquet(f"{SF}/region.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    asia = set(reg[reg.r_name == "ASIA"].r_regionkey)
+    asia_nat = set(nat[nat.n_regionkey.isin(asia)].n_nationkey)
+    std = set(part[part.p_type == "STANDARD"].p_partkey)
+    l = li[li.l_partkey.isin(std)].copy()
+    l["cent"] = np.floor(
+        l.l_extendedprice.to_numpy() * (1 - l.l_discount.to_numpy()) * 100 + 0.5
+    ).astype(np.int64)
+    j = (
+        l.merge(orders[["o_orderkey", "o_custkey", "o_orderdate"]],
+                left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust[["c_custkey", "c_nationkey"]],
+               left_on="o_custkey", right_on="c_custkey")
+        .merge(sup[["s_suppkey", "s_nationkey"]],
+               left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j.c_nationkey.isin(asia_nat)]
+    j["l_year"] = j.o_orderdate.dt.year.astype(np.int64)
+    name = dict(zip(nat.n_nationkey, nat.n_name))
+    per = j.groupby(["l_year", "s_nationkey"], as_index=False).cent.sum()
+    per["supp_nation"] = per.s_nationkey.map(name)
+    tot = per.groupby("l_year").cent.transform("sum")
+    per["share_e4"] = per.cent * 10000 // tot
+    want = per.sort_values(["l_year", "supp_nation"]).reset_index(drop=True)
+    assert got.l_year.tolist() == want.l_year.tolist()
+    assert got.supp_nation.tolist() == want.supp_nation.tolist()
+    assert got.revenue_cent.tolist() == want.cent.tolist()
+    assert got.share_e4.tolist() == want.share_e4.tolist()
+
+
+def test_sales_opportunity_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import sales_opportunity
+
+    got = (
+        sales_opportunity(SF01)
+        .to_pandas()
+        .sort_values("cust_nation")
+        .reset_index(drop=True)
+    )
+    cust = pd.read_parquet(f"{SF01}/customer.parquet")
+    orders = pd.read_parquet(f"{SF01}/orders.parquet")
+    nat = pd.read_parquet(f"{SF01}/nation.parquet")
+    cents = np.floor(cust.c_acctbal.to_numpy() * 100 + 0.5).astype(np.int64)
+    pos = cents > 0
+    s, n = int(cents[pos].sum()), int(pos.sum())
+    recent = set(
+        orders[orders.o_orderdate >= pd.Timestamp("2000-06-01")].o_custkey
+    )
+    keep = (cents * n > s) & ~cust.c_custkey.isin(recent).to_numpy()
+    name = dict(zip(nat.n_nationkey, nat.n_name))
+    want = (
+        pd.DataFrame(
+            {
+                "cust_nation": cust.c_nationkey[keep].map(name),
+                "bal": cents[keep],
+            }
+        )
+        .groupby("cust_nation")
+        .agg(n_cust=("bal", "size"), sum_bal_cent=("bal", "sum"))
+        .reset_index()
+        .sort_values("cust_nation")
+        .reset_index(drop=True)
+    )
+    assert got.cust_nation.tolist() == want.cust_nation.tolist()
+    assert got.n_cust.tolist() == want.n_cust.tolist()
+    assert got.sum_bal_cent.tolist() == want.sum_bal_cent.tolist()
