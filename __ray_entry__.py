@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_parse": geo.q_parse,
         "geo_assignments": geo.q_assignments,
         "geo_tile_stats": geo.q_tile_stats,
+        "geo_tile_smooth": geo.q_tile_smooth,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
         "geo_cell_cover_exact": geo.q_cell_cover_exact,
@@ -633,6 +634,17 @@ FROM ({_TILE_SQL})
         "geo_tile_stats": f"""
 SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS batch_length
 FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
+""",
+        "geo_tile_smooth": f"""
+WITH g AS (
+  SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
+)
+SELECT CAST(a.tile_x AS BIGINT) AS tile_x, CAST(a.tile_y AS BIGINT) AS tile_y,
+       a.c AS n_buildings, CAST(SUM(b.c) AS BIGINT) AS smooth3x3
+FROM g a JOIN g b
+  ON abs(a.tile_x - b.tile_x) <= 1 AND abs(a.tile_y - b.tile_y) <= 1
+GROUP BY 1, 2, 3
 """,
         "geo_norm_params": _norm_params_sql(),
         "geo_batch_table": f"""

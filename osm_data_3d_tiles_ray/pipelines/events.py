@@ -1643,7 +1643,6 @@ def grid_smooth(sf_dir: str, nx: int = 32) -> "ray.data.Dataset":
     the wire is 9x the OCCUPIED-cell count — never 9x the event count.
 
     Output: (gx, gy, n_events, smooth3x3)."""
-    from .partition import map_key_partitions
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts")
@@ -1671,64 +1670,16 @@ def grid_smooth(sf_dir: str, nx: int = 32) -> "ray.data.Dataset":
         .aggregate(ray.data.aggregate.Sum("p_c", alias_name="c"))
     )
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        gx = batch.column("gx").to_numpy(zero_copy_only=False)
-        gy = batch.column("gy").to_numpy(zero_copy_only=False)
-        c = pc.cast(batch.column("c"), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        n = len(gx)
-        dx = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1])
-        dy = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1])
-        tx = (gx[:, None] + dx[None, :]).ravel()
-        ty = (gy[:, None] + dy[None, :]).ravel()
-        origin = np.tile((dx == 0) & (dy == 0), n)
-        return pa.table(
-            {
-                "tx": pa.array(tx),
-                "ty": pa.array(ty),
-                "contrib": pa.array(np.repeat(c, 9)),
-                "own": pa.array(np.where(origin, np.repeat(c, 9), 0)),
-                "is_origin": pa.array(origin.astype(np.int8)),
-            }
-        )
+    from .partition import stencil_3x3
 
-    def stencil_sum(tbl: pa.Table) -> pa.Table:
-        empty = pa.table(
+    return stencil_3x3(cells, "gx", "gy", "c").map_batches(
+        lambda b: pa.table(
             {
-                "gx": pa.array([], type=pa.int64()),
-                "gy": pa.array([], type=pa.int64()),
-                "n_events": pa.array([], type=pa.int64()),
-                "smooth3x3": pa.array([], type=pa.int64()),
+                "gx": b.column("gx"),
+                "gy": b.column("gy"),
+                "n_events": b.column("own"),
+                "smooth3x3": b.column("smooth"),
             }
-        )
-        if len(tbl) == 0:
-            return empty
-        tx = tbl.column("tx").to_numpy(zero_copy_only=False)
-        ty = tbl.column("ty").to_numpy(zero_copy_only=False)
-        contrib = tbl.column("contrib").to_numpy(zero_copy_only=False)
-        own = tbl.column("own").to_numpy(zero_copy_only=False)
-        is_o = tbl.column("is_origin").to_numpy(zero_copy_only=False)
-        # ty ∈ [-1, 24] ⊂ [0, 1024) after the +1 shift
-        code = (tx + 1) * 1024 + (ty + 1)
-        uk, inv = np.unique(code, return_inverse=True)
-        smooth = np.zeros(len(uk), dtype=np.int64)
-        np.add.at(smooth, inv, contrib)
-        n_ev = np.zeros(len(uk), dtype=np.int64)
-        np.add.at(n_ev, inv, own)
-        present = np.zeros(len(uk), dtype=bool)
-        np.logical_or.at(present, inv, is_o.astype(bool))
-        return pa.table(
-            {
-                "gx": pa.array((uk // 1024 - 1)[present]),
-                "gy": pa.array((uk % 1024 - 1)[present]),
-                "n_events": pa.array(n_ev[present]),
-                "smooth3x3": pa.array(smooth[present]),
-            }
-        )
-
-    return map_key_partitions(
-        cells.map_batches(replicate, batch_format="pyarrow"),
-        ["tx", "ty"],
-        stencil_sum,
+        ),
+        batch_format="pyarrow",
     )

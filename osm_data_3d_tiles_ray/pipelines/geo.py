@@ -825,3 +825,38 @@ def q_dem_zonal(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return parsed_ds(sf_dir).map_batches(zonal, batch_format="pyarrow")
+
+
+def q_tile_smooth(sf_dir: str) -> "ray.data.Dataset":
+    """3x3 neighbor-smoothed per-tile building density: every occupied
+    z16 tile with the summed building count of its 3x3 neighborhood —
+    the hotspot/blur pass over the A1 tile-stats grid (reference analog:
+    the per-tile aggregation the tileset writer feeds,
+    /root/reference/src/generate-tileset.ts:37-65, with a spatial
+    smoothing window the reference computes client-side).
+
+    Scale shape: reuses the A1 combiner-tree stats (zero payload through
+    that shuffle), then one replicate-9x exchange over the OCCUPIED-tile
+    table (pipelines/partition.py:stencil_3x3) — wire volume is 9x the
+    tile count, never 9x buildings.
+
+    Output: (tile_x, tile_y, n_buildings, smooth3x3)."""
+    from .partition import stencil_3x3
+
+    ds = parsed_ds(sf_dir).select_columns(
+        ["osm_id", "minx", "miny", "maxx", "maxy"]
+    )
+    cells = tile_stats(ownership_assignments(ds)).drop_columns(
+        ["cell_id", "tile_z"]
+    )
+    return stencil_3x3(cells, "tile_x", "tile_y", "batch_length").map_batches(
+        lambda b: pa.table(
+            {
+                "tile_x": b.column("tile_x"),
+                "tile_y": b.column("tile_y"),
+                "n_buildings": b.column("own"),
+                "smooth3x3": b.column("smooth"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

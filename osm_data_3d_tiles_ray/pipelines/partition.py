@@ -97,3 +97,89 @@ def first_per_key(
         return tbl.filter(pa.array(run_starts(*arrays)))
 
     return map_key_partitions(ds, key_cols, fn, num_partitions)
+
+
+def stencil_3x3(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+    c_col: str,
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> "ray.data.Dataset":
+    """3x3 neighbor aggregation over a sparse integer grid: every OCCUPIED
+    cell of ``ds`` (one row per cell with a count in ``c_col``) gains the
+    sum of its 3x3 neighborhood — the replicate-and-regroup stencil.
+
+    Scale shape: each cell row replicates 9x keyed by the TARGET cell
+    (so wire volume is 9x the occupied-cell count, never 9x the event
+    count that produced the cells); one hash exchange co-locates each
+    target key; a vectorized segment pass sums contributions and drops
+    phantom keys (neighbors that are not themselves occupied, flagged by
+    the absent origin row).  Coordinates must be >= 0 and < 2^31.
+
+    Output: (x_col, y_col, "own", "smooth") — int64."""
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        gx = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        import pyarrow.compute as pc
+
+        c = pc.cast(batch.column(c_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(gx)
+        dx = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1])
+        dy = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1])
+        tx = (gx[:, None] + dx[None, :]).ravel()
+        ty = (gy[:, None] + dy[None, :]).ravel()
+        origin = np.tile((dx == 0) & (dy == 0), n)
+        return pa.table(
+            {
+                "tx": pa.array(tx),
+                "ty": pa.array(ty),
+                "contrib": pa.array(np.repeat(c, 9)),
+                "own": pa.array(np.where(origin, np.repeat(c, 9), 0)),
+                "is_origin": pa.array(origin.astype(np.int8)),
+            }
+        )
+
+    def stencil_sum(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                x_col: pa.array([], type=pa.int64()),
+                y_col: pa.array([], type=pa.int64()),
+                "own": pa.array([], type=pa.int64()),
+                "smooth": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        tx = tbl.column("tx").to_numpy(zero_copy_only=False)
+        ty = tbl.column("ty").to_numpy(zero_copy_only=False)
+        contrib = tbl.column("contrib").to_numpy(zero_copy_only=False)
+        own = tbl.column("own").to_numpy(zero_copy_only=False)
+        is_o = tbl.column("is_origin").to_numpy(zero_copy_only=False)
+        # coords < 2^31 ⇒ the (x+1, y+1) pack fits int64 exactly
+        code = (tx + 1) * np.int64(2**32) + (ty + 1)
+        uk, inv = np.unique(code, return_inverse=True)
+        smooth = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(smooth, inv, contrib)
+        n_own = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n_own, inv, own)
+        present = np.zeros(len(uk), dtype=bool)
+        np.logical_or.at(present, inv, is_o.astype(bool))
+        return pa.table(
+            {
+                x_col: pa.array(uk[present] // 2**32 - 1),
+                y_col: pa.array(uk[present] % 2**32 - 1),
+                "own": pa.array(n_own[present]),
+                "smooth": pa.array(smooth[present]),
+            }
+        )
+
+    return map_key_partitions(
+        ds.map_batches(replicate, batch_format="pyarrow"),
+        ["tx", "ty"],
+        stencil_sum,
+        num_partitions,
+    )

@@ -743,3 +743,38 @@ def test_quality_top_percent_brute_force(ray_session):
     assert got.sum_tokens.tolist() == want.sum_tokens.tolist()
     # the kept fraction is at most 100-pct percent
     assert got.n_docs.sum() <= total - rank + 1
+
+
+def test_tile_smooth_brute_force(ray_session):
+    import collections
+
+    from osm_data_3d_tiles_ray.pipelines.geo import q_tile_smooth, q_tile_stats
+
+    got = (
+        q_tile_smooth(SF)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    cells = q_tile_stats(SF).to_pandas()
+    grid = dict(
+        zip(zip(cells.tile_x, cells.tile_y), cells.batch_length)
+    )
+    rows = []
+    for (x, y), c in sorted(grid.items()):
+        s = sum(
+            grid.get((x + dx, y + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        rows.append((x, y, c, s))
+    want = pd.DataFrame(
+        rows, columns=["tile_x", "tile_y", "n_buildings", "smooth3x3"]
+    )
+    for col in want.columns:
+        assert got[col].astype("int64").tolist() == want[col].astype(
+            "int64"
+        ).tolist()
+    # smoothing conserves mass up to multiplicity: every cell contributes
+    # to at most 9 neighborhoods
+    assert got.smooth3x3.sum() <= 9 * got.n_buildings.sum()
