@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": ann.range_search,
         "semantic_dedup": ann.semantic_dedup,
         "embedding_random_projection": ann.random_projection,
+        "embedding_pq": ann.product_quantize,
         "embedding_class_cohesion": ann.class_cohesion,
         "text_embedding_fusion": ann.text_embedding_fusion,
         "bm25_topk": textops.bm25_topk,

@@ -87,3 +87,50 @@ def read_csv_documents(path: str, source: str = "csv") -> "ray.data.Dataset":
         functools.partial(_normalize, default_source=source),
         batch_format="pyarrow",
     )
+
+
+def read_ipc_documents(path: str, source: str = "ipc") -> "ray.data.Dataset":
+    """Arrow IPC (Feather V2) files → documents Dataset.
+
+    Ray Data ships no native IPC reader, so this composes
+    ``read_binary_files`` (parallel, one block per file — the shard
+    layout IS the parallelism, as with the parquet corpus) with a
+    per-FILE decode inside ``map_batches`` (Python touches files, never
+    records) and the shared schema normalization.  Files must be
+    individually task-sized — the standard sharded-corpus contract."""
+    import functools
+
+    ds = ray.data.read_binary_files(path)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for buf in batch.column("bytes"):
+            reader = pa.ipc.open_file(pa.BufferReader(buf.as_py()))
+            tables.append(reader.read_all())
+        if not tables:
+            return pa.table({"text": pa.array([], type=pa.string())})
+        merged = pa.concat_tables(tables, promote_options="default")
+        return _normalize(merged, default_source=source)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_ipc_shards(
+    tbl: pa.Table, out_dir: str, n_shards: int = 4
+) -> list[str]:
+    """Split a table into ``n_shards`` Feather-V2 files (test/interchange
+    helper — the inverse of :func:`read_ipc_documents`)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    per = -(-len(tbl) // max(n_shards, 1))
+    for i in range(n_shards):
+        part = tbl.slice(i * per, per)
+        if len(part) == 0:
+            break
+        p = os.path.join(out_dir, f"shard-{i:04d}.arrow")
+        with pa.ipc.new_file(p, part.schema) as w:
+            w.write_table(part)
+        paths.append(p)
+    return paths

@@ -130,3 +130,103 @@ def test_semantic_dedup_consistent_with_pairs(ray_session):
     none = semantic_dedup(sf, threshold=0.999999).to_pandas()
     assert (none.keep == 1).all() and (none.dup_of == -1).all()
     assert len(none) == len(emb)
+
+
+def test_product_quantize(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.ann import (
+        _euclid_lloyd,
+        _sample_embeddings,
+        product_quantize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        product_quantize(sf)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    n = t.num_rows
+    assert len(got) == n
+    # codes are m_sub packed nibbles-in-bytes, each < n_codes
+    codes = got.code.to_numpy()
+    for j in range(4):
+        assert ((codes >> (8 * j)) & 0xFF).max() < 16
+    # brute-force recomputation: same deterministic training, same argmin
+    sample = _sample_embeddings(sf, 8192)
+    d = sample.shape[1]
+    d_sub = d // 4
+    cbs = [
+        _euclid_lloyd(sample[:, j * d_sub:(j + 1) * d_sub], 16, 8)
+        for j in range(4)
+    ]
+    dims = d
+    x = np.asarray(
+        t.column("embedding").combine_chunks().values.to_numpy(
+            zero_copy_only=False
+        )
+    ).reshape(n, dims)
+    vid = t.column("vec_id").to_numpy()
+    order = np.argsort(vid)
+    x = x[order] / np.linalg.norm(x[order], axis=1, keepdims=True)
+    err = np.zeros(n)
+    packed = np.zeros(n, dtype=np.int64)
+    for j, cb in enumerate(cbs):
+        xj = x[:, j * d_sub:(j + 1) * d_sub]
+        d2 = (
+            (xj ** 2).sum(axis=1)[:, None]
+            - 2.0 * (xj @ cb.T)
+            + (cb ** 2).sum(axis=1)[None, :]
+        )
+        c = np.argmin(d2, axis=1)
+        packed |= c.astype(np.int64) << (8 * j)
+        err += np.maximum(d2[np.arange(n), c], 0.0)
+    assert got.code.tolist() == packed.tolist()
+    assert got.err_e9.tolist() == np.floor(err * 1e9 + 0.5).astype(
+        np.int64
+    ).tolist()
+    # a finer codebook strictly beats the 1-code-per-subspace baseline
+    coarse = product_quantize(sf, n_codes=1).to_pandas()
+    assert got.err_e9.sum() < coarse.err_e9.sum()
+
+
+def test_ipc_source_roundtrip(ray_session):
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.sources.text_formats import (
+        read_ipc_documents,
+        write_ipc_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/documents.parquet")
+    out = "/tmp/ipc_docs_test"
+    shutil.rmtree(out, ignore_errors=True)
+    paths = write_ipc_shards(tbl, out, n_shards=3)
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+    got = (
+        read_ipc_documents(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.text.tolist() == want.text.tolist()
+    assert got.source.tolist() == want.source.tolist()
+    assert got.n_chars.tolist() == want.n_chars.tolist()
+    # schema-normalization path: a bare text-only table gains defaults
+    bare = pa.table({"text": tbl.column("text").slice(0, 10)})
+    shutil.rmtree(out, ignore_errors=True)
+    write_ipc_shards(bare, out, n_shards=1)
+    norm = read_ipc_documents(out, source="bare").to_pandas()
+    assert set(norm.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert (norm.source == "bare").all() and (norm.lang == "und").all()
