@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_important_parts": relational.important_parts,
         "rel_market_share": relational.market_share,
         "rel_sales_opportunity": relational.sales_opportunity,
+        "rel_nation_trade_balance": relational.nation_trade_balance,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -611,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": textops.doc_chunks,
         "term_scrub": textops.term_scrub,
         "quality_top_percent": textops.quality_top_percent,
+        "lang_confusion": textops.lang_confusion,
     }
 
 
@@ -1464,6 +1466,24 @@ WITH rev AS (
 SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
 """,
+        "lang_confusion": r"""
+WITH c AS (
+  SELECT lang,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|is|for|with)\b')) AS c_en,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b')) AS c_fr,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit)\b')) AS c_de,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para)\b')) AS c_es
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN c_en = 0 AND c_fr = 0 AND c_de = 0 AND c_es = 0 THEN 'und'
+       WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es THEN 'en'
+       WHEN c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+       WHEN c_de >= c_es THEN 'de'
+       ELSE 'es' END AS lang_pred,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM c GROUP BY 1, 2
+""",
         "term_scrub": """
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(regexp_extract_all(text, '\\b(the|a|customer)\\b')))
@@ -1513,6 +1533,30 @@ SELECT a.gx, a.gy, a.c AS n_events,
 FROM g a JOIN g b
   ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
 GROUP BY 1, 2, 3
+""",
+        "rel_nation_trade_balance": """
+WITH v AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS revenue_cent
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    AND s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, SUM(e) AS export_cent, SUM(i) AS import_cent,
+       SUM(e) - SUM(i) AS balance_cent
+FROM (
+  SELECT supp_nation AS nation, revenue_cent AS e, 0 AS i FROM v
+  UNION ALL
+  SELECT cust_nation, 0, revenue_cent FROM v
+) GROUP BY 1
 """,
         "rel_market_share": """
 WITH rev AS (

@@ -2379,3 +2379,60 @@ def sales_opportunity(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_trade_balance(sf_dir: str) -> "ray.data.Dataset":
+    """Nation trade balance derived from the Q7 volume aggregate: every
+    nation's exports (revenue it supplied cross-nation) minus imports
+    (revenue its customers bought cross-nation) — operator COMPOSITION
+    over :func:`volume_shipping`'s bounded output, the pattern for
+    dashboard metrics layered on a shared rollup.
+
+    Scale shape: the input is already the bounded (nation² × years)
+    aggregate; each row splits into a +export and a −import contribution
+    and ONE tiny grouped exchange nets them per nation.
+
+    Output: (nation, export_cent, import_cent, balance_cent)."""
+
+    def flip(batch: pa.Table) -> pa.Table:
+        cent = batch.column("revenue_cent").to_numpy(zero_copy_only=False)
+        zero = np.zeros(len(batch), dtype=np.int64)
+        exp_rows = pa.table(
+            {
+                "nation": batch.column("supp_nation"),
+                "p_exp": pa.array(cent),
+                "p_imp": pa.array(zero),
+            }
+        )
+        imp_rows = pa.table(
+            {
+                "nation": batch.column("cust_nation"),
+                "p_exp": pa.array(zero),
+                "p_imp": pa.array(cent),
+            }
+        )
+        return pa.concat_tables([exp_rows, imp_rows])
+
+    merged = (
+        volume_shipping(sf_dir)
+        .map_batches(flip, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(
+            ray.data.aggregate.Sum("p_exp", alias_name="export_cent"),
+            ray.data.aggregate.Sum("p_imp", alias_name="import_cent"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        e = pc.cast(batch.column("export_cent"), pa.int64())
+        i = pc.cast(batch.column("import_cent"), pa.int64())
+        return pa.table(
+            {
+                "nation": batch.column("nation"),
+                "export_cent": e,
+                "import_cent": i,
+                "balance_cent": pc.subtract(e, i),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -3187,3 +3187,65 @@ def quality_top_percent(sf_dir: str, pct: int = 90) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Language-ID confusion matrix: labeled ``lang`` × heuristic
+    prediction (the :func:`lang_id` marker-argmax) with counts — the
+    classifier-eval rollup a corpus-quality dashboard runs after any
+    lang-ID change.
+
+    Scale shape: prediction happens in the same vectorized batch pass as
+    the count partial, so the ONLY exchange carries the bounded
+    (lang × pred) matrix — never documents.
+
+    Output: (lang, lang_pred, n_docs)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        counts = {
+            lang: pc.count_substring_regex(lower, rx).to_numpy(
+                zero_copy_only=False
+            )
+            for lang, rx in _LANG_MARKERS.items()
+        }
+        langs = list(_LANG_MARKERS)
+        stacked = np.stack([counts[la] for la in langs])
+        best = np.argmax(stacked, axis=0)
+        pred = np.array(langs, dtype=object)[best]
+        pred[stacked.max(axis=0) == 0] = "und"
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_pred": pa.array(pred, type=pa.string()),
+            }
+        )
+        g = t.group_by(["lang", "lang_pred"]).aggregate([("lang", "count")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "lang_pred": g.column("lang_pred"),
+                "p_n": pc.cast(g.column("lang_count"), pa.int64()),
+            }
+        )
+
+    merged = (
+        _docs(sf_dir)
+        .select_columns(["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_docs"))
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b.column("lang"),
+                "lang_pred": b.column("lang_pred"),
+                "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

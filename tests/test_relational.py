@@ -413,3 +413,28 @@ def test_sales_opportunity_brute_force(ray_session):
     assert got.cust_nation.tolist() == want.cust_nation.tolist()
     assert got.n_cust.tolist() == want.n_cust.tolist()
     assert got.sum_bal_cent.tolist() == want.sum_bal_cent.tolist()
+
+
+def test_nation_trade_balance_consistency(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import (
+        nation_trade_balance,
+        volume_shipping,
+    )
+
+    vol = volume_shipping(SF).to_pandas()
+    got = (
+        nation_trade_balance(SF)
+        .to_pandas()
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    exp = vol.groupby("supp_nation").revenue_cent.sum()
+    imp = vol.groupby("cust_nation").revenue_cent.sum()
+    nations = sorted(set(exp.index) | set(imp.index))
+    assert got.nation.tolist() == nations
+    for _, r in got.iterrows():
+        assert r.export_cent == exp.get(r.nation, 0)
+        assert r.import_cent == imp.get(r.nation, 0)
+        assert r.balance_cent == r.export_cent - r.import_cent
+    # global conservation: every export is someone's import
+    assert got.balance_cent.sum() == 0

@@ -778,3 +778,42 @@ def test_tile_smooth_brute_force(ray_session):
     # smoothing conserves mass up to multiplicity: every cell contributes
     # to at most 9 neighborhoods
     assert got.smooth3x3.sum() <= 9 * got.n_buildings.sum()
+
+
+def test_lang_confusion_brute_force(ray_session):
+    import re
+
+    from osm_data_3d_tiles_ray.pipelines.textops import lang_confusion
+
+    got = (
+        lang_confusion(SF)
+        .to_pandas()
+        .sort_values(["lang", "lang_pred"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    markers = {
+        "en": r"\b(the|and|of|is|for|with)\b",
+        "fr": r"\b(le|la|les|et|des|une)\b",
+        "de": r"\b(der|die|das|und|ist|mit)\b",
+        "es": r"\b(el|los|las|es|una|para)\b",
+    }
+    langs = list(markers)
+
+    def pred(t):
+        c = [len(re.findall(markers[la], t.lower())) for la in langs]
+        return "und" if max(c) == 0 else langs[c.index(max(c))]
+
+    docs = docs.assign(lang_pred=docs.text.map(pred))
+    want = (
+        docs.groupby(["lang", "lang_pred"])
+        .size()
+        .rename("n_docs")
+        .reset_index()
+        .sort_values(["lang", "lang_pred"])
+        .reset_index(drop=True)
+    )
+    assert got.lang.tolist() == want.lang.tolist()
+    assert got.lang_pred.tolist() == want.lang_pred.tolist()
+    assert got.n_docs.tolist() == want.n_docs.tolist()
+    assert got.n_docs.sum() == len(docs)
