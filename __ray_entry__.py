@@ -599,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_market_share": relational.market_share,
         "rel_sales_opportunity": relational.sales_opportunity,
         "rel_nation_trade_balance": relational.nation_trade_balance,
+        "rel_blame_supplier": relational.blame_supplier,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1533,6 +1534,22 @@ SELECT a.gx, a.gy, a.c AS n_events,
 FROM g a JOIN g b
   ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
 GROUP BY 1, 2, 3
+""",
+        "rel_blame_supplier": """
+WITH w AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate DESC, l_suppkey) AS rn
+  FROM lineitem
+), blame AS (
+  SELECT w.l_suppkey AS s_suppkey
+  FROM w JOIN orders o ON o.o_orderkey = w.l_orderkey
+  WHERE w.rn = 1
+    AND epoch_us(w.l_shipdate) > epoch_us(o.o_orderdate) + 90 * 86400000000
+)
+SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_blamed
+FROM blame GROUP BY 1
+ORDER BY n_blamed DESC, s_suppkey LIMIT 10
 """,
         "rel_nation_trade_balance": """
 WITH v AS (

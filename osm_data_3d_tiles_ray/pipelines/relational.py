@@ -2436,3 +2436,119 @@ def nation_trade_balance(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def blame_supplier(
+    sf_dir: str, grace_days: int = 90, k: int = 10
+) -> "ray.data.Dataset":
+    """TPC-H Q21-shaped: suppliers most often responsible for an order's
+    LATEST (and late) shipment — for every late order, the supplier whose
+    line shipped last (ties → smallest suppkey) takes the blame; top-k
+    suppliers by blame count.
+
+    Scale shape: the per-order argmax reduces ASSOCIATIVELY — each
+    lineitem batch pre-reduces to one (orderkey, max shipdate, argmin
+    suppkey at that max) row, so the ONE orderkey exchange carries a row
+    per (batch, orderkey); the partition pass finishes the argmax with a
+    lexsort + run-boundary pick, joins the order date, applies the
+    lateness predicate, and emits bounded per-supplier partials.  Top-k
+    sorts the per-supplier aggregate only.
+
+    Output: (s_suppkey, n_blamed)."""
+    from .partition import map_key_partitions
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("o_orderkey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "ts_us": od.cast(pa.int64()),
+                "suppkey": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        ts = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # per-batch argmax: sort by (orderkey, -shipdate, suppkey), keep
+        # the first row of each orderkey run — the associative partial
+        order = np.lexsort((sk, -ts, ok))
+        ok, sk, ts = ok[order], sk[order], ts[order]
+        first = np.concatenate([[True], ok[1:] != ok[:-1]])
+        return pa.table(
+            {
+                "key": pa.array(ok[first]),
+                "side": pa.array(np.ones(int(first.sum()), dtype=np.int8)),
+                "ts_us": pa.array(ts[first]),
+                "suppkey": pa.array(sk[first]),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(line_partial, batch_format="pyarrow")
+
+    def blame_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        sk = tbl.column("suppkey").to_numpy(zero_copy_only=False)
+        # order row (side 0) first, then line partials by (-ts, suppkey):
+        # row AFTER the order row is the order's global argmax line
+        order = np.lexsort((sk, -ts, side, key))
+        key, side, ts, sk = key[order], side[order], ts[order], sk[order]
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        n_rows = np.diff(np.append(starts, len(key)))
+        has_both = (side[starts] == 0) & (n_rows > 1)
+        odate = ts[starts]
+        win_ts = ts[np.minimum(starts + 1, len(key) - 1)]
+        win_sk = sk[np.minimum(starts + 1, len(key) - 1)]
+        late = has_both & (win_ts > odate + np.int64(grace_days) * DAY_US)
+        if not late.any():
+            return empty
+        uk, inv = np.unique(win_sk[late], return_inverse=True)
+        cnt = np.bincount(inv)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uk),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        map_key_partitions(orders.union(lines), ["key"], blame_part)
+        .groupby("s_suppkey")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_blamed"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "s_suppkey": b.column("s_suppkey"),
+                    "n_blamed": pc.cast(b.column("n_blamed"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return merged.sort(["n_blamed", "s_suppkey"], descending=[True, False]).limit(k)

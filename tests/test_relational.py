@@ -438,3 +438,29 @@ def test_nation_trade_balance_consistency(ray_session):
         assert r.balance_cent == r.export_cent - r.import_cent
     # global conservation: every export is someone's import
     assert got.balance_cent.sum() == 0
+
+
+def test_blame_supplier_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import blame_supplier
+
+    got = blame_supplier(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    w = li.sort_values(
+        ["l_orderkey", "l_shipdate", "l_suppkey"],
+        ascending=[True, False, True],
+    ).drop_duplicates("l_orderkey")
+    j = w.merge(
+        orders[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    late = j[j.l_shipdate > j.o_orderdate + pd.Timedelta(days=90)]
+    want = (
+        late.groupby("l_suppkey").size().rename("n")
+        .reset_index()
+        .sort_values(["n", "l_suppkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got.s_suppkey.tolist() == want.l_suppkey.tolist()
+    assert got.n_blamed.tolist() == want.n.tolist()
