@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_assignments": geo.q_assignments,
         "geo_tile_stats": geo.q_tile_stats,
         "geo_tile_smooth": geo.q_tile_smooth,
+        "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
         "geo_cell_cover_exact": geo.q_cell_cover_exact,
@@ -638,6 +639,24 @@ FROM ({_TILE_SQL})
         "geo_tile_stats": f"""
 SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS batch_length
 FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
+""",
+        "geo_height_median": f"""
+WITH s AS (
+  SELECT COALESCE(roof_type, 'none') AS roof_type,
+         CAST(FLOOR(height * 10 + 0.5) AS BIGINT) AS dm
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+  WHERE height IS NOT NULL
+), h AS (
+  SELECT roof_type, dm, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+), c AS (
+  SELECT roof_type, dm, n,
+         SUM(n) OVER (PARTITION BY roof_type ORDER BY dm) AS cum,
+         SUM(n) OVER (PARTITION BY roof_type) AS tot
+  FROM h
+)
+SELECT roof_type, CAST(MAX(tot) AS BIGINT) AS n_buildings,
+       CAST(MIN(dm) AS BIGINT) AS median_dm
+FROM c WHERE 2 * cum >= tot GROUP BY 1
 """,
         "geo_tile_smooth": f"""
 WITH g AS (

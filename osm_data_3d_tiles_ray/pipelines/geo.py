@@ -860,3 +860,89 @@ def q_tile_smooth(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def q_height_median(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped EXACT median: per roof type, the lower-median building
+    height in decimeters — the grouped variant of the engine's
+    histogram-percentile pattern (textops.quality_top_percent computes
+    the global case; here every group's threshold resolves inside its
+    own co-located partition, no driver reduction at all).
+
+    Scale shape: per-batch (roof_type, decimeter) bincount partials →
+    one grouped exchange over the bounded (types × height domain) cell
+    table → one roof_type-keyed partition pass finds each group's
+    smallest score with ``2*cum >= total``.  The height domain is
+    bounded (buildings, not skyscraper-free-floats), so the cell table
+    is tiny regardless of corpus size.
+
+    Output: (roof_type, n_buildings, median_dm)."""
+    from .partition import map_key_partitions
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        rt = batch.column("roof_type").to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(h)
+        rt = np.where(
+            np.asarray([v is None for v in rt], dtype=bool), "none", rt
+        )[valid]
+        dm = np.floor(h[valid] * 10 + 0.5).astype(np.int64)
+        codes, inv = np.unique(rt.astype(str), return_inverse=True)
+        key = inv.astype(np.int64) * 1_000_000 + dm
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "roof_type": pa.array(codes[(uk // 1_000_000)].astype(str)),
+                "dm": pa.array(uk % 1_000_000),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        parsed_ds(sf_dir)
+        .select_columns(["roof_type", "height"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["roof_type", "dm"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+    )
+
+    def median_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "roof_type": pa.array([], type=pa.string()),
+                "n_buildings": pa.array([], type=pa.int64()),
+                "median_dm": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        rt = tbl.column("roof_type").to_numpy(zero_copy_only=False)
+        dm = tbl.column("dm").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        n = pc.cast(tbl.column("n"), pa.int64()).to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(rt.astype(str), return_inverse=True)
+        order = np.lexsort((dm, inv))
+        inv_s, dm_s, n_s = inv[order], dm[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], inv_s[1:] != inv_s[:-1]])
+        )
+        run_id = np.cumsum(np.concatenate([[True], inv_s[1:] != inv_s[:-1]])) - 1
+        csum = np.cumsum(n_s)
+        base = (csum[starts] - n_s[starts])[run_id]
+        cum = csum - base
+        tot = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(tot, run_id, n_s)
+        is_med = 2 * cum >= tot[run_id]
+        # smallest qualifying dm per run: min row index where is_med
+        cand = np.where(is_med, np.arange(len(is_med)), len(is_med))
+        med_dm = dm_s[np.minimum.reduceat(cand, starts)]
+        return pa.table(
+            {
+                "roof_type": pa.array(codes[inv_s[starts]].astype(str)),
+                "n_buildings": pa.array(tot),
+                "median_dm": pa.array(med_dm),
+            }
+        )
+
+    return map_key_partitions(cells, ["roof_type"], median_part)

@@ -817,3 +817,86 @@ def test_lang_confusion_brute_force(ray_session):
     assert got.lang_pred.tolist() == want.lang_pred.tolist()
     assert got.n_docs.tolist() == want.n_docs.tolist()
     assert got.n_docs.sum() == len(docs)
+
+
+def test_height_median_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.geo import parsed_ds, q_height_median
+
+    got = (
+        q_height_median(SF)
+        .to_pandas()
+        .sort_values("roof_type")
+        .reset_index(drop=True)
+    )
+    src = parsed_ds(SF).select_columns(["roof_type", "height"]).to_pandas()
+    src = src[src.height.notna()].copy()
+    src["roof_type"] = src.roof_type.fillna("none")
+    src["dm"] = np.floor(src.height.to_numpy() * 10 + 0.5).astype(np.int64)
+    rows = []
+    for rt, g in src.groupby("roof_type"):
+        v = np.sort(g.dm.to_numpy())
+        # lower median: smallest x with 2*count(<= x) >= n
+        med = v[(len(v) - 1) // 2]
+        rows.append((rt, len(v), med))
+    want = pd.DataFrame(rows, columns=["roof_type", "n_buildings", "median_dm"])
+    assert got.roof_type.tolist() == want.roof_type.tolist()
+    assert got.n_buildings.tolist() == want.n_buildings.tolist()
+    assert got.median_dm.tolist() == want.median_dm.tolist()
+
+
+def test_stencil_partition_invariance(ray_session):
+    """stencil_3x3 output is independent of the exchange partition count
+    (the hash partitioning must not change the math)."""
+    import ray.data
+
+    import pyarrow as pa
+
+    from osm_data_3d_tiles_ray.pipelines.partition import stencil_3x3
+
+    rng = np.random.default_rng(7)
+    n = 300
+    tbl = pa.table(
+        {
+            "x": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "y": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+        }
+    )
+    # collapse to occupied cells with counts
+    df = tbl.to_pandas().groupby(["x", "y"]).size().rename("c").reset_index()
+    cells = ray.data.from_pandas(df)
+    outs = []
+    for parts in (3, 64):
+        got = (
+            stencil_3x3(cells, "x", "y", "c", num_partitions=parts)
+            .to_pandas()
+            .sort_values(["x", "y"])
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # own counts must reproduce the input cells exactly
+    merged = outs[0].merge(df, on=["x", "y"], how="outer")
+    assert len(merged) == len(df)
+    assert (merged.own == merged.c).all()
+
+
+def test_windowed_dedup_partition_invariance(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import windowed_dedup
+
+    a = (
+        windowed_dedup(SF, window_sec=60)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    b = (
+        windowed_dedup(SF, window_sec=0)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    # window=0 only drops exact-timestamp duplicates → keeps at least as
+    # many as any positive window
+    assert (b.n_kept >= a.n_kept).all()
+    assert (a.n_total == b.n_total).all()
+    assert (a.n_kept <= a.n_total).all()
