@@ -601,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sales_opportunity": relational.sales_opportunity,
         "rel_nation_trade_balance": relational.nation_trade_balance,
         "rel_blame_supplier": relational.blame_supplier,
+        "rel_spend_deciles": relational.spend_deciles,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -611,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": events.type_transitions,
         "events_windowed_dedup": events.windowed_dedup,
         "events_grid_smooth": events.grid_smooth,
+        "events_value_median_exact": events.value_median_exact,
         "doc_chunks": textops.doc_chunks,
         "term_scrub": textops.term_scrub,
         "quality_top_percent": textops.quality_top_percent,
@@ -1553,6 +1555,40 @@ SELECT a.gx, a.gy, a.c AS n_events,
 FROM g a JOIN g b
   ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
 GROUP BY 1, 2, 3
+""",
+        "rel_spend_deciles": """
+WITH pcu AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend
+  FROM orders GROUP BY 1
+), h AS (
+  SELECT spend, CAST(COUNT(*) AS BIGINT) AS n FROM pcu GROUP BY 1
+), c AS (
+  SELECT spend, SUM(n) OVER (ORDER BY spend) AS cum FROM h
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pcu
+), d AS (
+  SELECT CAST(r AS BIGINT) AS decile FROM range(1, 10) AS tbl(r)
+)
+SELECT d.decile, (d.decile * t.total + 9) // 10 AS rank,
+       MIN(c.spend) AS threshold_cent
+FROM d, t, c
+WHERE c.cum >= (d.decile * t.total + 9) // 10
+GROUP BY 1, 2
+""",
+        "events_value_median_exact": """
+WITH v AS (
+  SELECT CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS e6 FROM events
+), h AS (
+  SELECT e6, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1
+), c AS (
+  SELECT e6, SUM(n) OVER (ORDER BY e6) AS cum FROM h
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM v
+)
+SELECT t.total AS n_events, MIN(c.e6) AS median_e6
+FROM t, c WHERE c.cum >= (t.total + 1) // 2
+GROUP BY 1
 """,
         "rel_blame_supplier": """
 WITH w AS (

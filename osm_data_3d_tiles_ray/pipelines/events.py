@@ -1683,3 +1683,40 @@ def grid_smooth(sf_dir: str, nx: int = 32) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def value_median_exact(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT global median of the event value (lower median, e6-scaled
+    integers) over the full stream — the general-domain order statistic
+    via two bounded histogram-refinement passes
+    (:mod:`..pipelines.selection`): no sort, no sketch, driver state
+    bounded by the high-bits bucket table.  The stream is scanned twice
+    — the honest trade against a distributed sort; compare
+    :func:`value_quantiles_tdigest` for the one-pass mergeable-sketch
+    approximation.
+
+    Output: one row (n_events, median_e6)."""
+    from .selection import exact_value_ranks
+
+    def to_e6(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"v_e6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64))}
+        )
+
+    vals = (
+        _events(sf_dir)
+        .select_columns(["value"])
+        .map_batches(to_e6, batch_format="pyarrow")
+    )
+    n = vals.count()
+    rank = (n + 1) // 2
+    thr = exact_value_ranks(vals, "v_e6", [rank])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_events": pa.array([n], type=pa.int64()),
+                "median_e6": pa.array([thr[rank]], type=pa.int64()),
+            }
+        )
+    )

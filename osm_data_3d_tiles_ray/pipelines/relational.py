@@ -2552,3 +2552,55 @@ def blame_supplier(
         )
     )
     return merged.sort(["n_blamed", "s_suppkey"], descending=[True, False]).limit(k)
+
+
+def spend_deciles(sf_dir: str) -> "ray.data.Dataset":
+    """Customer-lifetime-value decile thresholds: the EXACT spend values
+    splitting customers into ten equal ranks — the general-domain order
+    statistic (per-customer cents have ~1e8 distinct values, far past
+    the direct-histogram trick), computed by the two-pass bucket
+    refinement in :mod:`..pipelines.selection` with bounded driver
+    state and no sort.
+
+    Output: (decile, rank, threshold_cent) for deciles 1..9."""
+    from .selection import exact_value_ranks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table({"custkey": pa.array(uk), "p_c": pa.array(sums)})
+
+    per_cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(ray.data.aggregate.Sum("p_c", alias_name="s"))
+        .map_batches(
+            lambda b: pa.table({"spend": pc.cast(b.column("s"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()  # bounded: one row per customer WITH orders —
+        # scanned twice by the two selection passes
+    )
+    n = per_cust.count()
+    ranks = {d: (d * n + 9) // 10 for d in range(1, 10)}
+    thr = exact_value_ranks(per_cust, "spend", list(ranks.values()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "decile": pa.array(list(range(1, 10)), type=pa.int64()),
+                "rank": pa.array(
+                    [ranks[d] for d in range(1, 10)], type=pa.int64()
+                ),
+                "threshold_cent": pa.array(
+                    [thr[ranks[d]] for d in range(1, 10)], type=pa.int64()
+                ),
+            }
+        )
+    )

@@ -900,3 +900,63 @@ def test_windowed_dedup_partition_invariance(ray_session):
     assert (b.n_kept >= a.n_kept).all()
     assert (a.n_total == b.n_total).all()
     assert (a.n_kept <= a.n_total).all()
+
+
+def test_exact_value_ranks_brute_force(ray_session):
+    """Randomized oracle for the two-pass selection, including negatives,
+    duplicates, and a tiny bucket width that forces multi-bucket paths."""
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.selection import exact_value_ranks
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        vals = np.concatenate(
+            [
+                rng.integers(-(10**7), 10**7, 4000),
+                rng.integers(-50, 50, 1000),  # heavy duplicates near 0
+            ]
+        ).astype(np.int64)
+        ds = ray.data.from_arrow(
+            __import__("pyarrow").table({"v": vals})
+        ).repartition(7)
+        n = len(vals)
+        ranks = [1, n // 4, n // 2, (3 * n) // 4, n]
+        got = exact_value_ranks(ds, "v", ranks, bucket_bits=12)
+        srt = np.sort(vals)
+        for r in ranks:
+            assert got[r] == srt[r - 1], (trial, r)
+
+
+def test_spend_deciles_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import spend_deciles
+
+    got = spend_deciles(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = np.floor(orders.o_totalprice.to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    spend = (
+        pd.DataFrame({"c": orders.o_custkey, "s": cents})
+        .groupby("c")
+        .s.sum()
+        .to_numpy()
+    )
+    srt = np.sort(spend)
+    n = len(srt)
+    for _, row in got.iterrows():
+        r = (row.decile * n + 9) // 10
+        assert row["rank"] == r
+        assert row.threshold_cent == srt[r - 1]
+
+
+def test_value_median_exact_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import value_median_exact
+
+    got = value_median_exact(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    e6 = np.floor(ev.value.to_numpy() * 1e6 + 0.5).astype(np.int64)
+    srt = np.sort(e6)
+    rank = (len(srt) + 1) // 2
+    assert got.n_events.iloc[0] == len(srt)
+    assert got.median_e6.iloc[0] == srt[rank - 1]
