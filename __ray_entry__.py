@@ -223,6 +223,10 @@ def _jenkins_round_sql(a: str, pfx: str) -> tuple[str, str]:
     return ", ".join(cols), f"{pfx}6"
 
 
+_J1_COLS, _J1_OUT = _jenkins_round_sql("a0", "cb1_")
+_J2_COLS, _J2_OUT = _jenkins_round_sql("a1", "cb2_")
+
+
 def _lod_sample_sql() -> str:
     """SQL mirror of geo.q_lod_sample: the keep rule is a pure integer
     function of (osm_id, subcell) — Jenkins hash u < 0.25 ⟺ h < 2^30
@@ -617,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_scrub": textops.term_scrub,
         "quality_top_percent": textops.quality_top_percent,
         "lang_confusion": textops.lang_confusion,
+        "class_balanced_sample": textops.class_balanced_sample,
     }
 
 
@@ -1487,6 +1492,23 @@ WITH rev AS (
 )
 SELECT c.c_custkey, c.c_name, CAST(t.cent AS BIGINT) AS revenue_cent
 FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "class_balanced_sample": f"""
+WITH a AS (
+  SELECT doc_id, lang, xor(doc_id % 4294967296, 78084107) AS a0 FROM documents
+), r1 AS (
+  SELECT doc_id, lang, {_J1_COLS} FROM a
+), b AS (
+  SELECT doc_id, lang, xor({_J1_OUT}, (doc_id // 4294967296) % 4294967296) AS a1 FROM r1
+), r2 AS (
+  SELECT doc_id, lang, {_J2_COLS} FROM b
+), ranked AS (
+  SELECT doc_id, lang, CAST({_J2_OUT} AS BIGINT) AS h,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_J2_OUT}, doc_id) AS rn
+  FROM r2
+)
+SELECT doc_id, lang, h FROM ranked WHERE rn <= 50
 """,
         "lang_confusion": r"""
 WITH c AS (

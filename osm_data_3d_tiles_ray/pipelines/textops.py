@@ -3249,3 +3249,81 @@ def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def class_balanced_sample(
+    sf_dir: str, cap: int = 50, tag: int = 123
+) -> "ray.data.Dataset":
+    """Deterministic class-balanced subsample: per language, keep the
+    ``cap`` documents with the smallest keyed Jenkins hash (ties →
+    smallest doc_id) — the "exactly k per class" rebalancing step of a
+    curriculum/mixture builder, reproducible across runs, partitionings
+    and cluster sizes because the keep rule is a pure function of
+    (doc_id, tag) (geom/rng.py:keyed_uniform; SQL mirror
+    `_jenkins_round_sql` makes the oracle exact).
+
+    Scale shape: top-k-by-hash is ASSOCIATIVE — every batch pre-prunes
+    to its own cap smallest per lang, so the single lang-keyed exchange
+    carries at most cap × langs rows per batch; the partition pass
+    repeats the same selection to finish.
+
+    Output: (doc_id, lang, h)."""
+    from ..geom.rng import jenkins_mix
+    from .partition import map_key_partitions
+
+    tagmix = np.uint32((tag * 2654435761) & 0xFFFFFFFF)
+
+    def _cap_smallest(
+        did: np.ndarray, lang: np.ndarray, h: np.ndarray
+    ) -> np.ndarray:
+        codes, inv = np.unique(lang.astype(str), return_inverse=True)
+        order = np.lexsort((did, h, inv))
+        inv_s = inv[order]
+        starts = np.concatenate([[True], inv_s[1:] != inv_s[:-1]])
+        run_id = np.cumsum(starts) - 1
+        pos = np.arange(len(inv_s)) - np.flatnonzero(starts)[run_id]
+        return order[pos < cap]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        h = jenkins_mix(did.astype(np.uint64).astype(np.uint32) ^ tagmix)
+        h = jenkins_mix(
+            h ^ (did.astype(np.uint64) >> np.uint64(32)).astype(np.uint32)
+        )
+        keep = _cap_smallest(did, lang, h)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "lang": pa.array(lang[keep].astype(str)),
+                "h": pa.array(h[keep].astype(np.int64)),
+            }
+        )
+
+    def finish_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lang": pa.array([], type=pa.string()),
+                    "h": pa.array([], type=pa.int64()),
+                }
+            )
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = tbl.column("lang").to_numpy(zero_copy_only=False)
+        h = tbl.column("h").to_numpy(zero_copy_only=False)
+        keep = _cap_smallest(did, lang, h)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "lang": pa.array(lang[keep].astype(str)),
+                "h": pa.array(h[keep]),
+            }
+        )
+
+    partials = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    return map_key_partitions(partials, ["lang"], finish_part)

@@ -960,3 +960,43 @@ def test_value_median_exact_brute_force(ray_session):
     rank = (len(srt) + 1) // 2
     assert got.n_events.iloc[0] == len(srt)
     assert got.median_e6.iloc[0] == srt[rank - 1]
+
+
+def test_class_balanced_sample_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.geom.rng import jenkins_mix
+    from osm_data_3d_tiles_ray.pipelines.textops import class_balanced_sample
+
+    got = (
+        class_balanced_sample(SF, cap=50)
+        .to_pandas()
+        .sort_values(["lang", "h", "doc_id"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    did = docs.doc_id.to_numpy()
+    tagmix = np.uint32((123 * 2654435761) & 0xFFFFFFFF)
+    h = jenkins_mix(did.astype(np.uint64).astype(np.uint32) ^ tagmix)
+    h = jenkins_mix(h ^ (did.astype(np.uint64) >> np.uint64(32)).astype(np.uint32))
+    df = pd.DataFrame({"doc_id": did, "lang": docs.lang, "h": h.astype(np.int64)})
+    want = (
+        df.sort_values(["lang", "h", "doc_id"])
+        .groupby("lang")
+        .head(50)
+        .sort_values(["lang", "h", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.h.tolist() == want.h.tolist()
+    # balance: every language contributes exactly min(cap, |lang|)
+    sizes = docs.groupby("lang").size()
+    kept = got.groupby("lang").size()
+    for lang, n in sizes.items():
+        assert kept.get(lang, 0) == min(50, n)
+    # determinism across partitionings: a second run is identical
+    again = (
+        class_balanced_sample(SF, cap=50)
+        .to_pandas()
+        .sort_values(["lang", "h", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert again.doc_id.tolist() == got.doc_id.tolist()
