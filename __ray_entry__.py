@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_nation_trade_balance": relational.nation_trade_balance,
         "rel_blame_supplier": relational.blame_supplier,
         "rel_spend_deciles": relational.spend_deciles,
+        "rel_order_gap_histogram": relational.order_gap_histogram,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1577,6 +1578,18 @@ SELECT a.gx, a.gy, a.c AS n_events,
 FROM g a JOIN g b
   ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
 GROUP BY 1, 2, 3
+""",
+        "rel_order_gap_histogram": """
+WITH lagged AS (
+  SELECT o_custkey, o_orderdate,
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+)
+SELECT (epoch_us(o_orderdate) - epoch_us(prev)) // 86400000000 AS gap_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY 1
 """,
         "rel_spend_deciles": """
 WITH pcu AS (

@@ -2604,3 +2604,76 @@ def spend_deciles(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def order_gap_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Distribution of days between a customer's consecutive orders —
+    the re-engagement-cadence histogram (LAG window → bounded rollup).
+
+    Scale shape: one custkey hash exchange; per partition one lexsort by
+    (custkey, orderdate, orderkey) and a vectorized diff at run
+    boundaries; only bounded (gap_days, count) partials leave the
+    partition (the gap domain is bounded by the time horizon).
+
+    Output: (gap_days, n_pairs)."""
+    from .partition import map_key_partitions
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "odate_us": od.cast(pa.int64()),
+                "o_orderkey": batch.column("o_orderkey"),
+            }
+        )
+
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    ).map_batches(project, batch_format="pyarrow")
+
+    def gaps_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gap_days": pa.array([], type=pa.int64()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        ck = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = tbl.column("odate_us").to_numpy(zero_copy_only=False)
+        ok = tbl.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od, ck))
+        ck, od = ck[order], od[order]
+        same = ck[1:] == ck[:-1]
+        gaps = (od[1:] - od[:-1])[same] // DAY_US
+        if len(gaps) == 0:
+            return empty
+        uk, cnt = np.unique(gaps, return_counts=True)
+        return pa.table(
+            {
+                "gap_days": pa.array(uk),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        map_key_partitions(rows, ["o_custkey"], gaps_part)
+        .groupby("gap_days")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_pairs"))
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "gap_days": b.column("gap_days"),
+                "n_pairs": pc.cast(b.column("n_pairs"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -464,3 +464,25 @@ def test_blame_supplier_brute_force(ray_session):
     )
     assert got.s_suppkey.tolist() == want.l_suppkey.tolist()
     assert got.n_blamed.tolist() == want.n.tolist()
+
+
+def test_order_gap_histogram_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import order_gap_histogram
+
+    got = (
+        order_gap_histogram(SF)
+        .to_pandas()
+        .sort_values("gap_days")
+        .reset_index(drop=True)
+    )
+    orders = pd.read_parquet(f"{SF}/orders.parquet").sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    prev = orders.groupby("o_custkey").o_orderdate.shift()
+    gaps = (orders.o_orderdate - prev).dt.days.dropna().astype(np.int64)
+    want = gaps.value_counts().sort_index()
+    assert got.gap_days.tolist() == list(want.index)
+    assert got.n_pairs.tolist() == want.tolist()
+    # conservation: one pair per non-first order
+    n_cust = orders.o_custkey.nunique()
+    assert got.n_pairs.sum() == len(orders) - n_cust
