@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_dedup": events.windowed_dedup,
         "events_grid_smooth": events.grid_smooth,
         "events_value_median_exact": events.value_median_exact,
+        "events_type_p90_exact": events.type_p90_exact,
         "doc_chunks": textops.doc_chunks,
         "term_scrub": textops.term_scrub,
         "quality_top_percent": textops.quality_top_percent,
@@ -1610,6 +1611,25 @@ SELECT d.decile, (d.decile * t.total + 9) // 10 AS rank,
 FROM d, t, c
 WHERE c.cum >= (d.decile * t.total + 9) // 10
 GROUP BY 1, 2
+""",
+        "events_type_p90_exact": """
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS e6
+  FROM events
+), h AS (
+  SELECT event_type, e6, CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1, 2
+), c AS (
+  SELECT event_type, e6, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY e6) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM h
+)
+SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_events,
+       CAST(MIN(e6) AS BIGINT) AS p90_e6
+FROM c WHERE cum >= (90 * tot + 99) // 100
+GROUP BY 1
 """,
         "events_value_median_exact": """
 WITH v AS (

@@ -1720,3 +1720,44 @@ def value_median_exact(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def type_p90_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Per event-type EXACT 90th percentile of the value stream (e6
+    ints) — the grouped general-domain order statistic via the two-pass
+    bucket refinement (:func:`..pipelines.selection.exact_group_quantiles`);
+    driver state is one bucket row per (type, occupied bucket), never a
+    value table.
+
+    Output: (event_type, n_events, p90_e6)."""
+    from .selection import exact_group_quantiles
+
+    def to_e6(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "v_e6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    vals = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(to_e6, batch_format="pyarrow")
+    )
+    res = exact_group_quantiles(vals, "event_type", "v_e6", q_e2=90)
+    types = sorted(res)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "n_events": pa.array(
+                    [res[t][0] for t in types], type=pa.int64()
+                ),
+                "p90_e6": pa.array(
+                    [res[t][1] for t in types], type=pa.int64()
+                ),
+            }
+        )
+    )

@@ -1000,3 +1000,48 @@ def test_class_balanced_sample_brute_force(ray_session):
         .reset_index(drop=True)
     )
     assert again.doc_id.tolist() == got.doc_id.tolist()
+
+
+def test_type_p90_exact_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.events import type_p90_exact
+
+    got = (
+        type_p90_exact(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    e6 = np.floor(ev.value.to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df = pd.DataFrame({"t": ev.event_type, "v": e6})
+    for _, row in got.iterrows():
+        v = np.sort(df[df.t == row.event_type].v.to_numpy())
+        assert row.n_events == len(v)
+        rank = -(-90 * len(v) // 100)
+        assert row.p90_e6 == v[rank - 1]
+    assert got.n_events.sum() == len(ev)
+
+
+def test_exact_group_quantiles_sparse_groups(ray_session):
+    """Groups whose target bucket differs and a group absent from most
+    batches both resolve correctly."""
+    import pyarrow as pa
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines.selection import exact_group_quantiles
+
+    rng = np.random.default_rng(3)
+    g = np.array(["a"] * 5000 + ["b"] * 50 + ["c"] * 3)
+    v = np.concatenate(
+        [
+            rng.integers(-(10**9), 10**9, 5000),
+            rng.integers(0, 100, 50),
+            np.array([7, -9, 10**12]),
+        ]
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(9)
+    res = exact_group_quantiles(ds, "g", "v", q_e2=50)
+    for grp in ("a", "b", "c"):
+        vals = np.sort(v[g == grp])
+        rank = -(-50 * len(vals) // 100)
+        assert res[grp] == (len(vals), int(vals[rank - 1])), grp
