@@ -14,6 +14,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from collections.abc import Callable
@@ -586,6 +587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_suppliers": relational.top_suppliers,
         "rel_customers_no_orders": relational.customers_no_orders,
         "rel_shipping_priority": relational.shipping_priority,
+        "rel_shipping_priority_bloom": functools.partial(
+            relational.shipping_priority, use_bloom=True
+        ),
         "rel_late_shipment_priority": relational.late_shipment_priority,
         "rel_running_totals": relational.running_customer_totals,
         "rel_revenue_by_nation": relational.revenue_by_nation,
@@ -1377,6 +1381,20 @@ WHERE c_custkey NOT IN (
   SELECT o_custkey FROM orders
   WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 )
+""",
+        "rel_shipping_priority_bloom": """
+SELECT l.l_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cent
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2
+ORDER BY revenue_cent DESC, o_orderkey
+LIMIT 10
 """,
         "rel_shipping_priority": """
 SELECT l.l_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,

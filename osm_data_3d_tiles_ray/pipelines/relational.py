@@ -267,7 +267,9 @@ def customers_no_orders(sf_dir: str, since: str = "1997-01-01") -> "ray.data.Dat
     return map_key_partitions(cust.union(ords), ["key"], anti)
 
 
-def shipping_priority(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+def shipping_priority(
+    sf_dir: str, k: int = 10, use_bloom: bool = False
+) -> "ray.data.Dataset":
     """TPC-H Q3-shaped shipping priority: top-k open orders of BUILDING
     customers by outstanding lineitem revenue.
 
@@ -287,6 +289,14 @@ def shipping_priority(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     ``floor(l_extendedprice*(1-l_discount)*100 + 0.5)`` summed as int64 —
     associativity-free, so the combine tree matches single-pass SQL
     exactly.  Final top-k is a distributed sort over the small aggregate.
+
+    ``use_bloom=True`` adds the classic exchange-volume optimization:
+    the qualifying-order keys build a DISTRIBUTED Bloom filter
+    (state/bloom.py — fixed-size bit-array partials OR-reduced on the
+    driver) that pre-filters the lineitem scan, so only lines whose
+    orderkey *possibly* qualifies enter the per-batch aggregation and
+    the second exchange.  False positives just ride along and fail the
+    join — results are bit-identical, verified by the SAME oracle.
 
     Output: (o_orderkey, o_orderdate, revenue_cent)."""
     from .partition import map_key_partitions
@@ -347,12 +357,27 @@ def shipping_priority(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
 
     qual_orders = map_key_partitions(cust.union(ords), ["key"], semi)
 
+    bloom_words = None
+    if use_bloom:
+        from ..state.bloom import bloom_build
+
+        # survivors reused twice (filter build + join) — spill-backed
+        qual_orders = qual_orders.materialize()
+        bloom_words = bloom_build(qual_orders, "key")
+
     def line_partial(batch: pa.Table) -> pa.Table:
         sd = batch.column("l_shipdate")
         if isinstance(sd, pa.ChunkedArray):
             sd = sd.combine_chunks()
         sd_us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
         keep = sd_us > cutoff_us
+        if bloom_words is not None:
+            from ..state.bloom import bloom_probe
+
+            ok_all = batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False
+            )
+            keep &= bloom_probe(bloom_words, ok_all)
         ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]

@@ -486,3 +486,30 @@ def test_order_gap_histogram_brute_force(ray_session):
     # conservation: one pair per non-first order
     n_cust = orders.o_custkey.nunique()
     assert got.n_pairs.sum() == len(orders) - n_cust
+
+
+def test_bloom_filter_unit(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osm_data_3d_tiles_ray.state.bloom import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(5)
+    members = np.unique(rng.integers(0, 10**12, 5000).astype(np.int64))
+    ds = ray.data.from_arrow(pa.table({"key": members})).repartition(6)
+    words = bloom_build(ds, "key")
+    # zero false negatives
+    assert bloom_probe(words, members).all()
+    # false-positive rate near the theoretical (m=2^20, k=4, n=5000 → ~1e-9;
+    # assert a generous bound)
+    probes = rng.integers(10**12, 2 * 10**12, 20000).astype(np.int64)
+    fp = bloom_probe(words, probes).mean()
+    assert fp < 0.01, fp
+
+
+def test_shipping_priority_bloom_identical(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import shipping_priority
+
+    plain = shipping_priority(SF).to_pandas()
+    bloom = shipping_priority(SF, use_bloom=True).to_pandas()
+    pd.testing.assert_frame_equal(plain, bloom)
