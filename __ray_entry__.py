@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grid_smooth": events.grid_smooth,
         "events_value_median_exact": events.value_median_exact,
         "events_type_p90_exact": events.type_p90_exact,
+        "events_session_ids": events.session_ids,
         "doc_chunks": textops.doc_chunks,
         "term_scrub": textops.term_scrub,
         "quality_top_percent": textops.quality_top_percent,
@@ -1629,6 +1630,20 @@ SELECT d.decile, (d.decile * t.total + 9) // 10 AS rank,
 FROM d, t, c
 WHERE c.cum >= (d.decile * t.total + 9) // 10
 GROUP BY 1, 2
+""",
+        "events_session_ids": """
+WITH l AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id,
+       SUM(CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+FROM l
 """,
         "events_type_p90_exact": """
 WITH v AS (

@@ -1761,3 +1761,58 @@ def type_p90_exact(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def session_ids(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Per-EVENT session index: every event annotated with its user's
+    0-based session ordinal (the row-level companion to
+    :func:`sessionize`, which emits per-session aggregates) — the
+    enrichment pass a feature pipeline joins back onto the stream.
+
+    Scale shape: one user hash exchange; per partition one lexsort by
+    (user, ts, event_id), break flags where the user changes or the gap
+    exceeds the threshold, and the per-user ordinal via the engine's
+    padded-cumsum pattern (batch-size invariant, no per-user dispatch).
+
+    Output: (event_id, user_id, session_idx)."""
+    from .partition import map_key_partitions
+
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def ids_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_idx": pa.array([], type=pa.int64()),
+                }
+            )
+        ts = tbl.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsv, uid))
+        tsv, uid, eid = tsv[order], uid[order], eid[order]
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        brk = new_user.copy()
+        brk[1:] |= np.diff(tsv) > gap_us
+        sess = np.cumsum(brk)
+        base = sess[np.flatnonzero(new_user)][
+            np.cumsum(new_user) - 1
+        ]  # per-user padded cumsum: subtract the run-start prefix
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "session_idx": pa.array(sess - base),
+            }
+        )
+
+    return map_key_partitions(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_id"]),
+        ["user_id"],
+        ids_part,
+    )

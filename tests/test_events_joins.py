@@ -430,3 +430,30 @@ def test_grid_smooth_brute_force(ray_session):
         rows.append((x, y, c, s))
     want = pd.DataFrame(rows, columns=["gx", "gy", "n_events", "smooth3x3"])
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_session_ids_consistency(ray_session):
+    """Per-event session ids reconcile exactly with the sessionize
+    aggregates: same session count and sizes per user."""
+    from osm_data_3d_tiles_ray.pipelines.events import session_ids, sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ids = session_ids(sf).to_pandas()
+    sess = sessionize(sf).to_pandas()
+    per_user_ids = ids.groupby("user_id").session_idx.max() + 1
+    per_user_sess = sess.groupby("user_id").size()
+    assert per_user_ids.sort_index().tolist() == per_user_sess.sort_index().tolist()
+    sizes_a = (
+        ids.groupby(["user_id", "session_idx"]).size().sort_index().tolist()
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert sum(sizes_a) == len(ev)
+    sizes_b = (
+        sess.sort_values(["user_id", "session_start"])
+        .groupby("user_id")
+        .n_events.apply(list)
+        .explode()
+        .astype(int)
+        .tolist()
+    )
+    assert sorted(sizes_a) == sorted(sizes_b)
