@@ -492,6 +492,12 @@ def _q_media_frame_sample(sf_dir: str) -> Any:
     return media_frame_sample(sf_dir)
 
 
+def _q_media_audio_windows(sf_dir: str) -> Any:
+    from osm_data_3d_tiles_ray.stages.media import media_audio_windows
+
+    return media_audio_windows(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osm_data_3d_tiles_ray.pipelines import ann, events, geo, relational, textops
 
@@ -533,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.doc_fingerprint,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
+        "media_audio_windows": _q_media_audio_windows,
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -611,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_blame_supplier": relational.blame_supplier,
         "rel_spend_deciles": relational.spend_deciles,
         "rel_order_gap_histogram": relational.order_gap_histogram,
+        "rel_yearly_top_supplier": relational.yearly_top_supplier,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1598,6 +1606,21 @@ SELECT a.gx, a.gy, a.c AS n_events,
 FROM g a JOIN g b
   ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
 GROUP BY 1, 2, 3
+""",
+        "rel_yearly_top_supplier": """
+WITH per AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year, l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_year, l_suppkey, rev,
+         ROW_NUMBER() OVER (PARTITION BY l_year
+                            ORDER BY rev DESC, l_suppkey) AS rn
+  FROM per
+)
+SELECT l_year, l_suppkey AS s_suppkey, CAST(rev AS BIGINT) AS revenue_cent
+FROM ranked WHERE rn = 1
 """,
         "rel_order_gap_histogram": """
 WITH lagged AS (

@@ -2702,3 +2702,85 @@ def order_gap_histogram(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def yearly_top_supplier(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q15-shaped: each ship-year's top supplier by revenue (ties →
+    smallest suppkey) — argmax over a grouped rollup.
+
+    Scale shape: per-batch (year, suppkey) integer-cent partials → one
+    grouped exchange builds the (years × shipping suppliers) aggregate →
+    a year-keyed partition pass picks each year's argmax with one
+    lexsort (years are bounded, and a year's group holds one ROW per
+    supplier — aggregate rows, never lineitems, so the hot-key group is
+    16 B × suppliers at worst).
+
+    Output: (l_year, s_suppkey, revenue_cent)."""
+    from .partition import map_key_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        sd_us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = (
+            sd_us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        code = year * 1_000_000_000 + sk  # suppkey < 1e9 at every test sf;
+        # the general-scale pack is (year, suppkey) as two groupby keys —
+        # used below for the exchange, the pack is batch-local only
+        uk, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table(
+            {
+                "l_year": pa.array(uk // 1_000_000_000),
+                "s_suppkey": pa.array(uk % 1_000_000_000),
+                "p_cent": pa.array(sums),
+            }
+        )
+
+    per_ys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_shipdate", "l_suppkey", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_year", "s_suppkey"])
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"))
+    )
+
+    def argmax_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_year": pa.array([], type=pa.int64()),
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "revenue_cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        yr = tbl.column("l_year").to_numpy(zero_copy_only=False)
+        sk = tbl.column("s_suppkey").to_numpy(zero_copy_only=False)
+        rev = pc.cast(tbl.column("revenue_cent"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((sk, -rev, yr))
+        yr, sk, rev = yr[order], sk[order], rev[order]
+        first = np.concatenate([[True], yr[1:] != yr[:-1]])
+        return pa.table(
+            {
+                "l_year": pa.array(yr[first]),
+                "s_suppkey": pa.array(sk[first]),
+                "revenue_cent": pa.array(rev[first]),
+            }
+        )
+
+    return map_key_partitions(per_ys, ["l_year"], argmax_part)

@@ -238,3 +238,109 @@ def media_frame_sample(sf_dir: str, stride: int = 4) -> "ray.data.Dataset":
         concurrency=2,
         batch_size=16,  # whole-video payloads → very small batches
     )
+
+
+# ---------------------------------------------------------------------------
+# audio-style sliding-window analysis (plumbing real, codec a fake)
+
+_WIN = 256
+_HOP = 128
+_RATE = 8000
+
+
+def synth_audio_table(refs: list[str]) -> pa.Table:
+    """Deterministic fake audio store: payload = n_samples uint8 "PCM"."""
+    payloads, n_samples = [], []
+    for r in refs:
+        seed = np.frombuffer(r.encode() + b"\0" * 8, dtype=np.uint8)[:8].copy()
+        rng = np.random.default_rng(int.from_bytes(seed.tobytes(), "little") ^ 0xA0D10)
+        n = int(rng.integers(_WIN, 4 * _RATE))
+        payloads.append(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+        n_samples.append(n)
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "media_type": pa.array(["audio/fake"] * len(refs), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_samples": pa.array(n_samples, type=pa.int32()),
+            "sample_rate": pa.array([_RATE] * len(refs), type=pa.int32()),
+        }
+    )
+
+
+class AudioWindowAnalyzer:
+    """Actor-pool stage: decode (fake PCM) → sliding windows (length
+    ``_WIN``, hop ``_HOP``) → one row per window with INTEGER features
+    (energy = Σ sample², zero crossings) so results are bit-deterministic
+    without float reductions.
+
+    Same explode discipline as :class:`FrameSampler`: whole payloads in,
+    many tiny rows out — small input ``batch_size``, vectorized window
+    math via ``sliding_window_view`` (no per-sample Python)."""
+
+    def __init__(self, win: int = _WIN, hop: int = _HOP):
+        self.win = win
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_numpy(zero_copy_only=False)
+        rates = batch.column("sample_rate").to_numpy(zero_copy_only=False)
+        out_ref, out_idx, out_ms, out_energy, out_zc = [], [], [], [], []
+        for r, p, rate in zip(refs, payloads, rates):
+            s = np.frombuffer(p, dtype=np.uint8).astype(np.int64) - 128
+            if len(s) < self.win:
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(s, self.win)[
+                :: self.hop
+            ]
+            energy = (w * w).sum(axis=1)
+            sign = w >= 0
+            zc = (sign[:, 1:] != sign[:, :-1]).sum(axis=1)
+            n = len(w)
+            out_ref.append(np.repeat(r, n))
+            out_idx.append(np.arange(n, dtype=np.int64))
+            out_ms.append(
+                (np.arange(n, dtype=np.int64) * self.hop * 1000) // int(rate)
+            )
+            out_energy.append(energy.astype(np.int64))
+            out_zc.append(zc.astype(np.int64))
+        if not out_ref:
+            return pa.table(
+                {
+                    "media_ref": pa.array([], type=pa.string()),
+                    "win_idx": pa.array([], type=pa.int64()),
+                    "start_ms": pa.array([], type=pa.int64()),
+                    "energy": pa.array([], type=pa.int64()),
+                    "zero_crossings": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "media_ref": pa.array(np.concatenate(out_ref).astype(str)),
+                "win_idx": pa.array(np.concatenate(out_idx)),
+                "start_ms": pa.array(np.concatenate(out_ms)),
+                "energy": pa.array(np.concatenate(out_energy)),
+                "zero_crossings": pa.array(np.concatenate(out_zc)),
+            }
+        )
+
+
+def media_audio_windows(sf_dir: str) -> "ray.data.Dataset":
+    """Pipeline: distinct media refs → fake audio store → actor-pool
+    sliding-window analysis (explode shape, per-window rows)."""
+    from ..pipelines.geo import parsed_ds
+
+    refs = (
+        parsed_ds(sf_dir)
+        .select_columns(["media_refs"])
+        .map_batches(_explode_refs, batch_format="pyarrow")
+        .unique("media_ref")
+    )
+    audio = synth_audio_table(sorted(refs))
+    return ray.data.from_arrow(audio).map_batches(
+        AudioWindowAnalyzer,
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=32,  # fat binary payloads in, tiny rows out
+    )

@@ -80,3 +80,54 @@ def test_frame_sampler_brute_force(ray_session):
     nf_of = dict(zip(vt.column("media_ref").to_pylist(), vt.column("n_frames").to_pylist()))
     for ref, c in counts.items():
         assert c == -(-nf_of[ref] // 4)
+
+
+def test_audio_windows_brute_force(ray_session):
+    import numpy as np
+
+    from osm_data_3d_tiles_ray.stages.media import (
+        AudioWindowAnalyzer,
+        media_audio_windows,
+        synth_audio_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        media_audio_windows(sf)
+        .to_pandas()
+        .sort_values(["media_ref", "win_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    # per-ref brute force over the same deterministic store
+    refs = sorted(got.media_ref.unique())
+    store = synth_audio_table(refs).to_pandas().set_index("media_ref")
+    for ref in refs[:5]:
+        s = np.frombuffer(store.loc[ref].payload, dtype=np.uint8).astype(
+            np.int64
+        ) - 128
+        sub = got[got.media_ref == ref]
+        n_win = 1 + (len(s) - 256) // 128
+        assert len(sub) == n_win
+        for i in (0, n_win - 1):
+            w = s[i * 128 : i * 128 + 256]
+            row = sub[sub.win_idx == i].iloc[0]
+            assert row.energy == int((w * w).sum())
+            sign = w >= 0
+            assert row.zero_crossings == int((sign[1:] != sign[:-1]).sum())
+            assert row.start_ms == (i * 128 * 1000) // 8000
+    # batch-size invariance of the explode stage
+    import ray.data
+
+    audio = synth_audio_table(refs)
+    a = (
+        ray.data.from_arrow(audio)
+        .map_batches(AudioWindowAnalyzer, batch_format="pyarrow",
+                     concurrency=2, batch_size=4)
+        .to_pandas()
+        .sort_values(["media_ref", "win_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, got)

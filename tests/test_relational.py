@@ -513,3 +513,30 @@ def test_shipping_priority_bloom_identical(ray_session):
     plain = shipping_priority(SF).to_pandas()
     bloom = shipping_priority(SF, use_bloom=True).to_pandas()
     pd.testing.assert_frame_equal(plain, bloom)
+
+
+def test_yearly_top_supplier_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import yearly_top_supplier
+
+    got = (
+        yearly_top_supplier(SF)
+        .to_pandas()
+        .sort_values("l_year")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cent = np.floor(
+        li.l_extendedprice.to_numpy() * (1 - li.l_discount.to_numpy()) * 100
+        + 0.5
+    ).astype(np.int64)
+    df = pd.DataFrame(
+        {"y": li.l_shipdate.dt.year, "s": li.l_suppkey, "c": cent}
+    ).groupby(["y", "s"], as_index=False).c.sum()
+    want = (
+        df.sort_values(["y", "c", "s"], ascending=[True, False, True])
+        .drop_duplicates("y")
+        .reset_index(drop=True)
+    )
+    assert got.l_year.tolist() == want.y.tolist()
+    assert got.s_suppkey.tolist() == want.s.tolist()
+    assert got.revenue_cent.tolist() == want.c.tolist()
