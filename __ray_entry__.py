@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_spend_deciles": relational.spend_deciles,
         "rel_order_gap_histogram": relational.order_gap_histogram,
         "rel_yearly_top_supplier": relational.yearly_top_supplier,
+        "rel_discounted_revenue": relational.discounted_revenue,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1606,6 +1607,18 @@ SELECT a.gx, a.gy, a.c AS n_events,
 FROM g a JOIN g b
   ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
 GROUP BY 1, 2, 3
+""",
+        "rel_discounted_revenue": """
+SELECT COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)), 0) AS revenue_cent,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
 """,
         "rel_yearly_top_supplier": """
 WITH per AS (

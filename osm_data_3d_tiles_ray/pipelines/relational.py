@@ -2784,3 +2784,76 @@ def yearly_top_supplier(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(per_ys, ["l_year"], argmax_part)
+
+
+def discounted_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q19-shaped: revenue from three OR-ed (brand, size-range,
+    quantity-range) predicate groups — the disjunctive-pushdown scan.
+
+    Scale shape: the part attributes needed by the predicate (brand
+    code, size) broadcast as ONE sorted bounded projection; each
+    lineitem batch evaluates all three predicate groups vectorized and
+    emits a single (cents, count) partial row — no shuffle at all beyond
+    the one-row combine (the Q6 family with a dimension probe).
+
+    Output: one row (revenue_cent, n_rows)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pkey = part.column("p_partkey").to_numpy()
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    sizes = part.column("p_size").to_numpy()
+    order = np.argsort(pkey)
+    pkey, brands, sizes = pkey[order], brands[order], sizes[order]
+    b12 = brands == "Brand#12"
+    b23 = brands == "Brand#23"
+    b34 = brands == "Brand#34"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pkey, pk), 0, max(len(pkey) - 1, 0))
+        hit = pkey[pos] == pk
+        sz = sizes[pos]
+        g1 = hit & b12[pos] & (sz >= 1) & (sz <= 5) & (qty >= 1) & (qty <= 11)
+        g2 = hit & b23[pos] & (sz >= 1) & (sz <= 10) & (qty >= 10) & (qty <= 20)
+        g3 = hit & b34[pos] & (sz >= 1) & (sz <= 15) & (qty >= 20) & (qty <= 30)
+        keep = g1 | g2 | g3
+        cents = np.floor(
+            price[keep] * (1.0 - disc[keep]) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "p_cent": pa.array([int(cents.sum())], type=pa.int64()),
+                "p_cnt": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"),
+            ray.data.aggregate.Sum("p_cnt", alias_name="n_rows"),
+        )
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "revenue_cent": pc.cast(b.column("revenue_cent"), pa.int64()),
+                "n_rows": pc.cast(b.column("n_rows"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -540,3 +540,23 @@ def test_yearly_top_supplier_brute_force(ray_session):
     assert got.l_year.tolist() == want.y.tolist()
     assert got.s_suppkey.tolist() == want.s.tolist()
     assert got.revenue_cent.tolist() == want.c.tolist()
+
+
+def test_discounted_revenue_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import discounted_revenue
+
+    got = discounted_revenue(SF01).to_pandas()
+    li = pd.read_parquet(f"{SF01}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF01}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    g1 = (j.p_brand == "Brand#12") & j.p_size.between(1, 5) & j.l_quantity.between(1, 11)
+    g2 = (j.p_brand == "Brand#23") & j.p_size.between(1, 10) & j.l_quantity.between(10, 20)
+    g3 = (j.p_brand == "Brand#34") & j.p_size.between(1, 15) & j.l_quantity.between(20, 30)
+    keep = g1 | g2 | g3
+    cents = np.floor(
+        j.l_extendedprice.to_numpy()[keep]
+        * (1 - j.l_discount.to_numpy()[keep]) * 100 + 0.5
+    ).astype(np.int64)
+    assert got.revenue_cent.iloc[0] == int(cents.sum())
+    assert got.n_rows.iloc[0] == int(keep.sum())
+    assert got.n_rows.iloc[0] > 0  # predicate groups actually select rows
