@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_gap_histogram": relational.order_gap_histogram,
         "rel_yearly_top_supplier": relational.yearly_top_supplier,
         "rel_discounted_revenue": relational.discounted_revenue,
+        "rel_revenue_rollup": relational.revenue_rollup,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -1607,6 +1608,21 @@ SELECT a.gx, a.gy, a.c AS n_events,
 FROM g a JOIN g b
   ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
 GROUP BY 1, 2, 3
+""",
+        "rel_revenue_rollup": """
+WITH base AS (
+  SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS cent
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(l_year, -1) AS l_year,
+       SUM(cent) AS revenue_cent
+FROM base
+GROUP BY GROUPING SETS ((n_name, l_year), (n_name), (l_year), ())
 """,
         "rel_discounted_revenue": """
 SELECT COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100

@@ -2857,3 +2857,100 @@ def discounted_revenue(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUPING-SETS rollup in ONE pass: supplier-nation × ship-year
+    revenue at all four grouping levels — (nation, year), (nation),
+    (year) and grand total — the OLAP cube pattern without four scans.
+
+    Scale shape: each batch's (nation, year) partials EXPAND to the four
+    level-tagged rows before the exchange (4× a bounded aggregate, not
+    4× lineitems), so one grouped exchange finishes every level
+    simultaneously.  ALL markers use sentinel codes (-1) rather than
+    NULL keys — Ray's hash groupby and the oracle's GROUPING SETS then
+    agree exactly after the same COALESCE.
+
+    Output: (n_name, l_year, revenue_cent) with 'ALL' / -1 markers."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skey = sup.column("s_suppkey").to_numpy()
+    snat = sup.column("s_nationkey").to_numpy()
+    s_order = np.argsort(skey)
+    skey, snat = skey[s_order], snat[s_order]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        sd_us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = (
+            sd_us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        pos = np.clip(np.searchsorted(skey, sk), 0, max(len(skey) - 1, 0))
+        nat = np.where(skey[pos] == sk, snat[pos], -2).astype(np.int64)
+        code = nat * 4096 + (year - 1970)
+        uk, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        n0, y0 = uk // 4096, uk % 4096 + 1970
+        # expand to the four grouping levels before the exchange
+        nat4 = np.concatenate([n0, n0, np.full(len(uk), -1), [-1]])
+        yr4 = np.concatenate([y0, np.full(len(uk), -1), y0, [-1]])
+        s4 = np.concatenate([sums, sums, sums, [sums.sum()]])
+        # collapse the batch-local duplicates the expansion introduced
+        code4 = (nat4 + 2) * 8192 + (yr4 + 2)
+        uk4, inv4 = np.unique(code4, return_inverse=True)
+        out = np.zeros(len(uk4), dtype=np.int64)
+        np.add.at(out, inv4, s4)
+        return pa.table(
+            {
+                "nat": pa.array(uk4 // 8192 - 2),
+                "l_year": pa.array(uk4 % 8192 - 2),
+                "p_cent": pa.array(out),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_shipdate", "l_suppkey", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["nat", "l_year"])
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent"))
+    )
+
+    nat_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey = nat_tbl.column("n_nationkey").to_numpy()
+    nname = np.asarray(nat_tbl.column("n_name").to_pylist(), dtype=object)
+    n_order = np.argsort(nkey)
+    nkey, nname = nkey[n_order], nname[n_order]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch.column("nat").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(nkey, nt), 0, len(nkey) - 1)
+        names = np.where(nt == -1, "ALL", nname[pos].astype(str))
+        return pa.table(
+            {
+                "n_name": pa.array(names.astype(str)),
+                "l_year": pc.cast(batch.column("l_year"), pa.int64()),
+                "revenue_cent": pc.cast(
+                    batch.column("revenue_cent"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

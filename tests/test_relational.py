@@ -560,3 +560,22 @@ def test_discounted_revenue_brute_force(ray_session):
     assert got.revenue_cent.iloc[0] == int(cents.sum())
     assert got.n_rows.iloc[0] == int(keep.sum())
     assert got.n_rows.iloc[0] > 0  # predicate groups actually select rows
+
+
+def test_revenue_rollup_consistency(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.relational import revenue_rollup
+
+    got = revenue_rollup(SF).to_pandas()
+    fine = got[(got.n_name != "ALL") & (got.l_year != -1)]
+    by_nat = got[(got.n_name != "ALL") & (got.l_year == -1)]
+    by_year = got[(got.n_name == "ALL") & (got.l_year != -1)]
+    grand = got[(got.n_name == "ALL") & (got.l_year == -1)]
+    # every level must reconcile with the finest one
+    assert len(grand) == 1
+    assert grand.revenue_cent.iloc[0] == fine.revenue_cent.sum()
+    a = fine.groupby("n_name").revenue_cent.sum().sort_index()
+    b = by_nat.set_index("n_name").revenue_cent.sort_index()
+    assert a.tolist() == b.tolist()
+    c = fine.groupby("l_year").revenue_cent.sum().sort_index()
+    d = by_year.set_index("l_year").revenue_cent.sort_index()
+    assert c.tolist() == d.tolist()
