@@ -499,7 +499,15 @@ def _q_media_audio_windows(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from osm_data_3d_tiles_ray.pipelines import ann, events, geo, relational, textops
+    from osm_data_3d_tiles_ray.pipelines import (
+        ann,
+        dsir,
+        events,
+        geo,
+        rangejoin,
+        relational,
+        textops,
+    )
 
     return {
         # geo engine core (SURVEY.md §2: S2/M1-M12, J1, A1, G18-adjacent)
@@ -639,6 +647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_top_percent": textops.quality_top_percent,
         "lang_confusion": textops.lang_confusion,
         "class_balanced_sample": textops.class_balanced_sample,
+        "events_attribution_window": rangejoin.event_attribution,
+        "geo_neighbor_density": rangejoin.neighbor_density,
+        "dsir_select": dsir.dsir_score,
+        "ccnet_ppl_buckets": dsir.ccnet_buckets,
     }
 
 
@@ -2084,5 +2096,93 @@ SELECT doc_id,
        WHEN c_de >= c_es THEN 'de'
        ELSE 'es' END AS lang_pred
 FROM c
+""",
+        "events_attribution_window": """
+WITH e AS (SELECT * FROM events)
+SELECT a.event_id, a.user_id,
+  CAST(COUNT(b.event_id) AS BIGINT) AS n_prior,
+  CAST(COALESCE(SUM(CAST(FLOOR(b.value * 1000000 + 0.5) AS BIGINT)), 0)
+       AS BIGINT) AS sum_value_micro
+FROM e a LEFT JOIN e b
+  ON b.user_id = a.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+WHERE a.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+        "geo_neighbor_density": f"""
+WITH p AS (SELECT osm_id,
+    CAST(FLOOR(centroid_x * 1000000 + 0.5) AS BIGINT) AS cx,
+    CAST(FLOOR(centroid_y * 1000000 + 0.5) AS BIGINT) AS cy
+  FROM {b})
+SELECT a.osm_id, CAST(COUNT(b.osm_id) AS BIGINT) AS n_neighbors
+FROM p a LEFT JOIN p b
+  ON b.osm_id <> a.osm_id
+ AND b.cx >= a.cx - 500000000 AND b.cx <= a.cx + 500000000
+ AND b.cy >= a.cy - 500000000 AND b.cy <= a.cy + 500000000
+GROUP BY 1
+""",
+        "dsir_select": """
+WITH t AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), agg AS (
+  SELECT w,
+    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+    CAST(COUNT(*) AS BIGINT) AS c_all
+  FROM t GROUP BY 1
+), tot AS (
+  SELECT SUM(ct) AS tt, SUM(c_all) - SUM(ct) AS tr, COUNT(*) AS v FROM agg
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tok,
+  CAST(SUM(CAST(FLOOR(LN((agg.ct + 1.0) / (tot.tt + tot.v)) * 1000000 + 0.5)
+                AS BIGINT)
+         - CAST(FLOOR(LN((agg.c_all - agg.ct + 1.0) / (tot.tr + tot.v))
+                      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS dsir_e6,
+  CAST(CAST(SUM(CAST(FLOOR(LN((agg.ct + 1.0) / (tot.tt + tot.v))
+                           * 1000000 + 0.5) AS BIGINT)
+              - CAST(FLOOR(LN((agg.c_all - agg.ct + 1.0) / (tot.tr + tot.v))
+                           * 1000000 + 0.5) AS BIGINT)) > 0 AS BIGINT)
+       AS BIGINT) AS kept
+FROM t JOIN agg USING (w) CROSS JOIN tot
+GROUP BY 1
+""",
+        "ccnet_ppl_buckets": """
+WITH t AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents
+), ix AS (
+  SELECT doc_id, lang, a, unnest(range(1, len(a))) AS i FROM t
+), bg AS (
+  SELECT doc_id, lang, a[i] AS w1, a[i + 1] AS w2 FROM ix
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+), uc AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uc
+), s AS (
+  SELECT bg.doc_id AS doc_id, any_value(bg.lang) AS lang,
+         CAST(SUM(CAST(FLOOR(ln((bc.c2 + 1.0) / (uc.c1 + v.v)) * 1000000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS logprob_e6
+  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+  GROUP BY 1
+), h AS (
+  SELECT lang, logprob_e6 AS lp, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+), c AS (
+  SELECT lang, lp, SUM(n) OVER (PARTITION BY lang ORDER BY lp) AS cum,
+         SUM(n) OVER (PARTITION BY lang) AS tot FROM h
+), th AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= (33 * tot + 99) // 100 THEN lp END) AS t33,
+         MIN(CASE WHEN cum >= (67 * tot + 99) // 100 THEN lp END) AS t67
+  FROM c GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.logprob_e6,
+  CASE WHEN s.logprob_e6 <= th.t33 THEN 'tail'
+       WHEN s.logprob_e6 <= th.t67 THEN 'middle'
+       ELSE 'head' END AS bucket
+FROM s JOIN th USING (lang)
 """,
     }

@@ -1,0 +1,352 @@
+"""Data selection for language models: DSIR importance scoring and
+CCNet-style perplexity bucketing (the two published selection recipes
+large-scale pretraining pipelines run between dedup and tokenization;
+no reference analog — the reference engine has no text operators).
+
+* ``dsir_score`` — Data Selection via Importance Resampling (Xie et
+  al., NeurIPS 2023): score every document by the log-likelihood ratio
+  of its unigrams under a "target" vs "raw" distribution, both
+  estimated from the corpus itself in the same distributed job.  The
+  paper buckets hashed n-grams to bound the feature table; this engine
+  keeps EXACT per-term counts instead and never materializes them on
+  the driver — the (term, ct, cr) relation stays distributed and the
+  attach is one hash-partitioned tag-union join (the tf_idf/bigram-LM
+  discipline, ``pipelines/textops.py``).  Hashed bucketing is a memory
+  optimization the distributed join makes unnecessary.
+
+* ``ccnet_buckets`` — CCNet (Wenzek et al., LREC 2020) ranks documents
+  by LM perplexity per language and splits them into head/middle/tail
+  terciles.  The LM is the engine's own distributed bigram model
+  (``textops.bigram_lm_score``); the per-language tercile thresholds
+  come from the exact two-pass order-statistics primitive
+  (``pipelines/selection.py``) — never a per-language sort of the
+  corpus, so one giant language cannot serialize on a single partition.
+
+Both stay on the repo's exact-integer oracle discipline: every
+transcendental result floors to integer micro-units BEFORE any sum, so
+partial-combine trees match single-pass SQL bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _term_rows_src(batch: pa.Table, target_source: str) -> pa.Table:
+    """Explode one batch of documents to (h, doc_id, tf, tgt_tf) rows:
+    per-(doc, term) occurrence counts, with ``tgt_tf == tf`` on target
+    documents and 0 elsewhere (so ONE groupby sums both the target and
+    the overall term counts).  Tokenization matches ``_term_tf_rows``
+    (space split, empties dropped); terms travel as 64-bit hashes."""
+    import polars as pl
+
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = toks.flatten()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    is_tgt = (
+        pc.equal(batch.column("source"), target_source)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    offs = np.asarray(toks.offsets)
+    row_of_tok = np.repeat(np.arange(len(batch)), np.diff(offs))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = words != ""
+    words, row_of_tok = words[keep], row_of_tok[keep]
+    empty = pa.table(
+        {
+            "h": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "tf": pa.array([], type=pa.int64()),
+            "tgt_tf": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(words) == 0:
+        return empty
+    vocab, code = np.unique(words, return_inverse=True)
+    vocab_hash = (
+        pl.Series(vocab.astype(object)).hash(seed=0x7F1D).to_numpy().view(np.int64)
+    )
+    pair = code.astype(np.int64) * len(doc_ids) + row_of_tok
+    upair, tf = np.unique(pair, return_counts=True)
+    row = (upair % len(doc_ids)).astype(np.int64)
+    tf = tf.astype(np.int64)
+    return pa.table(
+        {
+            "h": pa.array(vocab_hash[upair // len(doc_ids)]),
+            "doc_id": pa.array(doc_ids[row]),
+            "tf": pa.array(tf),
+            "tgt_tf": pa.array(np.where(is_tgt[row], tf, 0)),
+        }
+    )
+
+
+def dsir_score(
+    sf_dir: str, target_source: str = "src0", num_partitions: int = 256
+) -> "ray.data.Dataset":
+    """DSIR importance score for every document.
+
+    score_e6(doc) = Σ over token instances
+        floor(ln((ct+1)/(Tt+V))·1e6 + .5) − floor(ln((cr+1)/(Tr+V))·1e6 + .5)
+
+    where ct/cr are the term's occurrence counts in target
+    (``source == target_source``) vs raw (everything else) documents,
+    Tt/Tr the total token counts of each side, and V the distinct
+    vocabulary size (add-one smoothing on the count tables).
+
+    Scale shape: one explode pass → one bounded-key groupby for the
+    model → three scalar totals (per-block partials, never the vocab)
+    → ONE hash-partitioned tag-union join attaching (ct, cr) back onto
+    the doc rows → per-doc integer sums.  Driver state: 3 scalars.
+
+    Output: (doc_id, n_tok, dsir_e6, kept) — kept = dsir_e6 > 0.
+    """
+    import functools
+
+    from .partition import map_key_partitions
+
+    rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text", "source"])
+        .map_batches(
+            functools.partial(_term_rows_src, target_source=target_source),
+            batch_format="pyarrow",
+        )
+    )
+    model = (
+        rows.groupby("h")
+        .aggregate(
+            ray.data.aggregate.Sum("tf", alias_name="c_all"),
+            ray.data.aggregate.Sum("tgt_tf", alias_name="ct"),
+        )
+        .materialize()  # train→score checkpoint: one row per distinct term,
+        # distributed blocks (never driver-side)
+    )
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        c_all = batch.column("c_all").to_numpy(zero_copy_only=False)
+        ct = batch.column("ct").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tt": pa.array([int(ct.sum())], type=pa.int64()),
+                "tall": pa.array([int(c_all.sum())], type=pa.int64()),
+                "v": pa.array([len(batch)], type=pa.int64()),
+            }
+        )
+
+    parts = model.map_batches(totals_partial, batch_format="pyarrow").take_all()
+    tt = sum(p["tt"] for p in parts)  # bounded: one row per block
+    tall = sum(p["tall"] for p in parts)
+    v = sum(p["v"] for p in parts)
+    tr = tall - tt
+    tgt_denom, raw_denom = float(tt + v), float(tr + v)
+
+    def model_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "h": batch.column("h"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "tf": pa.array(np.zeros(n, dtype=np.int64)),
+                "ct": pc.cast(batch.column("ct"), pa.int64()),
+                "c_all": pc.cast(batch.column("c_all"), pa.int64()),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "h": batch.column("h"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "doc_id": batch.column("doc_id"),
+                "tf": batch.column("tf"),
+                "ct": pa.array(np.zeros(n, dtype=np.int64)),
+                "c_all": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    tagged = model.map_batches(model_side, batch_format="pyarrow").union(
+        rows.map_batches(doc_side, batch_format="pyarrow")
+    )
+
+    def score_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "p_ntok": pa.array([], type=pa.int64()),
+                "p_score": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        h = tbl.column("h").to_numpy(zero_copy_only=False)
+        mm = side == 1
+        dm = ~mm
+        if not dm.any():
+            return empty
+        mh = h[mm]
+        morder = np.argsort(mh, kind="stable")
+        mh = mh[morder]
+        ct = tbl.column("ct").to_numpy(zero_copy_only=False)[mm][morder]
+        c_all = tbl.column("c_all").to_numpy(zero_copy_only=False)[mm][morder]
+        # per-term integer score (floor BEFORE any sum: oracle float rule)
+        s_t = np.floor(np.log((ct + 1) / tgt_denom) * 1e6 + 0.5).astype(
+            np.int64
+        ) - np.floor(np.log((c_all - ct + 1) / raw_denom) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        pos = np.searchsorted(mh, h[dm])  # every doc term exists in the model
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False)[dm]
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)[dm]
+        udoc, inv = np.unique(did, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc),
+                "p_ntok": pa.array(np.bincount(inv, weights=tf).astype(np.int64)),
+                "p_score": pa.array(
+                    np.bincount(inv, weights=tf * s_t[pos]).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = map_key_partitions(tagged, ["h"], score_part, num_partitions)
+    merged = partials.groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("p_ntok", alias_name="n_tok"),
+        ray.data.aggregate.Sum("p_score", alias_name="dsir_e6"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column("dsir_e6"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+                "dsir_e6": s,
+                "kept": pc.cast(pc.greater(s, 0), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet head/middle/tail perplexity buckets per language.
+
+    Every scored document (≥1 bigram) gets its corpus-trained bigram LM
+    log-probability (``textops.bigram_lm_score`` — already
+    integer-exact), its language tag joins on via one doc_id-keyed
+    tag-union exchange, and the per-language tercile thresholds t33/t67
+    (smallest lp with count(<= lp) >= ceil(q·n/100)) come from
+    ``selection.exact_group_quantiles`` — two bounded-histogram passes,
+    no per-language sort.  Buckets: lp <= t33 → 'tail',
+    lp <= t67 → 'middle', else 'head' (higher log-prob = more fluent).
+
+    Output: (doc_id, lang, logprob_e6, bucket).
+    """
+    from .partition import map_key_partitions
+    from .selection import exact_group_quantiles
+    from .textops import bigram_lm_score
+
+    scores = bigram_lm_score(sf_dir)
+
+    def lang_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "lang": batch.column("lang"),
+                "logprob_e6": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def score_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "lang": pa.array([""] * n, type=pa.string()),
+                "logprob_e6": pc.cast(batch.column("logprob_e6"), pa.int64()),
+            }
+        )
+
+    tagged = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "lang"])
+        .map_batches(lang_side, batch_format="pyarrow")
+        .union(
+            scores.select_columns(["doc_id", "logprob_e6"]).map_batches(
+                score_side, batch_format="pyarrow"
+            )
+        )
+    )
+
+    def attach_lang(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "logprob_e6": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        sm = ~lm
+        if not sm.any():
+            return empty
+        ldoc = did[lm]
+        lorder = np.argsort(ldoc, kind="stable")
+        ldoc = ldoc[lorder]
+        lang = tbl.column("lang").to_numpy(zero_copy_only=False)[lm][lorder]
+        pos = np.searchsorted(ldoc, did[sm])  # every scored doc has a lang row
+        return pa.table(
+            {
+                "doc_id": pa.array(did[sm]),
+                "lang": pa.array(lang[pos].astype(object), type=pa.string()),
+                "logprob_e6": tbl.column("logprob_e6").filter(
+                    pa.array(sm)
+                ),
+            }
+        )
+
+    scored = map_key_partitions(tagged, ["doc_id"], attach_lang).materialize()
+    t33 = exact_group_quantiles(scored, "lang", "logprob_e6", 33)
+    t67 = exact_group_quantiles(scored, "lang", "logprob_e6", 67)
+
+    langs = sorted(t33)
+    l33 = {g: t for g, (_, t) in t33.items()}
+    l67 = {g: t for g, (_, t) in t67.items()}
+    arr33 = np.array([l33[g] for g in langs], dtype=np.int64)
+    arr67 = np.array([l67[g] for g in langs], dtype=np.int64)
+    lang_keys = np.array(langs)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        lp = batch.column("logprob_e6").to_numpy(zero_copy_only=False)
+        gi = np.searchsorted(lang_keys, lang)
+        bucket = np.where(
+            lp <= arr33[gi], "tail", np.where(lp <= arr67[gi], "middle", "head")
+        )
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(object), type=pa.string())
+        )
+
+    return scored.map_batches(bucketize, batch_format="pyarrow")
