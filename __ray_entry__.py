@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dsir,
         events,
         geo,
+        mining,
         rangejoin,
         relational,
         textops,
@@ -651,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_neighbor_density": rangejoin.neighbor_density,
         "dsir_select": dsir.dsir_score,
         "ccnet_ppl_buckets": dsir.ccnet_buckets,
+        "rel_skyline_orders": mining.skyline_orders,
+        "rel_basket_pairs": mining.basket_pairs,
     }
 
 
@@ -2184,5 +2187,38 @@ SELECT s.doc_id, s.lang, s.logprob_e6,
        WHEN s.logprob_e6 <= th.t67 THEN 'middle'
        ELSE 'head' END AS bucket
 FROM s JOIN th USING (lang)
+""",
+        "rel_skyline_orders": """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cent,
+         o_orderdate
+  FROM orders
+), g AS (
+  SELECT price_cent, MAX(o_orderdate) AS gmax FROM o GROUP BY 1
+), r AS (
+  SELECT price_cent, gmax,
+         MAX(gmax) OVER (ORDER BY price_cent DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM g
+)
+SELECT a.o_orderkey, a.price_cent, a.o_orderdate
+FROM o a JOIN r USING (price_cent)
+WHERE a.o_orderdate = r.gmax AND (r.pmax IS NULL OR a.o_orderdate > r.pmax)
+""",
+        "rel_basket_pairs": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders,
+       CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+            AS BIGINT) AS rank
+FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """,
     }

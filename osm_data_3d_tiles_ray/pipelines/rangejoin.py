@@ -154,7 +154,7 @@ def event_attribution(
     return map_key_partitions(anchors.union(events), ["user_id"], sweep_part)
 
 
-def neighbor_density(sf_dir: str, radius_m: float = 500.0) -> "ray.data.Dataset":
+def neighbor_density(sf_dir: str, radius_m: float | None = None) -> "ray.data.Dataset":
     """Per building: how many OTHER buildings have their centroid within
     an L∞ box of ``radius_m`` meters (the blocking-and-verify spatial
     band join; density signal for LOD/declutter decisions over the
@@ -169,11 +169,21 @@ def neighbor_density(sf_dir: str, radius_m: float = 500.0) -> "ray.data.Dataset"
     vectorized pass, no loop over cells.
 
     Output: (osm_id, n_neighbors) for every building.
+
+    The default radius scales inversely with the scale factor (the synth
+    corpus keeps a FIXED extent, so point density grows linearly with
+    sf): 500 m at sf0.01, clamped to [50 m, 2000 m].  Candidate-pair
+    work per point stays bounded as sf grows — at a fixed radius it
+    would grow linearly with density and the band join quadratically in
+    the densest cell.  Pass ``radius_m`` to pin a radius explicitly.
     """
     from ..synth.generator import ensure_synth, sf_from_dir
     from .partition import map_key_partitions
 
-    root = ensure_synth(sf_from_dir(sf_dir))
+    sf = sf_from_dir(sf_dir)
+    root = ensure_synth(sf)
+    if radius_m is None:
+        radius_m = float(min(2000.0, max(50.0, 500.0 * (0.01 / sf))))
     r_e6 = np.int64(int(round(radius_m * 1e6)))
 
     def to_cells(batch: pa.Table) -> pa.Table:

@@ -62,7 +62,7 @@ def test_neighbor_density_matches_bruteforce():
     from osm_data_3d_tiles_ray.synth.generator import ensure_synth, sf_from_dir
 
     got = (
-        rangejoin.neighbor_density(SF)
+        rangejoin.neighbor_density(SF, radius_m=500.0)
         .to_pandas()
         .sort_values("osm_id")
         .reset_index(drop=True)
