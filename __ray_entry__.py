@@ -228,6 +228,31 @@ _J1_COLS, _J1_OUT = _jenkins_round_sql("a0", "cb1_")
 _J2_COLS, _J2_OUT = _jenkins_round_sql("a1", "cb2_")
 
 
+def _pps_sample_sql(tag: int = 41) -> str:
+    """SQL mirror of diagnostics.pps_sample: keyed_uniform(event_id, tag)
+    (two chained Jenkins rounds) with the pure-integer keep rule
+    ``h · 5e8 < value_micro · 2^32`` (probability = value / 500)."""
+    M = 4294967296
+    tagmix = (tag * 2654435761) % M
+    j1c, j1o = _jenkins_round_sql("a0", "pp1_")
+    j2c, j2o = _jenkins_round_sql("a1", "pp2_")
+    return f"""
+WITH r AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micro,
+         xor(event_id % {M}, {tagmix}) AS a0
+  FROM events
+), j1 AS (SELECT *, {j1c} FROM r),
+j2 AS (
+  SELECT event_id, user_id, value_micro,
+         xor({j1o}, (event_id // {M}) % {M}) AS a1
+  FROM j1
+), j3 AS (SELECT *, {j2c} FROM j2)
+SELECT event_id, user_id, value_micro, CAST({j2o} AS BIGINT) AS h
+FROM j3 WHERE {j2o} * 500000000 < value_micro * {M}
+"""
+
+
 def _lod_sample_sql() -> str:
     """SQL mirror of geo.q_lod_sample: the keep rule is a pure integer
     function of (osm_id, subcell) — Jenkins hash u < 0.25 ⟺ h < 2^30
@@ -501,6 +526,7 @@ def _q_media_audio_windows(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from osm_data_3d_tiles_ray.pipelines import (
         ann,
+        diagnostics,
         dsir,
         events,
         geo,
@@ -654,6 +680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_ppl_buckets": dsir.ccnet_buckets,
         "rel_skyline_orders": mining.skyline_orders,
         "rel_basket_pairs": mining.basket_pairs,
+        "events_pps_sample": diagnostics.pps_sample,
+        "events_type_value_corr": diagnostics.type_value_corr,
+        "source_lang_pmi": diagnostics.source_lang_pmi,
     }
 
 
@@ -2220,5 +2249,37 @@ SELECT part_a, part_b, n_orders,
        CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
             AS BIGINT) AS rank
 FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+""",
+        "events_pps_sample": _pps_sample_sql(),
+        "events_type_value_corr": """
+WITH e AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+  FROM events
+), a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+         SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+         SUM(y * y) AS syy
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+  CAST(FLOOR(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+    ELSE 0 END * 1000000 + 0.5) AS BIGINT) AS corr_e6
+FROM a
+""",
+        "source_lang_pmi": """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), s AS (SELECT source, SUM(n) AS cs FROM c GROUP BY 1),
+l AS (SELECT lang, SUM(n) AS cl FROM c GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT c.source, c.lang, c.n,
+  CAST(FLOOR(LN(CAST(c.n * t.total AS DOUBLE) / (s.cs * l.cl))
+             * 1000000 + 0.5) AS BIGINT) AS pmi_e6
+FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
 """,
     }

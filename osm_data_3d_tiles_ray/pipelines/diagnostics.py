@@ -1,0 +1,218 @@
+"""Dataset-diagnostics operators: weighted sampling, association and
+correlation statistics (no reference analog — these extend the engine's
+training-data toolkit with the measurement ops a corpus curator runs
+before committing a mixture).
+
+All three follow the repo's exact-oracle discipline:
+
+* ``pps_sample`` keeps an event with probability proportional to its
+  value using the deterministic keyed Jenkins hash (geom/rng.py) — the
+  keep rule is pure integer arithmetic (``h · CAP_e6 < value_e6 · 2^32``),
+  so the DuckDB mirror (``_jenkins_round_sql``) reproduces the exact
+  sample.  No RNG state, partition-invariant, resumable.
+
+* ``type_value_corr`` computes per-group Pearson correlation from the
+  six integer component sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulated as
+  exact int64 per batch and combined by one bounded groupby.  The final
+  ``corr_e6`` uses only IEEE-exact float ops (divide, sqrt) on the same
+  integers — bit-identical between numpy and DuckDB (the repo float
+  rule's sqrt exception: correctly-rounded, not libm-approximated).
+
+* ``source_lang_pmi`` emits the pointwise-mutual-information table
+  between the source and language columns: one bounded (source, lang)
+  count groupby plus marginals derived from the SAME cell table (cells
+  are bounded by |sources| × |langs|, so the finish is driver-side by
+  construction).  Per-cell PMI floors to integer micro-nats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_VALUE_CAP_E6 = np.int64(500_000_000)  # events.value < 500 by construction
+_TWO32 = np.int64(4294967296)
+
+
+def pps_sample(sf_dir: str, tag: int = 41) -> "ray.data.Dataset":
+    """Probability-proportional-to-size event sample: keep an event with
+    probability ``value / 500`` — deterministically, via the keyed
+    Jenkins uniform (keep iff ``h·CAP_e6 < value_e6·2^32``; both products
+    stay under 2^62, exact in int64 on both engine and oracle).
+
+    Output: (event_id, user_id, value_micro, h).
+    """
+    from ..geom.rng import jenkins_mix
+
+    tagmix = np.uint32((tag * 2654435761) & 0xFFFFFFFF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        v_e6 = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        h = jenkins_mix(eid.astype(np.uint64).astype(np.uint32) ^ tagmix)
+        h = jenkins_mix(
+            h ^ (eid.astype(np.uint64) >> np.uint64(32)).astype(np.uint32)
+        )
+        h64 = h.astype(np.int64)
+        keep = h64 * _VALUE_CAP_E6 < v_e6 * _TWO32
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep].astype(np.int64)),
+                "user_id": batch.column("user_id").filter(pa.array(keep)),
+                "value_micro": pa.array(v_e6[keep]),
+                "h": pa.array(h64[keep]),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(partial, batch_format="pyarrow")
+
+
+def type_value_corr(sf_dir: str) -> "ray.data.Dataset":
+    """Per event_type Pearson correlation between value (in cents) and
+    hour-of-day.  Component sums are exact int64 (value ≤ 500 ⇒ Σx²
+    overflows int64 only past ~10^12 rows per type; document horizon),
+    and the final corr uses only IEEE-exact float ops.
+
+    Output: (event_type, n, corr_e6).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (tsv // 3_600_000_000) % 24
+        x = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        codes, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(codes),
+                "p_n": pa.array(n),
+                "p_sx": pa.array(np.bincount(inv, weights=x).astype(np.int64)),
+                "p_sy": pa.array(np.bincount(inv, weights=hour).astype(np.int64)),
+                "p_sxy": pa.array(
+                    np.bincount(inv, weights=x * hour).astype(np.int64)
+                ),
+                "p_sxx": pa.array(np.bincount(inv, weights=x * x).astype(np.int64)),
+                "p_syy": pa.array(
+                    np.bincount(inv, weights=hour * hour).astype(np.int64)
+                ),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_sx", alias_name="sx"),
+            ray.data.aggregate.Sum("p_sy", alias_name="sy"),
+            ray.data.aggregate.Sum("p_sxy", alias_name="sxy"),
+            ray.data.aggregate.Sum("p_sxx", alias_name="sxx"),
+            ray.data.aggregate.Sum("p_syy", alias_name="syy"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n"), pa.int64()).to_numpy(zero_copy_only=False)
+        sx = pc.cast(batch.column("sx"), pa.int64()).to_numpy(zero_copy_only=False)
+        sy = pc.cast(batch.column("sy"), pa.int64()).to_numpy(zero_copy_only=False)
+        sxy = pc.cast(batch.column("sxy"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sxx = pc.cast(batch.column("sxx"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        syy = pc.cast(batch.column("syy"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cov = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        vy = (n * syy - sy * sy).astype(np.float64)
+        denom = np.sqrt(vx) * np.sqrt(vy)
+        corr = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0), 0.0)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(n),
+                "corr_e6": pa.array(
+                    np.floor(corr * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def source_lang_pmi(sf_dir: str) -> "pa.Table":
+    """Pointwise mutual information between document source and language:
+    per (source, lang) cell, ``pmi_e6 = floor(ln(c_sl·N / (c_s·c_l))·1e6
+    + .5)`` — positive cells mark source/language affinity (the mixture
+    curator's association diagnostic).
+
+    Scale shape: ONE bounded groupby (cells ≤ |sources| × |langs|);
+    marginals and PMI derive from the cell table on the driver.
+
+    Output: (source, lang, n, pmi_e6).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False).astype(str)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        key = np.char.add(np.char.add(src, "\x1f"), lang)
+        codes, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(codes, "\x1f")
+        return pa.table(
+            {
+                "source": pa.array(sp[:, 0]),
+                "lang": pa.array(sp[:, 2]),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+        .to_pandas()  # bounded: |sources| x |langs| cells
+    )
+    src = cells["source"].to_numpy().astype(str)
+    lang = cells["lang"].to_numpy().astype(str)
+    n = cells["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    s_keys, s_inv = np.unique(src, return_inverse=True)
+    l_keys, l_inv = np.unique(lang, return_inverse=True)
+    c_s = np.bincount(s_inv, weights=n).astype(np.int64)
+    c_l = np.bincount(l_inv, weights=n).astype(np.int64)
+    pmi = np.floor(
+        np.log(
+            (n * total).astype(np.float64) / (c_s[s_inv] * c_l[l_inv])
+        )
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    order = np.lexsort((lang, src))
+    return pa.table(
+        {
+            "source": pa.array(src[order]),
+            "lang": pa.array(lang[order]),
+            "n": pa.array(n[order]),
+            "pmi_e6": pa.array(pmi[order]),
+        }
+    )

@@ -1,0 +1,73 @@
+"""Oracles for the diagnostics operators (PPS sample, correlation, PMI)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from osm_data_3d_tiles_ray.geom.rng import keyed_uniform
+from osm_data_3d_tiles_ray.pipelines import diagnostics
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pps_sample_matches_keyed_uniform():
+    got = (
+        diagnostics.pps_sample(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    eid = ev["event_id"].to_numpy()
+    v_e6 = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    u = keyed_uniform(eid, 41)  # independent path to the same hash stream
+    keep = u < v_e6 / 500_000_000.0
+    assert got["event_id"].tolist() == sorted(eid[keep].tolist())
+    # inclusion probability proportional to value: kept mean value must
+    # exceed the population mean (size-biased sampling)
+    assert got["value_micro"].mean() > v_e6.mean()
+
+
+def test_pps_sample_partition_invariant():
+    a = diagnostics.pps_sample(SF).to_pandas().sort_values("event_id")
+    b = diagnostics.pps_sample(SF).to_pandas().sort_values("event_id")
+    assert a["event_id"].tolist() == b["event_id"].tolist()
+
+
+def test_type_value_corr_matches_bruteforce():
+    got = (
+        diagnostics.type_value_corr(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    x = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    y = (ev["ts"].astype("int64").to_numpy() // 3_600_000_000) % 24
+    rows = []
+    for et, idx in ev.groupby("event_type").groups.items():
+        xi, yi = x[idx], y[idx]
+        n = len(xi)
+        cov = float(n * (xi * yi).sum() - xi.sum() * yi.sum())
+        vx = float(n * (xi * xi).sum() - xi.sum() ** 2)
+        vy = float(n * (yi * yi).sum() - yi.sum() ** 2)
+        corr = cov / (np.sqrt(vx) * np.sqrt(vy)) if vx > 0 and vy > 0 else 0.0
+        rows.append((et, n, int(np.floor(corr * 1e6 + 0.5))))
+    exp = pd.DataFrame(rows, columns=["event_type", "n", "corr_e6"]).sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["corr_e6"].abs() <= 1_000_000).all()
+
+
+def test_source_lang_pmi_properties():
+    got = diagnostics.source_lang_pmi(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert got["n"].sum() == len(docs)
+    # expectation of exp(pmi)-weighted joint equals 1 only abstractly;
+    # concrete invariant: sum over cells of n must reproduce marginals
+    for s, sub in got.groupby("source"):
+        assert sub["n"].sum() == (docs["source"] == s).sum()
+    # PMI of an independent-ish uniform grid stays near zero, and extreme
+    # |pmi| beyond ln(max(N)) is impossible by construction
+    assert got["pmi_e6"].abs().max() <= int(np.log(len(docs)) * 1e6)
