@@ -683,6 +683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pps_sample": diagnostics.pps_sample,
         "events_type_value_corr": diagnostics.type_value_corr,
         "source_lang_pmi": diagnostics.source_lang_pmi,
+        "dup_span_coverage": textops.dup_span_coverage,
+        "curriculum_rank": textops.curriculum_rank,
     }
 
 
@@ -2281,5 +2283,30 @@ SELECT c.source, c.lang, c.n,
   CAST(FLOOR(LN(CAST(c.n * t.total AS DOUBLE) / (s.cs * l.cl))
              * 1000000 + 0.5) AS BIGINT) AS pmi_e6
 FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
+""",
+        "dup_span_coverage": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents
+), ix AS (
+  SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i FROM t
+), g AS (
+  SELECT doc_id, a[i] || chr(31) || a[i+1] || chr(31) || a[i+2] AS w FROM ix
+), c AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS tot FROM g GROUP BY 1
+), d AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN c.tot >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM g JOIN c USING (w) GROUP BY 1
+)
+SELECT doc_id, n_windows, n_dup AS n_dup_windows,
+       CAST((n_dup * 1000000) // n_windows AS BIGINT) AS dup_frac_e6
+FROM d
+""",
+        "curriculum_rank": """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS rank
+FROM documents
 """,
     }

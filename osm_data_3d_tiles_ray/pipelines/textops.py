@@ -3327,3 +3327,221 @@ def class_balanced_sample(
         .map_batches(partial, batch_format="pyarrow")
     )
     return map_key_partitions(partials, ["lang"], finish_part)
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-span coverage (ExactSubstr-style signal)
+
+
+def dup_span_coverage(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
+    """Per document: how much of it is covered by word ``n``-grams that
+    occur at least twice anywhere in the corpus — the signal behind
+    ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): spans repeated verbatim across (or
+    within) documents are memorization fuel and candidates for removal.
+
+    Shape (the tf_idf discipline): one vectorized explode to hashed
+    window rows pre-combined per (doc, gram) inside the batch; corpus
+    totals are a groupby over those SAME rows keyed by the 8-byte gram
+    hash; the totals attach back via ONE hash-partitioned tag-union
+    join; per-doc sums finish in a bounded groupby.  The gram vocabulary
+    never materializes on the driver.
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_frac_e6) — frac is
+    integer-exact ``(n_dup * 1e6) // n_windows``.
+    """
+    from .partition import map_key_partitions
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        g, row, _ = _hashed_ngrams(batch.column("text"), n)
+        empty = pa.table(
+            {
+                "g": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)[row]
+        order = np.lexsort((g, did))
+        did, g = did[order], g[order]
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (did[1:] != did[:-1]) | (g[1:] != g[:-1])
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.append(idx, len(g)))
+        return pa.table(
+            {
+                "g": pa.array(g[first]),
+                "doc_id": pa.array(did[first]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .materialize()  # consumed twice: totals + attach
+    )
+    totals = rows.groupby("g").aggregate(
+        ray.data.aggregate.Sum("cnt", alias_name="tot")
+    )
+
+    def tot_side(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        return pa.table(
+            {
+                "g": batch.column("g"),
+                "side": pa.array(np.ones(m, dtype=np.int8)),
+                "doc_id": pa.array(np.zeros(m, dtype=np.int64)),
+                "cnt": pa.array(np.zeros(m, dtype=np.int64)),
+                "tot": pc.cast(batch.column("tot"), pa.int64()),
+            }
+        )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        return pa.table(
+            {
+                "g": batch.column("g"),
+                "side": pa.array(np.zeros(m, dtype=np.int8)),
+                "doc_id": batch.column("doc_id"),
+                "cnt": batch.column("cnt"),
+                "tot": pa.array(np.zeros(m, dtype=np.int64)),
+            }
+        )
+
+    tagged = totals.map_batches(tot_side, batch_format="pyarrow").union(
+        rows.map_batches(doc_side, batch_format="pyarrow")
+    )
+
+    def attach_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "p_win": pa.array([], type=pa.int64()),
+                "p_dup": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        g = tbl.column("g").to_numpy(zero_copy_only=False)
+        mm, dm = side == 1, side == 0
+        if not dm.any():
+            return empty
+        mg = g[mm]
+        morder = np.argsort(mg, kind="stable")
+        mg = mg[morder]
+        tot = tbl.column("tot").to_numpy(zero_copy_only=False)[mm][morder]
+        pos = np.searchsorted(mg, g[dm])  # every doc gram is in totals
+        cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)[dm]
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)[dm]
+        dup = np.where(tot[pos] >= 2, cnt, 0)
+        udoc, inv = np.unique(did, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc),
+                "p_win": pa.array(np.bincount(inv, weights=cnt).astype(np.int64)),
+                "p_dup": pa.array(np.bincount(inv, weights=dup).astype(np.int64)),
+            }
+        )
+
+    merged = map_key_partitions(tagged, ["g"], attach_part).groupby(
+        "doc_id"
+    ).aggregate(
+        ray.data.aggregate.Sum("p_win", alias_name="n_windows"),
+        ray.data.aggregate.Sum("p_dup", alias_name="n_dup_windows"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch.column("n_windows"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = pc.cast(batch.column("n_dup_windows"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_windows": pa.array(w),
+                "n_dup_windows": pa.array(d),
+                "dup_frac_e6": pa.array((d * 1_000_000) // w),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed global rank (zipWithIndex) — curriculum ordering
+
+
+def curriculum_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Global curriculum rank: every document's exact 1-based position
+    under ``ORDER BY n_chars DESC, doc_id`` — the distributed
+    zipWithIndex primitive Ray Data's public API lacks, built as two
+    bounded passes instead of a full sort:
+
+    1. histogram the sort key (distinct doc LENGTHS — bounded by max
+       length, not corpus size) → per-length base rank on the driver;
+    2. one hash exchange keyed n_chars co-locates each length's docs;
+       within a partition one lexsort + run-boundary offsets finish the
+       tie-break — no global all-to-all sort of the corpus.
+
+    Output: (doc_id, n_chars, rank).
+    """
+    from .partition import map_key_partitions
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {"n_chars": pa.array(uk), "p_n": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct length
+        .sort_values("n_chars", ascending=False)
+    )
+    lengths = hist["n_chars"].to_numpy().astype(np.int64)
+    counts = hist["n"].to_numpy().astype(np.int64)
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    asc = np.argsort(lengths)
+    lengths_asc, base_asc = lengths[asc], base[asc]
+
+    def rank_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        nc = tbl.column("n_chars").to_numpy(zero_copy_only=False)
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc))
+        nc, did = nc[order], did[order]
+        brk = np.ones(len(nc), dtype=bool)
+        brk[1:] = nc[1:] != nc[:-1]
+        run_start = np.flatnonzero(brk)
+        offset = np.arange(len(nc)) - np.repeat(
+            run_start, np.diff(np.append(run_start, len(nc)))
+        )
+        b = base_asc[np.searchsorted(lengths_asc, nc)]
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "n_chars": pa.array(nc),
+                "rank": pa.array(b + offset + 1),
+            }
+        )
+
+    return map_key_partitions(docs, ["n_chars"], rank_part)

@@ -157,3 +157,51 @@ def test_ccnet_buckets_properties():
         # tercile sizes: each bucket holds >= ceil(n/3) - a tie-margin
         n = len(sub)
         assert len(t) >= (33 * n + 99) // 100 - 1 or n < 3
+
+
+def test_dup_span_coverage_bruteforce():
+    from collections import Counter
+
+    from osm_data_3d_tiles_ray.pipelines import textops
+
+    got = (
+        textops.dup_span_coverage(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    grams = {}
+    tot: Counter = Counter()
+    for _, d in docs.iterrows():
+        ws = [w for w in d["text"].split(" ") if w]
+        gs = [tuple(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        grams[d["doc_id"]] = gs
+        tot.update(gs)
+    rows = []
+    for did, gs in grams.items():
+        if not gs:
+            continue
+        nd = sum(1 for g in gs if tot[g] >= 2)
+        rows.append((did, len(gs), nd, (nd * 1_000_000) // len(gs)))
+    exp = (
+        pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_windows", "n_dup_windows", "dup_frac_e6"],
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    assert got["n_dup_windows"].sum() > 0
+
+
+def test_curriculum_rank_is_permutation():
+    from osm_data_3d_tiles_ray.pipelines import textops
+
+    got = textops.curriculum_rank(SF).to_pandas().sort_values("rank")
+    n = len(got)
+    assert got["rank"].tolist() == list(range(1, n + 1))  # exact permutation
+    # ordering law: rank ascending == (n_chars desc, doc_id asc)
+    key = list(zip(-got["n_chars"].to_numpy(), got["doc_id"].to_numpy()))
+    assert key == sorted(key)
