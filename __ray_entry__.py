@@ -228,6 +228,70 @@ _J1_COLS, _J1_OUT = _jenkins_round_sql("a0", "cb1_")
 _J2_COLS, _J2_OUT = _jenkins_round_sql("a1", "cb2_")
 
 
+def _jenkins_round_ctes(src: str, a: str, pfx: str, carry: str) -> tuple[str, str]:
+    """The same avalanche round as ``_jenkins_round_sql`` but as SIX
+    MATERIALIZED CTEs (one per step).  DuckDB re-inlines lateral alias
+    references, so the single-SELECT form costs ~0.17 ms/row (the
+    expression tree doubles at every xor) — fine for 10k-row streams,
+    fatal for multi-million-row join results.  Materializing each step
+    makes the chain linear.  Returns (cte text, final cte name); the
+    final CTE carries ``carry`` columns plus ``{pfx}6``."""
+    M = 4294967296
+    steps = [
+        f"({a} + {0x7ED55D16} + {a} * 4096) % {M}",
+        f"xor(xor({pfx}1, {0xC761C23C}), {pfx}1 // 524288)",
+        f"({pfx}2 + {0x165667B1} + {pfx}2 * 32) % {M}",
+        f"xor(({pfx}3 + {0xD3A2646C}) % {M}, ({pfx}3 * 512) % {M})",
+        f"({pfx}4 + {0xFD7046C5} + {pfx}4 * 8) % {M}",
+        f"xor(xor({pfx}5, {0xB55A4F09}), {pfx}5 // 65536)",
+    ]
+    ctes, prev = [], src
+    for i, expr in enumerate(steps, start=1):
+        # each CTE reads the previous step's column and carries only the
+        # passthrough columns + its own result forward
+        ctes.append(
+            f"{pfx}s{i} AS MATERIALIZED (SELECT {carry}, "
+            f"{expr} AS {pfx}{i} FROM {prev})"
+        )
+        prev = f"{pfx}s{i}"
+    return ",\n".join(ctes), prev
+
+
+def _range_join_sample_sql(b: str, tag: int = 91, r: int = 500_000_000) -> str:
+    """SQL mirror of sampling.range_join_sample at sf0.01: the band join
+    bucketed exactly like the engine (3×3 stencil equi-join — DuckDB's
+    raw IEJoin band plan takes minutes at 2.3M pairs), pair key
+    ``a·1000003 + b``, keyed Jenkins chain as materialized CTE steps,
+    keep rule ``h · 20 < 2^32``."""
+    M = 4294967296
+    tagmix = (tag * 2654435761) % M
+    c1, last1 = _jenkins_round_ctes("r0", "a0", "ra_", "oa, ob, key")
+    c2, last2 = _jenkins_round_ctes("r1", "a1", "rb_", "oa, ob")
+    return f"""
+WITH p AS (
+  SELECT osm_id,
+         CAST(FLOOR(centroid_x * 1000000 + 0.5) AS BIGINT) AS cx,
+         CAST(FLOOR(centroid_y * 1000000 + 0.5) AS BIGINT) AS cy
+  FROM {b}
+), g AS (SELECT *, cx // {r} AS gx, cy // {r} AS gy FROM p),
+q AS (SELECT g.*, gx + dx.d AS jx, gy + dy.d AS jy
+      FROM g, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+pairs AS (
+  SELECT a.osm_id AS oa, b.osm_id AS ob,
+         a.osm_id * 1000003 + b.osm_id AS key
+  FROM q a JOIN g b ON a.jx = b.gx AND a.jy = b.gy
+  WHERE a.osm_id < b.osm_id
+    AND b.cx >= a.cx - {r} AND b.cx <= a.cx + {r}
+    AND b.cy >= a.cy - {r} AND b.cy <= a.cy + {r}
+), r0 AS (SELECT oa, ob, key, xor(key % {M}, {tagmix}) AS a0 FROM pairs),
+{c1},
+r1 AS (SELECT oa, ob, xor(ra_6, (key // {M}) % {M}) AS a1 FROM {last1}),
+{c2}
+SELECT oa AS osm_id_a, ob AS osm_id_b, CAST(rb_6 AS BIGINT) AS h
+FROM {last2} WHERE rb_6 * 20 < {M}
+"""
+
+
 def _pps_sample_sql(tag: int = 41) -> str:
     """SQL mirror of diagnostics.pps_sample: keyed_uniform(event_id, tag)
     (two chained Jenkins rounds) with the pure-integer keep rule
@@ -533,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mining,
         rangejoin,
         relational,
+        sampling,
+        storage,
         textops,
     )
 
@@ -685,6 +751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_pmi": diagnostics.source_lang_pmi,
         "dup_span_coverage": textops.dup_span_coverage,
         "curriculum_rank": textops.curriculum_rank,
+        "geo_range_join_sample": sampling.range_join_sample,
+        "rle_run_stats": storage.rle_run_stats,
     }
 
 
@@ -2308,5 +2376,19 @@ SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
          AS rank
 FROM documents
+""",
+        "geo_range_join_sample": _range_join_sample_sql(b),
+        "rle_run_stats": f"""
+WITH b AS (SELECT osm_id, COALESCE(roof_type, chr(1)) AS v FROM {b}),
+o AS (SELECT v, LAG(v) OVER (ORDER BY osm_id) AS prev,
+             row_number() OVER (ORDER BY osm_id) AS rn FROM b)
+SELECT 'roof_type' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN rn = 1 OR v <> prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS runs_storage_order,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS runs_value_order,
+       CAST(SUM(CASE WHEN rn = 1 OR v <> prev THEN 1 ELSE 0 END) * 1000000
+            // COUNT(DISTINCT v) AS BIGINT) AS permute_gain_e6
+FROM o
 """,
     }

@@ -1,0 +1,144 @@
+"""Random sampling over a spatial range join (shape from "Random
+Sampling Over Spatial Range Joins", ICDE 2025 — see PAPERS.md): draw a
+deterministic uniform sample of the JOIN RESULT of the building
+band-join without materializing or shuffling the full pair set past the
+sampling stage.
+
+The candidate enumeration reuses the grid-bucket band join of
+``pipelines/rangejoin.neighbor_density`` (3×3 stencil replication, one
+cell-keyed exchange); inside the partition kernel each surviving pair
+is kept with probability 1/20 by the keyed Jenkins uniform of its PAIR
+key — a pure integer rule (``h · 20 < 2^32``), so the sample is
+partition-invariant, rerunnable, and exactly mirrored by the DuckDB
+band-join + Jenkins-chain oracle.  Only sampled pairs are ever emitted
+from the kernel; the unsampled join result never exists as rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_PAIR_P = np.int64(1000003)  # pair key = a·P + b (documented id-domain bound)
+
+
+def range_join_sample(
+    sf_dir: str, radius_m: float | None = None, tag: int = 91
+) -> "ray.data.Dataset":
+    """Uniform 1-in-20 sample of building pairs whose centroids fall
+    within an L∞ box of ``radius_m`` (default: the density-scaled radius
+    of ``neighbor_density``).  Each unordered pair is considered exactly
+    once (emitted from the smaller id's home cell).
+
+    Output: (osm_id_a, osm_id_b, h) with osm_id_a < osm_id_b.
+    """
+    from ..geom.rng import jenkins_mix
+    from ..synth.generator import ensure_synth, sf_from_dir
+    from .partition import map_key_partitions
+
+    sf = sf_from_dir(sf_dir)
+    root = ensure_synth(sf)
+    if radius_m is None:
+        radius_m = float(min(2000.0, max(50.0, 500.0 * (0.01 / sf))))
+    r_e6 = np.int64(int(round(radius_m * 1e6)))
+    tagmix = np.uint32((tag * 2654435761) & 0xFFFFFFFF)
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        cx = np.floor(
+            batch.column("centroid_x").to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        cy = np.floor(
+            batch.column("centroid_y").to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        gx, gy = cx // r_e6, cy // r_e6
+        n = len(oid)
+        offs = np.array([-1, 0, 1], dtype=np.int64)
+        dgx = gx[:, None] + np.tile(offs, 3)[None, :]
+        dgy = gy[:, None] + np.repeat(offs, 3)[None, :]
+        return pa.table(
+            {
+                "cell_x": pa.array(np.concatenate([dgx.ravel(), gx])),
+                "cell_y": pa.array(np.concatenate([dgy.ravel(), gy])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(9 * n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                "osm_id": pa.array(np.concatenate([np.repeat(oid, 9), oid])),
+                "cx": pa.array(np.concatenate([np.repeat(cx, 9), cx])),
+                "cy": pa.array(np.concatenate([np.repeat(cy, 9), cy])),
+            }
+        )
+
+    pts = ray.data.read_parquet(
+        str(root / "buildings"), columns=["osm_id", "centroid_x", "centroid_y"]
+    ).map_batches(to_cells, batch_format="pyarrow")
+
+    def sample_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "osm_id_a": pa.array([], type=pa.int64()),
+                "osm_id_b": pa.array([], type=pa.int64()),
+                "h": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        gx = tbl.column("cell_x").to_numpy(zero_copy_only=False)
+        gy = tbl.column("cell_y").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        oid = tbl.column("osm_id").to_numpy(zero_copy_only=False)
+        cx = tbl.column("cx").to_numpy(zero_copy_only=False)
+        cy = tbl.column("cy").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, gx, gy))
+        gx, gy, side = gx[order], gy[order], side[order]
+        oid, cx, cy = oid[order], cx[order], cy[order]
+        qm = side == 1
+        if not qm.any():
+            return empty
+        brk = np.ones(len(gx), dtype=bool)
+        brk[1:] = (gx[1:] != gx[:-1]) | (gy[1:] != gy[:-1])
+        run_id = np.cumsum(brk) - 1
+        run_start = np.flatnonzero(brk)
+        d_per_run = np.bincount(run_id[~qm], minlength=len(run_start)).astype(
+            np.int64
+        )
+        q_idx = np.flatnonzero(qm)
+        q_run = run_id[qm]
+        lens = d_per_run[q_run]
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        nq = len(q_idx)
+        qrep = np.repeat(np.arange(nq, dtype=np.int64), lens)
+        base = np.repeat(run_start[q_run], lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        didx = base + within
+        qg = q_idx[qrep]
+        hit = (
+            (np.abs(cx[didx] - cx[qg]) <= r_e6)
+            & (np.abs(cy[didx] - cy[qg]) <= r_e6)
+            & (oid[qg] < oid[didx])  # each unordered pair counted once
+        )
+        a, b = oid[qg][hit], oid[didx][hit]
+        key = a * _PAIR_P + b
+        h = jenkins_mix(key.astype(np.uint64).astype(np.uint32) ^ tagmix)
+        h = jenkins_mix(
+            h ^ (key.astype(np.uint64) >> np.uint64(32)).astype(np.uint32)
+        )
+        h64 = h.astype(np.int64)
+        keep = h64 * np.int64(20) < np.int64(4294967296)
+        return pa.table(
+            {
+                "osm_id_a": pa.array(a[keep].astype(np.int64)),
+                "osm_id_b": pa.array(b[keep].astype(np.int64)),
+                "h": pa.array(h64[keep]),
+            }
+        )
+
+    return map_key_partitions(pts, ["cell_x", "cell_y"], sample_part)
