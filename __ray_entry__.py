@@ -292,6 +292,77 @@ FROM {last2} WHERE rb_6 * 20 < {M}
 """
 
 
+def _weighted_join_sample_sql(tag: int = 73) -> str:
+    """SQL mirror of sampling.weighted_join_sample: attribution-join
+    tuples, pair key ``a·1000003 + b``, keyed Jenkins chain (materialized
+    CTE steps), keep rule ``h · 5e8 < value_e6 · 2^32``."""
+    M = 4294967296
+    tagmix = (tag * 2654435761) % M
+    c1, last1 = _jenkins_round_ctes("r0", "a0", "wa_", "a, b, v, key")
+    c2, last2 = _jenkins_round_ctes("r1", "a1", "wb_", "a, b, v")
+    return f"""
+WITH e AS (SELECT * FROM events),
+pairs AS (
+  SELECT a.event_id AS a, b.event_id AS b,
+         CAST(FLOOR(b.value * 1000000 + 0.5) AS BIGINT) AS v,
+         a.event_id * 1000003 + b.event_id AS key
+  FROM e a JOIN e b
+    ON b.user_id = a.user_id
+   AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+  WHERE a.event_type = 'purchase'
+), r0 AS (SELECT a, b, v, key, xor(key % {M}, {tagmix}) AS a0 FROM pairs),
+{c1},
+r1 AS (SELECT a, b, v, xor(wa_6, (key // {M}) % {M}) AS a1 FROM {last1}),
+{c2}
+SELECT a AS event_id, b AS prior_event_id, v AS value_micro,
+       CAST(wb_6 AS BIGINT) AS h
+FROM {last2} WHERE wb_6 * 500000000 < v * {M}
+"""
+
+
+def _rfm_sql() -> str:
+    """SQL mirror of mining.rfm_segments (exact tercile thresholds with
+    the ceil-rank integer rule on each metric)."""
+
+    def th(col: str, q: int) -> str:
+        return (
+            f"(SELECT MIN(v) FROM (SELECT {col} AS v, "
+            f"SUM(CAST(1 AS BIGINT)) OVER (ORDER BY {col}) AS cum FROM u) x, n "
+            f"WHERE cum >= ({q} * n.n + 99) // 100)"
+        )
+
+    def bucket(col: str, lo: str, hi: str) -> str:
+        return (
+            f"CASE WHEN {col} <= th.{lo} THEN 1 "
+            f"WHEN {col} <= th.{hi} THEN 2 ELSE 3 END"
+        )
+
+    rb = bucket("recency_us", "r33", "r67")
+    fb = bucket("frequency", "f33", "f67")
+    mb = bucket("monetary_cent", "m33", "m67")
+    return f"""
+WITH u AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(EPOCH_US(MAX(o_orderdate)) AS BIGINT) AS recency_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cent
+  FROM orders GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+th AS (
+  SELECT {th('recency_us', 33)} AS r33, {th('recency_us', 67)} AS r67,
+         {th('frequency', 33)} AS f33, {th('frequency', 67)} AS f67,
+         {th('monetary_cent', 33)} AS m33, {th('monetary_cent', 67)} AS m67
+)
+SELECT u.c_custkey, u.recency_us, u.frequency, u.monetary_cent,
+       CAST({rb} AS BIGINT) AS r_bucket,
+       CAST({fb} AS BIGINT) AS f_bucket,
+       CAST({mb} AS BIGINT) AS m_bucket,
+       CAST({rb} * 100 + {fb} * 10 + {mb} AS BIGINT) AS rfm_code
+FROM u, th
+"""
+
+
 def _pps_sample_sql(tag: int = 41) -> str:
     """SQL mirror of diagnostics.pps_sample: keyed_uniform(event_id, tag)
     (two chained Jenkins rounds) with the pure-integer keep rule
@@ -753,6 +824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_rank": textops.curriculum_rank,
         "geo_range_join_sample": sampling.range_join_sample,
         "rle_run_stats": storage.rle_run_stats,
+        "source_token_entropy": textops.source_token_entropy,
+        "rel_rfm_segments": mining.rfm_segments,
+        "events_weighted_join_sample": sampling.weighted_join_sample,
     }
 
 
@@ -2391,4 +2465,21 @@ SELECT 'roof_type' AS column_name,
             // COUNT(DISTINCT v) AS BIGINT) AS permute_gain_e6
 FROM o
 """,
+        "source_token_entropy": """
+WITH t AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), c AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(c * CAST(FLOOR(LN(c) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_c_lnc_e6,
+       CAST(FLOOR(LN(SUM(c)) * 1000000 + 0.5) AS BIGINT) AS ln_total_e6
+FROM c GROUP BY 1
+""",
+        "rel_rfm_segments": _rfm_sql(),
+        "events_weighted_join_sample": _weighted_join_sample_sql(),
     }

@@ -211,3 +211,90 @@ def basket_pairs(sf_dir: str, k: int = 20) -> "pa.Table":
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         }
     )
+
+
+def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic mining composition: per-customer order aggregates, exact
+    corpus-wide tercile thresholds per metric (two-pass bucket-refinement
+    order statistics, ``pipelines/selection.py`` — never a sort of the
+    customer table), then a broadcast-threshold bucketing pass.
+
+    Buckets per metric: value <= t33 → 1, <= t67 → 2, else 3 (3 = most
+    recent / most frequent / highest spend).  Monetary quantizes to
+    integer cents and recency to integer microseconds BEFORE any
+    comparison, so thresholds and buckets match the SQL oracle exactly.
+
+    Output: (c_custkey, recency_us, frequency, monetary_cent,
+    r_bucket, f_bucket, m_bucket, rfm_code = r·100 + f·10 + m).
+    """
+    from .selection import exact_value_ranks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        t = od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        rec = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(rec, inv, t)
+        return pa.table(
+            {
+                "c_custkey": pa.array(u.astype(np.int64)),
+                "p_rec": pa.array(rec),
+                "p_freq": pa.array(np.bincount(inv).astype(np.int64)),
+                "p_cent": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            }
+        )
+
+    per_user = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            ray.data.aggregate.Max("p_rec", alias_name="recency_us"),
+            ray.data.aggregate.Sum("p_freq", alias_name="frequency"),
+            ray.data.aggregate.Sum("p_cent", alias_name="monetary_cent"),
+        )
+        .materialize()  # scanned twice per metric by the threshold passes
+    )
+    n = per_user.count()
+    r33, r67 = -(-33 * n // 100), -(-67 * n // 100)
+    th = {}
+    for col in ("recency_us", "frequency", "monetary_cent"):
+        ranks = exact_value_ranks(per_user, col, [r33, r67])
+        th[col] = (ranks[r33], ranks[r67])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        out = {
+            "c_custkey": batch.column("c_custkey"),
+            "recency_us": pc.cast(batch.column("recency_us"), pa.int64()),
+            "frequency": pc.cast(batch.column("frequency"), pa.int64()),
+            "monetary_cent": pc.cast(batch.column("monetary_cent"), pa.int64()),
+        }
+        bks = {}
+        for col, key in (
+            ("recency_us", "r_bucket"),
+            ("frequency", "f_bucket"),
+            ("monetary_cent", "m_bucket"),
+        ):
+            v = out[col].to_numpy(zero_copy_only=False)
+            t33, t67 = th[col]
+            bks[key] = np.where(v <= t33, 1, np.where(v <= t67, 2, 3)).astype(
+                np.int64
+            )
+            out[key] = pa.array(bks[key])
+        out["rfm_code"] = pa.array(
+            bks["r_bucket"] * 100 + bks["f_bucket"] * 10 + bks["m_bucket"]
+        )
+        return pa.table(out)
+
+    return per_user.map_batches(bucketize, batch_format="pyarrow")

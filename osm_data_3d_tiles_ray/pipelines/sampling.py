@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -142,3 +143,140 @@ def range_join_sample(
         )
 
     return map_key_partitions(pts, ["cell_x", "cell_y"], sample_part)
+
+
+def weighted_join_sample(
+    sf_dir: str, anchor_type: str = "purchase", window_hours: int = 1, tag: int = 73
+) -> "ray.data.Dataset":
+    """Weighted sampling over a join (shape from "Streaming Weighted
+    Sampling over Join Queries", EDBT 2023 — see PAPERS.md): sample
+    TUPLES of the attribution interval join (per anchor, the same user's
+    events in the preceding window) with probability proportional to the
+    matched event's value — without materializing the unsampled join.
+
+    Per user-keyed partition: one lexsort; each anchor's [lo, hi) window
+    in the events subarray comes from the two-probe cumulative-count
+    trick of ``rangejoin.event_attribution``; the pair expansion is the
+    grouped cross-product arithmetic; each candidate tuple survives iff
+    ``h(pair_key) · 5e8 < value_e6 · 2^32`` (probability value/500) —
+    pure integers, Jenkins-mirrored in the oracle.
+
+    Output: (event_id, prior_event_id, value_micro, h).
+    """
+    from ..geom.rng import jenkins_mix
+    from .partition import map_key_partitions
+
+    win_us = np.int64(window_hours) * np.int64(3_600_000_000)
+    tagmix = np.uint32((tag * 2654435761) & 0xFFFFFFFF)
+
+    def anchor_probes(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), anchor_type)
+        batch = batch.filter(mask)
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t1 = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([uid, uid]).astype(np.int64)),
+                "ts_us": pa.array(np.concatenate([t1 - win_us, t1])),
+                "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
+                "eid": pa.array(np.concatenate([eid, eid]).astype(np.int64)),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                "val_e6": pa.array(np.zeros(2 * n, dtype=np.int64)),
+            }
+        )
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": ts.cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "eid": batch.column("event_id"),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "val_e6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    anchors = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(anchor_probes, batch_format="pyarrow")
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(event_rows, batch_format="pyarrow")
+
+    def sample_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "prior_event_id": pa.array([], type=pa.int64()),
+                "value_micro": pa.array([], type=pa.int64()),
+                "h": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        eid = tbl.column("eid").to_numpy(zero_copy_only=False)
+        kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+        val = tbl.column("val_e6").to_numpy(zero_copy_only=False)
+        # probes before events at equal ts: start inclusive, end exclusive
+        order = np.lexsort((side, tsv, uid))
+        uid, side = uid[order], side[order]
+        eid, kind, val = eid[order], kind[order], val[order]
+        ev_mask = side == 1
+        cum_n = np.cumsum(ev_mask, dtype=np.int64)
+        ev_eid, ev_val = eid[ev_mask], val[ev_mask]
+        pm = ~ev_mask
+        if not pm.any() or not ev_mask.any():
+            return empty
+        pok, pkind = eid[pm], kind[pm]
+        pn = cum_n[pm]  # events strictly before the probe = subarray index
+        po = np.lexsort((pkind, pok))
+        pok, pn = pok[po], pn[po]
+        lo, hi = pn[::2], pn[1::2]
+        aeid = pok[::2]
+        lens = hi - lo
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        arep = np.repeat(np.arange(len(aeid), dtype=np.int64), lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        didx = np.repeat(lo, lens) + within
+        a, b = aeid[arep], ev_eid[didx]
+        v = ev_val[didx]
+        key = a * np.int64(1000003) + b
+        h = jenkins_mix(key.astype(np.uint64).astype(np.uint32) ^ tagmix)
+        h = jenkins_mix(
+            h ^ (key.astype(np.uint64) >> np.uint64(32)).astype(np.uint32)
+        )
+        h64 = h.astype(np.int64)
+        keep = h64 * np.int64(500_000_000) < v * np.int64(4294967296)
+        return pa.table(
+            {
+                "event_id": pa.array(a[keep]),
+                "prior_event_id": pa.array(b[keep]),
+                "value_micro": pa.array(v[keep]),
+                "h": pa.array(h64[keep]),
+            }
+        )
+
+    return map_key_partitions(anchors.union(events), ["user_id"], sample_part)

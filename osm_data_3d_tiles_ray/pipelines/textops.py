@@ -3545,3 +3545,113 @@ def curriculum_rank(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(docs, ["n_chars"], rank_part)
+
+
+# ---------------------------------------------------------------------------
+# per-source token distribution entropy
+
+
+def source_token_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """Unigram-distribution statistics per source: token count, distinct
+    vocabulary, and the Shannon-entropy components — the corpus curator's
+    "how diverse is this source" diagnostic (H = ln T − (Σ c·ln c)/T,
+    derivable from the exact integer outputs).
+
+    Shape: one explode pass pre-combined per batch, ONE groupby keyed
+    (term_hash, source) for the counts, then a bounded per-source
+    groupby.  Per-term contributions floor to integer micro-nats BEFORE
+    the sum (repo float rule), so the oracle matches exactly and the
+    combine tree is association-free.
+
+    Output: (source, n_tok, n_vocab, sum_c_lnc_e6, ln_total_e6).
+    """
+    import polars as pl
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.flatten()
+        src = batch.column("source").to_numpy(zero_copy_only=False).astype(str)
+        offs = np.asarray(toks.offsets)
+        row = np.repeat(np.arange(len(batch)), np.diff(offs))
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        words, row = words[keep], row[keep]
+        empty = pa.table(
+            {
+                "h": pa.array([], type=pa.int64()),
+                "source": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(words) == 0:
+            return empty
+        vocab, code = np.unique(words, return_inverse=True)
+        vh = (
+            pl.Series(vocab.astype(object)).hash(seed=0x7F1D).to_numpy()
+            .view(np.int64)
+        )
+        scode, sinv = np.unique(src[row], return_inverse=True)
+        pair = code.astype(np.int64) * len(scode) + sinv
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(vh[upair // len(scode)]),
+                "source": pa.array(
+                    scode[upair % len(scode)].astype(object), type=pa.string()
+                ),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir)
+        .select_columns(["source", "text"])
+        .map_batches(term_rows, batch_format="pyarrow")
+        .groupby(["h", "source"])
+        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="c"))
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("c"), pa.int64()).to_numpy(zero_copy_only=False)
+        lnc = np.floor(np.log(c.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "p_tok": pa.array(c),
+                "p_vocab": pa.array(np.ones(len(c), dtype=np.int64)),
+                "p_clnc": pa.array(c * lnc),
+            }
+        )
+
+    merged = (
+        counts.map_batches(contrib, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("p_tok", alias_name="n_tok"),
+            ray.data.aggregate.Sum("p_vocab", alias_name="n_vocab"),
+            ray.data.aggregate.Sum("p_clnc", alias_name="sum_c_lnc_e6"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("n_tok"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tok": pa.array(t),
+                "n_vocab": pc.cast(batch.column("n_vocab"), pa.int64()),
+                "sum_c_lnc_e6": pc.cast(batch.column("sum_c_lnc_e6"), pa.int64()),
+                "ln_total_e6": pa.array(
+                    np.floor(np.log(t.astype(np.float64)) * 1e6 + 0.5).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -82,3 +82,92 @@ def test_basket_pairs_matches_bruteforce():
     )
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
     assert got["n_orders"].iloc[0] >= 2
+
+
+def test_rfm_segments_properties():
+    got = mining.rfm_segments(SF).to_pandas()
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    assert len(got) == o["o_custkey"].nunique()
+    assert got["frequency"].sum() == len(o)
+    for col in ("r_bucket", "f_bucket", "m_bucket"):
+        assert set(got[col]) <= {1, 2, 3}
+        # tercile balance: bucket 1 holds >= ceil(33n/100) - slack for ties
+        n = len(got)
+        assert (got[col] == 1).sum() >= (33 * n + 99) // 100 - n // 10
+    # monotone: bucket 3 of monetary strictly richer than bucket 1
+    assert (
+        got[got["m_bucket"] == 3]["monetary_cent"].min()
+        > got[got["m_bucket"] == 1]["monetary_cent"].max()
+    )
+
+
+def test_source_token_entropy_bruteforce():
+    from collections import Counter
+
+    from osm_data_3d_tiles_ray.pipelines import textops
+
+    got = (
+        textops.source_token_entropy(SF)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    rows = []
+    for src, sub in docs.groupby("source"):
+        c = Counter(w for t in sub["text"] for w in t.split(" ") if w)
+        t = sum(c.values())
+        s = sum(
+            cnt * int(np.floor(np.log(cnt) * 1e6 + 0.5)) for cnt in c.values()
+        )
+        rows.append((src, t, len(c), s, int(np.floor(np.log(t) * 1e6 + 0.5))))
+    exp = (
+        pd.DataFrame(
+            rows,
+            columns=["source", "n_tok", "n_vocab", "sum_c_lnc_e6", "ln_total_e6"],
+        )
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # entropy H = ln T - S/(T 1e6) must land in (0, ln V]
+    H = got["ln_total_e6"] / 1e6 - got["sum_c_lnc_e6"] / (got["n_tok"] * 1e6)
+    assert ((H > 0) & (H <= np.log(got["n_vocab"]) + 1e-6)).all()
+
+
+def test_weighted_join_sample_is_subset_weighted():
+    from osm_data_3d_tiles_ray.geom.rng import jenkins_mix
+    from osm_data_3d_tiles_ray.pipelines import sampling
+
+    got = sampling.weighted_join_sample(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ts = ev["ts"].astype("int64").to_numpy()
+    uid = ev["user_id"].to_numpy()
+    eid = ev["event_id"].to_numpy()
+    val = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    win = np.int64(3_600_000_000)
+    pairs = []
+    for i in np.flatnonzero(ev["event_type"].to_numpy() == "purchase"):
+        m = (uid == uid[i]) & (ts >= ts[i] - win) & (ts < ts[i])
+        for j in np.flatnonzero(m):
+            pairs.append((eid[i], eid[j], val[j]))
+    tagmix = np.uint32((73 * 2654435761) & 0xFFFFFFFF)
+    exp_rows = []
+    for a, b, v in pairs:
+        key = np.int64(a) * np.int64(1000003) + np.int64(b)
+        h = jenkins_mix(np.array([key], np.uint64).astype(np.uint32) ^ tagmix)
+        h = jenkins_mix(
+            h ^ (np.array([key], np.uint64) >> np.uint64(32)).astype(np.uint32)
+        )
+        h64 = int(h.astype(np.int64)[0])
+        if h64 * 500_000_000 < int(v) * 4294967296:
+            exp_rows.append((a, b, int(v), h64))
+    exp = (
+        pd.DataFrame(
+            exp_rows, columns=["event_id", "prior_event_id", "value_micro", "h"]
+        )
+        .sort_values(["event_id", "prior_event_id"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["event_id", "prior_event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
