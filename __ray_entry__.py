@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events,
         geo,
         mining,
+        overlap,
         rangejoin,
         relational,
         sampling,
@@ -827,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_entropy": textops.source_token_entropy,
         "rel_rfm_segments": mining.rfm_segments,
         "events_weighted_join_sample": sampling.weighted_join_sample,
+        "source_vocab_overlap": overlap.source_vocab_overlap,
     }
 
 
@@ -2482,4 +2484,20 @@ FROM c GROUP BY 1
 """,
         "rel_rfm_segments": _rfm_sql(),
         "events_weighted_join_sample": _weighted_join_sample_sql(),
+        "source_vocab_overlap": """
+WITH t AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents)
+), s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+p AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t a JOIN t b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b, c AS n_common, x.n AS n_a, y.n AS n_b,
+       CAST(c * 1000000 // x.n AS BIGINT) AS containment_a_e6,
+       CAST(c * 1000000 // (x.n + y.n - c) AS BIGINT) AS jaccard_e6
+FROM p JOIN s x ON x.source = sa JOIN s y ON y.source = sb
+""",
     }

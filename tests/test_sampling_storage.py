@@ -72,3 +72,38 @@ def test_rle_run_stats_matches_bruteforce():
     assert got["runs_storage_order"] == runs
     assert got["runs_value_order"] == len(np.unique(v))
     assert got["permute_gain_e6"] == runs * 1_000_000 // len(np.unique(v))
+
+
+def test_source_vocab_overlap_bruteforce():
+    from osm_data_3d_tiles_ray.pipelines import overlap
+
+    got = overlap.source_vocab_overlap(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    vocab = {}
+    for src, sub in docs.groupby("source"):
+        vocab[src] = set(w for t in sub["text"] for w in t.split(" ") if w)
+    srcs = sorted(vocab)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            c = len(vocab[a] & vocab[b])
+            if c == 0:
+                continue
+            na, nb = len(vocab[a]), len(vocab[b])
+            rows.append(
+                (a, b, c, na, nb, c * 1_000_000 // na,
+                 c * 1_000_000 // (na + nb - c))
+            )
+    exp = pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "n_common", "n_a", "n_b",
+                 "containment_a_e6", "jaccard_e6"],
+    )
+    num = [c for c in exp.columns if not c.startswith("source")]
+    pd.testing.assert_frame_equal(
+        got.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+        .astype({c: "int64" for c in num}),
+        exp.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+        .astype({c: "int64" for c in num}),
+    )
+    assert (got["jaccard_e6"] <= 1_000_000).all()
