@@ -829,6 +829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rfm_segments": mining.rfm_segments,
         "events_weighted_join_sample": sampling.weighted_join_sample,
         "source_vocab_overlap": overlap.source_vocab_overlap,
+        "events_decayed_score": events.decayed_user_score,
+        "curation_matrix": dsir.curation_matrix,
     }
 
 
@@ -2499,5 +2501,69 @@ SELECT sa AS source_a, sb AS source_b, c AS n_common, x.n AS n_a, y.n AS n_b,
        CAST(c * 1000000 // x.n AS BIGINT) AS containment_a_e6,
        CAST(c * 1000000 // (x.n + y.n - c) AS BIGINT) AS jaccard_e6
 FROM p JOIN s x ON x.source = sa JOIN s y ON y.source = sb
+""",
+        "events_decayed_score": """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * EXP(-(( EPOCH_US(TIMESTAMP '2024-02-01')
+                                      - EPOCH_US(ts)) / 86400000000.0) / 7.0)
+                      * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+    AS decayed_value_e6
+FROM events GROUP BY 1
+""",
+        "curation_matrix": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top
+      FROM wc GROUP BY 1),
+tq AS (SELECT doc_id, length(text) AS n_chars,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+       FROM documents),
+q AS (SELECT m.doc_id,
+       CAST(CASE WHEN m.n_words >= 12 AND 4 * m.top <= m.n_words
+                  AND 10 * tq.n_alpha >= 7 * tq.n_chars THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+      FROM m JOIN tq ON m.doc_id = tq.doc_id),
+dk AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+tt AS (SELECT doc_id, source,
+              list_filter(string_split(text, ' '), x -> x <> '') AS a
+       FROM documents),
+ix AS (SELECT doc_id, source, a, unnest(range(1, len(a) - 1)) AS i FROM tt),
+g AS (SELECT doc_id, source, array_to_string(a[i:i+2], ' ') AS ng FROM ix),
+ev AS (SELECT DISTINCT ng FROM g WHERE source = 'src19'),
+cont AS (SELECT DISTINCT g.doc_id
+         FROM g JOIN ev USING (ng) WHERE g.source <> 'src19'),
+td AS (SELECT doc_id, source,
+              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+       FROM documents),
+agg AS (SELECT wd,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS c_all
+        FROM td GROUP BY 1),
+tot AS (SELECT SUM(ct) AS tt2, SUM(c_all) - SUM(ct) AS tr, COUNT(*) AS v
+        FROM agg),
+ds AS (SELECT td.doc_id,
+        CAST(CAST(SUM(CAST(FLOOR(LN((agg.ct + 1.0) / (tot.tt2 + tot.v))
+                                 * 1000000 + 0.5) AS BIGINT)
+                - CAST(FLOOR(LN((agg.c_all - agg.ct + 1.0) / (tot.tr + tot.v))
+                             * 1000000 + 0.5) AS BIGINT)) > 0 AS BIGINT)
+             AS BIGINT) AS kept
+       FROM td JOIN agg ON td.wd = agg.wd CROSS JOIN tot GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(q.keep, 0) AS q_keep,
+  CAST(CASE WHEN dk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS dedup_keeper,
+  CAST(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated,
+  COALESCE(ds.kept, 0) AS dsir_kept,
+  COALESCE(q.keep, 0) * CASE WHEN dk.doc_id IS NOT NULL THEN 1 ELSE 0 END
+    * (1 - CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+    * COALESCE(ds.kept, 0) AS selected
+FROM documents d
+LEFT JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN dk ON dk.doc_id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
+LEFT JOIN ds ON ds.doc_id = d.doc_id
 """,
     }

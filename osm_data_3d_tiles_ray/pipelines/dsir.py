@@ -350,3 +350,108 @@ def ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return scored.map_batches(bucketize, batch_format="pyarrow")
+
+
+def curation_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document curation decision matrix — the audit artifact a
+    corpus curator reviews before committing a training mixture: for
+    EVERY document, the verdict of each selection stage plus the final
+    AND (quality keep ∧ exact-dedup keeper ∧ not contaminated ∧ DSIR
+    kept).  Composes four already-oracled operators without re-deriving
+    any of their semantics.
+
+    Shape: each stage emits fixed-width (doc_id, one-hot flag) rows; ONE
+    doc_id-keyed groupby folds them (Sum per slot — every stage emits a
+    doc at most once, so Sum is the flag).  A zero-row base source from
+    the documents table guarantees every doc appears even when a stage
+    skips it (empty docs never enter the quality aggregate; token-less
+    docs never get a DSIR score).
+
+    Output: (doc_id, q_keep, dedup_keeper, contaminated, dsir_kept,
+    selected) — all 0/1 int64.
+    """
+    from .textops import decontaminate, dedup_exact, quality_filter
+
+    def slot(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            z = pa.array(np.zeros(n, dtype=np.int64))
+            cols = {"doc_id": pc.cast(batch.column("doc_id"), pa.int64())}
+            for name in ("q", "k", "c", "d"):
+                if name == col == "q":
+                    cols["q"] = pc.cast(batch.column("keep"), pa.int64())
+                elif name == col == "d":
+                    cols["d"] = pc.cast(batch.column("kept"), pa.int64())
+                elif name == col:
+                    cols[name] = pa.array(np.ones(n, dtype=np.int64))
+                else:
+                    cols[name] = z
+            return pa.table(cols)
+
+        return fn
+
+    # each stage MATERIALIZES before the union: running all five lazily in
+    # one streaming plan makes decontaminate's actor pool (which reserves
+    # cpus−1 slots) contend with four sibling stages — a starvation
+    # deadlock on small sessions.  The flag relations are one narrow row
+    # per doc (the op's own output size), so the checkpoints are bounded.
+    base = (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(slot("none"), batch_format="pyarrow")
+        .materialize()
+    )
+    q = quality_filter(sf_dir).map_batches(
+        slot("q"), batch_format="pyarrow"
+    ).materialize()
+    k = dedup_exact(sf_dir).map_batches(
+        slot("k"), batch_format="pyarrow"
+    ).materialize()
+    c = decontaminate(sf_dir).map_batches(
+        slot("c"), batch_format="pyarrow"
+    ).materialize()
+    d = dsir_score(sf_dir).map_batches(
+        slot("d"), batch_format="pyarrow"
+    ).materialize()
+
+    merged = (
+        base.union(q)
+        .union(k)
+        .union(c)
+        .union(d)
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("q", alias_name="q_keep"),
+            ray.data.aggregate.Sum("k", alias_name="dedup_keeper"),
+            ray.data.aggregate.Sum("c", alias_name="contaminated"),
+            ray.data.aggregate.Sum("d", alias_name="dsir_kept"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        q_ = pc.cast(batch.column("q_keep"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        k_ = pc.cast(batch.column("dedup_keeper"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c_ = pc.cast(batch.column("contaminated"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d_ = pc.cast(batch.column("dsir_kept"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "q_keep": pa.array(q_),
+                "dedup_keeper": pa.array(k_),
+                "contaminated": pa.array(c_),
+                "dsir_kept": pa.array(d_),
+                "selected": pa.array(
+                    (q_ * k_ * (1 - c_) * d_).astype(np.int64)
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

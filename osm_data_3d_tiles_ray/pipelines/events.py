@@ -1816,3 +1816,68 @@ def session_ids(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         ["user_id"],
         ids_part,
     )
+
+
+def decayed_user_score(
+    sf_dir: str, tau_days: float = 7.0, anchor: str = "2024-02-01"
+) -> "ray.data.Dataset":
+    """Exponentially time-decayed engagement score per user — the
+    feature-engineering staple (recent activity outweighs old):
+    ``score = Σ value · exp(−Δt/τ)`` with Δt measured from a FIXED
+    anchor timestamp (determinism: never "now").
+
+    Per-event contributions floor to integer micro-units BEFORE the sum
+    (repo float rule: exp is transcendental, so the only cross-engine
+    drift is the documented ~3e-14 libm class at the floor boundary;
+    the sum itself is exact int64), and the combine is one bounded
+    user-keyed groupby over per-batch partials.
+
+    Output: (user_id, n_events, decayed_value_e6).
+    """
+    anchor_us = np.int64(
+        int(np.datetime64(anchor, "us").astype("datetime64[us]").astype(np.int64))
+    )
+    tau = float(tau_days)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        dt_days = (anchor_us - tsv) / 86400000000.0
+        w = np.floor(v * np.exp(-(dt_days) / tau) * 1e6 + 0.5).astype(np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u.astype(np.int64)),
+                "p_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "p_w": pa.array(np.bincount(inv, weights=w).astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n_events"),
+            ray.data.aggregate.Sum("p_w", alias_name="decayed_value_e6"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+                "decayed_value_e6": pc.cast(
+                    batch.column("decayed_value_e6"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -71,3 +71,59 @@ def test_source_lang_pmi_properties():
     # PMI of an independent-ish uniform grid stays near zero, and extreme
     # |pmi| beyond ln(max(N)) is impossible by construction
     assert got["pmi_e6"].abs().max() <= int(np.log(len(docs)) * 1e6)
+
+
+def test_decayed_user_score_bruteforce():
+    from osm_data_3d_tiles_ray.pipelines import events as ev_mod
+
+    got = (
+        ev_mod.decayed_user_score(SF)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    anchor = np.int64(np.datetime64("2024-02-01", "us").astype(np.int64))
+    tsv = ev["ts"].astype("int64").to_numpy()
+    w = np.floor(
+        ev["value"].to_numpy()
+        * np.exp(-((anchor - tsv) / 86400000000.0) / 7.0)
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    exp = (
+        pd.DataFrame({"user_id": ev["user_id"], "w": w})
+        .groupby("user_id")
+        .agg(n_events=("w", "size"), decayed_value_e6=("w", "sum"))
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    # decay sanity: decayed total strictly below the raw total
+    raw = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64).sum()
+    assert got["decayed_value_e6"].sum() < raw
+
+
+def test_curation_matrix_composition_laws():
+    from osm_data_3d_tiles_ray.pipelines import dsir as dsir_mod
+    from osm_data_3d_tiles_ray.pipelines import textops
+
+    got = dsir_mod.curation_matrix(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert len(got) == len(docs)  # every doc present
+    for col in ("q_keep", "dedup_keeper", "contaminated", "dsir_kept", "selected"):
+        assert set(got[col].unique()) <= {0, 1}
+    # selected == AND of the four stage verdicts
+    assert (
+        got["selected"]
+        == got["q_keep"]
+        * got["dedup_keeper"]
+        * (1 - got["contaminated"])
+        * got["dsir_kept"]
+    ).all()
+    # stage flags agree with the standalone operators
+    keepers = set(textops.dedup_exact(SF).to_pandas()["doc_id"])
+    assert set(got[got["dedup_keeper"] == 1].index) == keepers
+    contaminated = set(textops.decontaminate(SF).to_pandas()["doc_id"])
+    assert set(got[got["contaminated"] == 1].index) == contaminated
