@@ -831,6 +831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": overlap.source_vocab_overlap,
         "events_decayed_score": events.decayed_user_score,
         "curation_matrix": dsir.curation_matrix,
+        "events_type_winsorized": events.type_winsorized,
+        "rel_revenue_concentration": mining.revenue_concentration,
     }
 
 
@@ -2565,5 +2567,51 @@ LEFT JOIN q ON q.doc_id = d.doc_id
 LEFT JOIN dk ON dk.doc_id = d.doc_id
 LEFT JOIN cont ON cont.doc_id = d.doc_id
 LEFT JOIN ds ON ds.doc_id = d.doc_id
+""",
+        "events_type_winsorized": """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS e6
+  FROM events
+), h AS (
+  SELECT event_type, e6, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1, 2
+), c AS (
+  SELECT event_type, e6, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY e6) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot FROM h
+), th AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (1 * tot + 99) // 100 THEN e6 END) AS lo,
+         MIN(CASE WHEN cum >= (99 * tot + 99) // 100 THEN e6 END) AS hi
+  FROM c GROUP BY 1
+)
+SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(th.lo) AS BIGINT) AS lo_e6,
+       CAST(MAX(th.hi) AS BIGINT) AS hi_e6,
+       CAST(SUM(LEAST(GREATEST(v.e6, th.lo), th.hi)) AS BIGINT)
+         AS winsorized_sum_e6
+FROM v JOIN th USING (event_type) GROUP BY 1
+""",
+        "rel_revenue_concentration": """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cent
+  FROM orders GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+th AS (
+  SELECT MIN(v) AS thr FROM (
+    SELECT cent AS v, SUM(CAST(1 AS BIGINT)) OVER (ORDER BY cent) AS cum
+    FROM s) x, n
+  WHERE cum >= n.n - ((n.n + 9) // 10) + 1
+)
+SELECT n.n AS n_customers, CAST(th.thr AS BIGINT) AS threshold_cent,
+       CAST(SUM(CASE WHEN s.cent >= th.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS top_customers,
+       CAST(SUM(CASE WHEN s.cent >= th.thr THEN s.cent ELSE 0 END) AS BIGINT)
+         AS top_cent,
+       CAST(SUM(s.cent) AS BIGINT) AS total_cent,
+       CAST(SUM(CASE WHEN s.cent >= th.thr THEN s.cent ELSE 0 END) * 1000000
+            // SUM(s.cent) AS BIGINT) AS share_e6
+FROM s, n, th GROUP BY 1, 2
 """,
     }

@@ -1881,3 +1881,79 @@ def decayed_user_score(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def type_winsorized(sf_dir: str, lo_e2: int = 1, hi_e2: int = 99) -> "ray.data.Dataset":
+    """Winsorized per-type aggregate — the robust-statistics staple:
+    clip each event's value at the type's exact p01/p99 before summing,
+    so a handful of outliers cannot dominate the mean.
+
+    Thresholds come from the exact grouped two-pass order statistics
+    (``pipelines/selection.py``); the clip pass is shuffle-free with the
+    bounded per-type thresholds broadcast, and clipped values sum as
+    exact int64 micro-units.
+
+    Output: (event_type, n, lo_e6, hi_e6, winsorized_sum_e6).
+    """
+    from .selection import exact_group_quantiles
+
+    def to_e6(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "v_e6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    vals = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(to_e6, batch_format="pyarrow")
+        .materialize()  # scanned by two threshold passes + the clip pass
+    )
+    lo = exact_group_quantiles(vals, "event_type", "v_e6", lo_e2)
+    hi = exact_group_quantiles(vals, "event_type", "v_e6", hi_e2)
+    keys = np.array(sorted(lo))
+    lo_arr = np.array([lo[k][1] for k in keys], dtype=np.int64)
+    hi_arr = np.array([hi[k][1] for k in keys], dtype=np.int64)
+
+    def clip_partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        v = batch.column("v_e6").to_numpy(zero_copy_only=False)
+        gi = np.searchsorted(keys, et)
+        w = np.minimum(np.maximum(v, lo_arr[gi]), hi_arr[gi])
+        codes, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(codes),
+                "p_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "p_sum": pa.array(np.bincount(inv, weights=w).astype(np.int64)),
+            }
+        )
+
+    merged = (
+        vals.map_batches(clip_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_sum", alias_name="winsorized_sum_e6"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        gi = np.searchsorted(keys, et)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+                "lo_e6": pa.array(lo_arr[gi]),
+                "hi_e6": pa.array(hi_arr[gi]),
+                "winsorized_sum_e6": pc.cast(
+                    batch.column("winsorized_sum_e6"), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -298,3 +298,73 @@ def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
         return pa.table(out)
 
     return per_user.map_batches(bucketize, batch_format="pyarrow")
+
+
+def revenue_concentration(sf_dir: str) -> "pa.Table":
+    """Revenue concentration (the 80/20 diagnostic): what share of total
+    order revenue comes from the top decile of customers by spend.
+
+    The decile threshold is the exact rank-(n−⌈n/10⌉+1) spend via the
+    two-pass order statistics; "top" = every customer at or above it
+    (ties included — deterministic on both engine and oracle).  All
+    money in integer cents.
+
+    Output one row: (n_customers, threshold_cent, top_customers,
+    top_cent, total_cent, share_e6).
+    """
+    from .selection import exact_value_ranks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(u.astype(np.int64)),
+                "p_cent": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            }
+        )
+
+    spend = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="cent"))
+        .materialize()  # scanned twice: threshold + rollup
+    )
+    n = spend.count()
+    k = -(-n // 10)  # ceil(n/10) top-decile size
+    thr = exact_value_ranks(spend, "cent", [n - k + 1])[n - k + 1]
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("cent"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        top = c >= thr
+        return pa.table(
+            {
+                "p_top_n": pa.array([int(top.sum())], type=pa.int64()),
+                "p_top_cent": pa.array([int(c[top].sum())], type=pa.int64()),
+                "p_total": pa.array([int(c.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = spend.map_batches(rollup, batch_format="pyarrow").take_all()
+    top_n = sum(p["p_top_n"] for p in parts)  # bounded: one row per block
+    top_cent = sum(p["p_top_cent"] for p in parts)
+    total = sum(p["p_total"] for p in parts)
+    return pa.table(
+        {
+            "n_customers": pa.array([n], type=pa.int64()),
+            "threshold_cent": pa.array([int(thr)], type=pa.int64()),
+            "top_customers": pa.array([top_n], type=pa.int64()),
+            "top_cent": pa.array([top_cent], type=pa.int64()),
+            "total_cent": pa.array([total], type=pa.int64()),
+            "share_e6": pa.array([top_cent * 1_000_000 // total], type=pa.int64()),
+        }
+    )

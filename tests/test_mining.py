@@ -171,3 +171,55 @@ def test_weighted_join_sample_is_subset_weighted():
     )
     got = got.sort_values(["event_id", "prior_event_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_revenue_concentration_bruteforce():
+    got = mining.revenue_concentration(SF).to_pandas().iloc[0]
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    spend = (
+        pd.DataFrame({"c": o["o_custkey"], "v": cents}).groupby("c")["v"].sum()
+    )
+    n = len(spend)
+    k = -(-n // 10)
+    thr = np.sort(spend.to_numpy())[n - k]  # rank n-k+1 smallest
+    top = spend[spend >= thr]
+    assert got["n_customers"] == n
+    assert got["threshold_cent"] == thr
+    assert got["top_customers"] == len(top)
+    assert got["top_cent"] == top.sum()
+    assert got["total_cent"] == spend.sum()
+    assert got["share_e6"] == top.sum() * 1_000_000 // spend.sum()
+    # concentration sanity: top decile holds more than a decile of revenue
+    assert got["share_e6"] > 100_000
+
+
+def test_type_winsorized_bruteforce():
+    from osm_data_3d_tiles_ray.pipelines import events as ev_mod
+
+    got = (
+        ev_mod.type_winsorized(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    e6 = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    rows = []
+    for et, idx in ev.groupby("event_type").groups.items():
+        v = np.sort(e6[idx])
+        n = len(v)
+        lo = v[(1 * n + 99) // 100 - 1]
+        hi = v[(99 * n + 99) // 100 - 1]
+        rows.append((et, n, lo, hi, int(np.clip(e6[idx], lo, hi).sum())))
+    exp = (
+        pd.DataFrame(
+            rows,
+            columns=["event_type", "n", "lo_e6", "hi_e6", "winsorized_sum_e6"],
+        )
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # clipping can only reduce the absolute extremes
+    assert (got["lo_e6"] <= got["hi_e6"]).all()
