@@ -833,6 +833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_matrix": dsir.curation_matrix,
         "events_type_winsorized": events.type_winsorized,
         "rel_revenue_concentration": mining.revenue_concentration,
+        "rel_spend_gini": mining.spend_gini,
+        "lang_length_drift": diagnostics.lang_length_drift,
     }
 
 
@@ -2613,5 +2615,38 @@ SELECT n.n AS n_customers, CAST(th.thr AS BIGINT) AS threshold_cent,
        CAST(SUM(CASE WHEN s.cent >= th.thr THEN s.cent ELSE 0 END) * 1000000
             // SUM(s.cent) AS BIGINT) AS share_e6
 FROM s, n, th GROUP BY 1, 2
+""",
+        "rel_spend_gini": """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cent
+  FROM orders GROUP BY 1
+), r AS (SELECT cent, row_number() OVER (ORDER BY cent) AS rn FROM s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cent) AS BIGINT) AS total_cent,
+       CAST(SUM(rn * cent) AS BIGINT) AS rank_weighted_cent,
+       CAST((2 * SUM(rn * cent) - (COUNT(*) + 1) * SUM(cent)) * 1000000
+            // (COUNT(*) * SUM(cent)) AS BIGINT) AS gini_e6
+FROM r
+""",
+        "lang_length_drift": """
+WITH c AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), vals AS (SELECT DISTINCT v FROM c),
+l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+cdf AS (
+  SELECT l.lang, vals.v, l.nt,
+         CAST(COALESCE((SELECT SUM(n) FROM c
+                        WHERE c.lang = l.lang AND c.v <= vals.v), 0)
+              AS BIGINT) AS cum
+  FROM l CROSS JOIN vals)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(MAX(a.nt) AS BIGINT) AS n_a, CAST(MAX(b.nt) AS BIGINT) AS n_b,
+       CAST(MAX(ABS(a.cum * b.nt - b.cum * a.nt)) * 1000000
+            // (MAX(a.nt) * MAX(b.nt)) AS BIGINT) AS ks_e6
+FROM cdf a JOIN cdf b ON a.v = b.v AND a.lang < b.lang
+GROUP BY 1, 2
 """,
     }

@@ -216,3 +216,71 @@ def source_lang_pmi(sf_dir: str) -> "pa.Table":
             "pmi_e6": pa.array(pmi[order]),
         }
     )
+
+
+def lang_length_drift(sf_dir: str) -> "pa.Table":
+    """Pairwise Kolmogorov–Smirnov distance between the document-LENGTH
+    distributions of every language pair — the distribution-drift
+    detector a curator runs when a language's scrape pipeline changes.
+
+    Exactness: the KS statistic over integer supports is itself a
+    rational — ``max_v |cumA(v)·nB − cumB(v)·nA| / (nA·nB)`` — so the
+    whole computation is integer arithmetic.  One bounded groupby
+    ((lang, n_chars) cells — bounded by langs × distinct lengths, i.e.
+    max document length, not corpus size); the driver finishes pairwise
+    on the cell table.
+
+    Output per pair (lang_a < lang_b): (lang_a, lang_b, n_a, n_b,
+    ks_e6).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(lang, return_inverse=True)
+        key = inv.astype(np.int64) * (1 << 40) + nc
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(
+                    codes[(uk >> 40)].astype(object), type=pa.string()
+                ),
+                "v": pa.array((uk & ((1 << 40) - 1)).astype(np.int64)),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+        .to_pandas()  # bounded: langs x distinct lengths
+    )
+    langs = sorted(cells["lang"].unique())
+    support = np.sort(cells["v"].unique().astype(np.int64))
+    cdf, tot = {}, {}
+    for lang in langs:
+        sub = cells[cells["lang"] == lang].sort_values("v")
+        vals = sub["v"].to_numpy().astype(np.int64)
+        cnt = sub["n"].to_numpy().astype(np.int64)
+        cum = np.cumsum(cnt)
+        idx = np.searchsorted(vals, support, side="right")
+        cdf[lang] = np.concatenate([[0], cum])[idx]
+        tot[lang] = int(cum[-1])
+    rows = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            num = int(np.abs(cdf[a] * tot[b] - cdf[b] * tot[a]).max())
+            rows.append((a, b, tot[a], tot[b], num * 1_000_000 // (tot[a] * tot[b])))
+    return pa.table(
+        {
+            "lang_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "lang_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "n_a": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
+            "ks_e6": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )

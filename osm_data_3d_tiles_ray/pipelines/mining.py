@@ -368,3 +368,119 @@ def revenue_concentration(sf_dir: str) -> "pa.Table":
             "share_e6": pa.array([top_cent * 1_000_000 // total], type=pa.int64()),
         }
     )
+
+
+def spend_gini(sf_dir: str, bucket_bits: int = 16) -> "pa.Table":
+    """Gini coefficient of per-customer spend — the inequality metric as
+    an EXACT rational: G = (2·S − (n+1)·T) / (n·T) with
+    S = Σ rank·spend over the spend-ascending order (tie-agnostic: equal
+    values contribute the same S under any tie order) and T = Σ spend.
+
+    The rank-weighted sum is computed WITHOUT a global sort: spend
+    values bucket by their high bits (order-preserving shift), bucket
+    totals (count + sum) reduce to the driver (bounded by occupied
+    buckets), prefix bases broadcast back, and each bucket resolves its
+    local rank contributions from one in-partition sort — the same
+    two-pass scan discipline as ``selection.exact_value_ranks``.
+
+    Output one row: (n_customers, total_cent, rank_weighted_cent,
+    gini_e6 = (2S − (n+1)T)·1e6 // (nT)) — integer division, zero
+    floats anywhere.
+    """
+    from .partition import map_key_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(u.astype(np.int64)),
+                "p_cent": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            }
+        )
+
+    spend = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="cent"))
+        .materialize()  # scanned twice: bucket totals + rank resolve
+    )
+
+    def bucket_totals(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column("cent"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = v >> bucket_bits
+        uk, inv = np.unique(b, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uk),
+                "p_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "p_sum": pa.array(np.bincount(inv, weights=v).astype(np.int64)),
+            }
+        )
+
+    hist = (
+        spend.map_batches(bucket_totals, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_sum", alias_name="s"),
+        )
+        .to_pandas()  # bounded: one row per occupied high-bits bucket
+        .sort_values("bucket")
+    )
+    buckets = hist["bucket"].to_numpy().astype(np.int64)
+    counts = hist["n"].to_numpy().astype(np.int64)
+    n = int(counts.sum())
+    total = int(hist["s"].sum())
+    base_rank = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    base_of = dict(zip(buckets.tolist(), base_rank.tolist()))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column("cent"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"bucket": pa.array(v >> bucket_bits), "cent": pa.array(v)}
+        )
+
+    def rank_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table({"p_s": pa.array([], type=pa.int64())})
+        b = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        v = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, b))
+        b, v = b[order], v[order]
+        brk = np.ones(len(b), dtype=bool)
+        brk[1:] = b[1:] != b[:-1]
+        run_start = np.flatnonzero(brk)
+        local = np.arange(len(b)) - np.repeat(
+            run_start, np.diff(np.append(run_start, len(b)))
+        )
+        bases = np.array([base_of[int(x)] for x in b[run_start]], dtype=np.int64)
+        rank = np.repeat(bases, np.diff(np.append(run_start, len(b)))) + local + 1
+        return pa.table(
+            {"p_s": pa.array([int((rank * v).sum())], type=pa.int64())}
+        )
+
+    parts = map_key_partitions(
+        spend.map_batches(add_bucket, batch_format="pyarrow"), ["bucket"], rank_part
+    ).take_all()
+    s = sum(p["p_s"] for p in parts)
+    gini_e6 = (2 * s - (n + 1) * total) * 1_000_000 // (n * total)
+    return pa.table(
+        {
+            "n_customers": pa.array([n], type=pa.int64()),
+            "total_cent": pa.array([total], type=pa.int64()),
+            "rank_weighted_cent": pa.array([s], type=pa.int64()),
+            "gini_e6": pa.array([gini_e6], type=pa.int64()),
+        }
+    )

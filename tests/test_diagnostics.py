@@ -127,3 +127,58 @@ def test_curation_matrix_composition_laws():
     assert set(got[got["dedup_keeper"] == 1].index) == keepers
     contaminated = set(textops.decontaminate(SF).to_pandas()["doc_id"])
     assert set(got[got["contaminated"] == 1].index) == contaminated
+
+
+def test_spend_gini_bruteforce():
+    from osm_data_3d_tiles_ray.pipelines import mining
+
+    got = mining.spend_gini(SF).to_pandas().iloc[0]
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    spend = np.sort(
+        pd.DataFrame({"c": o["o_custkey"], "v": cents})
+        .groupby("c")["v"]
+        .sum()
+        .to_numpy()
+    )
+    n = len(spend)
+    s = int((np.arange(1, n + 1) * spend).sum())
+    t = int(spend.sum())
+    assert got["n_customers"] == n
+    assert got["total_cent"] == t
+    assert got["rank_weighted_cent"] == s
+    assert got["gini_e6"] == (2 * s - (n + 1) * t) * 1_000_000 // (n * t)
+    assert 0 <= got["gini_e6"] < 1_000_000
+
+
+def test_lang_length_drift_bruteforce():
+    got = (
+        diagnostics.lang_length_drift(SF)
+        .to_pandas()
+        .sort_values(["lang_a", "lang_b"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    langs = sorted(docs["lang"].unique())
+    support = np.sort(docs["n_chars"].unique())
+    rows = []
+    for i, a in enumerate(langs):
+        va = np.sort(docs[docs["lang"] == a]["n_chars"].to_numpy())
+        for b in langs[i + 1 :]:
+            vb = np.sort(docs[docs["lang"] == b]["n_chars"].to_numpy())
+            ca = np.searchsorted(va, support, side="right").astype(np.int64)
+            cb = np.searchsorted(vb, support, side="right").astype(np.int64)
+            num = int(np.abs(ca * len(vb) - cb * len(va)).max())
+            rows.append(
+                (a, b, len(va), len(vb),
+                 num * 1_000_000 // (len(va) * len(vb)))
+            )
+    exp = pd.DataFrame(
+        rows, columns=["lang_a", "lang_b", "n_a", "n_b", "ks_e6"]
+    )
+    num_cols = ["n_a", "n_b", "ks_e6"]
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in num_cols}),
+        exp.astype({c: "int64" for c in num_cols}),
+    )
+    assert (got["ks_e6"] <= 1_000_000).all()
