@@ -835,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_revenue_concentration": mining.revenue_concentration,
         "rel_spend_gini": mining.spend_gini,
         "lang_length_drift": diagnostics.lang_length_drift,
+        "events_daily_cusum": events.daily_cusum,
     }
 
 
@@ -2648,5 +2649,23 @@ SELECT a.lang AS lang_a, b.lang AS lang_b,
             // (MAX(a.nt) * MAX(b.nt)) AS BIGINT) AS ks_e6
 FROM cdf a JOIN cdf b ON a.v = b.v AND a.lang < b.lang
 GROUP BY 1, 2
+""",
+        "events_daily_cusum": """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot,
+                CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+c AS (
+  SELECT day, n_events,
+         CAST(SUM(n_events * t.nd - t.tot) OVER (ORDER BY day) AS BIGINT)
+           AS cusum_scaled
+  FROM d, t
+), m AS (SELECT MAX(ABS(cusum_scaled)) AS mx FROM c),
+p AS (SELECT MIN(day) AS pday FROM c, m WHERE ABS(c.cusum_scaled) = m.mx)
+SELECT c.day, c.n_events, c.cusum_scaled,
+       CAST(CASE WHEN c.day = p.pday THEN 1 ELSE 0 END AS BIGINT)
+         AS is_changepoint
+FROM c, p
 """,
     }

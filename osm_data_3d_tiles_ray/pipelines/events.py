@@ -1957,3 +1957,60 @@ def type_winsorized(sf_dir: str, lo_e2: int = 1, hi_e2: int = 99) -> "ray.data.D
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def daily_cusum(sf_dir: str) -> "pa.Table":
+    """CUSUM change-point scan over the daily event-count series — the
+    classic drift detector for ingest monitoring.  To stay exact the
+    cumulative deviation is kept as the SCALED integer
+    ``Σ_{i<=k} (x_i·D − T)`` (D = number of days, T = total events —
+    multiplying the usual x−T/D by D clears the fraction), and the
+    change-point is the earliest day attaining the maximum |CUSUM|.
+
+    Shape: the per-day counts are a combiner-before-shuffle groupby
+    (bounded by the covered day range); the scan itself runs on that
+    bounded series.
+
+    Output: (day, n_events, cusum_scaled, is_changepoint).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pc.floor_temporal(ts, unit="day")
+        t = pa.table({"day": day})
+        g = t.group_by(["day"]).aggregate([("day", "count")])
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "p_n": pc.cast(g.column("day_count"), pa.int64()),
+            }
+        )
+
+    daily = (
+        _events(sf_dir)
+        .select_columns(["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_events"))
+        .to_pandas()  # bounded: one row per covered day
+        .sort_values("day")
+    )
+    x = daily["n_events"].to_numpy().astype(np.int64)
+    d = np.int64(len(x))
+    t = np.int64(x.sum())
+    cusum = np.cumsum(x * d - t)
+    peak = int(np.argmax(np.abs(cusum)))  # earliest day at max |CUSUM|
+    flag = np.zeros(len(x), dtype=np.int64)
+    flag[peak] = 1
+    return pa.table(
+        {
+            "day": pa.array(
+                daily["day"].astype("datetime64[us]").to_numpy()
+            ).cast(pa.timestamp("us")),
+            "n_events": pa.array(x),
+            "cusum_scaled": pa.array(cusum.astype(np.int64)),
+            "is_changepoint": pa.array(flag),
+        }
+    )

@@ -182,3 +182,27 @@ def test_lang_length_drift_bruteforce():
         exp.astype({c: "int64" for c in num_cols}),
     )
     assert (got["ks_e6"] <= 1_000_000).all()
+
+
+def test_daily_cusum_bruteforce():
+    from osm_data_3d_tiles_ray.pipelines import events as ev_mod
+
+    got = (
+        ev_mod.daily_cusum(SF).to_pandas().sort_values("day").reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    daily = (
+        ev.assign(day=ev["ts"].dt.floor("D"))
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    x = daily.to_numpy().astype(np.int64)
+    d, t = len(x), x.sum()
+    cusum = np.cumsum(x * d - t)
+    assert got["n_events"].tolist() == x.tolist()
+    assert got["cusum_scaled"].tolist() == cusum.tolist()
+    assert got["cusum_scaled"].iloc[-1] == 0  # CUSUM closes at zero
+    assert got["is_changepoint"].sum() == 1
+    peak = int(np.argmax(np.abs(cusum)))
+    assert got.index[got["is_changepoint"] == 1][0] == peak
