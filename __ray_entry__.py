@@ -836,6 +836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_spend_gini": mining.spend_gini,
         "lang_length_drift": diagnostics.lang_length_drift,
         "events_daily_cusum": events.daily_cusum,
+        "events_hourly_uniformity": events.hourly_uniformity,
+        "rel_nation_spend_gini": mining.nation_spend_gini,
     }
 
 
@@ -2667,5 +2669,42 @@ SELECT c.day, c.n_events, c.cusum_scaled,
        CAST(CASE WHEN c.day = p.pday THEN 1 ELSE 0 END AS BIGINT)
          AS is_changepoint
 FROM c, p
+""",
+        "events_hourly_uniformity": """
+WITH c AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT e.event_type, g.hour, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM c) e
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS hour) g
+  LEFT JOIN c ON c.event_type = e.event_type AND c.hour = g.hour
+), t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM h GROUP BY 1)
+SELECT h.event_type, CAST(MAX(t.tot) AS BIGINT) AS n,
+       CAST(SUM((24 * h.n - t.tot) * (24 * h.n - t.tot)) AS BIGINT)
+         AS chi2_scaled
+FROM h JOIN t USING (event_type) GROUP BY 1
+""",
+        "rel_nation_spend_gini": """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cent
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT n.n_name, s.cent
+  FROM s JOIN customer c ON c.c_custkey = s.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+), r AS (
+  SELECT n_name, cent,
+         row_number() OVER (PARTITION BY n_name ORDER BY cent) AS rn
+  FROM j
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cent) AS BIGINT) AS total_cent,
+       CAST((2 * SUM(rn * cent) - (COUNT(*) + 1) * SUM(cent)) * 1000000
+            // (COUNT(*) * SUM(cent)) AS BIGINT) AS gini_e6
+FROM r GROUP BY 1
 """,
     }

@@ -2014,3 +2014,62 @@ def daily_cusum(sf_dir: str) -> "pa.Table":
             "is_changepoint": pa.array(flag),
         }
     )
+
+
+def hourly_uniformity(sf_dir: str) -> "ray.data.Dataset":
+    """Chi-square uniformity statistic of the hour-of-day histogram per
+    event type — "is this event type's traffic flat across the day?"
+    Kept exact by scaling: Σ_h (24·x_h − T)² is the χ² numerator times
+    24·T (a pure integer), so engine and oracle compare identical int64
+    values with zero float arithmetic.
+
+    Shape: one combiner-before-shuffle groupby to the bounded
+    (type, hour) cell table; the statistic folds per type.
+
+    Output: (event_type, n, chi2_scaled).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        hour = (
+            ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 3_600_000_000
+        ) % 24
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        codes, inv = np.unique(et, return_inverse=True)
+        key = inv.astype(np.int64) * 24 + hour
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    codes[uk // 24].astype(object), type=pa.string()
+                ),
+                "hour": pa.array((uk % 24).astype(np.int64)),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        _events(sf_dir)
+        .select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+        .to_pandas()  # bounded: types x 24 cells
+    )
+    rows = []
+    for et, sub in cells.groupby("event_type", sort=True):
+        x = np.zeros(24, dtype=np.int64)
+        x[sub["hour"].to_numpy()] = sub["n"].to_numpy()
+        t = int(x.sum())
+        rows.append((et, t, int(((24 * x - t) ** 2).sum())))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+                "n": pa.array([r[1] for r in rows], type=pa.int64()),
+                "chi2_scaled": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+    )

@@ -484,3 +484,218 @@ def spend_gini(sf_dir: str, bucket_bits: int = 16) -> "pa.Table":
             "gini_e6": pa.array([gini_e6], type=pa.int64()),
         }
     )
+
+
+def nation_spend_gini(sf_dir: str, bucket_bits: int = 16) -> "ray.data.Dataset":
+    """Per-NATION Gini of customer spend — the grouped generalization of
+    :func:`spend_gini`: the high-bit value buckets gain the nation as a
+    composite key, so per-(nation, bucket) totals stay bounded, prefix
+    bases resolve per nation on the driver, and each partition finishes
+    its buckets' rank-weighted sums locally.  A giant nation never
+    serializes on one partition the way a per-nation sort would.
+
+    Output: (n_name, n_customers, total_cent, gini_e6) — the Gini is
+    the exact integer rational (2S − (n+1)T) // (nT).
+    """
+    from .partition import map_key_partitions
+
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nkey = np.array([r["n_nationkey"] for r in nation], dtype=np.int64)
+    nname = np.array([r["n_name"] for r in nation])
+    order = np.argsort(nkey)
+    nkey, nname = nkey[order], nname[order]
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+            + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(u.astype(np.int64)),
+                "p_cent": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            }
+        )
+
+    spend = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="cent"))
+    )
+
+    # nation attach: one custkey-keyed tag-union exchange (customer is the
+    # small side per partition; no broadcast of the customer table)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "nk": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "cent": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def spend_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "nk": pa.array(np.zeros(n, dtype=np.int64)),
+                "cent": pc.cast(batch.column("cent"), pa.int64()),
+            }
+        )
+
+    from .partition import map_key_partitions as mkp
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nk": pa.array([], type=pa.int64()),
+                "cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        ck = tbl.column("c_custkey").to_numpy(zero_copy_only=False)
+        cm, sm = side == 0, side == 1
+        if not sm.any():
+            return empty
+        cck = ck[cm]
+        co = np.argsort(cck, kind="stable")
+        cck = cck[co]
+        nk = tbl.column("nk").to_numpy(zero_copy_only=False)[cm][co]
+        pos = np.searchsorted(cck, ck[sm])  # every spender is a customer
+        return pa.table(
+            {
+                "nk": pa.array(nk[pos]),
+                "cent": tbl.column("cent").filter(pa.array(sm)),
+            }
+        )
+
+    tagged = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        spend.map_batches(spend_side, batch_format="pyarrow")
+    )
+    nspend = mkp(tagged, ["c_custkey"], attach).materialize()
+
+    def bucket_totals(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nk").to_numpy(zero_copy_only=False)
+        v = batch.column("cent").to_numpy(zero_copy_only=False)
+        b = v >> bucket_bits
+        key = nk * (1 << 40) + b
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "nk": pa.array((uk >> 40).astype(np.int64)),
+                "bucket": pa.array((uk & ((1 << 40) - 1)).astype(np.int64)),
+                "p_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "p_sum": pa.array(np.bincount(inv, weights=v).astype(np.int64)),
+            }
+        )
+
+    hist = (
+        nspend.map_batches(bucket_totals, batch_format="pyarrow")
+        .groupby(["nk", "bucket"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_sum", alias_name="s"),
+        )
+        .to_pandas()  # bounded: nations x occupied buckets
+        .sort_values(["nk", "bucket"])
+    )
+    base_of: dict[tuple, int] = {}
+    n_of: dict[int, int] = {}
+    t_of: dict[int, int] = {}
+    for nk_val, sub in hist.groupby("nk", sort=True):
+        cnt = sub["n"].to_numpy().astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        for b, c0 in zip(sub["bucket"].to_numpy().astype(np.int64), cum):
+            base_of[(int(nk_val), int(b))] = int(c0)
+        n_of[int(nk_val)] = int(cnt.sum())
+        t_of[int(nk_val)] = int(sub["s"].sum())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column("cent").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nk": batch.column("nk"),
+                "bucket": pa.array((v >> bucket_bits).astype(np.int64)),
+                "cent": pa.array(v),
+            }
+        )
+
+    def rank_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nk": pa.array([], type=pa.int64()),
+                "p_s": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        nk = tbl.column("nk").to_numpy(zero_copy_only=False)
+        b = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        v = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, b, nk))
+        nk, b, v = nk[order], b[order], v[order]
+        brk = np.ones(len(nk), dtype=bool)
+        brk[1:] = (nk[1:] != nk[:-1]) | (b[1:] != b[:-1])
+        run_start = np.flatnonzero(brk)
+        local = np.arange(len(nk)) - np.repeat(
+            run_start, np.diff(np.append(run_start, len(nk)))
+        )
+        bases = np.array(
+            [base_of[(int(nk[i]), int(b[i]))] for i in run_start], dtype=np.int64
+        )
+        rank = np.repeat(bases, np.diff(np.append(run_start, len(nk)))) + local + 1
+        unk, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "nk": pa.array(unk),
+                "p_s": pa.array(
+                    np.bincount(inv, weights=rank * v).astype(np.int64)
+                ),
+            }
+        )
+
+    parts = (
+        map_key_partitions(
+            nspend.map_batches(add_bucket, batch_format="pyarrow"),
+            ["nk", "bucket"],
+            rank_part,
+        )
+        .groupby("nk")
+        .aggregate(ray.data.aggregate.Sum("p_s", alias_name="s"))
+        .take_all()  # bounded: one row per nation
+    )
+    rows = []
+    for r in sorted(parts, key=lambda r: r["nk"]):
+        nk_val, s = int(r["nk"]), int(r["s"])
+        n, t = n_of[nk_val], t_of[nk_val]
+        gini = (2 * s - (n + 1) * t) * 1_000_000 // (n * t)
+        name = str(nname[np.searchsorted(nkey, nk_val)])
+        rows.append((name, n, t, gini))
+    rows.sort()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_name": pa.array([r[0] for r in rows], type=pa.string()),
+                "n_customers": pa.array([r[1] for r in rows], type=pa.int64()),
+                "total_cent": pa.array([r[2] for r in rows], type=pa.int64()),
+                "gini_e6": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+    )

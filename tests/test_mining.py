@@ -223,3 +223,66 @@ def test_type_winsorized_bruteforce():
     pd.testing.assert_frame_equal(got, exp)
     # clipping can only reduce the absolute extremes
     assert (got["lo_e6"] <= got["hi_e6"]).all()
+
+
+def test_nation_spend_gini_bruteforce():
+    got = (
+        mining.nation_spend_gini(SF)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    spend = (
+        pd.DataFrame({"c_custkey": o["o_custkey"], "v": cents})
+        .groupby("c_custkey")["v"]
+        .sum()
+        .reset_index()
+        .merge(c[["c_custkey", "c_nationkey"]], on="c_custkey")
+        .merge(nat[["n_nationkey", "n_name"]],
+               left_on="c_nationkey", right_on="n_nationkey")
+    )
+    rows = []
+    for name, sub in spend.groupby("n_name"):
+        x = np.sort(sub["v"].to_numpy())
+        n, t = len(x), int(x.sum())
+        s = int((np.arange(1, n + 1) * x).sum())
+        rows.append((name, n, t, (2 * s - (n + 1) * t) * 1_000_000 // (n * t)))
+    exp = (
+        pd.DataFrame(rows, columns=["n_name", "n_customers", "total_cent", "gini_e6"])
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    num = ["n_customers", "total_cent", "gini_e6"]
+    pd.testing.assert_frame_equal(
+        got.astype({k: "int64" for k in num}), exp.astype({k: "int64" for k in num})
+    )
+    assert ((got["gini_e6"] >= 0) & (got["gini_e6"] < 1_000_000)).all()
+
+
+def test_hourly_uniformity_bruteforce():
+    from osm_data_3d_tiles_ray.pipelines import events as ev_mod
+
+    got = (
+        ev_mod.hourly_uniformity(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    hour = (ev["ts"].astype("int64").to_numpy() // 3_600_000_000) % 24
+    rows = []
+    for et, idx in ev.groupby("event_type").groups.items():
+        x = np.bincount(hour[idx], minlength=24).astype(np.int64)
+        t = int(x.sum())
+        rows.append((et, t, int(((24 * x - t) ** 2).sum())))
+    exp = (
+        pd.DataFrame(rows, columns=["event_type", "n", "chi2_scaled"])
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["chi2_scaled"] >= 0).all()
