@@ -838,7 +838,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_cusum": events.daily_cusum,
         "events_hourly_uniformity": events.hourly_uniformity,
         "rel_nation_spend_gini": mining.nation_spend_gini,
+        "events_daily_trend": events.daily_trend,
+        "curation_funnel": dsir.curation_funnel,
     }
+
+
+_CURATION_MATRIX_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top
+      FROM wc GROUP BY 1),
+tq AS (SELECT doc_id, length(text) AS n_chars,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+       FROM documents),
+q AS (SELECT m.doc_id,
+       CAST(CASE WHEN m.n_words >= 12 AND 4 * m.top <= m.n_words
+                  AND 10 * tq.n_alpha >= 7 * tq.n_chars THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+      FROM m JOIN tq ON m.doc_id = tq.doc_id),
+dk AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+tt AS (SELECT doc_id, source,
+              list_filter(string_split(text, ' '), x -> x <> '') AS a
+       FROM documents),
+ix AS (SELECT doc_id, source, a, unnest(range(1, len(a) - 1)) AS i FROM tt),
+g AS (SELECT doc_id, source, array_to_string(a[i:i+2], ' ') AS ng FROM ix),
+ev AS (SELECT DISTINCT ng FROM g WHERE source = 'src19'),
+cont AS (SELECT DISTINCT g.doc_id
+         FROM g JOIN ev USING (ng) WHERE g.source <> 'src19'),
+td AS (SELECT doc_id, source,
+              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+       FROM documents),
+agg AS (SELECT wd,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS c_all
+        FROM td GROUP BY 1),
+tot AS (SELECT SUM(ct) AS tt2, SUM(c_all) - SUM(ct) AS tr, COUNT(*) AS v
+        FROM agg),
+ds AS (SELECT td.doc_id,
+        CAST(CAST(SUM(CAST(FLOOR(LN((agg.ct + 1.0) / (tot.tt2 + tot.v))
+                                 * 1000000 + 0.5) AS BIGINT)
+                - CAST(FLOOR(LN((agg.c_all - agg.ct + 1.0) / (tot.tr + tot.v))
+                             * 1000000 + 0.5) AS BIGINT)) > 0 AS BIGINT)
+             AS BIGINT) AS kept
+       FROM td JOIN agg ON td.wd = agg.wd CROSS JOIN tot GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(q.keep, 0) AS q_keep,
+  CAST(CASE WHEN dk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS dedup_keeper,
+  CAST(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated,
+  COALESCE(ds.kept, 0) AS dsir_kept,
+  COALESCE(q.keep, 0) * CASE WHEN dk.doc_id IS NOT NULL THEN 1 ELSE 0 END
+    * (1 - CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+    * COALESCE(ds.kept, 0) AS selected
+FROM documents d
+LEFT JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN dk ON dk.doc_id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
+LEFT JOIN ds ON ds.doc_id = d.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2517,62 +2577,7 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
     AS decayed_value_e6
 FROM events GROUP BY 1
 """,
-        "curation_matrix": """
-WITH w AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-), wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
-m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top
-      FROM wc GROUP BY 1),
-tq AS (SELECT doc_id, length(text) AS n_chars,
-              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
-       FROM documents),
-q AS (SELECT m.doc_id,
-       CAST(CASE WHEN m.n_words >= 12 AND 4 * m.top <= m.n_words
-                  AND 10 * tq.n_alpha >= 7 * tq.n_chars THEN 1 ELSE 0 END
-            AS BIGINT) AS keep
-      FROM m JOIN tq ON m.doc_id = tq.doc_id),
-dk AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-tt AS (SELECT doc_id, source,
-              list_filter(string_split(text, ' '), x -> x <> '') AS a
-       FROM documents),
-ix AS (SELECT doc_id, source, a, unnest(range(1, len(a) - 1)) AS i FROM tt),
-g AS (SELECT doc_id, source, array_to_string(a[i:i+2], ' ') AS ng FROM ix),
-ev AS (SELECT DISTINCT ng FROM g WHERE source = 'src19'),
-cont AS (SELECT DISTINCT g.doc_id
-         FROM g JOIN ev USING (ng) WHERE g.source <> 'src19'),
-td AS (SELECT doc_id, source,
-              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
-       FROM documents),
-agg AS (SELECT wd,
-               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS ct,
-               CAST(COUNT(*) AS BIGINT) AS c_all
-        FROM td GROUP BY 1),
-tot AS (SELECT SUM(ct) AS tt2, SUM(c_all) - SUM(ct) AS tr, COUNT(*) AS v
-        FROM agg),
-ds AS (SELECT td.doc_id,
-        CAST(CAST(SUM(CAST(FLOOR(LN((agg.ct + 1.0) / (tot.tt2 + tot.v))
-                                 * 1000000 + 0.5) AS BIGINT)
-                - CAST(FLOOR(LN((agg.c_all - agg.ct + 1.0) / (tot.tr + tot.v))
-                             * 1000000 + 0.5) AS BIGINT)) > 0 AS BIGINT)
-             AS BIGINT) AS kept
-       FROM td JOIN agg ON td.wd = agg.wd CROSS JOIN tot GROUP BY 1)
-SELECT d.doc_id,
-  COALESCE(q.keep, 0) AS q_keep,
-  CAST(CASE WHEN dk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-    AS dedup_keeper,
-  CAST(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-    AS contaminated,
-  COALESCE(ds.kept, 0) AS dsir_kept,
-  COALESCE(q.keep, 0) * CASE WHEN dk.doc_id IS NOT NULL THEN 1 ELSE 0 END
-    * (1 - CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-    * COALESCE(ds.kept, 0) AS selected
-FROM documents d
-LEFT JOIN q ON q.doc_id = d.doc_id
-LEFT JOIN dk ON dk.doc_id = d.doc_id
-LEFT JOIN cont ON cont.doc_id = d.doc_id
-LEFT JOIN ds ON ds.doc_id = d.doc_id
-""",
+        "curation_matrix": _CURATION_MATRIX_SQL,
         "events_type_winsorized": """
 WITH v AS (
   SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS e6
@@ -2706,5 +2711,36 @@ SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST((2 * SUM(rn * cent) - (COUNT(*) + 1) * SUM(cent)) * 1000000
             // (COUNT(*) * SUM(cent)) AS BIGINT) AS gini_e6
 FROM r GROUP BY 1
+""",
+        "events_daily_trend": """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), i AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS x FROM d
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d, SUM(x * y) AS sxy, SUM(x) AS sx,
+         SUM(y) AS sy, SUM(x * x) AS sxx
+  FROM i
+)
+SELECT d AS n_days, CAST(sy AS BIGINT) AS total_events,
+       CAST(d * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(d * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN (d * sxy - sx * sy) >= 0
+                 THEN ((d * sxy - sx * sy) * 1000000) // (d * sxx - sx * sx)
+                 ELSE -(((sx * sy - d * sxy) * 1000000 + (d * sxx - sx * sx)
+                         - 1) // (d * sxx - sx * sx))
+            END AS BIGINT) AS slope_e6
+FROM a
+""",
+        "curation_funnel": f"""
+WITH cm AS ({_CURATION_MATRIX_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q_keep) AS BIGINT) AS n_quality,
+       CAST(SUM(dedup_keeper) AS BIGINT) AS n_keeper,
+       CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
+       CAST(SUM(dsir_kept) AS BIGINT) AS n_dsir,
+       CAST(SUM(selected) AS BIGINT) AS n_selected
+FROM cm
 """,
     }

@@ -455,3 +455,44 @@ def curation_matrix(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def curation_funnel(sf_dir: str) -> "pa.Table":
+    """The funnel rollup of :func:`curation_matrix`: how many documents
+    survive each curation stage and the final selection — the one-line
+    health readout of the whole pipeline.
+
+    Output one row: (n_docs, n_quality, n_keeper, n_contaminated,
+    n_dsir, n_selected).
+    """
+    m = curation_matrix(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        def s(col: str) -> int:
+            return int(
+                batch.column(col).to_numpy(zero_copy_only=False).sum()
+            )
+
+        return pa.table(
+            {
+                "p_docs": pa.array([len(batch)], type=pa.int64()),
+                "p_q": pa.array([s("q_keep")], type=pa.int64()),
+                "p_k": pa.array([s("dedup_keeper")], type=pa.int64()),
+                "p_c": pa.array([s("contaminated")], type=pa.int64()),
+                "p_d": pa.array([s("dsir_kept")], type=pa.int64()),
+                "p_s": pa.array([s("selected")], type=pa.int64()),
+            }
+        )
+
+    parts = m.map_batches(partial, batch_format="pyarrow").take_all()
+    tot = {k: sum(p[k] for p in parts) for k in parts[0]}
+    return pa.table(
+        {
+            "n_docs": pa.array([tot["p_docs"]], type=pa.int64()),
+            "n_quality": pa.array([tot["p_q"]], type=pa.int64()),
+            "n_keeper": pa.array([tot["p_k"]], type=pa.int64()),
+            "n_contaminated": pa.array([tot["p_c"]], type=pa.int64()),
+            "n_dsir": pa.array([tot["p_d"]], type=pa.int64()),
+            "n_selected": pa.array([tot["p_s"]], type=pa.int64()),
+        }
+    )

@@ -2073,3 +2073,56 @@ def hourly_uniformity(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def daily_trend(sf_dir: str) -> "pa.Table":
+    """Ordinary-least-squares trend of the daily event-count series —
+    the companion to :func:`daily_cusum` (is traffic growing?).  The
+    slope is kept as the EXACT rational num/den with
+    num = D·Σxy − Σx·Σy and den = D·Σx² − (Σx)² over day indices
+    x = 0..D−1, plus the floored micro-slope (sign-correct floor on
+    both engine and oracle — DuckDB ``//`` truncates toward zero for
+    negatives, so the oracle spells out the negative branch).
+
+    Output one row: (n_days, total_events, slope_num, slope_den,
+    slope_e6).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pc.floor_temporal(ts, unit="day")
+        t = pa.table({"day": day})
+        g = t.group_by(["day"]).aggregate([("day", "count")])
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "p_n": pc.cast(g.column("day_count"), pa.int64()),
+            }
+        )
+
+    daily = (
+        _events(sf_dir)
+        .select_columns(["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_events"))
+        .to_pandas()  # bounded: one row per covered day
+        .sort_values("day")
+    )
+    y = daily["n_events"].to_numpy().astype(np.int64)
+    d = np.int64(len(y))
+    x = np.arange(d, dtype=np.int64)
+    num = int(d * (x * y).sum() - x.sum() * y.sum())
+    den = int(d * (x * x).sum() - x.sum() ** 2)
+    slope_e6 = (num * 1_000_000) // den  # numpy/python floor division
+    return pa.table(
+        {
+            "n_days": pa.array([int(d)], type=pa.int64()),
+            "total_events": pa.array([int(y.sum())], type=pa.int64()),
+            "slope_num": pa.array([num], type=pa.int64()),
+            "slope_den": pa.array([den], type=pa.int64()),
+            "slope_e6": pa.array([slope_e6], type=pa.int64()),
+        }
+    )

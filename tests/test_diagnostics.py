@@ -206,3 +206,43 @@ def test_daily_cusum_bruteforce():
     assert got["is_changepoint"].sum() == 1
     peak = int(np.argmax(np.abs(cusum)))
     assert got.index[got["is_changepoint"] == 1][0] == peak
+
+
+def test_daily_trend_bruteforce():
+    from osm_data_3d_tiles_ray.pipelines import events as ev_mod
+
+    got = ev_mod.daily_trend(SF).to_pandas().iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    y = (
+        ev.assign(day=ev["ts"].dt.floor("D"))
+        .groupby("day")
+        .size()
+        .sort_index()
+        .to_numpy()
+        .astype(np.int64)
+    )
+    d = len(y)
+    x = np.arange(d, dtype=np.int64)
+    num = int(d * (x * y).sum() - x.sum() * y.sum())
+    den = int(d * (x * x).sum() - x.sum() ** 2)
+    assert got["n_days"] == d
+    assert got["total_events"] == y.sum()
+    assert got["slope_num"] == num
+    assert got["slope_den"] == den
+    assert got["slope_e6"] == (num * 1_000_000) // den  # python floor div
+
+
+def test_curation_funnel_matches_matrix():
+    from osm_data_3d_tiles_ray.pipelines import dsir as dsir_mod
+
+    funnel = dsir_mod.curation_funnel(SF).to_pandas().iloc[0]
+    m = dsir_mod.curation_matrix(SF).to_pandas()
+    assert funnel["n_docs"] == len(m)
+    assert funnel["n_quality"] == m["q_keep"].sum()
+    assert funnel["n_keeper"] == m["dedup_keeper"].sum()
+    assert funnel["n_contaminated"] == m["contaminated"].sum()
+    assert funnel["n_dsir"] == m["dsir_kept"].sum()
+    assert funnel["n_selected"] == m["selected"].sum()
+    assert funnel["n_selected"] <= min(
+        funnel["n_quality"], funnel["n_keeper"], funnel["n_dsir"]
+    )
