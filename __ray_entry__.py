@@ -840,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_nation_spend_gini": mining.nation_spend_gini,
         "events_daily_trend": events.daily_trend,
         "curation_funnel": dsir.curation_funnel,
+        "rel_priority_segment_chi2": diagnostics.priority_segment_independence,
     }
 
 
@@ -2742,5 +2743,26 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(dsir_kept) AS BIGINT) AS n_dsir,
        CAST(SUM(selected) AS BIGINT) AS n_selected
 FROM cm
+""",
+        "rel_priority_segment_chi2": """
+WITH j AS (
+  SELECT o.o_orderpriority, c.c_mktsegment
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), cells AS (
+  SELECT o_orderpriority, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+), r AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS rn
+         FROM cells GROUP BY 1),
+cc AS (SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS cn
+       FROM cells GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+SELECT cells.o_orderpriority, cells.c_mktsegment, cells.n,
+       CAST(r.rn * cc.cn AS BIGINT) AS expected_num,
+       CAST(((t.total * cells.n - r.rn * cc.cn)
+             * (t.total * cells.n - r.rn * cc.cn)
+             * 1000000) // (t.total * r.rn * cc.cn) AS BIGINT)
+         AS chi_term_e6
+FROM cells JOIN r USING (o_orderpriority) JOIN cc USING (c_mktsegment)
+CROSS JOIN t
 """,
     }

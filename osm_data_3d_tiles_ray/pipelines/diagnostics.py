@@ -284,3 +284,116 @@ def lang_length_drift(sf_dir: str) -> "pa.Table":
             "ks_e6": pa.array([r[4] for r in rows], type=pa.int64()),
         }
     )
+
+
+def priority_segment_independence(sf_dir: str) -> "pa.Table":
+    """Two-way chi-square independence scan between order priority and
+    customer market segment — "does priority mix differ by segment?".
+    Exact scaling again: the statistic reported is
+    ``Σ_ij (N·x_ij − r_i·c_j)²·1e6 // (N·r_i·c_j)`` summed as integers
+    (each cell's term is an integer floor, so engine and oracle agree
+    bit-for-bit with zero float arithmetic).
+
+    Shape: ONE custkey-keyed tag-union exchange attaches the segment to
+    each order (no broadcast of the customer table), then one bounded
+    (priority, segment) cell groupby; the driver folds the ≤ p×s cells.
+
+    Output per cell: (o_orderpriority, c_mktsegment, n, expected_num =
+    r_i·c_j, chi_term_e6) plus the fold is derivable by the consumer.
+    """
+    from .partition import map_key_partitions
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "k": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "seg": batch.column("c_mktsegment"),
+                "pri": pa.array([""] * n, type=pa.string()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "k": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "seg": pa.array([""] * n, type=pa.string()),
+                "pri": batch.column("o_orderpriority"),
+            }
+        )
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pri": pa.array([], type=pa.string()),
+                "seg": pa.array([], type=pa.string()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        cm, om = side == 0, side == 1
+        if not om.any():
+            return empty
+        ck = k[cm]
+        co = np.argsort(ck, kind="stable")
+        ck = ck[co]
+        seg = tbl.column("seg").to_numpy(zero_copy_only=False)[cm][co]
+        pos = np.searchsorted(ck, k[om])  # every order has a customer
+        pri = tbl.column("pri").to_numpy(zero_copy_only=False)[om].astype(str)
+        cell = np.char.add(np.char.add(pri, "\x1f"), seg[pos].astype(str))
+        codes, cnt = np.unique(cell, return_counts=True)
+        sp = np.char.partition(codes, "\x1f")
+        return pa.table(
+            {
+                "pri": pa.array(sp[:, 0].astype(object), type=pa.string()),
+                "seg": pa.array(sp[:, 2].astype(object), type=pa.string()),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        map_key_partitions(
+            cust.map_batches(cust_side, batch_format="pyarrow").union(
+                orders.map_batches(order_side, batch_format="pyarrow")
+            ),
+            ["k"],
+            attach,
+        )
+        .groupby(["pri", "seg"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+        .to_pandas()  # bounded: priorities x segments cells
+    )
+    pri = cells["pri"].to_numpy().astype(str)
+    seg = cells["seg"].to_numpy().astype(str)
+    n = cells["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    pk, pinv = np.unique(pri, return_inverse=True)
+    sk, sinv = np.unique(seg, return_inverse=True)
+    r = np.bincount(pinv, weights=n).astype(np.int64)
+    c = np.bincount(sinv, weights=n).astype(np.int64)
+    exp_num = r[pinv] * c[sinv]  # N * expected = r_i * c_j
+    diff = total * n - exp_num
+    chi_term = (diff * diff * 1_000_000) // (total * exp_num)
+    order = np.lexsort((seg, pri))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(pri[order].astype(object), type=pa.string()),
+            "c_mktsegment": pa.array(seg[order].astype(object), type=pa.string()),
+            "n": pa.array(n[order]),
+            "expected_num": pa.array(exp_num[order]),
+            "chi_term_e6": pa.array(chi_term[order]),
+        }
+    )

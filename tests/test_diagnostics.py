@@ -246,3 +246,43 @@ def test_curation_funnel_matches_matrix():
     assert funnel["n_selected"] <= min(
         funnel["n_quality"], funnel["n_keeper"], funnel["n_dsir"]
     )
+
+
+def test_priority_segment_independence_bruteforce():
+    got = (
+        diagnostics.priority_segment_independence(SF)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    cells = (
+        j.groupby(["o_orderpriority", "c_mktsegment"]).size().reset_index(name="n")
+    )
+    total = int(cells["n"].sum())
+    r = cells.groupby("o_orderpriority")["n"].sum()
+    cc = cells.groupby("c_mktsegment")["n"].sum()
+    rows = []
+    for _, row in cells.iterrows():
+        en = int(r[row["o_orderpriority"]]) * int(cc[row["c_mktsegment"]])
+        diff = total * int(row["n"]) - en
+        rows.append(
+            (row["o_orderpriority"], row["c_mktsegment"], int(row["n"]), en,
+             diff * diff * 1_000_000 // (total * en))
+        )
+    exp = (
+        pd.DataFrame(
+            rows,
+            columns=["o_orderpriority", "c_mktsegment", "n", "expected_num",
+                     "chi_term_e6"],
+        )
+        .sort_values(["o_orderpriority", "c_mktsegment"])
+        .reset_index(drop=True)
+    )
+    num = ["n", "expected_num", "chi_term_e6"]
+    pd.testing.assert_frame_equal(
+        got.astype({k: "int64" for k in num}),
+        exp.astype({k: "int64" for k in num}),
+    )
+    assert got["n"].sum() == len(o)  # every order lands in one cell
