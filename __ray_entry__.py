@@ -841,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_trend": events.daily_trend,
         "curation_funnel": dsir.curation_funnel,
         "rel_priority_segment_chi2": diagnostics.priority_segment_independence,
+        "events_type_top_values": events.type_top_values,
     }
 
 
@@ -2764,5 +2765,22 @@ SELECT cells.o_orderpriority, cells.c_mktsegment, cells.n,
          AS chi_term_e6
 FROM cells JOIN r USING (o_orderpriority) JOIN cc USING (c_mktsegment)
 CROSS JOIN t
+""",
+        "events_type_top_values": """
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micro
+  FROM events
+), c AS (
+  SELECT event_type, value_micro, CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1, 2
+), r AS (
+  SELECT event_type, value_micro, n,
+         CAST(dense_rank() OVER (PARTITION BY event_type
+                                 ORDER BY value_micro DESC) AS BIGINT)
+           AS dense_rank
+  FROM c
+)
+SELECT event_type, value_micro, n, dense_rank FROM r WHERE dense_rank <= 3
 """,
     }

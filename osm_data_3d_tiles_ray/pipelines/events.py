@@ -2126,3 +2126,118 @@ def daily_trend(sf_dir: str) -> "pa.Table":
             "slope_e6": pa.array([slope_e6], type=pa.int64()),
         }
     )
+
+
+def type_top_values(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-``k`` DISTINCT values per event type with their occurrence
+    counts — DENSE_RANK semantics (the window flavor ROW_NUMBER /
+    NTILE / PERCENT_RANK queries don't cover: ties share a rank slot
+    and every occurrence of a ranked value is reported).
+
+    Two bounded passes: (1) per-type top-k distinct values via the
+    associative per-batch pre-prune (each batch keeps at most k distinct
+    values per type, so the exchange carries ≤ k·types rows per batch);
+    (2) a shuffle-free count pass filtered to the broadcast winners.
+
+    Output: (event_type, value_micro, n, dense_rank).
+    """
+
+    def prune(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        codes, inv = np.unique(et, return_inverse=True)
+        key = inv.astype(np.int64) * (1 << 40) + ((1 << 39) - v)  # desc order
+        uk = np.unique(key)
+        gi = uk >> 40
+        starts = np.concatenate([[True], gi[1:] != gi[:-1]])
+        run_id = np.cumsum(starts) - 1
+        pos = np.arange(len(uk)) - np.flatnonzero(starts)[run_id]
+        keep = pos < k
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    codes[gi[keep]].astype(object), type=pa.string()
+                ),
+                "v_e6": pa.array(((1 << 39) - (uk[keep] & ((1 << 40) - 1)))),
+            }
+        )
+
+    winners = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(prune, batch_format="pyarrow")
+        .groupby(["event_type", "v_e6"])
+        .count()
+        .to_pandas()  # bounded: <= k * types survivors per batch, deduped
+    )
+    top: dict[str, np.ndarray] = {}
+    for et, sub in winners.groupby("event_type", sort=True):
+        vals = np.sort(sub["v_e6"].to_numpy().astype(np.int64))[::-1][:k]
+        top[str(et)] = np.sort(vals)  # ascending for searchsorted
+    keys = np.array(sorted(top))
+    flat = np.concatenate([top[s] for s in keys]) if len(keys) else np.array([], dtype=np.int64)
+    offs = np.cumsum([0] + [len(top[s]) for s in keys])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        gi = np.searchsorted(keys, et)
+        hit = np.zeros(len(v), dtype=bool)
+        for i in range(len(keys)):  # bounded loop: one per type
+            m = gi == i
+            hit[m] = np.isin(v[m], flat[offs[i]:offs[i + 1]])
+        if not hit.any():  # np.char.partition breaks on empty input
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "v_e6": pa.array([], type=pa.int64()),
+                    "p_n": pa.array([], type=pa.int64()),
+                }
+            )
+        et, v = et[hit], v[hit]
+        codes, inv = np.unique(
+            np.char.add(np.char.add(et, "\x1f"), v.astype("U20")),
+            return_inverse=True,
+        )
+        cnt = np.bincount(inv).astype(np.int64)
+        sp = np.char.partition(codes, "\x1f")
+        return pa.table(
+            {
+                "event_type": pa.array(sp[:, 0].astype(object), type=pa.string()),
+                "v_e6": pa.array(sp[:, 2].astype(np.int64)),
+                "p_n": pa.array(cnt),
+            }
+        )
+
+    merged = (
+        _events(sf_dir)
+        .select_columns(["event_type", "value"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["event_type", "v_e6"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        v = batch.column("v_e6").to_numpy(zero_copy_only=False)
+        gi = np.searchsorted(keys, et)
+        # dense rank within the broadcast winner lists (desc): rank 1 = max
+        rank = np.empty(len(v), dtype=np.int64)
+        for i in range(len(keys)):  # bounded loop: one per type
+            m = gi == i
+            vals = flat[offs[i]:offs[i + 1]]  # ascending
+            rank[m] = len(vals) - np.searchsorted(vals, v[m])
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value_micro": pa.array(v),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+                "dense_rank": pa.array(rank),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -286,3 +286,35 @@ def test_priority_segment_independence_bruteforce():
         exp.astype({k: "int64" for k in num}),
     )
     assert got["n"].sum() == len(o)  # every order lands in one cell
+
+
+def test_type_top_values_bruteforce():
+    from osm_data_3d_tiles_ray.pipelines import events as ev_mod
+
+    got = (
+        ev_mod.type_top_values(SF)
+        .to_pandas()
+        .sort_values(["event_type", "dense_rank"])
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    e6 = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    rows = []
+    for et, idx in ev.groupby("event_type").groups.items():
+        vals, counts = np.unique(e6[idx], return_counts=True)
+        for r in range(1, min(3, len(vals)) + 1):
+            v = vals[-r]
+            rows.append((et, int(v), int(counts[-r]), r))
+    exp = (
+        pd.DataFrame(rows, columns=["event_type", "value_micro", "n", "dense_rank"])
+        .sort_values(["event_type", "dense_rank"])
+        .reset_index(drop=True)
+    )
+    num = ["value_micro", "n", "dense_rank"]
+    pd.testing.assert_frame_equal(
+        got.astype({k: "int64" for k in num}), exp.astype({k: "int64" for k in num})
+    )
+    # dense-rank law: within a type, rank r value strictly exceeds rank r+1
+    for _, sub in got.groupby("event_type"):
+        v = sub.sort_values("dense_rank")["value_micro"].to_numpy()
+        assert (np.diff(v) < 0).all()
