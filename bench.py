@@ -5,8 +5,12 @@ Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
 num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
 
     {"metric": "...", "value": <flagship sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": 0.1, "num_cpus": 32,
-     "docs_per_sec": ...}
+     "sf": 0.1, "num_cpus": 32, "docs_per_sec": ..., "seed_write_sec": ...,
+     "n_queries": N, "queries_total_sec": ..., "slowest_queries": {...top 5}}
+
+The line is kept compact (<1,500 chars — the driver tails 2,000 chars of
+stdout); the full per-query timing map and seed stage breakdown are
+written to ``BENCH_DETAIL.json`` in the repo root.
 
 ``--scaling``: run the flagship pipeline twice in FRESH processes at
 num_cpus=8 and num_cpus=32 over the same input and report throughput at
@@ -181,21 +185,48 @@ def main() -> None:
     n_docs, dt = _flagship(sf_dir)
     queries = _run_queries(sf_dir)
     seed = _seed_bench(sf_dir)
+    # The driver records only the LAST 2,000 chars of stdout (round 3's
+    # ~8 KB per-query line truncated and BENCH_r03.parsed was null), so:
+    # full detail (all per-query timings + seed stage breakdown) goes to
+    # BENCH_DETAIL.json next to this file; the printed line stays compact
+    # (headline numbers + the 5 slowest queries), well under 1,500 chars.
+    detail = {
+        "metric": "end-to-end buildings->3D-tiles throughput (docs/sec)",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "seed_write_sec": round(seed["sec"], 3),
+        "seed_docs_per_sec": round(n_docs / seed["sec"], 1),
+        "seed_runs_sec": seed["runs"],
+        "seed_stage_breakdown": seed["timings"],
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    slowest = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
-                "metric": "end-to-end buildings->3D-tiles throughput (docs/sec)",
-                "value": round(dt, 3),
+                "metric": detail["metric"],
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": queries,
-                "sf": _sf(sf_dir),
+                "sf": detail["sf"],
                 "num_cpus": num_cpus,
                 "n_docs": n_docs,
-                "docs_per_sec": round(n_docs / dt, 1),
-                "seed_write_sec": round(seed["sec"], 3),
-                "seed_docs_per_sec": round(n_docs / seed["sec"], 1),
+                "docs_per_sec": detail["docs_per_sec"],
+                "seed_write_sec": detail["seed_write_sec"],
+                "seed_docs_per_sec": detail["seed_docs_per_sec"],
                 "seed_runs_sec": seed["runs"],
-                "seed_stage_breakdown": seed["timings"],
+                "n_queries": len(queries),
+                "queries_total_sec": round(sum(queries.values()), 3),
+                "slowest_queries": slowest,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -212,26 +212,39 @@ def q_lod_sample(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    def keep_group(group: pa.Table) -> pa.Table:
-        # fraction keep + always the min-u row per sub-cell (≥1 survivor),
-        # purely a function of (osm_id, subcell) — partition-invariant
-        u = group.column("u").to_numpy(zero_copy_only=False)
-        osm = group.column("osm_id").to_numpy(zero_copy_only=False)
-        keep = u < FRACTION
-        keep[np.lexsort((osm, u))[0]] = True
+    def keep_part(part: pa.Table) -> pa.Table:
+        # fraction keep + always the min-(u, osm_id) row per sub-cell (≥1
+        # survivor), purely a function of (osm_id, subcell) —
+        # partition-invariant.  One vectorized pass over the whole hash
+        # partition (most sub-cells hold 1-3 buildings, so per-group
+        # dispatch would be ~rows/2 dispatches — the CLAUDE.md-forbidden
+        # shape): sort by (subcell, u, osm), the run start of each subcell
+        # run IS its min-u row.
+        if len(part) == 0:
+            return pa.table(
+                {
+                    "osm_id": pa.array([], type=pa.int64()),
+                    "subcell": pa.array([], type=pa.int64()),
+                }
+            )
+        sub = part.column("subcell").to_numpy(zero_copy_only=False)
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        osm = part.column("osm_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((osm, u, sub))
+        sub, u, osm = sub[order], u[order], osm[order]
+        keep = (u < FRACTION) | run_starts(sub)
         return pa.table(
-            {
-                "osm_id": pa.array(osm[keep]),
-                "subcell": group.column("subcell").filter(pa.array(keep)),
-            }
+            {"osm_id": pa.array(osm[keep]), "subcell": pa.array(sub[keep])}
         )
 
-    return (
+    from .partition import map_key_partitions, run_starts
+
+    return map_key_partitions(
         parsed_ds(sf_dir)
         .select_columns(["osm_id", "centroid_x", "centroid_y"])
-        .map_batches(keyed, batch_format="pyarrow")
-        .groupby("subcell")
-        .map_groups(keep_group, batch_format="pyarrow")
+        .map_batches(keyed, batch_format="pyarrow"),
+        ["subcell"],
+        keep_part,
     )
 
 

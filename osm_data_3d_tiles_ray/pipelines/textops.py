@@ -675,15 +675,19 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 32) -> "ray.data.Dataset":
     chains across classes, so real component finding is required.
 
     Distributed alternating label minimization, Ray-Data-idiomatic: rows
-    carry (doc_id, kpre, ksuf, label); each half-round is ONE
-    ``groupby(class_key).map_groups`` that rewrites every member's label
-    to the class minimum.  Labels are monotone non-increasing, and a fixed
-    point means the label is constant across every edge — i.e. per
+    carry (doc_id, kpre, ksuf, label); each half-round hash-partitions on
+    the class key (``map_key_partitions`` — a BOUNDED number of dispatches,
+    one per partition, never one per class) and rewrites every member's
+    label to its class minimum with one sort + ``np.minimum.reduceat``
+    segment pass per partition.  Labels are monotone non-increasing, and a
+    fixed point means the label is constant across every edge — i.e. per
     connected component, equal to the component's minimum doc_id (the
     recursive-CTE transitive closure the SQL oracle computes).
     Convergence is detected via the (monotone) global label sum; class
     keys shuffle as 64-bit hashes, never text.
     """
+    from .partition import map_key_partitions, run_starts
+
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
 
     def keys(batch: pa.Table) -> pa.Table:
@@ -703,21 +707,36 @@ def dedup_clusters(sf_dir: str, max_rounds: int = 32) -> "ray.data.Dataset":
             }
         )
 
-    def assign_min(group: pa.Table) -> pa.Table:
-        lab = group.column("label").to_numpy(zero_copy_only=False)
-        m = lab.min()
-        return group.set_column(
-            group.schema.get_field_index("label"),
-            "label",
-            pa.array(np.full(len(group), m), type=pa.int64()),
-        )
+    def _assign_min_part(key: str):
+        # one vectorized segment pass per hash PARTITION (many classes per
+        # call): sort by class key, per-run min via np.minimum.reduceat,
+        # scatter back to input order
+        def fn(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return tbl
+            k = tbl.column(key).to_numpy(zero_copy_only=False)
+            lab = tbl.column("label").to_numpy(zero_copy_only=False)
+            order = np.argsort(k, kind="stable")
+            ks, labs = k[order], lab[order]
+            starts = run_starts(ks)
+            mins = np.minimum.reduceat(labs, np.nonzero(starts)[0])
+            new_sorted = mins[np.cumsum(starts) - 1]
+            new = np.empty_like(new_sorted)
+            new[order] = new_sorted
+            return tbl.set_column(
+                tbl.schema.get_field_index("label"),
+                "label",
+                pa.array(new, type=pa.int64()),
+            )
+
+        return fn
 
     base = docs.map_batches(keys, batch_format="pyarrow").materialize()
     prev_sum = None
     converged = False
     for _ in range(max_rounds):
         for key in ("kpre", "ksuf"):
-            base = base.groupby(key).map_groups(assign_min, batch_format="pyarrow")
+            base = map_key_partitions(base, [key], _assign_min_part(key))
         base = base.materialize()
         s = base.sum("label")
         if s == prev_sum:
