@@ -482,6 +482,97 @@ HAVING BOOL_OR(ri = 0 AND inside) AND NOT BOOL_OR(ri > 0 AND inside)
 """
 
 
+def _cell_cover_exact_sql() -> str:
+    """SQL mirror of geo.q_cell_cover_exact (G18 DDA cover, 64-m grid).
+
+    The engine rasterizes the earcut triangulation (edge DDA + per-row
+    scanline fill, geom/raster.py).  For the synthetic corpus both rings
+    are CONVEX (regular polygons on an ellipse, synth/generator.py:210),
+    so the union of per-triangle row fills is exactly:
+
+        per row: [min outer-edge cell, max outer-edge cell]
+        minus hole-interior cells no hole edge passes through
+              (= (hole row max - min + 1) - #visited hole cells that row)
+
+    DDA-visited cells of a segment within one grid row are the contiguous
+    range [floor(x at row entry), floor(x at row exit)] (Amanatides-Woo),
+    which the closed form below reproduces with the identical IEEE-double
+    cell coordinates ((x + W) / 64 — division by a power of two is exact).
+    Tie cases (a vertex or crossing exactly on a grid line) are the only
+    possible divergence and do not occur with the generator's floats."""
+    b = f"read_parquet('{_SYNTH_001}/buildings/*.parquet')"
+    return f"""
+WITH b AS (SELECT osm_id, coords, ring_offsets,
+                  CAST(len(coords) // 2 AS BIGINT) AS nv FROM {b}),
+rings AS (
+  SELECT osm_id, coords, nv, ring_offsets,
+         unnest(range(0, len(ring_offsets))) AS ri
+  FROM b
+),
+spans AS (
+  SELECT osm_id, coords, ri,
+         CAST(ring_offsets[ri + 1] AS BIGINT) AS s,
+         CAST(CASE WHEN ri + 1 < len(ring_offsets)
+                   THEN ring_offsets[ri + 2] ELSE nv END AS BIGINT) AS e
+  FROM rings
+),
+edges AS (
+  SELECT osm_id, ri, coords, s, e, unnest(range(s, e)) AS j
+  FROM spans
+),
+xy AS (
+  SELECT osm_id, ri,
+         (coords[2 * j + 1] + {_W}) / 64.0 AS x1c,
+         (coords[2 * j + 2] + {_W}) / 64.0 AS y1c,
+         (coords[2 * (s + ((j - s + 1) % (e - s))) + 1] + {_W}) / 64.0 AS x2c,
+         (coords[2 * (s + ((j - s + 1) % (e - s))) + 2] + {_W}) / 64.0 AS y2c
+  FROM edges
+),
+bands AS (
+  SELECT osm_id, ri, x1c, y1c, x2c, y2c,
+         unnest(range(CAST(FLOOR(LEAST(y1c, y2c)) AS BIGINT),
+                      CAST(FLOOR(GREATEST(y1c, y2c)) AS BIGINT) + 1)) AS yy
+  FROM xy
+),
+xr AS (
+  SELECT osm_id, ri, yy,
+    CAST(FLOOR(LEAST(x1c + ta * (x2c - x1c), x1c + tb * (x2c - x1c))) AS BIGINT) AS lo,
+    CAST(FLOOR(GREATEST(x1c + ta * (x2c - x1c), x1c + tb * (x2c - x1c))) AS BIGINT) AS hi
+  FROM (
+    SELECT *,
+      CASE WHEN y2c = y1c THEN 0.0
+           ELSE GREATEST(0.0, LEAST(1.0, (yy - y1c) / (y2c - y1c))) END AS ta,
+      CASE WHEN y2c = y1c THEN 1.0
+           ELSE GREATEST(0.0, LEAST(1.0, (yy + 1 - y1c) / (y2c - y1c))) END AS tb
+    FROM bands
+  )
+),
+outer_rows AS (
+  SELECT osm_id, yy, MIN(lo) AS omn, MAX(hi) AS omx
+  FROM xr WHERE ri = 0 GROUP BY 1, 2
+),
+hole_cells AS (
+  SELECT DISTINCT osm_id, ri, yy, xx
+  FROM (SELECT osm_id, ri, yy, unnest(range(lo, hi + 1)) AS xx
+        FROM xr WHERE ri > 0)
+),
+hole_rows AS (
+  SELECT osm_id, ri, yy, MIN(xx) AS hmn, MAX(xx) AS hmx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hole_cells GROUP BY 1, 2, 3
+),
+hole_excl AS (
+  SELECT osm_id, CAST(SUM(hmx - hmn + 1 - cnt) AS BIGINT) AS excl
+  FROM hole_rows GROUP BY 1
+),
+outer_cnt AS (
+  SELECT osm_id, CAST(SUM(omx - omn + 1) AS BIGINT) AS n FROM outer_rows GROUP BY 1
+)
+SELECT o.osm_id, CAST(o.n - COALESCE(h.excl, 0) AS BIGINT) AS n_cells_exact
+FROM outer_cnt o LEFT JOIN hole_excl h USING (osm_id)
+"""
+
+
 def _sample_points_sql() -> str:
     """SQL mirror of geo.q_sample_points (G19): the jittered sampling grid
     rebuilt cell-exactly — arange length/values via the identical float
@@ -967,6 +1058,7 @@ SELECT osm_id,
        CAST((tile_x1 - tile_x + 1) * (tile_y1 - tile_y + 1) AS BIGINT) AS n_cells
 FROM ({_TILE_SQL})
 """,
+        "geo_cell_cover_exact": _cell_cover_exact_sql(),
         "geo_point_in_polygon": _point_in_polygon_sql(),
         "geo_lod_sample": _lod_sample_sql(),
         "geo_sample_points": _sample_points_sql(),

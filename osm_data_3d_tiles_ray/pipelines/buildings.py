@@ -84,8 +84,12 @@ def tile_compression(documents: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     # 16 s mean task).  Rebalance merged tiles across many blocks before the
     # CPU-heavy codec so the actor pool stays level.
     tiles = tiles.repartition(512)
+    # batch_size 256: the codec is batched ACROSS tiles (one weld lexsort +
+    # 11 delta/varint stream passes per call), and its temporaries scale
+    # with batch vertex count — 256 tiles ≈ 0.5M verts keeps them inside
+    # warm allocator pages (fresh-page faults dominate past ~1k tiles)
     return tiles.map_batches(
-        encode_compact_tiles_compressed, batch_format="pyarrow"
+        encode_compact_tiles_compressed, batch_format="pyarrow", batch_size=256
     ).select_columns(
         [
             "cell_id",

@@ -79,13 +79,14 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
     )
 
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """Vectorized LEB128: uint64 values → packed bytes (7 payload bits per
-    byte, high bit = continuation)."""
+def _varint_encode_arr(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 core: uint64 values → (packed uint8 array,
+    per-value byte counts).  Per-value encoding is position-independent, so
+    callers may concatenate outputs of independent calls freely."""
     v = vals.astype(np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     # bytes needed per value: 1 + floor(bit_length-1 / 7); bound the scan
     # by the actual max so small-delta streams cost 1-2 passes, not 9
     max_k = max(1, (int(v.max()).bit_length() + 6) // 7)
@@ -99,7 +100,13 @@ def varint_encode(vals: np.ndarray) -> bytes:
         byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nb[m] > j + 1).astype(np.uint8)
         out[starts[m] + j] = byte | (cont << 7)
-    return out.tobytes()
+    return out, nb
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """Vectorized LEB128: uint64 values → packed bytes (7 payload bits per
+    byte, high bit = continuation)."""
+    return _varint_encode_arr(vals)[0].tobytes()
 
 
 def varint_decode(buf: bytes, n: int) -> np.ndarray:
@@ -268,14 +275,19 @@ def compress_mesh_quantized(
     ]
     blob = _pack_streams(streams)
     comp = zlib.compress(blob, zlevel)
+    return _wrap_payload(cell_id, osm_ids, bbox, len(index), u, comp)
 
+
+def _wrap_payload(cell_id, osm_ids, bbox, n_index, n_vertices, comp) -> bytes:
+    """Header + framing shared by the single-tile and batched encoders —
+    parity between the two paths is by construction."""
     header = {
         "featureTable": {"BATCH_LENGTH": int(len(osm_ids))},
         "batchTable": {"osm_id": [int(x) for x in osm_ids]},
         "cell_id": int(cell_id),
         "bbox": [float(x) for x in bbox],
-        "n_index": int(len(index)),
-        "n_vertices": int(u),
+        "n_index": int(n_index),
+        "n_vertices": int(n_vertices),
         "quantization": {"position": "u16/bbox", "normal": "i8", "uv": "u16-fract"},
     }
     j = json.dumps(header, separators=(",", ":")).encode()
@@ -447,13 +459,49 @@ def encode_compact_tiles_compressed(batch: pa.Table) -> pa.Table:
     would execute, because the floats it would consume no longer exist
     after the compact shuffle.
 
-    The record-stream decode is fully vectorized per tile: headers gather
-    as one (n_rec, 64) byte matrix, each attribute stream gathers with a
-    single concatenated-arange fancy index (never a per-building
-    ``struct.unpack``/``frombuffer`` loop — measured 710 s of task time
-    at sf0.1 for the loop vs vector ops)."""
+    Fully batched ACROSS tiles (per-tile numpy-call overhead dominated the
+    codec at ~2k verts/tile: 11 ``np.diff`` + one ``varint_encode`` + one
+    lexsort PER TILE was ~4× the actual byte work).  One pass per batch:
+    records of every tile decode through one seg-gather each; the weld is
+    ONE global lexsort keyed (tile, vertex-key); deltas reset at each
+    (tile, stream) segment boundary; one chunked zigzag+varint pass emits
+    per-value byte lengths so per-tile payload slices fall out of a cumsum.
+    Per-tile output bytes are bit-identical to
+    :func:`compress_mesh_quantized` (tests assert equality).
+
+    The batch is processed in tile-aligned slices of ≤ ``_V_CHUNK``
+    vertices: the vectorized passes build index temporaries ~20× the
+    vertex count in bytes, and unbounded slices make every concurrent
+    task first-touch hundreds of MB of fresh pages — which serializes
+    host-wide (measured 10× task-time blowup at 32-way concurrency).
+    Bounded slices keep each task's working set inside warm allocator
+    pages (same trade as ``_KnnPartial``)."""
+    T = len(batch)
+    if T == 0:
+        return _empty_compressed_table()
+    vc = batch.column("vertex_count").to_numpy(zero_copy_only=False)
+    out_parts = []
+    start = 0
+    acc = 0
+    for i in range(T):
+        if acc + int(vc[i]) > _V_CHUNK and i > start:
+            out_parts.append(_encode_compact_slice(batch.slice(start, i - start)))
+            start, acc = i, 0
+        acc += int(vc[i])
+    out_parts.append(_encode_compact_slice(batch.slice(start, T - start)))
+    return (
+        out_parts[0] if len(out_parts) == 1 else pa.concat_tables(out_parts)
+    )
+
+
+_V_CHUNK = 1 << 17  # 131072 verts per internal slice (~20 MB of temporaries)
+
+
+def _encode_compact_slice(batch: pa.Table) -> pa.Table:
     from .accumulate import _REC_HEADER_SIZE, _REC_MAGIC
 
+    batch = batch.combine_chunks()
+    T = len(batch)
     payload_col = batch.column("payload")
     if isinstance(payload_col, pa.ChunkedArray):
         payload_col = payload_col.combine_chunks()
@@ -473,61 +521,148 @@ def encode_compact_tiles_compressed(batch: pa.Table) -> pa.Table:
     )
     magic_bytes = np.frombuffer(_REC_MAGIC, np.uint8)
 
-    def seg_gather(raw, starts, nbytes):
-        """raw[concat(arange(s, s+n) for s, n in zip(starts, nbytes))]."""
-        total = int(nbytes.sum())
-        if total == 0:
-            return np.empty(0, np.uint8)
-        cum = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
-        within = np.arange(total, dtype=np.int64) - np.repeat(cum, nbytes)
-        return raw[np.repeat(starts, nbytes) + within]
+    # --- flatten every row's blob zero-copy: one raw byte array + offsets
+    raw = np.frombuffer(payload_col.buffers()[2], np.uint8)
+    row_off = np.frombuffer(payload_col.buffers()[1], np.int64)[
+        payload_col.offset : payload_col.offset + T + 1
+    ]
+    lens_flat = np.asarray(lens_col.values).astype(np.int64)
+    lens_offs = np.asarray(lens_col.offsets).astype(np.int64)
+    n_rec = np.diff(lens_offs)
+    R = len(lens_flat)
+    w = np.cumsum(lens_flat) - lens_flat  # global prefix of record lens
+    # reset the prefix at each row start → within-row record offsets
+    # (clamp: a trailing zero-record row has start index == R; its repeat
+    # count is 0, so the clamped value is never used)
+    w_first = (
+        w[np.minimum(lens_offs[:-1], R - 1)] if R else np.empty(0, np.int64)
+    )
+    rec_start = np.repeat(row_off[:-1], n_rec) + (w - np.repeat(w_first, n_rec))
 
-    payloads, n_unique = [], []
-    for i in range(len(batch)):
-        blob = payload_col[i].as_py()
-        lens = np.asarray(lens_col[i].as_py(), dtype=np.int64)
-        osm_ids = np.asarray(osm_col[i].as_py(), dtype=np.int64)
-        raw = np.frombuffer(blob, np.uint8)
-        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        # headers: one (n_rec, 64) gather
-        hdr = raw[offs[:, None] + np.arange(_REC_HEADER_SIZE)]
-        assert (hdr[:, :4] == magic_bytes).all()
-        verts = hdr[:, 12:16].copy().view(np.uint32).ravel().astype(np.int64)
-        bboxes = hdr[:, 16:64].copy().view(np.float64).reshape(-1, 6)
-        base = offs + _REC_HEADER_SIZE
-        qp = (
-            seg_gather(raw, base, verts * 6).view(np.uint16).reshape(-1, 3)
+    # --- decode ALL records at once
+    hdr = raw[rec_start[:, None] + np.arange(_REC_HEADER_SIZE)]
+    assert (hdr[:, :4] == magic_bytes).all()
+    verts = hdr[:, 12:16].copy().view(np.uint32).ravel().astype(np.int64)
+    bboxes = hdr[:, 16:64].copy().view(np.float64).reshape(-1, 6)
+    base = rec_start + _REC_HEADER_SIZE
+    qp = _seg_gather(raw, base, verts * 6).view(np.uint16).reshape(-1, 3)
+    qn = _seg_gather(raw, base + verts * 6, verts * 3).view(np.int8).reshape(-1, 3)
+    qu = _seg_gather(raw, base + verts * 9, verts * 4).view(np.uint16).reshape(-1, 2)
+    tid = _seg_gather(raw, base + verts * 13, verts)
+
+    rec_of_v = np.repeat(np.arange(R), verts)
+    tile_of_rec = np.repeat(np.arange(T), n_rec)
+    tile_of_v = tile_of_rec[rec_of_v]
+    v_counts = np.bincount(tile_of_rec, weights=verts, minlength=T).astype(np.int64)
+    N = len(qp)
+
+    # dequantize to each building frame, requantize to its tile frame
+    # (same op order as the per-tile path — bit-identical floats)
+    mn_b = bboxes[:, :3][rec_of_v]
+    ext_b = np.maximum(bboxes[:, 3:] - bboxes[:, :3], 1e-12)[rec_of_v]
+    pos = mn_b + qp.astype(np.float64) / 65535 * ext_b
+    mn_t = bounds[:, :3]
+    ext_t = np.where(bounds[:, 3:] > mn_t, bounds[:, 3:] - mn_t, 1.0)
+    qp_t = np.floor(
+        np.clip((pos - mn_t[tile_of_v]) / ext_t[tile_of_v], 0, 1) * 65535 + 0.5
+    ).astype(np.uint16)
+    rec_first = np.concatenate([[0], np.cumsum(n_rec)[:-1]])
+    bid = np.repeat(
+        (np.arange(R) - np.repeat(rec_first, n_rec)), verts
+    ).astype(np.uint16)
+
+    # --- global weld: one lexsort keyed (tile, packed 16-byte vertex)
+    rec16 = np.zeros(
+        N,
+        dtype=[
+            ("p", np.uint16, 3),
+            ("n", np.int8, 3),
+            ("t", np.uint16, 2),
+            ("x", np.uint8),
+            ("b", np.uint16),
+        ],
+    )
+    if N:
+        rec16["p"], rec16["n"], rec16["t"] = qp_t, qn, qu
+        rec16["x"], rec16["b"] = tid, bid
+    keys = rec16.view(np.uint64).reshape(N, 2)
+    if N:
+        srt = np.lexsort((keys[:, 1], keys[:, 0], tile_of_v))
+        ks0, ks1, ts = keys[srt, 0], keys[srt, 1], tile_of_v[srt]
+        new_grp = np.empty(N, bool)
+        new_grp[0] = True
+        new_grp[1:] = (ts[1:] != ts[:-1]) | (ks0[1:] != ks0[:-1]) | (ks1[1:] != ks1[:-1])
+        grp_of_sorted = np.cumsum(new_grp) - 1
+        inverse = np.empty(N, np.int64)
+        inverse[srt] = grp_of_sorted
+        first_idx = srt[new_grp]  # min original index per group (stable)
+        grp_tile = ts[new_grp]
+    else:
+        inverse = np.empty(0, np.int64)
+        first_idx = np.empty(0, np.int64)
+        grp_tile = np.empty(0, np.int64)
+    G = len(first_idx)
+    u_counts = np.bincount(grp_tile, minlength=T).astype(np.int64)
+    g_off = np.concatenate([[0], np.cumsum(u_counts)])
+    # first-use order: tiles own disjoint ascending row ranges, so one
+    # global argsort of first_idx is tile-major first-use order
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty(G, np.int64)
+    rank[order] = np.arange(G)
+    local = rank - g_off[grp_tile]  # first-use index WITHIN the tile
+    index_all = local[inverse]  # per original vertex (tile-contiguous)
+    sel = first_idx[order]  # unique verts, tile-major, first-use order
+
+    # --- delta + zigzag + varint per STREAM (stream-major: contiguous
+    # arrays, no scatter), with delta resets at each tile boundary; each
+    # stream's per-value byte counts give per-(stream, tile) byte slices
+    # that reassemble tile-major with 11 memoryview slices per tile
+    v_off = np.concatenate([[0], np.cumsum(v_counts)])
+    streams = (
+        (index_all, v_off),
+        (qp_t[sel, 0], g_off), (qp_t[sel, 1], g_off), (qp_t[sel, 2], g_off),
+        (qn[sel, 0], g_off), (qn[sel, 1], g_off), (qn[sel, 2], g_off),
+        (qu[sel, 0], g_off), (qu[sel, 1], g_off),
+        (tid[sel], g_off), (bid[sel], g_off),
+    )
+    stream_bytes: list[memoryview] = []
+    stream_boff: list[np.ndarray] = []
+    for vals, off in streams:
+        s64 = vals.astype(np.int64)
+        d = s64.copy()
+        if len(d):
+            d[1:] -= s64[:-1]
+            starts = off[:-1][off[:-1] < len(d)]
+            d[starts] = s64[starts]
+        nb = np.empty(len(d), np.int64)
+        parts = []
+        for o in range(0, len(d), _ENC_CHUNK):
+            bts, nbc = _varint_encode_arr(zigzag_encode(d[o : o + _ENC_CHUNK]))
+            parts.append(bts)
+            nb[o : o + len(nbc)] = nbc
+        big = np.concatenate(parts) if parts else np.empty(0, np.uint8)
+        stream_bytes.append(memoryview(big.tobytes()))
+        stream_boff.append(np.concatenate([[0], np.cumsum(nb)])[off])
+
+    osm_flat = np.asarray(osm_col.values).astype(np.int64)
+    osm_offs = np.asarray(osm_col.offsets).astype(np.int64)
+    payloads = []
+    for i in range(T):
+        blob = b"".join(
+            sb[int(bo[i]) : int(bo[i + 1])]
+            for sb, bo in zip(stream_bytes, stream_boff)
         )
-        qn = seg_gather(raw, base + verts * 6, verts * 3).view(
-            np.int8
-        ).reshape(-1, 3)
-        qu = (
-            seg_gather(raw, base + verts * 9, verts * 4)
-            .view(np.uint16)
-            .reshape(-1, 2)
+        comp = zlib.compress(blob, 6)
+        payloads.append(
+            _wrap_payload(
+                int(cell_ids[i]),
+                osm_flat[osm_offs[i] : osm_offs[i + 1]],
+                tuple(bounds[i]),
+                int(v_counts[i]),
+                int(u_counts[i]),
+                comp,
+            )
         )
-        tid = seg_gather(raw, base + verts * 13, verts)
-        # dequantize to each building frame, requantize to the tile frame
-        mn_b = np.repeat(bboxes[:, :3], verts, axis=0)
-        ext_b = np.repeat(
-            np.maximum(bboxes[:, 3:] - bboxes[:, :3], 1e-12), verts, axis=0
-        )
-        pos = mn_b + qp.astype(np.float64) / 65535 * ext_b
-        mn_t = bounds[i, :3]
-        ext_t = np.where(bounds[i, 3:] > mn_t, bounds[i, 3:] - mn_t, 1.0)
-        qp_t = np.floor(
-            np.clip((pos - mn_t) / ext_t, 0, 1) * 65535 + 0.5
-        ).astype(np.uint16)
-        bid = np.repeat(
-            np.arange(len(verts), dtype=np.uint16), verts
-        )
-        payload = compress_mesh_quantized(
-            int(cell_ids[i]), osm_ids, qp_t, qn, qu, tid, bid,
-            tuple(bounds[i]),
-        )
-        payloads.append(payload)
-        _, jlen = struct.unpack_from("<II", payload, 4)
-        n_unique.append(json.loads(payload[12 : 12 + jlen])["n_vertices"])
 
     vcount = batch.column("vertex_count").to_numpy(zero_copy_only=False)
     sizes = np.array([len(p) for p in payloads], dtype=np.int64)
@@ -536,11 +671,35 @@ def encode_compact_tiles_compressed(batch: pa.Table) -> pa.Table:
             "cell_id": batch.column("cell_id"),
             "batch_length": batch.column("batch_length"),
             "vertex_count": batch.column("vertex_count"),
-            "unique_vertices": pa.array(np.asarray(n_unique, dtype=np.int64)),
+            "unique_vertices": pa.array(u_counts),
             "payload": pa.array(payloads, type=pa.large_binary()),
             "payload_bytes": pa.array(sizes),
             "compression_ratio": pa.array(
                 np.where(sizes > 0, 11 * vcount / np.maximum(sizes, 1), 0.0)
             ),
+        }
+    )
+
+
+def _seg_gather(raw: np.ndarray, starts: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """``raw[concat(arange(s, s+n) for s, n in zip(starts, nbytes))]``."""
+    total = int(nbytes.sum())
+    if total == 0:
+        return np.empty(0, np.uint8)
+    cum = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, nbytes)
+    return raw[np.repeat(starts, nbytes) + within]
+
+
+def _empty_compressed_table() -> pa.Table:
+    return pa.table(
+        {
+            "cell_id": pa.array([], type=pa.uint64()),
+            "batch_length": pa.array([], type=pa.int32()),
+            "vertex_count": pa.array([], type=pa.int64()),
+            "unique_vertices": pa.array([], type=pa.int64()),
+            "payload": pa.array([], type=pa.large_binary()),
+            "payload_bytes": pa.array([], type=pa.int64()),
+            "compression_ratio": pa.array([], type=pa.float64()),
         }
     )

@@ -133,6 +133,35 @@ def test_batch_size_invariance(ray_session):
         assert whole.loc[cid, "payload"] == sliced.loc[cid, "payload"]
 
 
+def test_compact_batching_bitwise_invariant(ray_session):
+    """The across-tile batched compact codec must emit byte-identical
+    per-tile payloads regardless of how tiles are grouped into calls
+    (whole batch == per-tile slices == odd-sized slices)."""
+    from osm_data_3d_tiles_ray.stages.accumulate import accumulate_tiles_compact
+    from osm_data_3d_tiles_ray.stages.meshcodec import (
+        encode_compact_tiles_compressed,
+    )
+
+    docs, _ = generate_shard(9, 150)
+    tiles = accumulate_tiles_compact(
+        built_ds(ray.data.from_arrow(docs), emit_buffers=True)
+    )
+    tbl = pa.concat_tables(
+        [b for b in tiles.iter_batches(batch_size=None, batch_format="pyarrow")]
+    )
+    whole = encode_compact_tiles_compressed(tbl).to_pandas().set_index("cell_id")
+    for step in (1, 7):
+        sliced = pa.concat_tables(
+            [
+                encode_compact_tiles_compressed(tbl.slice(i, step))
+                for i in range(0, len(tbl), step)
+            ]
+        ).to_pandas().set_index("cell_id")
+        assert set(whole.index) == set(sliced.index)
+        for cid in whole.index:
+            assert whole.loc[cid, "payload"] == sliced.loc[cid, "payload"], step
+
+
 def test_compact_path_matches_record_stream(ray_session):
     """The compact-shuffle codec stage must be lossless w.r.t. the building
     record stream: decompressed normal/uv/texture streams equal the record
