@@ -752,6 +752,7 @@ def _q_media_audio_windows(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from osm_data_3d_tiles_ray.pipelines import (
         ann,
+        corpus_stats,
         diagnostics,
         dsir,
         events,
@@ -804,6 +805,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
         "media_audio_windows": _q_media_audio_windows,
+        "vocab_growth": corpus_stats.vocab_growth,
+        "source_top_terms": corpus_stats.source_top_terms,
+        "ngram_novelty": corpus_stats.ngram_novelty,
+        "span_mix": corpus_stats.span_mix,
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -1130,6 +1135,66 @@ FROM j
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY text
+""",
+        # Heaps-law vocabulary growth over word TRIGRAMS (hash identity on
+        # the engine side ≡ string identity here, the decontaminate pattern)
+        "vocab_growth": """
+WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents),
+ix AS (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i FROM t0 WHERE len(a) >= 3),
+tt AS (SELECT array_to_string(a[i:i+2], chr(1)) AS w, MIN(doc_id) AS fid FROM ix GROUP BY 1),
+m AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+b AS (SELECT LEAST(9, ((fid - mn) * 10) // (mx - mn + 1)) AS bucket FROM tt, m),
+g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms FROM b GROUP BY 1)
+SELECT bucket, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+FROM g
+""",
+        "source_top_terms": """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT source, w AS term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t WHERE w <> '' GROUP BY 1, 2),
+r AS (SELECT source, term, n,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS BIGINT) AS rank
+      FROM c)
+SELECT source, term, n, rank FROM r WHERE rank <= 10
+""",
+        "ngram_novelty": """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents),
+ix AS (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i FROM t WHERE len(a) >= 3),
+g AS (SELECT DISTINCT doc_id, array_to_string(a[i:i+2], chr(1)) AS gram FROM ix),
+f AS (SELECT gram, MIN(doc_id) AS fid FROM g GROUP BY gram),
+per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.fid = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM g JOIN f USING (gram) GROUP BY 1)
+SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams, COALESCE(per.n_novel, 0) AS n_novel
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+""",
+        # span-sequence profile of the north-rule interleaved table
+        "span_mix": f"""
+WITH u AS (
+  SELECT doc_id, s.kind AS kind, s.text AS txt, s.media_ref AS media_ref,
+         s.offset AS off,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+  FROM (SELECT doc_id, unnest(spans) AS s,
+               generate_subscripts(spans, 1) AS idx
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+),
+mono AS (
+  SELECT doc_id,
+         CAST(CASE WHEN BOOL_AND(COALESCE(off >= prev, TRUE)) THEN 1 ELSE 0 END AS BIGINT) AS offsets_monotone
+  FROM (SELECT doc_id, off, lag(off) OVER (PARTITION BY doc_id ORDER BY rn) AS prev FROM u)
+  GROUP BY 1
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+         CAST(SUM(CASE WHEN kind = 'tag' THEN 1 ELSE 0 END) AS BIGINT) AS n_tag,
+         CAST(SUM(CASE WHEN media_ref <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+         CAST(SUM(length(txt)) AS BIGINT) AS text_chars
+  FROM u GROUP BY 1
+)
+SELECT agg.*, mono.offsets_monotone FROM agg JOIN mono USING (doc_id)
 """,
         # same RE2 pattern as the engine (DuckDB and Arrow share the RE2
         # engine); SQL doubles the apostrophes inside the literal

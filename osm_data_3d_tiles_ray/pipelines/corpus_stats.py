@@ -1,0 +1,330 @@
+"""Corpus-level vocabulary/novelty statistics over the documents table —
+pretraining-data diagnostics that need corpus-global first-occurrence or
+heavy-hitter state, expressed as bounded shuffles over term/gram hashes.
+
+All three operators keep the 100 TB shape rules: per-batch partial
+aggregation before every shuffle, shuffle keys are fixed-width hashes (the
+term STRING only travels when it is part of the result), per-key work runs
+as vectorized segment passes inside hash partitions (pipelines/partition.py),
+and nothing materializes a corpus-sized relation on the driver.
+
+No reference analog (the reference repo has no text pipeline); these follow
+the standard corpus-curation recipes (Heaps-law vocabulary growth, per-source
+heavy hitters, n-gram novelty scoring à la ExactSubstr/decontamination).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .textops import _docs, _hashed_ngrams
+
+
+def _term_rows(batch: pa.Table) -> tuple:
+    """Tokenize one batch: (words, row_of_word) with empties dropped."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = toks.flatten()
+    offs = np.asarray(toks.offsets)
+    row = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = words != ""
+    return words[keep], row[keep]
+
+
+def span_mix(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document span-sequence profile over the north-rule interleaved
+    table (doc_id, spans:list<struct<kind,text,media_ref,offset>>): span
+    counts by kind, media-ref count, total text bytes, and whether the
+    offset sequence is strictly non-decreasing (the per-row span-sequence
+    invariant the engine preserves end-to-end — BASELINE.json input_hint).
+
+    One vectorized pass per batch over the flattened struct children (no
+    per-row Python): kind counts via a (row, kind-code) bincount, the
+    monotonicity flag via a segment-reset diff.
+    Output: (doc_id, n_spans, n_text, n_tag, n_media, text_chars,
+    offsets_monotone)."""
+    from .geo import documents_ds
+
+    def profile(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        offs = np.asarray(spans.offsets).astype(np.int64)
+        n_spans = np.diff(offs)
+        st = spans.values
+        kind = st.field("kind")
+        text_len = pc.utf8_length(st.field("text")).to_numpy(zero_copy_only=False)
+        media = st.field("media_ref").to_numpy(zero_copy_only=False)
+        off32 = st.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = len(batch)
+        row = np.repeat(np.arange(nb, dtype=np.int64), n_spans)
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        is_tag = pc.equal(kind, "tag").to_numpy(zero_copy_only=False)
+        has_media = media != ""
+        n_text = np.bincount(row, weights=is_text, minlength=nb).astype(np.int64)
+        n_tag = np.bincount(row, weights=is_tag, minlength=nb).astype(np.int64)
+        n_media = np.bincount(row, weights=has_media, minlength=nb).astype(np.int64)
+        chars = np.bincount(row, weights=text_len, minlength=nb).astype(np.int64)
+        # per-doc monotone offsets: diff >= 0 everywhere except doc starts
+        ok = np.ones(len(off32), bool)
+        if len(off32):
+            ok[1:] = np.diff(off32) >= 0
+            ok[offs[:-1][offs[:-1] < len(off32)]] = True
+        bad = np.zeros(nb, bool)
+        np.logical_or.at(bad, row, ~ok)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_spans": pa.array(n_spans),
+                "n_text": pa.array(n_text),
+                "n_tag": pa.array(n_tag),
+                "n_media": pa.array(n_media),
+                "text_chars": pa.array(chars),
+                "offsets_monotone": pa.array((~bad).astype(np.int64)),
+            }
+        )
+
+    return documents_ds(sf_dir).map_batches(profile, batch_format="pyarrow")
+
+
+def vocab_growth(
+    sf_dir: str, n_buckets: int = 10, n: int = 3
+) -> "ray.data.Dataset":
+    """Heaps-law vocabulary growth: how many NEW distinct word ``n``-grams
+    first appear in each doc_id-range bucket of the corpus, plus the
+    cumulative vocabulary size (trigrams by default — the synthetic
+    corpus's unigram vocabulary saturates in the first bucket).
+
+    Shape: per-batch (gram_hash, min doc_id) partials → ONE vocab-sized
+    ``groupby(gram_hash).min`` → per-batch bucket histogram partials → one
+    tiny bucket aggregate.  The cumulative sum runs over ``n_buckets``
+    rows in the finish.  Output: (bucket, new_terms, cum_vocab)."""
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    # bucket bounds come from the doc_id range — one cheap aggregate
+    lo = docs.min("doc_id")
+    hi = docs.max("doc_id")
+    span = hi - lo + 1
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        g, row, _ = _hashed_ngrams(batch.column("text"), n)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        hs, ds = g[order], ids[row[order]]
+        starts = np.empty(len(hs), bool)
+        if len(hs):
+            starts[0] = True
+            starts[1:] = hs[1:] != hs[:-1]
+            mins = np.minimum.reduceat(ds, np.nonzero(starts)[0])
+        else:
+            mins = np.empty(0, np.int64)
+        return pa.table(
+            {"term_hash": pa.array(hs[starts] if len(hs) else hs),
+             "p_min": pa.array(mins)}
+        )
+
+    first = (
+        docs.map_batches(partial_min, batch_format="pyarrow")
+        .groupby("term_hash")
+        .aggregate(ray.data.aggregate.Min("p_min", alias_name="first_doc"))
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        fd = batch.column("first_doc").to_numpy(zero_copy_only=False)
+        b = np.minimum(
+            ((fd - lo) * n_buckets) // span, n_buckets - 1
+        ).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub), "p_new": pa.array(cnt.astype(np.int64))})
+
+    buckets = (
+        first.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(ray.data.aggregate.Sum("p_new", alias_name="new_terms"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        n = pc.cast(batch.column("new_terms"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(b)
+        return pa.table(
+            {
+                "bucket": pa.array(b[order]),
+                "new_terms": pa.array(n[order]),
+                "cum_vocab": pa.array(np.cumsum(n[order])),
+            }
+        )
+
+    # n_buckets rows total — the finish is a driver-scale pass
+    return buckets.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def source_top_terms(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Per-source heavy hitters: the k most frequent terms of every source
+    with ROW_NUMBER semantics (count DESC, term ASC tiebreak).
+
+    Shape: per-batch (source, term) partial counts → one vocab×sources
+    groupby → per-source top-k as ONE sort + run-boundary rank pass per
+    hash partition (never a per-source ``map_groups``).  The term string
+    is part of the RESULT, so it legitimately travels through the shuffle.
+    Output: (source, term, n, rank)."""
+    from .partition import map_key_partitions, run_starts
+
+    docs = _docs(sf_dir).select_columns(["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words, row = _term_rows(batch)
+        src = batch.column("source").to_numpy(zero_copy_only=False)[row]
+        t = pa.table(
+            {"source": pa.array(src, type=pa.string()),
+             "term": pa.array(words, type=pa.string())}
+        )
+        g = t.group_by(["source", "term"]).aggregate([("term", "count")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "term": g.column("term"),
+                "p_n": pc.cast(g.column("term_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+    )
+
+    def topk_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "term": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        term = tbl.column("term").to_numpy(zero_copy_only=False)
+        n = pc.cast(tbl.column("n"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, -n, src))
+        src, term, n = src[order], term[order], n[order]
+        starts = run_starts(src)
+        run_id = np.cumsum(starts) - 1
+        first = np.nonzero(starts)[0]
+        rank = np.arange(len(src)) - first[run_id] + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "source": pa.array(src[keep]),
+                "term": pa.array(term[keep]),
+                "n": pa.array(n[keep]),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return map_key_partitions(counts, ["source"], topk_part)
+
+
+def ngram_novelty(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
+    """Per-document n-gram novelty: of the document's DISTINCT word
+    n-grams, how many first appear (by min doc_id) in this document — the
+    corpus-order novelty score behind dedup/curriculum recipes.
+
+    Shape: per-batch distinct (gram_hash, doc_id) rows → one hash-partition
+    pass per gram computes the global min doc and emits (doc_id, novel)
+    flags → one doc-keyed aggregate; a zero-row base relation keeps docs
+    with fewer than ``n`` words in the output.  Gram identity is the
+    shared 64-bit rolling hash (textops._hashed_ngrams — same identity the
+    decontaminate oracle validates hash-to-string).
+    Output: (doc_id, n_grams, n_novel)."""
+    from .partition import map_key_partitions, run_starts
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        g, row, _ = _hashed_ngrams(batch.column("text"), n)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d = ids[row]
+        pair = np.stack([g, d], axis=1)
+        uniq = np.unique(pair, axis=0)
+        return pa.table(
+            {
+                "gram": pa.array(uniq[:, 0]),
+                "doc_id": pa.array(uniq[:, 1]),
+                "is_gram": pa.array(np.ones(len(uniq), bool)),
+            }
+        )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        nb = len(batch)
+        return pa.table(
+            {
+                "gram": pa.array(np.zeros(nb, np.int64)),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "is_gram": pa.array(np.zeros(nb, bool)),
+            }
+        )
+
+    grams = docs.map_batches(gram_rows, batch_format="pyarrow")
+
+    def novel_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "p_grams": pa.array([], type=pa.int64()),
+                    "p_novel": pa.array([], type=pa.int64()),
+                }
+            )
+        g = tbl.column("gram").to_numpy(zero_copy_only=False)
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        gs, ds = g[order], d[order]
+        starts = run_starts(gs)
+        run_id = np.cumsum(starts) - 1
+        first = np.nonzero(starts)[0]
+        novel = ds == ds[first[run_id]]  # min doc per gram = run start (d-sorted)
+        ud, inv = np.unique(ds, return_inverse=True)
+        n_grams = np.bincount(inv)
+        n_novel = np.bincount(inv, weights=novel).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud),
+                "p_grams": pa.array(n_grams.astype(np.int64)),
+                "p_novel": pa.array(n_novel),
+            }
+        )
+
+    per_part = map_key_partitions(grams.drop_columns(["is_gram"]), ["gram"], novel_part)
+    base = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "p_grams": pa.array(np.zeros(len(b), np.int64)),
+                "p_novel": pa.array(np.zeros(len(b), np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    merged = base.union(per_part).groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("p_grams", alias_name="n_grams"),
+        ray.data.aggregate.Sum("p_novel", alias_name="n_novel"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pc.cast(batch.column("n_grams"), pa.int64()),
+                "n_novel": pc.cast(batch.column("n_novel"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
