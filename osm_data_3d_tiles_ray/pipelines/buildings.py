@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray.data
 
 from ..stages.accumulate import (
-    _merge_compact_group,
+    _merge_compact_partition,
     _merge_tile_group,
     accumulate_tiles,
     compact_before_shuffle,
@@ -159,7 +159,7 @@ def seed_tiles(
     built = built_ds(documents, emit_buffers=True, **kw)
     if compact:
         built = built.map_batches(compact_before_shuffle, batch_format="pyarrow")
-    merge_one_cell = _merge_compact_group if compact else _merge_tile_group
+    merge_one_cell = _merge_tile_group  # raw path only; compact merges whole-parent
 
     def add_parent(batch: pa.Table) -> pa.Table:
         if "tile_x" in batch.column_names:
@@ -188,19 +188,27 @@ def seed_tiles(
                 rec = writer.record(pid, rows_in, 0, 0, "skipped", fingerprint)
                 return pa.table({k: [v] for k, v in _manifest_row(rec).items()})
             writer.invalidate(pid)  # stale input → rewrite below
-        # sort by cell and slice contiguous runs — O(rows log rows), not
-        # O(cells × rows) filter passes
-        group = group.sort_by("cell_id")
-        cells = group.column("cell_id").to_numpy(zero_copy_only=False)
-        bounds = np.nonzero(np.diff(cells))[0] + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(cells)]])
-        merged = []
-        for s, e in zip(starts, ends):
-            merged.append(
-                merge_one_cell(group.slice(s, e - s).drop_columns(["parent_cell"]))
-            )
-        table = pa.concat_tables(merged)
+        if compact:
+            # this task holds ALL rows of every cell in the parent, so the
+            # whole parent merges in ONE vectorized pass (byte-identical
+            # to the per-cell loop; rows come out cell-sorted)
+            table = _merge_compact_partition(group.drop_columns(["parent_cell"]))
+        else:
+            # sort by cell and slice contiguous runs — O(rows log rows),
+            # not O(cells × rows) filter passes
+            group = group.sort_by("cell_id")
+            cells = group.column("cell_id").to_numpy(zero_copy_only=False)
+            bounds = np.nonzero(np.diff(cells))[0] + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(cells)]])
+            merged = []
+            for s, e in zip(starts, ends):
+                merged.append(
+                    merge_one_cell(
+                        group.slice(s, e - s).drop_columns(["parent_cell"])
+                    )
+                )
+            table = pa.concat_tables(merged)
         # this task holds EVERY leaf row of this z12 parent, so it writes
         # the parent's tileset node JSON here — distributed fan-in with
         # zero extra read or shuffle (reference walks the same z12 grid,

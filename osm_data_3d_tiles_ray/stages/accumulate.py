@@ -403,14 +403,99 @@ def _merge_compact_group(group: pa.Table) -> pa.Table:
     )
 
 
+def _merge_compact_partition(part: pa.Table) -> pa.Table:
+    """Vectorized multi-cell merge of one hash partition of compact rows —
+    the `map_key_partitions` replacement for one `_merge_compact_group`
+    dispatch per z16 cell (cell count grows linearly with data: ~16k at
+    sf0.1, millions at web scale — the >10k-tiny-groups shape CLAUDE.md
+    forbids).  One (cell, osm) lexsort + `take` makes every cell's blobs
+    CONTIGUOUS in the taken array's data buffer, so per-cell payloads are
+    zero-copy offset slices; all list columns build from the same run
+    boundaries; bbox mins/maxes are `fmin/fmax.reduceat` segment passes.
+    Output rows are byte-identical to `_merge_compact_group` (tests)."""
+    empty = pa.table(
+        {
+            "cell_id": pa.array([], type=pa.uint64()),
+            "batch_length": pa.array([], type=pa.int32()),
+            "vertex_count": pa.array([], type=pa.int64()),
+            "osm_ids": pa.array([], type=pa.large_list(pa.int64())),
+            "blob_lengths": pa.array([], type=pa.large_list(pa.int64())),
+            "payload": pa.array([], type=pa.large_binary()),
+            "min_x": pa.array([], type=pa.float64()),
+            "min_y": pa.array([], type=pa.float64()),
+            "min_z": pa.array([], type=pa.float64()),
+            "max_x": pa.array([], type=pa.float64()),
+            "max_y": pa.array([], type=pa.float64()),
+            "max_z": pa.array([], type=pa.float64()),
+        }
+    )
+    if len(part) == 0:
+        return empty
+    cell = part.column("cell_id").to_numpy(zero_copy_only=False)
+    osm = part.column("osm_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((osm, cell))
+    part = part.take(pa.array(order)).combine_chunks()
+    cell, osm = cell[order], osm[order]
+    n = len(part)
+    starts = np.empty(n, bool)
+    starts[0] = True
+    starts[1:] = cell[1:] != cell[:-1]
+    start_idx = np.nonzero(starts)[0]
+    run_id = np.cumsum(starts) - 1
+    n_cells = len(start_idx)
+    row_bounds = np.concatenate([start_idx, [n]]).astype(np.int64)
+
+    blob_col = part.column("geom_blob")
+    if isinstance(blob_col, pa.ChunkedArray):
+        blob_col = blob_col.combine_chunks()
+    offs = np.frombuffer(blob_col.buffers()[1], np.int64)[
+        blob_col.offset : blob_col.offset + n + 1
+    ]
+    lens = np.diff(offs)
+    # per-cell payload = contiguous byte range of the taken data buffer
+    payload_col = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n_cells,
+        [None, pa.py_buffer(offs[row_bounds].copy()), blob_col.buffers()[2]],
+    )
+    list_offs = pa.array(row_bounds, type=pa.int64())
+    vcounts = part.column("vertex_count").to_numpy(zero_copy_only=False)
+    bb = {}
+    for c in ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z"):
+        v = part.column(c).to_numpy(zero_copy_only=False)
+        red = np.fmin.reduceat if c.startswith("min") else np.fmax.reduceat
+        bb[c] = red(v, start_idx)  # fmin/fmax skip NaN == nanmin/nanmax
+    return pa.table(
+        {
+            "cell_id": pa.array(cell[start_idx]),
+            "batch_length": pa.array(
+                np.diff(row_bounds).astype(np.int32), type=pa.int32()
+            ),
+            "vertex_count": pa.array(np.add.reduceat(vcounts, start_idx)),
+            "osm_ids": pa.LargeListArray.from_arrays(
+                list_offs, pa.array(osm, type=pa.int64())
+            ),
+            "blob_lengths": pa.LargeListArray.from_arrays(
+                list_offs, pa.array(lens, type=pa.int64())
+            ),
+            "payload": payload_col,
+            **{k: pa.array(v) for k, v in bb.items()},
+        }
+    )
+
+
 def accumulate_tiles_compact(built: "ray.data.Dataset") -> "ray.data.Dataset":
     """Scale-path tile merge: quantize per building → shuffle compact blobs →
     concatenate per tile (≈2.5× less shuffle volume than the raw-buffer
-    path; decode with stages.encode.decode_tile per building record)."""
+    path; decode with stages.encode.decode_tile per building record).
+
+    The merge runs as one vectorized pass per HASH PARTITION
+    (`_merge_compact_partition`) — bounded dispatch count, never one
+    `map_groups` call per cell."""
+    from ..pipelines.partition import map_key_partitions
+
     compact = built.map_batches(compact_before_shuffle, batch_format="pyarrow")
-    return compact.groupby("cell_id").map_groups(
-        _merge_compact_group, batch_format="pyarrow"
-    )
+    return map_key_partitions(compact, ["cell_id"], _merge_compact_partition)
 
 
 def accumulate_tiles(

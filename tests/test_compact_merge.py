@@ -56,6 +56,58 @@ def test_compact_merge_matches_raw_counts_and_decodes():
     assert checked > 0
 
 
+def test_partitioned_compact_merge_byte_equal(ray_session):
+    """_merge_compact_partition (one vectorized call per hash partition)
+    must emit byte-identical rows to one _merge_compact_group call per
+    cell — including payload bytes, list columns, and NaN-bbox handling."""
+    import pyarrow as pa
+
+    from osm_data_3d_tiles_ray.stages.accumulate import (
+        _merge_compact_group,
+        _merge_compact_partition,
+        compact_before_shuffle,
+    )
+
+    docs, _ = generate_shard(7, 300)
+    built = built_ds(ray.data.from_arrow(docs), emit_buffers=True)
+    compact = pa.concat_tables(
+        [
+            compact_before_shuffle(b)
+            for b in built.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+    ).combine_chunks()
+    # scramble row order: partition fn owns its own sort
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(len(compact))
+    part_out = (
+        _merge_compact_partition(compact.take(pa.array(perm)))
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    ref = compact.sort_by([("cell_id", "ascending")])
+    cells = ref.column("cell_id").to_numpy(zero_copy_only=False)
+    bounds = np.nonzero(np.diff(cells))[0] + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(cells)]])
+    ref_out = (
+        pa.concat_tables(
+            [_merge_compact_group(ref.slice(s, e - s)) for s, e in zip(starts, ends)]
+        )
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert list(part_out.columns) == list(ref_out.columns)
+    assert len(part_out) == len(ref_out)
+    for col in part_out.columns:
+        for a, b in zip(part_out[col], ref_out[col]):
+            if isinstance(a, (bytes, np.ndarray)):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), col
+            else:
+                assert a == b or (a != a and b != b), col  # NaN == NaN
+
+
 def test_in_tile_order_is_ascending_osm_id(ray_session):
     """Documented deviation (A5): the reference's zIndex sort compares a
     never-assigned field (NaN comparator -> arrival order); the engine pins
