@@ -78,19 +78,18 @@ def tile_compression(documents: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     from ..stages.accumulate import accumulate_tiles_compact
     from ..stages.meshcodec import encode_compact_tiles_compressed
 
-    tiles = accumulate_tiles_compact(built_ds(documents, emit_buffers=True, **kw))
-    # the sort-range groupby puts contiguous cell_ids in one task — dense
-    # urban ranges skew a partition to many× the mean (observed 98 s max vs
-    # 16 s mean task).  Rebalance merged tiles across many blocks before the
-    # CPU-heavy codec so the actor pool stays level.
-    tiles = tiles.repartition(512)
-    # batch_size 256: the codec is batched ACROSS tiles (one weld lexsort +
-    # 11 delta/varint stream passes per call), and its temporaries scale
-    # with batch vertex count — 256 tiles ≈ 0.5M verts keeps them inside
-    # warm allocator pages (fresh-page faults dominate past ~1k tiles)
-    return tiles.map_batches(
-        encode_compact_tiles_compressed, batch_format="pyarrow", batch_size=256
-    ).select_columns(
+    # merge and codec FUSED inside each hash partition: the merged payload
+    # blocks never hit the object store, and cell_id hashing with 512
+    # partitions levels per-task vertex counts (the previous shape — range
+    # partitions + repartition(512) — rebalanced ROW counts but left 25×
+    # vertex skew between codec tasks, and re-moved the full payload once
+    # more; observed 2.3–32 s tasks there vs a level pool here)
+    tiles = accumulate_tiles_compact(
+        built_ds(documents, emit_buffers=True, **kw),
+        num_partitions=512,
+        finish=encode_compact_tiles_compressed,
+    )
+    return tiles.select_columns(
         [
             "cell_id",
             "batch_length",

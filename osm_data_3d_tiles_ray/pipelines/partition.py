@@ -15,6 +15,17 @@ This is the engine's stand-in for a hash-partitioned ``map_partitions``
 that Ray Data's public Dataset API does not expose directly; skew is
 bounded by the hash (a partition holds many keys, so one hot key cannot
 exceed a partition the way it dominates a per-key group).
+
+Partitioning mechanics: rows carry the FULL 64-bit key hash and the
+exchange is ``sort("__part")`` + one ``fn`` call per sorted BLOCK.  Ray's
+range partitioner never splits equal sort keys across blocks (verified:
+a hot key spanning 60% of rows lands in exactly one block — the same
+guarantee ``groupby`` itself is built on), so every block holds complete
+key groups; and because the hash is effectively continuous, the sort's
+sampled quantile boundaries split ROWS evenly.  The earlier shape
+(``hash % P`` + ``groupby``) put only P distinct values under the
+boundary sampler, and boundary collisions yielded empty and many×-mean
+reduce blocks (observed 0–9,823 rows across 98 blocks for P=512).
 """
 
 from __future__ import annotations
@@ -27,12 +38,13 @@ import ray.data
 DEFAULT_PARTITIONS = 64
 
 
-def _key_hash(tbl: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
-    """Vectorized 64-bit row hash of the key columns → partition id."""
+def _key_hash(tbl: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Vectorized 64-bit row hash of the key columns (full range, viewed
+    int64 — effectively continuous, so sort boundaries balance rows)."""
     import polars as pl
 
     h = pl.from_arrow(tbl.select(key_cols)).hash_rows(seed=0x51AB1E).to_numpy()
-    return (h % np.uint64(num_partitions)).astype(np.int64)
+    return h.view(np.int64)
 
 
 def map_key_partitions(
@@ -43,16 +55,20 @@ def map_key_partitions(
 ) -> "ray.data.Dataset":
     """Apply ``fn(pa.Table) -> pa.Table`` once per hash partition.
 
-    Every row whose key columns hash to the same partition lands in the
-    same ``fn`` call, so each call sees COMPLETE key groups (the same
-    co-location guarantee as ``groupby(key).map_groups``) but with only
-    ``num_partitions`` dispatches.  ``fn`` receives the partition's rows
-    unsorted and owns its own sort/segment logic.
+    Every row whose key columns hash equal lands in the same ``fn`` call,
+    so each call sees COMPLETE key groups (the same co-location guarantee
+    as ``groupby(key).map_groups``) with one dispatch per sorted block —
+    bounded by the exchange's block count, never by key cardinality.
+    ``fn`` receives its partition's rows unsorted and owns its own
+    sort/segment logic; its output must not depend on how keys are
+    grouped into partitions (each complete group appears exactly once).
+    ``num_partitions`` is retained for API stability; the block count is
+    sized by the exchange itself.
     """
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "__part", pa.array(_key_hash(batch, key_cols, num_partitions))
+            "__part", pa.array(_key_hash(batch, key_cols))
         )
 
     def run_part(part: pa.Table) -> pa.Table:
@@ -60,8 +76,8 @@ def map_key_partitions(
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(run_part, batch_format="pyarrow")
+        .sort("__part")
+        .map_batches(run_part, batch_format="pyarrow", batch_size=None)
     )
 
 

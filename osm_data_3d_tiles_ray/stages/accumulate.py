@@ -484,18 +484,35 @@ def _merge_compact_partition(part: pa.Table) -> pa.Table:
     )
 
 
-def accumulate_tiles_compact(built: "ray.data.Dataset") -> "ray.data.Dataset":
+def accumulate_tiles_compact(
+    built: "ray.data.Dataset",
+    num_partitions: int | None = None,
+    finish=None,
+) -> "ray.data.Dataset":
     """Scale-path tile merge: quantize per building → shuffle compact blobs →
     concatenate per tile (≈2.5× less shuffle volume than the raw-buffer
     path; decode with stages.encode.decode_tile per building record).
 
     The merge runs as one vectorized pass per HASH PARTITION
     (`_merge_compact_partition`) — bounded dispatch count, never one
-    `map_groups` call per cell."""
+    `map_groups` call per cell.  ``num_partitions`` sizes the hash exchange
+    (cell_id hashing spreads dense urban key RANGES uniformly, so per-task
+    vertex counts balance without a row-count repartition); ``finish``, if
+    given, runs on each partition's merged tiles INSIDE the same task, so
+    a payload-consuming stage (e.g. the mesh codec) never materializes the
+    merged payload blocks in the object store."""
     from ..pipelines.partition import map_key_partitions
 
     compact = built.map_batches(compact_before_shuffle, batch_format="pyarrow")
-    return map_key_partitions(compact, ["cell_id"], _merge_compact_partition)
+    if finish is None:
+        fn = _merge_compact_partition
+    else:
+
+        def fn(part: pa.Table) -> pa.Table:
+            return finish(_merge_compact_partition(part))
+
+    kw = {} if num_partitions is None else {"num_partitions": num_partitions}
+    return map_key_partitions(compact, ["cell_id"], fn, **kw)
 
 
 def accumulate_tiles(
