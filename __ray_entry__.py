@@ -809,6 +809,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_top_terms": corpus_stats.source_top_terms,
         "ngram_novelty": corpus_stats.ngram_novelty,
         "span_mix": corpus_stats.span_mix,
+        "media_usage": corpus_stats.media_usage,
+        "span_transitions": corpus_stats.span_transitions,
+        "span_gap_stats": corpus_stats.span_gap_stats,
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -1195,6 +1198,56 @@ agg AS (
   FROM u GROUP BY 1
 )
 SELECT agg.*, mono.offsets_monotone FROM agg JOIN mono USING (doc_id)
+""",
+        # cross-document media usage over the interleaved spans table
+        "media_usage": f"""
+WITH u AS (
+  SELECT doc_id, s.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+  WHERE s.media_ref <> ''
+)
+SELECT media_ref,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       MIN(doc_id) AS first_doc
+FROM u GROUP BY 1
+""",
+        # span-kind Markov transition counts in stored span order
+        "span_transitions": f"""
+WITH u AS (
+  SELECT doc_id, s.kind AS kind,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+  FROM (SELECT doc_id, unnest(spans) AS s,
+               generate_subscripts(spans, 1) AS idx
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+)
+SELECT prev AS kind_from, kind AS kind_to, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT doc_id, kind,
+             lag(kind) OVER (PARTITION BY doc_id ORDER BY rn) AS prev
+      FROM u)
+WHERE prev IS NOT NULL GROUP BY 1, 2
+""",
+        # per-document span byte-layout integrity (gaps / overlaps)
+        "span_gap_stats": f"""
+WITH u AS (
+  SELECT doc_id, s.offset AS off, length(s.text) AS ln,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+  FROM (SELECT doc_id, unnest(spans) AS s,
+               generate_subscripts(spans, 1) AS idx
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+),
+p AS (
+  SELECT doc_id, off, ln,
+         lag(off) OVER w AS poff, lag(ln) OVER w AS pln
+  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY rn)
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN poff IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN poff IS NOT NULL AND off < poff + pln THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+       CAST(SUM(CASE WHEN poff IS NOT NULL AND off > poff + pln THEN off - poff - pln ELSE 0 END) AS BIGINT) AS gap_total,
+       CAST(SUM(ln) AS BIGINT) AS span_bytes
+FROM p GROUP BY 1
 """,
         # same RE2 pattern as the engine (DuckDB and Arrow share the RE2
         # engine); SQL doubles the apostrophes inside the literal

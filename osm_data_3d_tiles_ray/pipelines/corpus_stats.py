@@ -328,3 +328,184 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- interleaved span ops ---
+#
+# Operators over the north-rule interleaved table itself
+# (doc_id, spans:list<struct<kind,text,media_ref,offset>>) — the payload
+# axis: cross-document media usage, span-kind sequencing, and byte-layout
+# integrity.  All three run one vectorized pass per batch over the
+# flattened struct children (offsets + repeat index math, no per-row
+# Python), emit bounded partials, and finish in a small exchange.
+
+
+def _flat_spans(batch: pa.Table):
+    """(spans struct array, per-doc list offsets, row-of-span) for one
+    batch — the shared flatten used by every span operator."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    offs = np.asarray(spans.offsets).astype(np.int64)
+    row = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offs))
+    return spans.values, offs, row
+
+
+def media_usage(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-document media deduplication index: for every distinct
+    media_ref, the number of documents referencing it, total span
+    occurrences, and the first referencing doc_id — the usage table a
+    media-dedup / asset-pipeline stage keys on (decode each asset once,
+    not once per document).
+
+    Shape: per-batch (media_ref, doc) distinct partials (so the exchange
+    carries at most one row per (ref, doc-in-batch), never one per span),
+    then per-ref totals as one segment pass per hash partition.  The ref
+    string is the result key, so it legitimately travels.
+    Output: (media_ref, n_docs, n_spans, first_doc)."""
+    from .geo import documents_ds
+    from .partition import map_key_partitions, run_starts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st, _, row = _flat_spans(batch)
+        media = st.field("media_ref").to_numpy(zero_copy_only=False)
+        keep = media != ""
+        refs, rows = media[keep], row[keep]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+        # distinct (ref, doc) with occurrence counts, one lexsort
+        order = np.lexsort((ids, refs))
+        refs, ids = refs[order], ids[order]
+        starts = run_starts(refs, ids)
+        cnt = np.diff(np.append(np.nonzero(starts)[0], len(refs)))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs[starts], type=pa.string()),
+                "doc_id": pa.array(ids[starts], type=pa.string()),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def per_ref(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "media_ref": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "n_spans": pa.array([], type=pa.int64()),
+                "first_doc": pa.array([], type=pa.string()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        refs = tbl.column("media_ref").to_numpy(zero_copy_only=False)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        n = tbl.column("p_n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, refs))
+        refs, ids, n = refs[order], ids[order], n[order]
+        rstart = run_starts(refs)
+        first = np.nonzero(rstart)[0]
+        bounds = np.append(first, len(refs))
+        # (ref, doc) rows may repeat across batch partials — count DISTINCT
+        # docs per ref via run boundaries over (ref, doc)
+        dstart = run_starts(refs, ids)
+        n_docs = np.add.reduceat(dstart.astype(np.int64), first)
+        return pa.table(
+            {
+                "media_ref": pa.array(refs[rstart]),
+                "n_docs": pa.array(n_docs),
+                "n_spans": pa.array(np.add.reduceat(n, first)),
+                # ids sorted within each ref run → run head is the min
+                "first_doc": pa.array(ids[rstart]),
+            }
+        )
+
+    parts = documents_ds(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return map_key_partitions(parts, ["media_ref"], per_ref)
+
+
+def span_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-wide span-kind transition matrix: counts of consecutive
+    (kind→kind) pairs inside each document's span sequence, in stored
+    span order (the order the per-row invariant preserves).
+
+    Shape: kinds dictionary-encode per batch; pairs form with one shifted
+    compare masked at doc boundaries; a K²-cell bincount partial per
+    batch feeds one tiny groupby.  Output: (kind_from, kind_to, n)."""
+    from .geo import documents_ds
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st, _, row = _flat_spans(batch)
+        kind = st.field("kind").dictionary_encode()
+        codes = np.asarray(kind.indices).astype(np.int64)
+        cats = kind.dictionary.to_numpy(zero_copy_only=False)
+        K = len(cats)
+        if len(codes) < 2 or K == 0:
+            return pa.table(
+                {
+                    "kind_from": pa.array([], type=pa.string()),
+                    "kind_to": pa.array([], type=pa.string()),
+                    "p_n": pa.array([], type=pa.int64()),
+                }
+            )
+        same_doc = row[1:] == row[:-1]
+        cell = codes[:-1][same_doc] * K + codes[1:][same_doc]
+        cnt = np.bincount(cell, minlength=K * K)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "kind_from": pa.array(cats[nz // K], type=pa.string()),
+                "kind_to": pa.array(cats[nz % K], type=pa.string()),
+                "p_n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    return (
+        documents_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind_from", "kind_to"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
+    )
+
+
+def span_gap_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document byte-layout integrity over the span sequence: for each
+    consecutive span pair, the gap between the previous span's end
+    (offset + text length) and the next span's offset — overlap count,
+    total positive gap bytes, and total span text bytes.  The layout
+    audit a reconstruction / alignment stage runs before trusting offsets.
+
+    One vectorized pass per batch (shifted arrays masked at doc starts);
+    no exchange at all — output is one row per input document.
+    Output: (doc_id, n_gaps, n_overlaps, gap_total, span_bytes)."""
+    from .geo import documents_ds
+
+    def profile(batch: pa.Table) -> pa.Table:
+        st, offs, row = _flat_spans(batch)
+        nb = len(batch)
+        off = st.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = pc.utf8_length(st.field("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(off)
+        valid = np.zeros(max(n - 1, 0), bool)
+        if n > 1:
+            valid = row[1:] == row[:-1]
+        gap = off[1:] - (off[:-1] + ln[:-1]) if n > 1 else np.empty(0, np.int64)
+        pair_row = row[1:][valid] if n > 1 else np.empty(0, np.int64)
+        gap = gap[valid]
+        n_gaps = np.bincount(pair_row, minlength=nb).astype(np.int64)
+        n_overlaps = np.bincount(
+            pair_row, weights=(gap < 0), minlength=nb
+        ).astype(np.int64)
+        gap_total = np.bincount(
+            pair_row, weights=np.maximum(gap, 0), minlength=nb
+        ).astype(np.int64)
+        span_bytes = np.bincount(row, weights=ln, minlength=nb).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_gaps": pa.array(n_gaps),
+                "n_overlaps": pa.array(n_overlaps),
+                "gap_total": pa.array(gap_total),
+                "span_bytes": pa.array(span_bytes),
+            }
+        )
+
+    return documents_ds(sf_dir).map_batches(profile, batch_format="pyarrow")
