@@ -771,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_parse": geo.q_parse,
         "geo_assignments": geo.q_assignments,
         "geo_tile_stats": geo.q_tile_stats,
+        "geo_zoom_rollup": geo.q_zoom_rollup,
         "geo_tile_smooth": geo.q_tile_smooth,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
@@ -1023,6 +1024,17 @@ FROM ({_TILE_SQL})
         "geo_tile_stats": f"""
 SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS batch_length
 FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
+""",
+        # quadtree pyramid: leaf (z16) counts rolled up to z10 by >> shifts
+        "geo_zoom_rollup": f"""
+WITH t AS ({_TILE_SQL}),
+z AS (SELECT unnest(range(10, 17)) AS zl)
+SELECT CAST(z.zl AS INTEGER) AS tile_z,
+       CAST(t.tile_x >> (16 - z.zl) AS INTEGER) AS tile_x,
+       CAST(t.tile_y >> (16 - z.zl) AS INTEGER) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_buildings
+FROM t CROSS JOIN z
+GROUP BY 1, 2, 3
 """,
         "geo_height_median": f"""
 WITH s AS (

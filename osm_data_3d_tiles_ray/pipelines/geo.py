@@ -104,6 +104,62 @@ def q_cell_cover(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(cover, batch_format="pyarrow")
 
 
+def q_zoom_rollup(sf_dir: str, z_top: int = 10) -> "ray.data.Dataset":
+    """Multi-resolution tile pyramid: per-tile building counts at every
+    zoom from the leaf grid (z16) up to ``z_top`` — the quadtree roll-up
+    the tileset tree summarizes implicitly (each z-1 parent is the >>1 of
+    its four children; reference walks the same parent chain when nesting
+    tileset nodes, ``/root/reference/src/tilesetGenerator.ts``).
+
+    Shape: one pass emits per-batch partial counts for ALL zoom levels at
+    once (7 packed (z, x>>s, y>>s) unique/count rows per distinct leaf
+    cell per batch — wire volume ≈ 7× the distinct-leaf count, never 7×
+    the building count), then ONE groupby sums partials.  No per-level
+    passes, no driver-side pyramid.
+    Output: (tile_z, tile_x, tile_y, n_buildings)."""
+    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    assigned = ownership_assignments(ds)
+    n_levels = 16 - z_top + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = batch.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        zs = np.arange(16, z_top - 1, -1, dtype=np.int64)
+        shift = (16 - zs)[:, None]
+        px = (tx[None, :] >> shift).ravel()
+        py = (ty[None, :] >> shift).ravel()
+        pz = np.repeat(zs, len(tx))
+        key = (pz << np.int64(42)) | (px << np.int64(21)) | py
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "zkey": pa.array(uniq),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    summed = (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby("zkey")
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_buildings"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = batch.column("zkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_z": pa.array((key >> 42).astype(np.int32)),
+                "tile_x": pa.array(((key >> 21) & ((1 << 21) - 1)).astype(np.int32)),
+                "tile_y": pa.array((key & ((1 << 21) - 1)).astype(np.int32)),
+                "n_buildings": pc.cast(batch.column("n_buildings"), pa.int64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def q_batch_table(sf_dir: str) -> "ray.data.Dataset":
     """b3dm batch-table projection (M14/M15): osm_url + boxCenter lon/lat
     (reference: ``src/b3dmGenerator.ts:223-247`` — feature midpoint
