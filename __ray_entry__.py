@@ -811,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": corpus_stats.ngram_novelty,
         "span_mix": corpus_stats.span_mix,
         "media_usage": corpus_stats.media_usage,
+        "media_cooccurrence": corpus_stats.media_cooccurrence,
         "span_transitions": corpus_stats.span_transitions,
         "span_gap_stats": corpus_stats.span_gap_stats,
         "ann_topk": ann.ann_topk,
@@ -1224,6 +1225,18 @@ SELECT media_ref,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
        MIN(doc_id) AS first_doc
 FROM u GROUP BY 1
+""",
+        # unordered media_ref co-occurrence edges (per-document distinct)
+        "media_cooccurrence": f"""
+WITH u AS (
+  SELECT DISTINCT doc_id, s.media_ref AS ref
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+  WHERE s.media_ref <> ''
+)
+SELECT a.ref AS ref_a, b.ref AS ref_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.ref < b.ref
+GROUP BY 1, 2
 """,
         # span-kind Markov transition counts in stored span order
         "span_transitions": f"""

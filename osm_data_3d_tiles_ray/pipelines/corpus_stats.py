@@ -509,3 +509,79 @@ def span_gap_stats(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return documents_ds(sf_dir).map_batches(profile, batch_format="pyarrow")
+
+
+def media_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
+    """Asset co-use graph over the interleaved table: for every unordered
+    pair of DISTINCT media_refs referenced by the same document, the
+    number of documents where they co-occur — the edge list a texture /
+    asset-bundling stage clusters on.
+
+    Shape: per batch, each doc's distinct sorted refs expand to pairs with
+    the grouped cross-product kernel (repeat/arange minus run offsets —
+    wire volume = Σ k·(k−1)/2 over per-doc distinct refs k, bounded by the
+    small per-doc media fan-out, never by span count); per-pair counts
+    aggregate in one groupby.  Output: (ref_a, ref_b, n_docs), ref_a <
+    ref_b."""
+    from .geo import documents_ds
+    from .partition import run_starts
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        st, _, row = _flat_spans(batch)
+        media = st.field("media_ref").to_numpy(zero_copy_only=False)
+        keep = media != ""
+        refs, rows = media[keep], row[keep]
+        # distinct (doc, ref), ref-sorted within doc
+        order = np.lexsort((refs, rows))
+        refs, rows = refs[order], rows[order]
+        starts = run_starts(rows, refs)
+        refs, rows = refs[starts], rows[starts]
+        # per-doc run lengths → cross-product expansion (i<j pairs)
+        dstart = run_starts(rows)
+        first = np.nonzero(dstart)[0]
+        k = np.diff(np.append(first, len(rows)))
+        npairs = k * (k - 1) // 2
+        tot = int(npairs.sum())
+        if tot == 0:
+            return pa.table(
+                {
+                    "ref_a": pa.array([], type=pa.string()),
+                    "ref_b": pa.array([], type=pa.string()),
+                    "p_n": pa.array([], type=pa.int64()),
+                }
+            )
+        # for each doc run of length k: pairs (i, j) with i<j, both local
+        doc_of_pair = np.repeat(np.arange(len(k)), npairs)
+        pair_pos = np.arange(tot) - np.repeat(np.cumsum(npairs) - npairs, npairs)
+        # decode (i, j) from the triangular index: i = row of the pair in
+        # the triangle, j = i + 1 + remainder
+        kk = k[doc_of_pair]
+        # i is the largest t with t*kk - t(t+1)/2 <= pair_pos
+        i = (
+            np.floor(
+                (2 * kk - 1 - np.sqrt((2 * kk - 1) ** 2 - 8 * pair_pos)) / 2
+            )
+        ).astype(np.int64)
+        off_i = i * kk - i * (i + 1) // 2
+        j = (pair_pos - off_i + i + 1).astype(np.int64)
+        base = np.repeat(first, npairs)
+        a, b = refs[base + i], refs[base + j]
+        t = pa.table(
+            {"ref_a": pa.array(a, type=pa.string()),
+             "ref_b": pa.array(b, type=pa.string())}
+        )
+        g = t.group_by(["ref_a", "ref_b"]).aggregate([("ref_a", "count")])
+        return pa.table(
+            {
+                "ref_a": g.column("ref_a"),
+                "ref_b": g.column("ref_b"),
+                "p_n": pc.cast(g.column("ref_a_count"), pa.int64()),
+            }
+        )
+
+    return (
+        documents_ds(sf_dir)
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["ref_a", "ref_b"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_docs"))
+    )
