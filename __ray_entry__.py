@@ -882,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_linestatus_priority": relational.linestatus_priority,
         "rel_customer_order_counts": relational.customer_order_counts,
         "rel_monthly_growth": relational.monthly_revenue_growth,
+        "rel_cohort_retention": relational.cohort_retention,
+        "dup_source_matrix": textops.dup_source_matrix,
         "rel_min_balance_supplier": relational.min_balance_supplier,
         "rel_volume_shipping": relational.volume_shipping,
         "rel_small_qty_revenue": relational.small_qty_revenue,
@@ -2369,6 +2371,31 @@ WITH pc AS (
 )
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
 FROM pc GROUP BY 1
+""",
+        # cohort retention triangle: first-order-month cohorts x months since
+        "rel_cohort_retention": """
+WITH o AS (
+  SELECT o_custkey AS ck,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym
+  FROM orders
+),
+f AS (SELECT ck, MIN(ym) AS fym FROM o GROUP BY 1)
+SELECT f.fym AS cohort_ym, o.ym - f.fym AS months_since,
+       CAST(COUNT(DISTINCT o.ck) AS BIGINT) AS n_customers
+FROM o JOIN f USING (ck) GROUP BY 1, 2
+""",
+        # within/cross-source identical-text duplicate pair matrix
+        "dup_source_matrix": """
+WITH g AS (
+  SELECT text, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(SUM(CASE WHEN a.source = b.source
+                     THEN a.c * (a.c - 1) // 2
+                     ELSE a.c * b.c END) AS BIGINT) AS dup_pairs
+FROM g a JOIN g b ON a.text = b.text AND a.source <= b.source
+GROUP BY 1, 2
 """,
         "rel_monthly_growth": """
 WITH m AS (

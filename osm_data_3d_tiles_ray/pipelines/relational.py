@@ -2954,3 +2954,81 @@ def revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Customer cohort retention matrix: customers grouped by their FIRST
+    order month (the cohort), counted in every subsequent month they stay
+    active — the (cohort, months-since) triangle behind retention curves.
+
+    Scale shape: ONE customer-keyed exchange does everything — per-batch
+    distinct (custkey, order-month) partials shrink the wire to at most
+    one row per active customer-month; inside each hash partition the
+    cohort month is the head of each customer's sorted run, and the
+    (cohort, months_since) cells reduce to packed-key unique/count
+    partials; one tiny cell-level groupby sums them.  A customer appears
+    at most once per (cohort, months_since) cell by construction, so the
+    partial counts ARE distinct-customer counts — no COUNT DISTINCT
+    exchange.  Output: (cohort_ym, months_since, n_customers); cohort_ym
+    = year*12 + month."""
+    from .partition import map_key_partitions, run_starts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        y = pc.year(od).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.month(od).to_numpy(zero_copy_only=False).astype(np.int64)
+        ym = y * 12 + m
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ym, ck))
+        ck, ym = ck[order], ym[order]
+        keep = run_starts(ck, ym)
+        return pa.table({"ck": pa.array(ck[keep]), "ym": pa.array(ym[keep])})
+
+    def per_customer(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"cell": pa.array([], type=pa.int64()),
+             "p_n": pa.array([], type=pa.int64())}
+        )
+        if len(tbl) == 0:
+            return empty
+        ck = tbl.column("ck").to_numpy(zero_copy_only=False)
+        ym = tbl.column("ym").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ym, ck))
+        ck, ym = ck[order], ym[order]
+        starts = run_starts(ck, ym)
+        ck, ym = ck[starts], ym[starts]
+        cstart = run_starts(ck)
+        first = np.nonzero(cstart)[0]
+        runs = np.diff(np.append(first, len(ck)))
+        fym = np.repeat(ym[cstart], runs)  # cohort month per row
+        ms = ym - fym
+        cell = fym * np.int64(1024) + ms  # months_since < 1024 by horizon
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq), "p_n": pa.array(cnt.astype(np.int64))}
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    cells = map_key_partitions(rows, ["ck"], per_customer)
+    summed = cells.groupby("cell").aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n_customers")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_ym": pa.array(cell // 1024),
+                "months_since": pa.array(cell % 1024),
+                "n_customers": pc.cast(batch.column("n_customers"), pa.int64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")

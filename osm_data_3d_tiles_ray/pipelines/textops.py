@@ -3688,3 +3688,108 @@ def source_token_entropy(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_source_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Where duplication comes from: for every source pair (src_a <=
+    src_b), the number of identical-text document PAIRS drawn one from
+    each — the within-source vs cross-source duplication matrix a
+    curation team reads before deciding which feed to trim.
+
+    Scale shape: texts hash to the 128-bit digest inside ``map_batches``
+    (bodies never shuffle); one digest-level groupby yields (digest,
+    source, count) rows; inside each digest-keyed hash partition every
+    duplicate group's source runs expand through the triangular-index
+    kernel (diagonal cell = c*(c-1)/2 within-source pairs, off-diagonal
+    = c_a*c_b cross pairs); a bounded source-pair groupby sums cells.
+    Output: (src_a, src_b, dup_pairs).  Within-source diagonal cells are
+    always present (zero when a source has no dups); cross cells appear
+    iff the two sources share at least one identical text."""
+    from .partition import map_key_partitions, run_starts
+
+    def hash_side(batch: pa.Table) -> pa.Table:
+        h = _hash_text_128(batch)
+        t = pa.table(
+            {
+                "h1": h.column("h1"),
+                "h2": h.column("h2"),
+                "source": batch.column("source"),
+            }
+        )
+        g = t.group_by(["h1", "h2", "source"]).aggregate([("source", "count")])
+        return pa.table(
+            {
+                "h1": g.column("h1"),
+                "h2": g.column("h2"),
+                "source": g.column("source"),
+                "p_c": pc.cast(g.column("source_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text", "source"])
+        .map_batches(hash_side, batch_format="pyarrow")
+        .groupby(["h1", "h2", "source"])
+        .aggregate(ray.data.aggregate.Sum("p_c", alias_name="c"))
+    )
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_a": pa.array([], type=pa.string()),
+                "src_b": pa.array([], type=pa.string()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        c = pc.cast(tbl.column("c"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, h2, h1))
+        h1, h2, src, c = h1[order], h2[order], src[order], c[order]
+        gstart = run_starts(h1, h2)
+        first = np.nonzero(gstart)[0]
+        k = np.diff(np.append(first, len(h1)))
+        npairs = k * (k + 1) // 2  # i <= j including the diagonal
+        tot = int(npairs.sum())
+        if tot == 0:
+            return empty
+        grp = np.repeat(np.arange(len(k)), npairs)
+        p = np.arange(tot) - np.repeat(np.cumsum(npairs) - npairs, npairs)
+        kk = k[grp]
+        i = np.floor(
+            ((2 * kk + 1) - np.sqrt((2 * kk + 1) ** 2 - 8.0 * p)) / 2
+        ).astype(np.int64)
+        cum_i = i * kk - i * (i - 1) // 2
+        j = i + (p - cum_i)
+        base = np.repeat(first, npairs)
+        ca, cb = c[base + i], c[base + j]
+        val = np.where(i == j, ca * (ca - 1) // 2, ca * cb)
+        # zero diagonal cells stay: every source always reports its
+        # within-source cell (schema-stable even on a dup-free corpus),
+        # and the local groupby below collapses them to <= |sources|^2
+        # rows per partition before the exchange
+        t = pa.table(
+            {
+                "src_a": pa.array(src[base + i], type=pa.string()),
+                "src_b": pa.array(src[base + j], type=pa.string()),
+                "v": pa.array(val),
+            }
+        )
+        g = t.group_by(["src_a", "src_b"]).aggregate([("v", "sum")])
+        return pa.table(
+            {
+                "src_a": g.column("src_a"),
+                "src_b": g.column("src_b"),
+                "p_n": pc.cast(g.column("v_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        map_key_partitions(counts, ["h1", "h2"], expand)
+        .groupby(["src_a", "src_b"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="dup_pairs"))
+    )
