@@ -539,37 +539,62 @@ def _encode_compact_slice(batch: pa.Table) -> pa.Table:
     )
     rec_start = np.repeat(row_off[:-1], n_rec) + (w - np.repeat(w_first, n_rec))
 
-    # --- decode ALL records at once
+    # --- decode records in BOUNDED chunks into preallocated outputs.
+    # An all-at-once decode allocates int64 gather indices PER PAYLOAD
+    # BYTE plus full-width float64 requantize temporaries — a dense-urban
+    # cell (observed: one z16 cell with 20,185 buildings / 19.4M vertices
+    # at sf0.4, the north rule's skew case) peaked above 20 GB of fresh
+    # pages and serialized the host.  Chunked decode holds the peak near
+    # the preallocated outputs (~20 B/vertex) regardless of tile size;
+    # per-record/elementwise math is unchanged, so outputs stay
+    # bit-identical (tests assert parity with compress_mesh_quantized).
     hdr = raw[rec_start[:, None] + np.arange(_REC_HEADER_SIZE)]
     assert (hdr[:, :4] == magic_bytes).all()
     verts = hdr[:, 12:16].copy().view(np.uint32).ravel().astype(np.int64)
     bboxes = hdr[:, 16:64].copy().view(np.float64).reshape(-1, 6)
     base = rec_start + _REC_HEADER_SIZE
-    qp = _seg_gather(raw, base, verts * 6).view(np.uint16).reshape(-1, 3)
-    qn = _seg_gather(raw, base + verts * 6, verts * 3).view(np.int8).reshape(-1, 3)
-    qu = _seg_gather(raw, base + verts * 9, verts * 4).view(np.uint16).reshape(-1, 2)
-    tid = _seg_gather(raw, base + verts * 13, verts)
 
-    rec_of_v = np.repeat(np.arange(R), verts)
-    tile_of_rec = np.repeat(np.arange(T), n_rec)
-    tile_of_v = tile_of_rec[rec_of_v]
+    tile_of_rec = np.repeat(np.arange(T, dtype=np.int32), n_rec)
     v_counts = np.bincount(tile_of_rec, weights=verts, minlength=T).astype(np.int64)
-    N = len(qp)
+    N = int(verts.sum())
+    v_off_rec = np.concatenate([[0], np.cumsum(verts)])  # vertex offset per record
 
-    # dequantize to each building frame, requantize to its tile frame
-    # (same op order as the per-tile path — bit-identical floats)
-    mn_b = bboxes[:, :3][rec_of_v]
-    ext_b = np.maximum(bboxes[:, 3:] - bboxes[:, :3], 1e-12)[rec_of_v]
-    pos = mn_b + qp.astype(np.float64) / 65535 * ext_b
+    qp_t = np.empty((N, 3), np.uint16)
+    qn = np.empty((N, 3), np.int8)
+    qu = np.empty((N, 2), np.uint16)
+    tid = np.empty(N, np.uint8)
+    bid = np.empty(N, np.uint16)
+    tile_of_v = np.empty(N, np.int32)
     mn_t = bounds[:, :3]
     ext_t = np.where(bounds[:, 3:] > mn_t, bounds[:, 3:] - mn_t, 1.0)
-    qp_t = np.floor(
-        np.clip((pos - mn_t[tile_of_v]) / ext_t[tile_of_v], 0, 1) * 65535 + 0.5
-    ).astype(np.uint16)
     rec_first = np.concatenate([[0], np.cumsum(n_rec)[:-1]])
-    bid = np.repeat(
-        (np.arange(R) - np.repeat(rec_first, n_rec)), verts
-    ).astype(np.uint16)
+    rec_local = (np.arange(R) - np.repeat(rec_first, n_rec)).astype(np.uint16)
+
+    r0 = 0
+    while r0 < R:
+        # grow the record window until ~_V_CHUNK vertices
+        r1 = int(np.searchsorted(v_off_rec, v_off_rec[r0] + _V_CHUNK, side="left"))
+        r1 = min(max(r1, r0 + 1), R)
+        vc = verts[r0:r1]
+        v0, v1 = int(v_off_rec[r0]), int(v_off_rec[r1])
+        bc = base[r0:r1]
+        qp_c = _seg_gather(raw, bc, vc * 6).view(np.uint16).reshape(-1, 3)
+        qn[v0:v1] = _seg_gather(raw, bc + vc * 6, vc * 3).view(np.int8).reshape(-1, 3)
+        qu[v0:v1] = _seg_gather(raw, bc + vc * 9, vc * 4).view(np.uint16).reshape(-1, 2)
+        tid[v0:v1] = _seg_gather(raw, bc + vc * 13, vc)
+        rec_of_c = np.repeat(np.arange(r0, r1), vc)
+        tv = tile_of_rec[rec_of_c]
+        tile_of_v[v0:v1] = tv
+        bid[v0:v1] = rec_local[rec_of_c]
+        # dequantize to each building frame, requantize to its tile frame
+        # (same op order as the per-tile path — bit-identical floats)
+        mn_b = bboxes[:, :3][rec_of_c]
+        ext_b = np.maximum(bboxes[:, 3:] - bboxes[:, :3], 1e-12)[rec_of_c]
+        pos = mn_b + qp_c.astype(np.float64) / 65535 * ext_b
+        qp_t[v0:v1] = np.floor(
+            np.clip((pos - mn_t[tv]) / ext_t[tv], 0, 1) * 65535 + 0.5
+        ).astype(np.uint16)
+        r0 = r1
 
     # --- global weld: one lexsort keyed (tile, packed 16-byte vertex)
     rec16 = np.zeros(
