@@ -1463,6 +1463,44 @@ JOIN sz sa ON sa.doc_id = p.doc_a
 JOIN sz sb ON sb.doc_id = p.doc_b
 WHERE p.inter * 10000 >= 5000 * (sa.n + sb.n - p.inter)
 """,
+        # rolling polynomial hash (base 257, mod 2^64) mirrored with
+        # HUGEINT wrap arithmetic; corpus text is pure ASCII so ord() ==
+        # the UTF-8 byte the engine hashes
+        "doc_fingerprint": """
+WITH p AS (
+  SELECT * FROM (VALUES
+    (0, CAST(74051159531521793 AS HUGEINT)),
+    (1, CAST(288136807515649 AS HUGEINT)),
+    (2, CAST(1121154893057 AS HUGEINT)),
+    (3, CAST(4362470401 AS HUGEINT)),
+    (4, CAST(16974593 AS HUGEINT)),
+    (5, CAST(66049 AS HUGEINT)),
+    (6, CAST(257 AS HUGEINT)),
+    (7, CAST(1 AS HUGEINT))) AS p(j, pw)
+), c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS b,
+         CAST(length(text) AS BIGINT) AS L
+  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+), h AS (
+  SELECT doc_id, i - j AS pos,
+         SUM(b * pw) % 18446744073709551616 AS m
+  FROM c CROSS JOIN p
+  WHERE i - j >= 1 AND i - j <= L - 7
+  GROUP BY 1, 2
+), s AS (
+  SELECT doc_id,
+         CAST(CASE WHEN m < 9223372036854775808 THEN m
+                   ELSE m - 18446744073709551616 END AS BIGINT) AS v
+  FROM h
+), agg AS (
+  SELECT doc_id, MIN(v) AS fp_min, MAX(v) AS fp_max, bit_xor(v) AS fp_xor
+  FROM s GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(agg.fp_min, 0) AS fp_min,
+       COALESCE(agg.fp_max, 0) AS fp_max, COALESCE(agg.fp_xor, 0) AS fp_xor
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
         "winnow_fingerprints": """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
