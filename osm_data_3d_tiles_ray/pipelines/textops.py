@@ -202,25 +202,47 @@ def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     fp_min, fp_max, fp_xor)."""
     K = 8
     B = np.uint64(257)
-    BK = B ** np.uint64(K - 1)
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_numpy(zero_copy_only=False)
-        mn = np.empty(len(texts), dtype=np.int64)
-        mx = np.empty(len(texts), dtype=np.int64)
-        xr = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(b) < K:
-                h = np.zeros(1, dtype=np.uint64)
-            else:
-                # rolling polynomial hash via cumulative products (vectorized)
-                powers = B ** np.arange(K, dtype=np.uint64)
-                w = np.lib.stride_tricks.sliding_window_view(b, K)
-                h = (w * powers[::-1]).sum(axis=1)
-            mn[i] = np.int64(h.min().astype(np.int64))
-            mx[i] = np.int64(h.max().astype(np.int64))
-            xr[i] = np.int64(np.bitwise_xor.reduce(h).astype(np.int64))
+        """Whole-batch: hash every K-byte window of the CONCATENATED text
+        buffer once (one sliding-window multiply-sum), then reduce each
+        document's valid window range with paired-boundary ``reduceat``
+        (windows that straddle a document boundary are simply outside the
+        per-doc [start, end−K] range — no per-row Python)."""
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lb = text.cast(pa.large_binary())
+        offs = np.frombuffer(lb.buffers()[1], np.int64)[
+            lb.offset : lb.offset + len(lb) + 1
+        ]
+        buf = np.frombuffer(lb.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        n = len(batch)
+        mn = np.zeros(n, dtype=np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        xr = np.zeros(n, dtype=np.int64)
+        L = len(buf)
+        if L >= K:
+            powers = (B ** np.arange(K, dtype=np.uint64))[::-1]
+            w = np.lib.stride_tricks.sliding_window_view(
+                buf.astype(np.uint64), K
+            )
+            h = (w * powers).sum(axis=1)  # uint64 wrap == per-doc math
+            starts = offs[:-1]
+            ends = np.maximum(offs[1:] - (K - 1), starts)  # len<K → empty
+            has = ends > starts
+            if has.any():
+                # paired reduceat: segment d = [starts[d], ends[d]) with the
+                # in-between (cross-boundary) windows skipped; results land
+                # at even slots.  A zero sentinel appended to h makes the
+                # final end index (== len(h)) valid; only discarded odd
+                # slots ever touch it.
+                h_ext = np.append(h, np.uint64(0))
+                bounds = np.column_stack([starts[has], ends[has]]).ravel()
+                mn[has] = np.minimum.reduceat(h_ext, bounds)[::2].astype(np.int64)
+                mx[has] = np.maximum.reduceat(h_ext, bounds)[::2].astype(np.int64)
+                xr[has] = np.bitwise_xor.reduceat(h_ext, bounds)[::2].astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -229,8 +251,6 @@ def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
                 "fp_xor": pa.array(xr),
             }
         )
-
-    _ = BK  # (kept for the classic rolling update form)
     return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow"
     )
