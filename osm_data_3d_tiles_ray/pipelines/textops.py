@@ -2772,141 +2772,149 @@ def jaccard_word_pairs(
             )
         return pa.concat_tables(parts)
 
-    # consumed by TWO rollups (sizes + pairs): materialize the fixed-width
-    # partial rows once (distributed blocks, spillable) instead of running
-    # the explode + gram exchange twice
+    # Downstream is ONE streamed scan of the partial rows: pair partials
+    # replicate to BOTH doc keys (side 0 carries the inter partial, side 2
+    # only flags that the pair needs |B|), size partials keep their doc
+    # key; a single doc-key exchange then co-locates every doc's size
+    # partials with every pair half keyed by it, so the partition fn can
+    # total sizes per doc AND pair inters per (a,b) — all side-0 partials
+    # of a pair share key=doc_a — and attach the key doc's size in one
+    # segmented pass.  A final bounded pair groupby sums the two halves
+    # and the threshold evaluates in exact integers.  (Earlier shape ran
+    # two groupbys + two tagged sort exchanges and scanned the partials
+    # three times; this is one exchange + one groupby, one scan.)
     both = map_key_partitions(
         grams, ["h1", "h2"], pairs_and_sizes, num_partitions
-    ).materialize()
-
-    sizes = (
-        both.map_batches(
-            lambda b: b.filter(pc.equal(b.column("is_pair"), 0)).select(
-                ["doc_a", "cnt"]
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("doc_a")
-        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="n_grams"))
-    )
-    pair_rel = (
-        both.map_batches(
-            lambda b: b.filter(pc.equal(b.column("is_pair"), 1)),
-            batch_format="pyarrow",
-        )
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="inter"))
     )
 
-    def size_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        is_pair = batch.column("is_pair").to_numpy(zero_copy_only=False)
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        sz = is_pair == 0
+        pr = ~sz
+        n_s, n_p = int(sz.sum()), int(pr.sum())
+        key = np.concatenate([da[sz], da[pr], db[pr]])
+        side = np.concatenate(
+            [
+                np.ones(n_s, dtype=np.int8),
+                np.zeros(n_p, dtype=np.int8),
+                np.full(n_p, 2, dtype=np.int8),
+            ]
+        )
+        doc_a = np.concatenate([np.zeros(n_s, dtype=np.int64), da[pr], da[pr]])
+        doc_b = np.concatenate([np.zeros(n_s, dtype=np.int64), db[pr], db[pr]])
+        val = np.concatenate([cnt[sz], cnt[pr], cnt[pr]])
         return pa.table(
             {
-                "key": batch.column("doc_a"),
-                "side": pa.array(np.ones(n, dtype=np.int8)),
-                "doc_a": pa.array(np.zeros(n, dtype=np.int64)),
-                "doc_b": pa.array(np.zeros(n, dtype=np.int64)),
-                "inter": pa.array(np.zeros(n, dtype=np.int64)),
-                "na": pa.array(np.zeros(n, dtype=np.int64)),
-                "sz": pc.cast(batch.column("n_grams"), pa.int64()),
+                "key": pa.array(key),
+                "side": pa.array(side),
+                "doc_a": pa.array(doc_a),
+                "doc_b": pa.array(doc_b),
+                "val": pa.array(val),
             }
         )
 
-    # attach |A| then |B| via two keyed tag-union exchanges
-    def pair_side1(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "key": batch.column("doc_a"),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "doc_a": batch.column("doc_a"),
-                "doc_b": batch.column("doc_b"),
-                "inter": pc.cast(batch.column("inter"), pa.int64()),
-                "na": pa.array(np.zeros(n, dtype=np.int64)),
-                "sz": pa.array(np.zeros(n, dtype=np.int64)),
-            }
-        )
-
-    def join_sz(tbl: pa.Table) -> pa.Table:
+    def attach_sizes(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "doc_a": pa.array([], type=pa.int64()),
                 "doc_b": pa.array([], type=pa.int64()),
                 "inter": pa.array([], type=pa.int64()),
-                "na": pa.array([], type=pa.int64()),
+                "nsz": pa.array([], type=pa.int64()),
             }
         )
-        side = tbl.column("side").to_numpy(zero_copy_only=False)
-        if (side == 0).sum() == 0 or (side == 1).sum() == 0:
+        if len(tbl) == 0:
             return empty
-        sz_rows = tbl.filter(pa.array(side == 1)).sort_by("key")
-        prs = tbl.filter(pa.array(side == 0))
-        skey = sz_rows.column("key").to_numpy(zero_copy_only=False)
-        sval = sz_rows.column("sz").to_numpy(zero_copy_only=False)
-        pkey = prs.column("key").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(skey, pkey)  # every pair doc has a size row
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        da = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+        db = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+        val = tbl.column("val").to_numpy(zero_copy_only=False)
+        smask = side == 1
+        skey, sval = key[smask], val[smask]
+        o = np.argsort(skey, kind="stable")
+        skey, sval = skey[o], sval[o]
+        st = run_starts(skey)
+        idx = np.flatnonzero(st)
+        usz_key = skey[idx]
+        usz = (
+            np.add.reduceat(sval, idx)
+            if len(idx)
+            else np.array([], dtype=np.int64)
+        )
+        parts = []
+        for s_id, carries_inter in ((0, True), (2, False)):
+            m = side == s_id
+            if not m.any():
+                continue
+            a, b, v, kk = da[m], db[m], val[m], key[m]
+            o2 = np.lexsort((b, a))
+            a, b, v, kk = a[o2], b[o2], v[o2], kk[o2]
+            i2 = np.flatnonzero(run_starts(a, b))
+            inter = np.add.reduceat(v, i2)
+            # every pair doc has kept grams, hence a co-located size row
+            szk = usz[np.searchsorted(usz_key, kk[i2])]
+            parts.append(
+                pa.table(
+                    {
+                        "doc_a": pa.array(a[i2]),
+                        "doc_b": pa.array(b[i2]),
+                        "inter": pa.array(
+                            inter if carries_inter
+                            else np.zeros(len(i2), dtype=np.int64)
+                        ),
+                        "nsz": pa.array(szk),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
+
+    halves = map_key_partitions(
+        both.map_batches(tag_rows, batch_format="pyarrow"),
+        ["key"],
+        attach_sizes,
+        num_partitions,
+    )
+    merged = halves.groupby(["doc_a", "doc_b"]).aggregate(
+        ray.data.aggregate.Sum("inter", alias_name="inter"),
+        ray.data.aggregate.Sum("nsz", alias_name="nsz"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "inter": pa.array([], type=pa.int64()),
+                "jaccard_e4": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        inter = pc.cast(batch.column("inter"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        union = (
+            pc.cast(batch.column("nsz"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            - inter
+        )
+        keep = inter * 10000 >= tau_e4 * union
         return pa.table(
             {
-                "doc_a": prs.column("doc_a"),
-                "doc_b": prs.column("doc_b"),
-                "inter": prs.column("inter"),
-                "na": pa.array(
-                    prs.column("na").to_numpy(zero_copy_only=False)
-                    + sval[pos]
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "inter": pa.array(inter[keep]),
+                "jaccard_e4": pa.array(
+                    inter[keep] * 10000 // np.maximum(union[keep], 1)
                 ),
             }
         )
 
-    size_rows1 = sizes.map_batches(size_side, batch_format="pyarrow")
-    tag1 = size_rows1.union(pair_rel.map_batches(pair_side1, batch_format="pyarrow"))
-    with_na = map_key_partitions(tag1, ["key"], join_sz, num_partitions)
-
-    def pair_side2(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "key": batch.column("doc_b"),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "doc_a": batch.column("doc_a"),
-                "doc_b": batch.column("doc_b"),
-                "inter": batch.column("inter"),
-                "na": batch.column("na"),
-                "sz": pa.array(np.zeros(n, dtype=np.int64)),
-            }
-        )
-
-    tag2 = size_rows1.union(
-        with_na.map_batches(pair_side2, batch_format="pyarrow")
-    )
-
-    def join_finish(tbl: pa.Table) -> pa.Table:
-        t = join_sz(tbl)  # na column now holds na + nb accumulated
-        if len(t) == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "inter": pa.array([], type=pa.int64()),
-                    "jaccard_e4": pa.array([], type=pa.int64()),
-                }
-            )
-        inter = t.column("inter").to_numpy(zero_copy_only=False)
-        nab = t.column("na").to_numpy(zero_copy_only=False)
-        union = nab - inter
-        keep = inter * 10000 >= tau_e4 * union
-        t = t.filter(pa.array(keep))
-        inter = t.column("inter").to_numpy(zero_copy_only=False)
-        union = t.column("na").to_numpy(zero_copy_only=False) - inter
-        return pa.table(
-            {
-                "doc_a": t.column("doc_a"),
-                "doc_b": t.column("doc_b"),
-                "inter": t.column("inter"),
-                "jaccard_e4": pa.array(inter * 10000 // np.maximum(union, 1)),
-            }
-        )
-
-    return map_key_partitions(tag2, ["key"], join_finish, num_partitions)
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def token_budget_mix(
