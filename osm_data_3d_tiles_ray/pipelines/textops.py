@@ -2043,7 +2043,7 @@ def bigram_lm_score(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset
     scale per the repo float rules).
 
     Output: (doc_id, n_bigrams, logprob_e6)."""
-    from .partition import map_key_partitions
+    from .partition import map_key_partitions, run_starts
 
     doc_rows = (
         _docs(sf_dir)
@@ -2051,64 +2051,32 @@ def bigram_lm_score(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset
         .map_batches(_bigram_rows, batch_format="pyarrow")
     )
 
-    # the trained model: materialized ONCE (distributed blocks in the
-    # object store — the train→score checkpoint; each rel is one row per
-    # distinct bigram/unigram, spillable, never driver-side) so that
-    # uc.count() and the join unions don't re-run the corpus explode.
-    # bc keeps h1 alongside h12 (h12 determines h1) so BOTH model attaches
-    # ride ONE h1-keyed exchange.
-    bc = doc_rows.groupby(["h1", "h12"]).aggregate(
-        ray.data.aggregate.Sum("cnt", alias_name="c2")
+    # ONE h1-keyed exchange: every bigram row whose first word hashes
+    # equal co-locates, so the MODEL counts (c2 per bigram, c1 per
+    # bigram-start) are computable in-partition from the doc rows
+    # themselves — no separate bc/uc groupbys, no tag union, and the
+    # corpus explodes exactly once (the earlier shape exploded it three
+    # times and ran four exchanges).  The exchanged rel materializes
+    # (fixed-width rows, spillable) because two scans consume it: the V
+    # pre-pass (distinct bigram-start vocabulary as per-block partial
+    # distinct counts summed to one scalar — blocks hold complete h1
+    # groups, so partials never double-count) and the scoring scan.
+    ex = map_key_partitions(
+        doc_rows, ["h1"], lambda t: t, num_partitions
     ).materialize()
-    uc = doc_rows.groupby("h1").aggregate(
-        ray.data.aggregate.Sum("cnt", alias_name="c1")
-    ).materialize()
-    v_size = uc.count()  # scalar: distinct bigram-start vocabulary
 
-    # one exchange keyed h1 co-locates each first-word's bigram-model rows
-    # (side 1), its unigram-model row (side 2) and every doc bigram row
-    # (side 0); skew is bounded by the hash partitioning (a partition holds
-    # many first-words, a hot word never exceeds its partition)
-    def bc_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+    def v_partial(batch: pa.Table) -> pa.Table:
+        h1 = batch.column("h1").to_numpy(zero_copy_only=False)
         return pa.table(
-            {
-                "h1": batch.column("h1"),
-                "h12": batch.column("h12"),
-                "side": pa.array(np.ones(n, dtype=np.int8)),
-                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
-                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
-                "c": pc.cast(batch.column("c2"), pa.int64()),
-            }
+            {"v": pa.array([len(np.unique(h1))], type=pa.int64())}
         )
 
-    def uc_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "h1": batch.column("h1"),
-                "h12": pa.array(np.zeros(n, dtype=np.int64)),
-                "side": pa.array(np.full(n, 2, dtype=np.int8)),
-                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
-                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
-                "c": pc.cast(batch.column("c1"), pa.int64()),
-            }
-        )
+    v_scalar = ex.map_batches(
+        v_partial, batch_format="pyarrow", batch_size=None
+    ).sum("v")
+    v_size = int(v_scalar or 0)
 
-    def doc_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "h1": batch.column("h1"),
-                "h12": batch.column("h12"),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "doc_id": batch.column("doc_id"),
-                "cnt": batch.column("cnt"),
-                "c": pa.array(np.zeros(n, dtype=np.int64)),
-            }
-        )
-
-    def score_part(tbl: pa.Table) -> pa.Table:
+    def score_block(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
@@ -2116,31 +2084,32 @@ def bigram_lm_score(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset
                 "p_lp": pa.array([], type=pa.int64()),
             }
         )
-        side = tbl.column("side").to_numpy(zero_copy_only=False)
-        if not (side == 0).any():
+        if len(tbl) == 0:
             return empty
-        bmodel = tbl.filter(pa.array(side == 1)).sort_by("h12")
-        umodel = tbl.filter(pa.array(side == 2)).sort_by("h1")
-        docs = tbl.filter(pa.array(side == 0))
-        bk = bmodel.column("h12").to_numpy(zero_copy_only=False)
-        bc2 = bmodel.column("c").to_numpy(zero_copy_only=False)
-        uk = umodel.column("h1").to_numpy(zero_copy_only=False)
-        uc1 = umodel.column("c").to_numpy(zero_copy_only=False)
-        dk12 = docs.column("h12").to_numpy(zero_copy_only=False)
-        dk1 = docs.column("h1").to_numpy(zero_copy_only=False)
-        # every doc bigram has both model rows (built from the same rel)
-        c2 = bc2[np.searchsorted(bk, dk12)].astype(np.float64)
-        c1 = uc1[np.searchsorted(uk, dk1)].astype(np.float64)
-        cnt = docs.column("cnt").to_numpy(zero_copy_only=False)
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h12 = tbl.column("h12").to_numpy(zero_copy_only=False)
+        cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h12, h1))
+        h1s, h12s, cnts, dids = h1[order], h12[order], cnt[order], did[order]
+        s1 = run_starts(h1s)
+        c1 = np.repeat(
+            np.add.reduceat(cnts, np.flatnonzero(s1)),
+            np.diff(np.append(np.flatnonzero(s1), len(cnts))),
+        ).astype(np.float64)
+        s2 = run_starts(h1s, h12s)
+        c2 = np.repeat(
+            np.add.reduceat(cnts, np.flatnonzero(s2)),
+            np.diff(np.append(np.flatnonzero(s2), len(cnts))),
+        ).astype(np.float64)
         per_inst = np.floor(
             np.log((c2 + 1.0) / (c1 + float(v_size))) * 1e6 + 0.5
         ).astype(np.int64)
-        did = docs.column("doc_id").to_numpy(zero_copy_only=False)
-        ud, inv = np.unique(did, return_inverse=True)
+        ud, inv = np.unique(dids, return_inverse=True)
         n_sum = np.zeros(len(ud), dtype=np.int64)
         lp_sum = np.zeros(len(ud), dtype=np.int64)
-        np.add.at(n_sum, inv, cnt)
-        np.add.at(lp_sum, inv, per_inst * cnt)
+        np.add.at(n_sum, inv, cnts)
+        np.add.at(lp_sum, inv, per_inst * cnts)
         return pa.table(
             {
                 "doc_id": pa.array(ud),
@@ -2149,12 +2118,9 @@ def bigram_lm_score(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset
             }
         )
 
-    tagged = (
-        bc.map_batches(bc_side, batch_format="pyarrow")
-        .union(uc.map_batches(uc_side, batch_format="pyarrow"))
-        .union(doc_rows.map_batches(doc_side, batch_format="pyarrow"))
+    partials = ex.map_batches(
+        score_block, batch_format="pyarrow", batch_size=None
     )
-    partials = map_key_partitions(tagged, ["h1"], score_part, num_partitions)
 
     merged = partials.groupby("doc_id").aggregate(
         ray.data.aggregate.Sum("p_n", alias_name="n_bigrams"),
