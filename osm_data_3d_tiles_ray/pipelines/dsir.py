@@ -124,65 +124,42 @@ def dsir_score(
             batch_format="pyarrow",
         )
     )
-    model = (
-        rows.groupby("h")
-        .aggregate(
-            ray.data.aggregate.Sum("tf", alias_name="c_all"),
-            ray.data.aggregate.Sum("tgt_tf", alias_name="ct"),
-        )
-        .materialize()  # train→score checkpoint: one row per distinct term,
-        # distributed blocks (never driver-side)
-    )
+    # ONE h-keyed exchange: a term's rows all co-locate, so the model
+    # counts (ct, c_all per term) are computable inside the scoring
+    # partition — no separate model groupby and the corpus explodes
+    # exactly once (the earlier tag-union shape exploded it twice).  The
+    # exchanged rel materializes (fixed-width rows, spillable) because
+    # two scans consume it: the scalar-totals pre-pass (Tt, Tall, V as
+    # per-block partials — blocks hold complete term groups, so the
+    # distinct count never double-counts) and the scoring scan.
+    from .partition import run_starts
+
+    ex = map_key_partitions(
+        rows, ["h"], lambda t: t, num_partitions
+    ).materialize()
 
     def totals_partial(batch: pa.Table) -> pa.Table:
-        c_all = batch.column("c_all").to_numpy(zero_copy_only=False)
-        ct = batch.column("ct").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        tgt = batch.column("tgt_tf").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "tt": pa.array([int(ct.sum())], type=pa.int64()),
-                "tall": pa.array([int(c_all.sum())], type=pa.int64()),
-                "v": pa.array([len(batch)], type=pa.int64()),
+                "tt": pa.array([int(tgt.sum())], type=pa.int64()),
+                "tall": pa.array([int(tf.sum())], type=pa.int64()),
+                "v": pa.array([len(np.unique(h))], type=pa.int64()),
             }
         )
 
-    parts = model.map_batches(totals_partial, batch_format="pyarrow").take_all()
+    parts = ex.map_batches(
+        totals_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
     tt = sum(p["tt"] for p in parts)  # bounded: one row per block
     tall = sum(p["tall"] for p in parts)
     v = sum(p["v"] for p in parts)
     tr = tall - tt
     tgt_denom, raw_denom = float(tt + v), float(tr + v)
 
-    def model_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "h": batch.column("h"),
-                "side": pa.array(np.ones(n, dtype=np.int8)),
-                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
-                "tf": pa.array(np.zeros(n, dtype=np.int64)),
-                "ct": pc.cast(batch.column("ct"), pa.int64()),
-                "c_all": pc.cast(batch.column("c_all"), pa.int64()),
-            }
-        )
-
-    def doc_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "h": batch.column("h"),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "doc_id": batch.column("doc_id"),
-                "tf": batch.column("tf"),
-                "ct": pa.array(np.zeros(n, dtype=np.int64)),
-                "c_all": pa.array(np.zeros(n, dtype=np.int64)),
-            }
-        )
-
-    tagged = model.map_batches(model_side, batch_format="pyarrow").union(
-        rows.map_batches(doc_side, batch_format="pyarrow")
-    )
-
-    def score_part(tbl: pa.Table) -> pa.Table:
+    def score_block(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
@@ -192,38 +169,37 @@ def dsir_score(
         )
         if len(tbl) == 0:
             return empty
-        side = tbl.column("side").to_numpy(zero_copy_only=False)
         h = tbl.column("h").to_numpy(zero_copy_only=False)
-        mm = side == 1
-        dm = ~mm
-        if not dm.any():
-            return empty
-        mh = h[mm]
-        morder = np.argsort(mh, kind="stable")
-        mh = mh[morder]
-        ct = tbl.column("ct").to_numpy(zero_copy_only=False)[mm][morder]
-        c_all = tbl.column("c_all").to_numpy(zero_copy_only=False)[mm][morder]
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False)
+        tgt = tbl.column("tgt_tf").to_numpy(zero_copy_only=False)
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, tf, tgt, did = h[order], tf[order], tgt[order], did[order]
+        idx = np.flatnonzero(run_starts(h))
+        run_len = np.diff(np.append(idx, len(h)))
+        ct_run = np.add.reduceat(tgt, idx)
+        c_all_run = np.add.reduceat(tf, idx)
         # per-term integer score (floor BEFORE any sum: oracle float rule)
-        s_t = np.floor(np.log((ct + 1) / tgt_denom) * 1e6 + 0.5).astype(
-            np.int64
-        ) - np.floor(np.log((c_all - ct + 1) / raw_denom) * 1e6 + 0.5).astype(
-            np.int64
-        )
-        pos = np.searchsorted(mh, h[dm])  # every doc term exists in the model
-        tf = tbl.column("tf").to_numpy(zero_copy_only=False)[dm]
-        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)[dm]
+        s_run = np.floor(
+            np.log((ct_run + 1) / tgt_denom) * 1e6 + 0.5
+        ).astype(np.int64) - np.floor(
+            np.log((c_all_run - ct_run + 1) / raw_denom) * 1e6 + 0.5
+        ).astype(np.int64)
+        s_t = np.repeat(s_run, run_len)
         udoc, inv = np.unique(did, return_inverse=True)
         return pa.table(
             {
                 "doc_id": pa.array(udoc),
                 "p_ntok": pa.array(np.bincount(inv, weights=tf).astype(np.int64)),
                 "p_score": pa.array(
-                    np.bincount(inv, weights=tf * s_t[pos]).astype(np.int64)
+                    np.bincount(inv, weights=tf * s_t).astype(np.int64)
                 ),
             }
         )
 
-    partials = map_key_partitions(tagged, ["h"], score_part, num_partitions)
+    partials = ex.map_batches(
+        score_block, batch_format="pyarrow", batch_size=None
+    )
     merged = partials.groupby("doc_id").aggregate(
         ray.data.aggregate.Sum("p_ntok", alias_name="n_tok"),
         ray.data.aggregate.Sum("p_score", alias_name="dsir_e6"),

@@ -1395,6 +1395,8 @@ def customer_order_counts(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(opartial, batch_format="pyarrow")
         .groupby("custkey")
         .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_orders"))
+        .materialize()  # consumed twice (histogram + the zero-bucket
+        # cardinality) — one narrow row per ordering customer
     )
 
     def hpartial(batch: pa.Table) -> pa.Table:

@@ -871,40 +871,11 @@ def tf_idf(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset":
     )
     n_docs = _docs(sf_dir).count()
 
-    # DF: one row per (term, doc) already → count per term hash.  This
-    # stays distributed: only fixed-width (term_hash, df) rows shuffle.
-    df_tbl = tf_rows.groupby("term_hash").count()
-
-    def df_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "term_hash": batch.column("term_hash"),
-                "df": pc.cast(batch.column("count()"), pa.int64()),
-                "is_df": pa.array(np.ones(n, dtype=np.int8)),
-                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
-                "tf": pa.array(np.zeros(n, dtype=np.int64)),
-                "term": pa.array([""] * n, type=pa.string()),
-            }
-        )
-
-    def tf_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "term_hash": batch.column("term_hash"),
-                "df": pa.array(np.zeros(n, dtype=np.int64)),
-                "is_df": pa.array(np.zeros(n, dtype=np.int8)),
-                "doc_id": batch.column("doc_id"),
-                "tf": batch.column("tf"),
-                "term": batch.column("term"),
-            }
-        )
-
-    tagged = df_tbl.map_batches(df_side, batch_format="pyarrow").union(
-        tf_rows.map_batches(tf_side, batch_format="pyarrow")
-    )
-
+    # DF needs no separate aggregate: the term_hash exchange co-locates
+    # every (term, doc) row of a term, and each such pair appears exactly
+    # once, so a term's DF is simply its RUN LENGTH inside the partition.
+    # One explode, one exchange — the earlier tag-union shape ran the
+    # explode twice (groupby side + tf side) and a second sort exchange.
     def attach_part(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -913,26 +884,31 @@ def tf_idf(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset":
                 "tfidf_micro": pa.array([], type=pa.int64()),
             }
         )
-        is_df = tbl.column("is_df").to_numpy(zero_copy_only=False) == 1
-        if is_df.all() or not is_df.any():
+        if len(tbl) == 0:
             return empty
-        dfs = tbl.filter(pa.array(is_df)).sort_by("term_hash")
-        tfs = tbl.filter(pa.array(~is_df))
-        dkeys = dfs.column("term_hash").to_numpy(zero_copy_only=False)
-        dvals = dfs.column("df").to_numpy(zero_copy_only=False)
-        tkeys = tfs.column("term_hash").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(dkeys, tkeys)  # every tf term has a df row
-        tf = tfs.column("tf").to_numpy(zero_copy_only=False)
-        w = tf.astype(np.float64) * np.log(n_docs / dvals[idx].astype(np.float64))
+        from .partition import run_starts
+
+        keys = tbl.column("term_hash").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        keys = keys[order]
+        starts = run_starts(keys)
+        idx = np.flatnonzero(starts)
+        run_len = np.diff(np.append(idx, len(keys)))
+        df = np.repeat(run_len, run_len).astype(np.float64)
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False)
+        w = tf.astype(np.float64) * np.log(n_docs / df)
         return pa.table(
             {
-                "doc_id": tfs.column("doc_id"),
-                "term": tfs.column("term"),
-                "tfidf_micro": pa.array(np.floor(w * 1e6 + 0.5).astype(np.int64)),
+                "doc_id": tbl.column("doc_id"),
+                "term": tbl.column("term"),
+                "tfidf_micro": pa.array(
+                    np.floor(w * 1e6 + 0.5).astype(np.int64)
+                ),
             }
         )
 
-    return map_key_partitions(tagged, ["term_hash"], attach_part, num_partitions)
+    return map_key_partitions(tf_rows, ["term_hash"], attach_part, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -979,6 +955,8 @@ def seq_pack(sf_dir: str, budget: int = 512, n_ranges: int = 256) -> "ray.data.D
         _docs(sf_dir)
         .select_columns(["doc_id", "text"])
         .map_batches(counts, batch_format="pyarrow")
+        .materialize()  # fixed-width rows consumed twice (totals + the
+        # range shuffle) — without this the text tokenization runs twice
     )
 
     # step 1: per-range token totals (combiner aggregate, n_ranges rows)
@@ -2233,7 +2211,13 @@ def corpus_prep(
             }
         )
 
-    surv = map_key_partitions(rows, ["h1", "h2"], winners, num_partitions)
+    # fixed-width survivor rows consumed twice (range totals + the final
+    # per-range scan) — without the checkpoint the whole quality+dedup
+    # upstream (stage_a over every document plus the dedup exchange)
+    # executes twice
+    surv = map_key_partitions(
+        rows, ["h1", "h2"], winners, num_partitions
+    ).materialize()
 
     totals = surv.groupby("range_id").sum("n_tokens")
     trows = totals.take_all()  # bounded: n_ranges rows
@@ -2925,6 +2909,8 @@ def token_budget_mix(
         _docs(sf_dir)
         .select_columns(["doc_id", "source", "text"])
         .map_batches(counts, batch_format="pyarrow")
+        .materialize()  # fixed-width rows consumed twice (totals + the
+        # range shuffle) — without this the text tokenization runs twice
     )
 
     totals = rows.groupby(["source", "range_id"]).sum("n_tokens")

@@ -90,17 +90,22 @@ def _varint_encode_arr(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # bytes needed per value: 1 + floor(bit_length-1 / 7); bound the scan
     # by the actual max so small-delta streams cost 1-2 passes, not 9
     max_k = max(1, (int(v.max()).bit_length() + 6) // 7)
+    if max_k == 1:
+        return v.astype(np.uint8), np.ones(n, np.int64)
     nb = np.ones(n, np.int64)
     for k in range(1, max_k):
-        nb[v >= (np.uint64(1) << np.uint64(7 * k))] = k + 1
-    starts = np.cumsum(nb) - nb
-    out = np.zeros(int(starts[-1] + nb[-1]), np.uint8)
-    for j in range(int(nb.max())):
-        m = nb > j
-        byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nb[m] > j + 1).astype(np.uint8)
-        out[starts[m] + j] = byte | (cont << 7)
-    return out, nb
+        nb += v >= (np.uint64(1) << np.uint64(7 * k))
+    # write the bytes of value i into row i of an (n, max_k) matrix and
+    # boolean-compress row-major — one contiguous pass, no per-byte-rank
+    # fancy scatter (measured 1.25-1.5x over the scatter form, byte-equal)
+    mat = np.empty((n, max_k), np.uint8)
+    for j in range(max_k):
+        mat[:, j] = (v >> np.uint64(7 * j)).astype(np.uint8) & 0x7F
+    ks = np.arange(max_k, dtype=np.int64)
+    keep = ks[None, :] < nb[:, None]
+    cont = ks[None, :] < (nb - 1)[:, None]
+    mat |= cont.astype(np.uint8) << 7
+    return mat[keep], nb
 
 
 def varint_encode(vals: np.ndarray) -> bytes:
