@@ -1083,13 +1083,15 @@ def _hashed_ngrams(text, n: int) -> tuple[np.ndarray, np.ndarray, int]:
     flat = toks.flatten()
     offs = np.asarray(toks.offsets)
     row = np.repeat(np.arange(n_texts, dtype=np.int64), np.diff(offs))
-    words = flat.to_numpy(zero_copy_only=False)
-    keep = words != ""
-    words, row = words[keep], row[keep]
-    m = len(words) - n + 1
+    keep_arr = pc.not_equal(flat, "")
+    keep = keep_arr.to_numpy(zero_copy_only=False)
+    row = row[keep]
+    kept = flat.filter(keep_arr)  # stays Arrow: the polars hash reads the
+    # string buffer zero-copy (4x over a Python-object round-trip)
+    m = len(kept) - n + 1
     if m <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), n_texts
-    h = pl.Series(words.astype(object)).hash(seed=0xC0FFEE).to_numpy()
+    h = pl.from_arrow(kept).hash(seed=0xC0FFEE).to_numpy()
     g = np.zeros(m, dtype=np.uint64)
     B = np.uint64(0x100000001B3)
     for k in range(n):
@@ -1217,9 +1219,9 @@ def term_counts_cms(
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        words = pc.split_pattern(text, " ").flatten().to_numpy(zero_copy_only=False)
-        words = words[words != ""]
-        h = pl.Series(words.astype(object)).hash(seed=0xC35).to_numpy()
+        flat = pc.split_pattern(text, " ").flatten()
+        kept = flat.filter(pc.not_equal(flat, ""))
+        h = pl.from_arrow(kept).hash(seed=0xC35).to_numpy()
         mat = np.zeros((depth, width), dtype=np.int64)
         for d in range(depth):
             idx = (_splitmix64_salted(h.view(np.int64), d) % np.uint64(width)).astype(
@@ -1955,9 +1957,10 @@ def _bigram_rows(batch: pa.Table) -> pa.Table:
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     offs = np.asarray(toks.offsets)
     row_of_tok = np.repeat(np.arange(len(batch)), np.diff(offs))
-    words = flat.to_numpy(zero_copy_only=False)
-    keep = words != ""
-    words, row_of_tok = words[keep], row_of_tok[keep]
+    keep_arr = pc.not_equal(flat, "")
+    keep = keep_arr.to_numpy(zero_copy_only=False)
+    row_of_tok = row_of_tok[keep]
+    words = flat.filter(keep_arr)  # stays Arrow for the zero-copy hash
     if len(words) < 2:
         return pa.table(
             {
@@ -1967,10 +1970,7 @@ def _bigram_rows(batch: pa.Table) -> pa.Table:
                 "cnt": pa.array([], type=pa.int64()),
             }
         )
-    h = (
-        pl.Series(words.astype(object)).hash(seed=0x2B1A).to_numpy()
-        .view(np.int64)
-    )
+    h = pl.from_arrow(words).hash(seed=0x2B1A).to_numpy().view(np.int64)
     valid = row_of_tok[1:] == row_of_tok[:-1]
     h1, h2 = h[:-1][valid], h[1:][valid]
     row = row_of_tok[:-1][valid]
@@ -2618,11 +2618,12 @@ def jaccard_word_pairs(
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         toks = pc.split_pattern(text, " ")
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
         offs = np.asarray(toks.offsets).astype(np.int64)
         row_of = np.repeat(np.arange(len(batch)), np.diff(offs))
-        keepw = flat != ""
-        words, row_of = flat[keepw], row_of[keepw]
+        keep_arr = pc.not_equal(flat, "")
+        words = flat.filter(keep_arr)  # stays Arrow for the zero-copy hash
+        row_of = row_of[keep_arr.to_numpy(zero_copy_only=False)]
         empty = pa.table(
             {
                 "h1": pa.array([], type=pa.int64()),
@@ -2632,7 +2633,7 @@ def jaccard_word_pairs(
         )
         if len(words) < k:
             return empty
-        s = pl.Series("w", words.astype(object))
+        s = pl.from_arrow(words)
         w1 = s.hash(seed=0x9E3779B9).to_numpy()
         w2 = s.hash(seed=0x85EBCA6B).to_numpy()
         m = len(words) - (k - 1)
