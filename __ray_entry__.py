@@ -814,6 +814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_cooccurrence": corpus_stats.media_cooccurrence,
         "span_transitions": corpus_stats.span_transitions,
         "span_gap_stats": corpus_stats.span_gap_stats,
+        "interleaved_pack": corpus_stats.interleaved_pack,
+        "span_dedup": corpus_stats.span_dedup,
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -1255,6 +1257,46 @@ FROM (SELECT doc_id, kind,
              lag(kind) OVER (PARTITION BY doc_id ORDER BY rn) AS prev
       FROM u)
 WHERE prev IS NOT NULL GROUP BY 1, 2
+""",
+        # span-level fixed-budget packing: global window cumsum in span order
+        "interleaved_pack": f"""
+WITH s AS (
+  SELECT doc_id, generate_subscripts(spans, 1) AS span_idx,
+         unnest(spans) AS sp
+  FROM read_parquet('{_SYNTH_001}/documents/*.parquet')
+), c AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+         CASE WHEN sp.media_ref <> '' THEN 64
+              ELSE CAST(len(regexp_extract_all(sp.text, '\\S+')) AS BIGINT)
+         END AS cost
+  FROM s
+), p AS (
+  SELECT doc_id, span_idx, cost,
+         COALESCE(SUM(cost) OVER (ORDER BY doc_id, span_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM c
+)
+SELECT doc_id, span_idx, cost,
+       prefix // 256 AS example_id, prefix % 256 AS slot_offset
+FROM p
+""",
+        # span-level exact-dup audit: a textual span is dup when its exact
+        # text occurs in >= 2 distinct docs
+        "span_dedup": f"""
+WITH s AS (
+  SELECT doc_id, sp.text AS t, length(sp.text) AS chars
+  FROM (SELECT doc_id, unnest(spans) AS sp
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+  WHERE sp.media_ref = ''
+), d AS (SELECT t, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY 1)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_text_spans,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN s.chars ELSE 0 END) AS BIGINT)
+           AS dup_chars
+FROM s JOIN d ON s.t = d.t
+GROUP BY 1
 """,
         # per-document span byte-layout integrity (gaps / overlaps)
         "span_gap_stats": f"""

@@ -585,3 +585,254 @@ def media_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["ref_a", "ref_b"])
         .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_docs"))
     )
+
+
+def interleaved_pack(
+    sf_dir: str, budget: int = 256, media_cost: int = 64, n_ranges: int = 64
+) -> "ray.data.Dataset":
+    """Pack the interleaved span stream into fixed-budget training
+    examples — the span-level generalization of :func:`textops.seq_pack`
+    for the north-rule table (BASELINE.json input_hint): walking spans in
+    (doc_id, span order), a text/tag span costs its whitespace token
+    count and a media span a fixed ``media_cost`` slot (the
+    image-token-budget convention of interleaved VLM training); a span
+    starts at the global running cost prefix and lands in example
+    ``prefix // budget`` at slot ``prefix % budget``.
+
+    Scale shape — the seq_pack two-phase distributed prefix scan, span
+    granularity: stage 1 flattens each batch to fixed-width
+    (doc_num, span_idx, cost, range_id) rows (text never shuffles; the
+    zero-padded doc_id digits give a sort-aligned numeric range key); a
+    combiner aggregate yields per-range totals (``n_ranges`` rows →
+    driver cumsum = per-range base offsets); ONE range-keyed exchange
+    then scans each range locally with a segment-reset cumsum.
+
+    Output: (doc_id, span_idx 1-based, cost, example_id, slot_offset).
+    Oracle: SUM(cost) OVER (ORDER BY doc_id, span_idx ROWS UNBOUNDED
+    PRECEDING EXCLUDE CURRENT)."""
+    from .geo import documents_ds
+    from .partition import map_key_partitions, run_starts
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        offs = np.asarray(spans.offsets).astype(np.int64)
+        n_spans = np.diff(offs)
+        st = spans.values
+        is_media = pc.not_equal(st.field("media_ref"), "").to_numpy(
+            zero_copy_only=False
+        )
+        n_tok = pc.count_substring_regex(st.field("text"), r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cost = np.where(is_media, np.int64(media_cost), n_tok)
+        doc_num = (
+            pc.cast(
+                pc.utf8_slice_codeunits(batch.column("doc_id"), 4),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), n_spans)
+        starts = np.repeat(offs[:-1], n_spans)
+        span_idx = np.arange(len(st), dtype=np.int64) - starts + 1
+        return pa.table(
+            {
+                "doc_num": pa.array(doc_num[row]),
+                "span_idx": pa.array(span_idx),
+                "cost": pa.array(cost),
+            }
+        )
+
+    rows = (
+        documents_ds(sf_dir)
+        .select_columns(["doc_id", "spans"])
+        .map_batches(stage1, batch_format="pyarrow")
+        .materialize()  # fixed-width rows consumed twice (totals + scan)
+    )
+
+    # range key aligned with the global (doc_num, span_idx) order
+    hi = rows.max("doc_num")
+    lo = rows.min("doc_num")
+    span_per_range = max(1, -(-(int(hi) - int(lo) + 1) // n_ranges))
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        dn = batch.column("doc_num").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "range_id", pa.array((dn - int(lo)) // span_per_range)
+        )
+    ranged = rows.map_batches(add_range, batch_format="pyarrow")
+
+    totals = ranged.groupby("range_id").sum("cost").take_all()
+    rid = np.array([r["range_id"] for r in totals], dtype=np.int64)
+    tot = np.array([r["sum(cost)"] for r in totals], dtype=np.int64)
+    order = np.argsort(rid)
+    rid, tot = rid[order], tot[order]
+    bases = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    base_of = dict(zip(rid.tolist(), bases.tolist()))
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "span_idx": pa.array([], type=pa.int64()),
+                "cost": pa.array([], type=pa.int64()),
+                "example_id": pa.array([], type=pa.int64()),
+                "slot_offset": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        rg = tbl.column("range_id").to_numpy(zero_copy_only=False)
+        dn = tbl.column("doc_num").to_numpy(zero_copy_only=False)
+        si = tbl.column("span_idx").to_numpy(zero_copy_only=False)
+        ct = tbl.column("cost").to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, dn, rg))
+        rg, dn, si, ct = rg[order], dn[order], si[order], ct[order]
+        # exclusive cumsum with a reset + broadcast base at each range run
+        csum = np.cumsum(ct) - ct
+        idx = np.flatnonzero(run_starts(rg))
+        base = np.array([base_of[int(r)] for r in rg[idx]], dtype=np.int64)
+        run_len = np.diff(np.append(idx, len(rg)))
+        prefix = csum - np.repeat(csum[idx], run_len) + np.repeat(base, run_len)
+        doc_id = np.char.add(
+            "doc_", np.char.zfill(dn.astype(np.int64).astype(str), 12)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id.astype(object), type=pa.string()),
+                "span_idx": pa.array(si),
+                "cost": pa.array(ct),
+                "example_id": pa.array(prefix // budget),
+                "slot_offset": pa.array(prefix % budget),
+            }
+        )
+
+    return map_key_partitions(ranged, ["range_id"], scan, n_ranges)
+
+
+def span_dedup(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
+    """Span-level exact deduplication audit over the interleaved table:
+    a textual span (``media_ref == ''``) is a DUPLICATE when its exact
+    text occurs in at least two distinct documents; every document
+    reports how much of it is boilerplate shared with the rest of the
+    corpus — the span-granularity analog of document exact-dedup, the
+    signal for stripping repeated headers/footers from interleaved docs.
+
+    Scale shape: stage 1 flattens each batch to fixed-width
+    (h1, h2, doc_num, chars) rows — the span TEXT never shuffles, only
+    its 128-bit hash; ONE text-hash exchange co-locates each distinct
+    text's rows, a segment pass counts distinct docs per run (rows sort
+    (h, doc), so distinct docs = doc-boundary count) and flags rows in
+    runs touching >= 2 docs; a final doc-keyed groupby rolls up per-doc
+    span/char totals.
+
+    Output: (doc_id, n_text_spans, n_dup_spans, dup_chars)."""
+    import polars as pl
+
+    from .geo import documents_ds
+    from .partition import map_key_partitions, run_starts
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        offs = np.asarray(spans.offsets).astype(np.int64)
+        n_spans = np.diff(offs)
+        st = spans.values
+        textual = pc.equal(st.field("media_ref"), "")
+        keep = textual.to_numpy(zero_copy_only=False)
+        txt = st.field("text").filter(textual)
+        chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = pl.from_arrow(txt)
+        h1 = s.hash(seed=0x51AB).to_numpy().view(np.int64)
+        h2 = s.hash(seed=0xDEC0DE).to_numpy().view(np.int64)
+        doc_num = (
+            pc.cast(
+                pc.utf8_slice_codeunits(batch.column("doc_id"), 4),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), n_spans)[keep]
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_num": pa.array(doc_num[row]),
+                "chars": pa.array(chars),
+            }
+        )
+
+    def flag_dups(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_num": pa.array([], type=pa.int64()),
+                "p_spans": pa.array([], type=pa.int64()),
+                "p_dup": pa.array([], type=pa.int64()),
+                "p_chars": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        dn = tbl.column("doc_num").to_numpy(zero_copy_only=False)
+        ch = tbl.column("chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dn, h2, h1))
+        h1, h2, dn, ch = h1[order], h2[order], dn[order], ch[order]
+        text_start = run_starts(h1, h2)
+        doc_start = run_starts(h1, h2, dn)
+        idx = np.flatnonzero(text_start)
+        run_len = np.diff(np.append(idx, len(h1)))
+        n_docs = np.add.reduceat(doc_start.astype(np.int64), idx)
+        is_dup = np.repeat(n_docs >= 2, run_len)
+        ud, inv = np.unique(dn, return_inverse=True)
+        p_spans = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        p_dup = np.bincount(inv, weights=is_dup, minlength=len(ud)).astype(
+            np.int64
+        )
+        p_chars = np.bincount(
+            inv, weights=ch * is_dup, minlength=len(ud)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_num": pa.array(ud),
+                "p_spans": pa.array(p_spans),
+                "p_dup": pa.array(p_dup),
+                "p_chars": pa.array(p_chars),
+            }
+        )
+
+    rows = (
+        documents_ds(sf_dir)
+        .select_columns(["doc_id", "spans"])
+        .map_batches(stage1, batch_format="pyarrow")
+    )
+    partials = map_key_partitions(rows, ["h1", "h2"], flag_dups, num_partitions)
+    merged = partials.groupby("doc_num").aggregate(
+        ray.data.aggregate.Sum("p_spans", alias_name="n_text_spans"),
+        ray.data.aggregate.Sum("p_dup", alias_name="n_dup_spans"),
+        ray.data.aggregate.Sum("p_chars", alias_name="dup_chars"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dn = batch.column("doc_num").to_numpy(zero_copy_only=False)
+        doc_id = np.char.add(
+            "doc_", np.char.zfill(dn.astype(np.int64).astype(str), 12)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id.astype(object), type=pa.string()),
+                "n_text_spans": pc.cast(
+                    batch.column("n_text_spans"), pa.int64()
+                ),
+                "n_dup_spans": pc.cast(batch.column("n_dup_spans"), pa.int64()),
+                "dup_chars": pc.cast(batch.column("dup_chars"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
