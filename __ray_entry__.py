@@ -62,6 +62,9 @@ for _sf in (0.001, 0.01):
 
 _SYNTH_001 = str(ensure_synth(0.01))
 
+from osm_data_3d_tiles_ray.pipelines.geo import HEX_S3 as _HEX_S3
+from osm_data_3d_tiles_ray.pipelines.geo import HEX_TT as _HEX_TT
+
 _W = "20037508.342789244"
 _T = "(40075016.685578488 / 65536.0)"
 
@@ -772,6 +775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_assignments": geo.q_assignments,
         "geo_tile_stats": geo.q_tile_stats,
         "geo_zoom_rollup": geo.q_zoom_rollup,
+        "geo_hexbin": geo.q_hexbin,
+        "geo_overlap_pairs": geo.q_overlap_pairs,
         "geo_tile_smooth": geo.q_tile_smooth,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
@@ -815,7 +820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_transitions": corpus_stats.span_transitions,
         "span_gap_stats": corpus_stats.span_gap_stats,
         "interleaved_pack": corpus_stats.interleaved_pack,
+        "pack_stats": corpus_stats.pack_stats,
         "span_dedup": corpus_stats.span_dedup,
+        "media_context": corpus_stats.media_context,
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -1041,6 +1048,49 @@ SELECT CAST(z.zl AS INTEGER) AS tile_z,
        CAST(COUNT(*) AS BIGINT) AS n_buildings
 FROM t CROSS JOIN z
 GROUP BY 1, 2, 3
+""",
+        # hex grid (H3 analog): axial coords + cube rounding, every float
+        # op mirrored verbatim from pipelines/geo.py:hex_axial
+        "geo_hexbin": f"""
+WITH f AS (
+  SELECT ({_HEX_S3!r} * centroid_x - centroid_y / 3.0) / 1000.0 AS cx,
+         (centroid_y * {_HEX_TT!r}) / 1000.0 AS cz,
+         height
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), r AS (
+  SELECT FLOOR(cx + 0.5) AS rx, FLOOR((-cx - cz) + 0.5) AS ry,
+         FLOOR(cz + 0.5) AS rz,
+         ABS(FLOOR(cx + 0.5) - cx) AS dx,
+         ABS(FLOOR((-cx - cz) + 0.5) - (-cx - cz)) AS dy,
+         ABS(FLOOR(cz + 0.5) - cz) AS dz,
+         height
+  FROM f
+), h AS (
+  SELECT CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS hq,
+         CASE WHEN (dx > dy AND dx > dz) OR dy > dz THEN rz
+              ELSE -rx - ry END AS hr,
+         height
+  FROM r
+)
+SELECT CAST(hq AS BIGINT) AS hex_q, CAST(hr AS BIGINT) AS hex_r,
+       CAST(COUNT(*) AS BIGINT) AS n_buildings,
+       CAST(SUM(CASE WHEN height IS NOT NULL
+                     THEN FLOOR(height * 10 + 0.5) ELSE 0 END) AS BIGINT)
+           AS sum_height_dm
+FROM h GROUP BY 1, 2
+""",
+        # bbox-intersection self-join (closed intervals); area expression
+        # mirrors pipelines/geo.py:q_overlap_pairs bit-for-bit
+        "geo_overlap_pairs": f"""
+SELECT a.osm_id AS osm_a, b.osm_id AS osm_b,
+       CAST(FLOOR(((LEAST(a.maxx, b.maxx) - GREATEST(a.minx, b.minx))
+                   * (LEAST(a.maxy, b.maxy) - GREATEST(a.miny, b.miny)))
+                  * 100 + 0.5) AS BIGINT) AS ov_area_c
+FROM read_parquet('{_SYNTH_001}/buildings/*.parquet') a
+JOIN read_parquet('{_SYNTH_001}/buildings/*.parquet') b
+  ON a.osm_id < b.osm_id
+ AND a.minx <= b.maxx AND b.minx <= a.maxx
+ AND a.miny <= b.maxy AND b.miny <= a.maxy
 """,
         "geo_height_median": f"""
 WITH s AS (
@@ -1279,6 +1329,67 @@ WITH s AS (
 SELECT doc_id, span_idx, cost,
        prefix // 256 AS example_id, prefix % 256 AS slot_offset
 FROM p
+""",
+        # packing-efficiency audit over the same prefix-scan CTE
+        "pack_stats": f"""
+WITH s AS (
+  SELECT doc_id, generate_subscripts(spans, 1) AS span_idx,
+         unnest(spans) AS sp
+  FROM read_parquet('{_SYNTH_001}/documents/*.parquet')
+), c AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+         CASE WHEN sp.media_ref <> '' THEN 64
+              ELSE CAST(len(regexp_extract_all(sp.text, '\\S+')) AS BIGINT)
+         END AS cost
+  FROM s
+), p AS (
+  SELECT doc_id, cost,
+         COALESCE(SUM(cost) OVER (ORDER BY doc_id, span_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM c
+)
+SELECT prefix // 256 AS example_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(cost) AS BIGINT) AS cost_sum,
+       CAST(SUM(GREATEST(prefix % 256 + cost - 256, 0)) AS BIGINT) AS spill
+FROM p GROUP BY 1
+""",
+        # caption-candidate context: nearest textual span each side of
+        # every media span (IGNORE NULLS window fills)
+        "media_context": f"""
+WITH s AS (
+  SELECT doc_id, generate_subscripts(spans, 1) AS rn, unnest(spans) AS sp
+  FROM read_parquet('{_SYNTH_001}/documents/*.parquet')
+), t AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS rn, sp.media_ref AS media_ref,
+         sp.media_ref <> '' AS is_media,
+         CASE WHEN sp.media_ref = ''
+              THEN CAST(len(regexp_extract_all(sp.text, '\\S+')) AS BIGINT)
+         END AS ntok
+  FROM s
+), w AS (
+  SELECT doc_id, rn, media_ref, is_media,
+    last_value(CASE WHEN NOT is_media THEN rn END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prn,
+    last_value(CASE WHEN NOT is_media THEN ntok END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ptok,
+    first_value(CASE WHEN NOT is_media THEN rn END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY rn
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nrn,
+    first_value(CASE WHEN NOT is_media THEN ntok END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY rn
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ntok2
+  FROM t
+)
+SELECT doc_id, rn AS span_idx, media_ref,
+       COALESCE(rn - prn, -1) AS prev_gap,
+       COALESCE(ptok, -1) AS prev_tokens,
+       COALESCE(nrn - rn, -1) AS next_gap,
+       COALESCE(ntok2, -1) AS next_tokens
+FROM w WHERE is_media
 """,
         # span-level exact-dup audit: a textual span is dup when its exact
         # text occurs in >= 2 distinct docs

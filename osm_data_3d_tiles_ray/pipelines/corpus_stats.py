@@ -836,3 +836,166 @@ def span_dedup(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def media_context(sf_dir: str) -> "ray.data.Dataset":
+    """Caption-candidate context for every media span in the interleaved
+    table: the token count of, and span-index distance to, the nearest
+    TEXTUAL span before and after each media span within its document —
+    the signal an interleaved-VLM curation pass uses to decide whether an
+    image has a usable caption nearby (and which side it is on).
+
+    Scale shape: pure per-batch vectorized pass, ZERO exchange — the
+    nearest-text lookup is a forward/backward extremum-accumulate over
+    the flattened span stream with per-doc validity masks (an index that
+    crosses a doc boundary is rejected by comparing against the doc's
+    start/end offsets, so no segment reset is ever materialized).
+
+    Output: (doc_id, span_idx 1-based, media_ref, prev_gap, prev_tokens,
+    next_gap, next_tokens); -1 where no textual span exists on that side."""
+    from .geo import documents_ds
+
+    def ctx(batch: pa.Table) -> pa.Table:
+        st, offs, row = _flat_spans(batch)
+        n = len(st)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "span_idx": pa.array([], type=pa.int64()),
+                "media_ref": pa.array([], type=pa.string()),
+                "prev_gap": pa.array([], type=pa.int64()),
+                "prev_tokens": pa.array([], type=pa.int64()),
+                "next_gap": pa.array([], type=pa.int64()),
+                "next_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        media = st.field("media_ref").to_numpy(zero_copy_only=False)
+        is_media = media != ""
+        ntok = (
+            pc.count_substring_regex(st.field("text"), r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        g = np.arange(n, dtype=np.int64)
+        start = np.repeat(offs[:-1], np.diff(offs))
+        end = np.repeat(offs[1:], np.diff(offs))  # exclusive
+        # nearest text index before/after, computed WITHOUT doc resets;
+        # validity = the filled index still inside this doc's [start, end)
+        pf = np.maximum.accumulate(np.where(~is_media, g, -1))
+        nf = -np.maximum.accumulate(np.where(~is_media, -g, -(n + 1))[::-1])[::-1]
+        p_ok = pf >= start
+        n_ok = nf < end
+        prev_gap = np.where(p_ok, g - pf, -1)
+        prev_tok = np.where(p_ok, ntok[np.maximum(pf, 0)], -1)
+        next_gap = np.where(n_ok, nf - g, -1)
+        next_tok = np.where(n_ok, ntok[np.minimum(nf, n - 1)], -1)
+        m = is_media
+        if not m.any():
+            return empty
+        doc_id = batch.column("doc_id")
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": doc_id.take(pa.array(row[m])),
+                "span_idx": pa.array(g[m] - start[m] + 1),
+                "media_ref": pa.array(media[m].astype(object), type=pa.string()),
+                "prev_gap": pa.array(prev_gap[m]),
+                "prev_tokens": pa.array(prev_tok[m]),
+                "next_gap": pa.array(next_gap[m]),
+                "next_tokens": pa.array(next_tok[m]),
+            }
+        )
+
+    return (
+        documents_ds(sf_dir)
+        .select_columns(["doc_id", "spans"])
+        .map_batches(ctx, batch_format="pyarrow")
+    )
+
+
+def pack_stats(
+    sf_dir: str, budget: int = 256, media_cost: int = 64, n_ranges: int = 64
+) -> "ray.data.Dataset":
+    """Packing-efficiency audit of :func:`interleaved_pack`: per training
+    example, how many spans START in it, how many distinct documents they
+    come from, their total cost, and the overflow cost that spills past
+    the example boundary (slot_offset + cost - budget when positive) —
+    the fill/fragmentation report a fixed-budget packer is tuned against.
+
+    Scale shape: per-batch combiner reduces the pack rows to distinct
+    (example_id, doc_num) partials (a doc's spans are contiguous in pack
+    order, so the reduction is large), then ONE example-keyed exchange +
+    segment pass; the exchange carries only fixed-width int rows.
+
+    Output: (example_id, n_spans, n_docs, cost_sum, spill)."""
+    from .partition import map_key_partitions, run_starts
+
+    pack = interleaved_pack(
+        sf_dir, budget=budget, media_cost=media_cost, n_ranges=n_ranges
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = batch.column("example_id").to_numpy(zero_copy_only=False)
+        dn = (
+            pc.cast(
+                pc.utf8_slice_codeunits(batch.column("doc_id"), 4), pa.int64()
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        ct = batch.column("cost").to_numpy(zero_copy_only=False)
+        so = batch.column("slot_offset").to_numpy(zero_copy_only=False)
+        spill = np.maximum(so + ct - budget, 0)
+        order = np.lexsort((dn, ex))
+        ex, dn, ct, spill = ex[order], dn[order], ct[order], spill[order]
+        idx = np.flatnonzero(run_starts(ex, dn))
+        return pa.table(
+            {
+                "example_id": pa.array(ex[idx]),
+                "doc_num": pa.array(dn[idx]),
+                "p_spans": pa.array(
+                    np.diff(np.append(idx, len(ex))).astype(np.int64)
+                ),
+                "p_cost": pa.array(np.add.reduceat(ct, idx)),
+                "p_spill": pa.array(np.add.reduceat(spill, idx)),
+            }
+        )
+
+    def per_example(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "example_id": pa.array([], type=pa.int64()),
+                "n_spans": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "cost_sum": pa.array([], type=pa.int64()),
+                "spill": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        ex = tbl.column("example_id").to_numpy(zero_copy_only=False)
+        dn = tbl.column("doc_num").to_numpy(zero_copy_only=False)
+        ps = tbl.column("p_spans").to_numpy(zero_copy_only=False)
+        pc_ = tbl.column("p_cost").to_numpy(zero_copy_only=False)
+        pp = tbl.column("p_spill").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dn, ex))
+        ex, dn, ps, pc_, pp = ex[order], dn[order], ps[order], pc_[order], pp[order]
+        es = run_starts(ex)
+        ds_ = run_starts(ex, dn)
+        idx = np.flatnonzero(es)
+        return pa.table(
+            {
+                "example_id": pa.array(ex[idx]),
+                "n_spans": pa.array(np.add.reduceat(ps, idx)),
+                "n_docs": pa.array(
+                    np.add.reduceat(ds_.astype(np.int64), idx)
+                ),
+                "cost_sum": pa.array(np.add.reduceat(pc_, idx)),
+                "spill": pa.array(np.add.reduceat(pp, idx)),
+            }
+        )
+
+    partials = pack.map_batches(partial, batch_format="pyarrow")
+    return map_key_partitions(partials, ["example_id"], per_example)

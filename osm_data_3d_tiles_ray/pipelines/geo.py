@@ -1015,3 +1015,203 @@ def q_height_median(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(cells, ["roof_type"], median_part)
+
+
+# sqrt(3)/3 and 2/3 as the exact doubles mirrored into the SQL oracle —
+# both sides must evaluate the identical float expression tree
+HEX_S3 = float(np.sqrt(3.0) / 3.0)
+HEX_TT = 2.0 / 3.0
+
+
+def hex_axial(x: np.ndarray, y: np.ndarray, size: float) -> tuple[np.ndarray, np.ndarray]:
+    """Pointy-top hexagonal cell of each point: fractional axial coords +
+    cube rounding (the standard H3-style hex-grid assignment; the engine's
+    hexagonal counterpart to the square z16 grid of `mercator_to_tile`).
+
+    Every float op (constants, op order, floor(v+0.5) rounding) is
+    mirrored verbatim in the DuckDB oracle so the assignment is
+    bit-reproducible across engines."""
+    cx = (HEX_S3 * x - y / 3.0) / size
+    cz = (y * HEX_TT) / size
+    cy = -cx - cz
+    rx = np.floor(cx + 0.5)
+    ry = np.floor(cy + 0.5)
+    rz = np.floor(cz + 0.5)
+    dx = np.abs(rx - cx)
+    dy = np.abs(ry - cy)
+    dz = np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    rx = np.where(fix_x, -ry - rz, rx)
+    ry = np.where(fix_y, -rx - rz, ry)
+    rz = np.where(~fix_x & ~fix_y, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def q_hexbin(sf_dir: str, size: float = 1000.0) -> "ray.data.Dataset":
+    """Hexagonal grid index (H3/S2 analog) over building centroids: each
+    building lands in the pointy-top hex cell of side ``size`` meters
+    containing its centroid (fractional axial coords + cube rounding);
+    per-hex rollup of count and exact decimeter height mass.  The hex
+    grid is the north-rule's named index family ("H3/S2 index") next to
+    the square quadtree the tiler uses (reference grid:
+    /root/reference/src/generate-tileset.ts:37-65).
+
+    Scale shape: embarrassingly parallel per-batch assignment + count
+    partials, then ONE bounded groupby over occupied hexes (hex count is
+    bounded by geography / size², never by corpus size) — identical cost
+    envelope to the A1 tile stats.
+
+    Output: (hex_q, hex_r, n_buildings, sum_height_dm)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        y = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(x) & np.isfinite(y)
+        x, y, h = x[ok], y[ok], h[ok]
+        hq, hr = hex_axial(x, y, size)
+        hdm = np.where(np.isfinite(h), np.floor(h * 10 + 0.5), 0.0).astype(
+            np.int64
+        )
+        key = hq * np.int64(1 << 32) + hr  # hr >= 0 in-region; packed partial key
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "hex_q": pa.array(uk // np.int64(1 << 32)),
+                "hex_r": pa.array(uk % np.int64(1 << 32)),
+                "p_n": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+                "p_hdm": pa.array(
+                    np.bincount(inv, weights=hdm, minlength=len(uk)).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["centroid_x", "centroid_y", "height"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["hex_q", "hex_r"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n_buildings"),
+            ray.data.aggregate.Sum("p_hdm", alias_name="sum_height_dm"),
+        )
+    )
+
+
+def q_overlap_pairs(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
+    """Spatial SELF-join: every pair of buildings whose footprint bboxes
+    intersect (closed intervals — shared walls count), with the exact
+    bbox-intersection area.  The partition-based spatial-merge join
+    (PBSM): replicate each bbox to the z16 tiles it covers (the same
+    rectangle cover as J1 ownership, stages/assign.py:candidate_tiles),
+    pair WITHIN tiles, and deduplicate multi-tile pairs with the
+    reference-point rule — a pair is emitted only by the single tile
+    containing the intersection's top-left corner, so no global dedup
+    shuffle is ever needed.
+
+    Scale shape: ONE tile-keyed exchange of (osm_id, bbox) rows (16 B of
+    key + 32 B of box per cover cell); in-partition pairing is the
+    vectorized triangular-index cross product per tile run (wire and
+    compute bounded by per-tile density², which geography bounds — the
+    dense-urban skew case is the documented assumption, mitigated by the
+    z16 cell size).
+
+    Output: (osm_a, osm_b, ov_area_c) with osm_a < osm_b; area in
+    floor(m² * 100 + 0.5) integer units mirroring the SQL oracle."""
+    from .partition import map_key_partitions, run_starts
+    from ..stages.assign import tile_code as pack_tile
+
+    def cover(batch: pa.Table) -> pa.Table:
+        osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        keep = np.isfinite(minx) & np.isfinite(miny) & np.isfinite(maxx) & np.isfinite(maxy)
+        if not keep.all():
+            osm, minx, miny, maxx, maxy = (
+                a[keep] for a in (osm, minx, miny, maxx, maxy)
+            )
+        tx0, ty0 = mercator_to_tile(minx, maxy)
+        tx1, ty1 = mercator_to_tile(maxx, miny)
+        nx = (tx1 - tx0 + 1).astype(np.int64)
+        ny = (ty1 - ty0 + 1).astype(np.int64)
+        total = nx * ny
+        row = np.repeat(np.arange(len(osm)), total)
+        starts = np.concatenate([[0], np.cumsum(total)[:-1]])
+        intra = np.arange(int(total.sum())) - np.repeat(starts, total)
+        txs = (tx0[row] + (intra // ny[row])).astype(np.int32)
+        tys = (ty0[row] + (intra % ny[row])).astype(np.int32)
+        return pa.table(
+            {
+                "tile_code": pa.array(pack_tile(txs, tys)),
+                "osm_id": pa.array(osm[row]),
+                "minx": pa.array(minx[row]),
+                "miny": pa.array(miny[row]),
+                "maxx": pa.array(maxx[row]),
+                "maxy": pa.array(maxy[row]),
+            }
+        )
+
+    def pairs_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "osm_a": pa.array([], type=pa.int64()),
+                "osm_b": pa.array([], type=pa.int64()),
+                "ov_area_c": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        code = tbl.column("tile_code").to_numpy(zero_copy_only=False)
+        osm = tbl.column("osm_id").to_numpy(zero_copy_only=False)
+        minx = tbl.column("minx").to_numpy(zero_copy_only=False)
+        miny = tbl.column("miny").to_numpy(zero_copy_only=False)
+        maxx = tbl.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = tbl.column("maxy").to_numpy(zero_copy_only=False)
+        order = np.lexsort((osm, code))
+        code, osm = code[order], osm[order]
+        minx, miny, maxx, maxy = minx[order], miny[order], maxx[order], maxy[order]
+        first = np.flatnonzero(run_starts(code))
+        k = np.diff(np.append(first, len(code)))
+        npairs = k * (k - 1) // 2
+        tot = int(npairs.sum())
+        if tot == 0:
+            return empty
+        run_of_pair = np.repeat(np.arange(len(k)), npairs)
+        pair_pos = np.arange(tot) - np.repeat(np.cumsum(npairs) - npairs, npairs)
+        kk = k[run_of_pair]
+        i = np.floor(
+            (2 * kk - 1 - np.sqrt((2 * kk - 1) ** 2 - 8 * pair_pos)) / 2
+        ).astype(np.int64)
+        off_i = i * kk - i * (i + 1) // 2
+        j = (pair_pos - off_i + i + 1).astype(np.int64)
+        base = np.repeat(first, npairs)
+        ia, ib = base + i, base + j
+        # closed-interval bbox intersection
+        w = np.minimum(maxx[ia], maxx[ib]) - np.maximum(minx[ia], minx[ib])
+        h = np.minimum(maxy[ia], maxy[ib]) - np.maximum(miny[ia], miny[ib])
+        hit = (w >= 0) & (h >= 0)
+        # reference-point dedup: only the tile holding the intersection's
+        # top-left corner (max minx, min maxy) emits the pair
+        rx = np.maximum(minx[ia], minx[ib])
+        ry = np.minimum(maxy[ia], maxy[ib])
+        rtx, rty = mercator_to_tile(rx, ry)
+        hit &= pack_tile(rtx, rty) == code[base]
+        ia, ib = ia[hit], ib[hit]
+        area_c = np.floor((w[hit] * h[hit]) * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "osm_a": pa.array(osm[ia]),
+                "osm_b": pa.array(osm[ib]),
+                "ov_area_c": pa.array(area_c),
+            }
+        )
+
+    covered = (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+        .map_batches(cover, batch_format="pyarrow")
+    )
+    return map_key_partitions(covered, ["tile_code"], pairs_part, num_partitions)
