@@ -778,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hexbin": geo.q_hexbin,
         "geo_overlap_pairs": geo.q_overlap_pairs,
         "geo_tile_smooth": geo.q_tile_smooth,
+        "geo_local_moran": geo.q_local_moran,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
@@ -1120,6 +1121,24 @@ SELECT CAST(a.tile_x AS BIGINT) AS tile_x, CAST(a.tile_y AS BIGINT) AS tile_y,
 FROM g a JOIN g b
   ON abs(a.tile_x - b.tile_x) <= 1 AND abs(a.tile_y - b.tile_y) <= 1
 GROUP BY 1, 2, 3
+""",
+        # LISA components, integer-exact: every term pre-multiplied by
+        # the tile count so no float mean enters the comparison
+        "geo_local_moran": f"""
+WITH g AS (
+  SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({_TILE_SQL}) GROUP BY 1, 2
+), t AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM g)
+SELECT CAST(a.tile_x AS BIGINT) AS tile_x, CAST(a.tile_y AS BIGINT) AS tile_y,
+       CAST(t.n * a.c - t.s AS BIGINT) AS dev,
+       CAST(t.n * COALESCE(SUM(b.c), 0) - COUNT(b.c) * t.s AS BIGINT)
+           AS nbr_dev_sum,
+       CAST(COUNT(b.c) AS BIGINT) AS n_nbrs
+FROM g a CROSS JOIN t
+LEFT JOIN g b
+  ON abs(a.tile_x - b.tile_x) <= 1 AND abs(a.tile_y - b.tile_y) <= 1
+ AND NOT (a.tile_x = b.tile_x AND a.tile_y = b.tile_y)
+GROUP BY a.tile_x, a.tile_y, a.c, t.n, t.s
 """,
         "geo_norm_params": _norm_params_sql(),
         "geo_batch_table": f"""

@@ -652,10 +652,13 @@ def interleaved_pack(
         .materialize()  # fixed-width rows consumed twice (totals + scan)
     )
 
-    # range key aligned with the global (doc_num, span_idx) order
-    hi = rows.max("doc_num")
-    lo = rows.min("doc_num")
-    span_per_range = max(1, -(-(int(hi) - int(lo) + 1) // n_ranges))
+    # range key aligned with the global (doc_num, span_idx) order —
+    # min and max in ONE pass over the materialized narrow rows
+    ext = rows.aggregate(
+        ray.data.aggregate.Min("doc_num"), ray.data.aggregate.Max("doc_num")
+    )
+    lo, hi = int(ext["min(doc_num)"]), int(ext["max(doc_num)"])
+    span_per_range = max(1, -(-(hi - lo + 1) // n_ranges))
 
     def add_range(batch: pa.Table) -> pa.Table:
         dn = batch.column("doc_num").to_numpy(zero_copy_only=False)

@@ -1215,3 +1215,58 @@ def q_overlap_pairs(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset"
         .map_batches(cover, batch_format="pyarrow")
     )
     return map_key_partitions(covered, ["tile_code"], pairs_part, num_partitions)
+
+
+def q_local_moran(sf_dir: str) -> "ray.data.Dataset":
+    """Local spatial autocorrelation (LISA / local Moran's I) components
+    over the z16 tile-count grid, queen contiguity: for every occupied
+    tile, its count deviation and the summed deviation of its occupied
+    3x3 neighbors — the hotspot/coldspot statistic a tiling pipeline uses
+    to pick LOD budgets (high positive dev x nbr_dev_sum = urban cluster,
+    negative product = isolated outlier).
+
+    Exactness: all terms are pre-multiplied by the tile count N so every
+    column is an INTEGER (dev = N*c_i - S, nbr_dev_sum = N*sum(c_j) -
+    n_nbrs*S with S the global building count) — no float mean, no sum-
+    association drift vs the SQL oracle; the float statistic is a trivial
+    driver-side ratio of these components.
+
+    Scale shape: the A1 combiner-tree tile stats (payload-free shuffle),
+    ONE bounded (Count, Sum) aggregate over occupied tiles for (N, S),
+    then the replicate-9x stencil exchange (pipelines/partition.py:
+    stencil_3x3) — wire volume 9x occupied tiles, never 9x buildings.
+
+    Output: (tile_x, tile_y, dev, nbr_dev_sum, n_nbrs)."""
+    from .partition import stencil_3x3
+
+    ds = parsed_ds(sf_dir).select_columns(
+        ["osm_id", "minx", "miny", "maxx", "maxy"]
+    )
+    cells = (
+        tile_stats(ownership_assignments(ds))
+        .drop_columns(["cell_id", "tile_z"])
+        .materialize()  # bounded (occupied tiles); consumed twice
+    )
+    glob = cells.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("batch_length", alias_name="s"),
+    )
+    n_tiles, s_total = int(glob["count()"]), int(glob["s"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        own = batch.column("own").to_numpy(zero_copy_only=False)
+        smooth = batch.column("smooth").to_numpy(zero_copy_only=False)
+        nn = batch.column("n_nbrs").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": batch.column("tile_x"),
+                "tile_y": batch.column("tile_y"),
+                "dev": pa.array(n_tiles * own - s_total),
+                "nbr_dev_sum": pa.array(n_tiles * (smooth - own) - nn * s_total),
+                "n_nbrs": pa.array(nn),
+            }
+        )
+
+    return stencil_3x3(
+        cells, "tile_x", "tile_y", "batch_length", emit_nnbrs=True
+    ).map_batches(finish, batch_format="pyarrow")

@@ -121,6 +121,7 @@ def stencil_3x3(
     y_col: str,
     c_col: str,
     num_partitions: int = DEFAULT_PARTITIONS,
+    emit_nnbrs: bool = False,
 ) -> "ray.data.Dataset":
     """3x3 neighbor aggregation over a sparse integer grid: every OCCUPIED
     cell of ``ds`` (one row per cell with a count in ``c_col``) gains the
@@ -133,7 +134,10 @@ def stencil_3x3(
     phantom keys (neighbors that are not themselves occupied, flagged by
     the absent origin row).  Coordinates must be >= 0 and < 2^31.
 
-    Output: (x_col, y_col, "own", "smooth") — int64."""
+    Output: (x_col, y_col, "own", "smooth") — int64; with
+    ``emit_nnbrs`` also "n_nbrs", the count of OCCUPIED neighbor cells
+    (self excluded) — every contribution row comes from an occupied
+    source cell, so it is the key's row count minus the origin row."""
 
     def replicate(batch: pa.Table) -> pa.Table:
         gx = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -160,14 +164,15 @@ def stencil_3x3(
         )
 
     def stencil_sum(tbl: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                x_col: pa.array([], type=pa.int64()),
-                y_col: pa.array([], type=pa.int64()),
-                "own": pa.array([], type=pa.int64()),
-                "smooth": pa.array([], type=pa.int64()),
-            }
-        )
+        ecols = {
+            x_col: pa.array([], type=pa.int64()),
+            y_col: pa.array([], type=pa.int64()),
+            "own": pa.array([], type=pa.int64()),
+            "smooth": pa.array([], type=pa.int64()),
+        }
+        if emit_nnbrs:
+            ecols["n_nbrs"] = pa.array([], type=pa.int64())
+        empty = pa.table(ecols)
         if len(tbl) == 0:
             return empty
         tx = tbl.column("tx").to_numpy(zero_copy_only=False)
@@ -184,14 +189,16 @@ def stencil_3x3(
         np.add.at(n_own, inv, own)
         present = np.zeros(len(uk), dtype=bool)
         np.logical_or.at(present, inv, is_o.astype(bool))
-        return pa.table(
-            {
-                x_col: pa.array(uk[present] // 2**32 - 1),
-                y_col: pa.array(uk[present] % 2**32 - 1),
-                "own": pa.array(n_own[present]),
-                "smooth": pa.array(smooth[present]),
-            }
-        )
+        cols = {
+            x_col: pa.array(uk[present] // 2**32 - 1),
+            y_col: pa.array(uk[present] % 2**32 - 1),
+            "own": pa.array(n_own[present]),
+            "smooth": pa.array(smooth[present]),
+        }
+        if emit_nnbrs:
+            cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+            cols["n_nbrs"] = pa.array(cnt[present] - 1)
+        return pa.table(cols)
 
     return map_key_partitions(
         ds.map_batches(replicate, batch_format="pyarrow"),

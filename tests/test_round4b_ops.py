@@ -181,3 +181,30 @@ def test_pack_stats_conserves_cost(ray_session):
     s = stats.sort_values("example_id")
     assert (s["spill"] >= 0).all()
     assert (s["n_docs"] >= 1).all() and (s["n_docs"] <= s["n_spans"]).all()
+
+
+def test_local_moran_matches_bruteforce(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.geo import q_local_moran, q_tile_stats
+
+    cells = q_tile_stats(SF_DIR).to_pandas()
+    got = (
+        q_local_moran(SF_DIR)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    c = {
+        (r.tile_x, r.tile_y): r.batch_length for r in cells.itertuples()
+    }
+    n, s = len(c), sum(c.values())
+    assert len(got) == n
+    for r in got.itertuples():
+        nbrs = [
+            c[(r.tile_x + dx, r.tile_y + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (r.tile_x + dx, r.tile_y + dy) in c
+        ]
+        assert r.dev == n * c[(r.tile_x, r.tile_y)] - s
+        assert r.n_nbrs == len(nbrs)
+        assert r.nbr_dev_sum == n * sum(nbrs) - len(nbrs) * s
