@@ -779,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_overlap_pairs": geo.q_overlap_pairs,
         "geo_tile_smooth": geo.q_tile_smooth,
         "geo_local_moran": geo.q_local_moran,
+        "geo_dem_slope": geo.q_dem_slope,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
@@ -1121,6 +1122,34 @@ SELECT CAST(a.tile_x AS BIGINT) AS tile_x, CAST(a.tile_y AS BIGINT) AS tile_y,
 FROM g a JOIN g b
   ON abs(a.tile_x - b.tile_x) <= 1 AND abs(a.tile_y - b.tile_y) <= 1
 GROUP BY 1, 2, 3
+""",
+        # raster slope/aspect: z widens to DOUBLE before any arithmetic
+        # (DuckDB FLOAT-FLOAT would round to float32 and diverge from
+        # numpy's float64); expression tree mirrors geo.q_dem_slope
+        "geo_dem_slope": f"""
+WITH d AS (
+  SELECT row, col, CAST(z AS DOUBLE) AS z, dx, dy
+  FROM read_parquet('{_SYNTH_001}/dem.parquet')
+), g AS (
+  SELECT a.row AS row, a.col AS col,
+         (r.z - l.z) / (2.0 * a.dx) AS dzdx,
+         (dn.z - up.z) / (2.0 * a.dy) AS dzdy
+  FROM d a
+  JOIN d l  ON l.row  = a.row     AND l.col  = a.col - 1
+  JOIN d r  ON r.row  = a.row     AND r.col  = a.col + 1
+  JOIN d up ON up.row = a.row - 1 AND up.col = a.col
+  JOIN d dn ON dn.row = a.row + 1 AND dn.col = a.col
+)
+SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+       CAST(FLOOR(dzdx * 1000000 + 0.5) AS BIGINT) AS dzdx_e6,
+       CAST(FLOOR(dzdy * 1000000 + 0.5) AS BIGINT) AS dzdy_e6,
+       CAST(FLOOR(sqrt(dzdx * dzdx + dzdy * dzdy) * 1000000 + 0.5)
+            AS BIGINT) AS slope_e6,
+       CAST(CASE WHEN ABS(dzdx) >= ABS(dzdy) THEN 4 ELSE 0 END
+            + CASE WHEN dzdy >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN dzdx >= 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS aspect_class
+FROM g
 """,
         # LISA components, integer-exact: every term pre-multiplied by
         # the tile count so no float mean enters the comparison

@@ -1270,3 +1270,115 @@ def q_local_moran(sf_dir: str) -> "ray.data.Dataset":
     return stencil_3x3(
         cells, "tile_x", "tile_y", "batch_length", emit_nnbrs=True
     ).map_batches(finish, batch_format="pyarrow")
+
+
+def q_dem_slope(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
+    """Raster slope/aspect (terrain derivative): per interior DEM cell,
+    the central-difference gradient, its integer-scaled magnitude, and
+    an 8-way aspect class — the raster-side counterpart of q_dem_zonal
+    (raster→vector) on the north rule's raster↔vector axis; the
+    reference consumes the same kind of terrain surface for its ground
+    mask (SURVEY.md G17).
+
+    Exactness: z widens float32→float64 (exact), both engines evaluate
+    the identical double expression tree, magnitudes compare as
+    floor(x*1e6+0.5) integers and the aspect class is three pure
+    comparisons packed into bits (no transcendentals ever cross the
+    oracle boundary).
+
+    Scale shape: a DEM at fleet scale is a tiled raster; this runs the
+    stencil as replicate-5x keyed by TARGET cell (own + 4 directed
+    neighbor contributions, wire = 5x cell count) → ONE hash exchange →
+    per-partition sorted segment gather, so no task ever needs the whole
+    raster (q_dem_zonal's broadcast would not hold there).  Border cells
+    (missing any neighbor) drop, exactly as the SQL inner joins do.
+
+    Output: (row, col, dzdx_e6, dzdy_e6, slope_e6, aspect_class)."""
+    from .partition import map_key_partitions, run_starts
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    dem = ray.data.read_parquet(str(root / "dem.parquet"))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        r = batch.column("row").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("col").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch.column("z").to_numpy(zero_copy_only=False).astype(np.float64)
+        dx = batch.column("dx").to_numpy(zero_copy_only=False)
+        dy = batch.column("dy").to_numpy(zero_copy_only=False)
+        # tags: 0=own, 1=I am my target's LEFT neighbor (target col+1), 2=right,
+        # 3=up (target row+1), 4=down — each source cell contributes to 5 targets
+        tr = np.concatenate([r, r, r, r + 1, r - 1])
+        tc = np.concatenate([c, c + 1, c - 1, c, c])
+        tag = np.repeat(np.arange(5, dtype=np.int8), len(r))
+        return pa.table(
+            {
+                "trow": pa.array(tr),
+                "tcol": pa.array(tc),
+                "tag": pa.array(tag),
+                "z": pa.array(np.tile(z, 5)),
+                "dx": pa.array(np.tile(dx, 5)),
+                "dy": pa.array(np.tile(dy, 5)),
+            }
+        )
+
+    def gradient(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "row": pa.array([], type=pa.int64()),
+                "col": pa.array([], type=pa.int64()),
+                "dzdx_e6": pa.array([], type=pa.int64()),
+                "dzdy_e6": pa.array([], type=pa.int64()),
+                "slope_e6": pa.array([], type=pa.int64()),
+                "aspect_class": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        tr = tbl.column("trow").to_numpy(zero_copy_only=False)
+        tc = tbl.column("tcol").to_numpy(zero_copy_only=False)
+        tag = tbl.column("tag").to_numpy(zero_copy_only=False)
+        z = tbl.column("z").to_numpy(zero_copy_only=False)
+        dx = tbl.column("dx").to_numpy(zero_copy_only=False)
+        dy = tbl.column("dy").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, tc, tr))
+        tr, tc, tag, z, dx, dy = (
+            a[order] for a in (tr, tc, tag, z, dx, dy)
+        )
+        idx = np.flatnonzero(run_starts(tr, tc))
+        rl = np.diff(np.append(idx, len(tr)))
+        # interior cells: own row present plus all 4 neighbors = 5 rows
+        # (tags are distinct within a key by construction)
+        full = rl == 5
+        if not full.any():
+            return empty
+        base = idx[full]
+        # sorted by tag: 0=own, 1=left(z at col-1), 2=right, 3=up, 4=down
+        zl, zr = z[base + 1], z[base + 2]
+        zu, zd = z[base + 3], z[base + 4]
+        dzdx = (zr - zl) / (2.0 * dx[base])
+        dzdy = (zd - zu) / (2.0 * dy[base])
+        slope = np.sqrt(dzdx * dzdx + dzdy * dzdy)
+        aspect = (
+            (np.abs(dzdx) >= np.abs(dzdy)).astype(np.int64) * 4
+            + (dzdy >= 0).astype(np.int64) * 2
+            + (dzdx >= 0).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "row": pa.array(tr[base]),
+                "col": pa.array(tc[base]),
+                "dzdx_e6": pa.array(
+                    np.floor(dzdx * 1000000 + 0.5).astype(np.int64)
+                ),
+                "dzdy_e6": pa.array(
+                    np.floor(dzdy * 1000000 + 0.5).astype(np.int64)
+                ),
+                "slope_e6": pa.array(
+                    np.floor(slope * 1000000 + 0.5).astype(np.int64)
+                ),
+                "aspect_class": pa.array(aspect),
+            }
+        )
+
+    rep = dem.map_batches(replicate, batch_format="pyarrow")
+    return map_key_partitions(rep, ["trow", "tcol"], gradient, num_partitions)

@@ -208,3 +208,36 @@ def test_local_moran_matches_bruteforce(ray_session):
         assert r.dev == n * c[(r.tile_x, r.tile_y)] - s
         assert r.n_nbrs == len(nbrs)
         assert r.nbr_dev_sum == n * sum(nbrs) - len(nbrs) * s
+
+
+def test_dem_slope_matches_dense_grid(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.geo import q_dem_slope
+    from osm_data_3d_tiles_ray.synth.generator import ensure_synth
+
+    got = (
+        q_dem_slope(SF_DIR)
+        .to_pandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    root = ensure_synth(0.001)
+    dem = pq.read_table(str(root / "dem.parquet")).to_pandas()
+    n_rows, n_cols = dem["row"].max() + 1, dem["col"].max() + 1
+    z = np.zeros((n_rows, n_cols))
+    z[dem["row"], dem["col"]] = dem["z"].astype(np.float64)
+    dx, dy = float(dem["dx"].iloc[0]), float(dem["dy"].iloc[0])
+    assert len(got) == (n_rows - 2) * (n_cols - 2)
+    dzdx = (z[1:-1, 2:] - z[1:-1, :-2]) / (2.0 * dx)
+    dzdy = (z[2:, 1:-1] - z[:-2, 1:-1]) / (2.0 * dy)
+    slope = np.sqrt(dzdx * dzdx + dzdy * dzdy)
+    g = got.set_index(["row", "col"])
+    rr, cc = np.meshgrid(
+        np.arange(1, n_rows - 1), np.arange(1, n_cols - 1), indexing="ij"
+    )
+    exp_x = np.floor(dzdx * 1e6 + 0.5).astype(np.int64).ravel()
+    exp_y = np.floor(dzdy * 1e6 + 0.5).astype(np.int64).ravel()
+    exp_s = np.floor(slope * 1e6 + 0.5).astype(np.int64).ravel()
+    key = list(zip(rr.ravel(), cc.ravel()))
+    assert (g.loc[key, "dzdx_e6"].to_numpy() == exp_x).all()
+    assert (g.loc[key, "dzdy_e6"].to_numpy() == exp_y).all()
+    assert (g.loc[key, "slope_e6"].to_numpy() == exp_s).all()
