@@ -780,6 +780,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_smooth": geo.q_tile_smooth,
         "geo_local_moran": geo.q_local_moran,
         "geo_dem_slope": geo.q_dem_slope,
+        "geo_zorder": geo.q_zorder,
+        "geo_media_density": geo.q_media_density,
+        "geo_ring_areas": geo.q_ring_areas,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
@@ -1150,6 +1153,103 @@ SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
             + CASE WHEN dzdx >= 0 THEN 1 ELSE 0 END AS BIGINT)
            AS aspect_class
 FROM g
+""",
+        # Morton (Z-order) index: the 16-bit bit-spread ladder is pure
+        # integer arithmetic — identical on both engines
+        "geo_zorder": f"""
+WITH t AS (
+  SELECT osm_id,
+         CAST(FLOOR((centroid_x + {_W}) / {_T}) AS BIGINT) AS tx,
+         CAST(FLOOR(({_W} - centroid_y) / {_T}) AS BIGINT) AS ty
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), s1 AS (
+  SELECT osm_id, tx, ty,
+         ((tx | (tx << 8)) & 16711935) AS x, ((ty | (ty << 8)) & 16711935) AS y
+  FROM t
+), s2 AS (
+  SELECT osm_id, tx, ty,
+         ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y
+  FROM s1
+), s3 AS (
+  SELECT osm_id, tx, ty,
+         ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y
+  FROM s2
+), s4 AS (
+  SELECT osm_id, tx, ty,
+         ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y
+  FROM s3
+)
+SELECT osm_id, CAST(tx AS INTEGER) AS tile_x, CAST(ty AS INTEGER) AS tile_y,
+       CAST(x | (y << 1) AS BIGINT) AS morton,
+       CAST((x | (y << 1)) >> 22 AS BIGINT) AS shard
+FROM s4
+""",
+        # media spans × map tiles (the interleaved×geo cross): spans join
+        # their building through the doc's osm_id tag, exactly as parse does
+        "geo_media_density": f"""
+WITH sp AS (
+  SELECT doc_id, s.kind AS kind, s.text AS txt, s.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+), ids AS (
+  SELECT doc_id,
+         MAX(CASE WHEN kind = 'tag' AND txt LIKE 'osm_id=%'
+                  THEN CAST(substr(txt, 8) AS BIGINT) END) AS osm_id
+  FROM sp GROUP BY doc_id
+), m AS (
+  SELECT ids.osm_id, string_split(sp.media_ref, '/')[3] AS family
+  FROM sp JOIN ids USING (doc_id) WHERE sp.kind = 'media'
+), b AS (
+  SELECT osm_id,
+         CAST(FLOOR((centroid_x + {_W}) / {_T}) AS INTEGER) AS tile_x,
+         CAST(FLOOR(({_W} - centroid_y) / {_T}) AS INTEGER) AS tile_y
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+)
+SELECT tile_x, tile_y, family, CAST(COUNT(*) AS BIGINT) AS n_media
+FROM m JOIN b USING (osm_id) GROUP BY 1, 2, 3
+""",
+        # integer-exact shoelace per ring: millimeter-quantized coords,
+        # differenced edge terms — exact integers, association-proof
+        "geo_ring_areas": f"""
+WITH b AS (
+  SELECT osm_id, coords, ring_offsets, len(coords) // 2 AS nv
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+  WHERE len(coords) > 0 AND len(ring_offsets) > 0
+), v AS (
+  SELECT osm_id, nv, (generate_subscripts(coords, 1) - 1) AS ci,
+         unnest(coords) AS val
+  FROM b
+), px AS (
+  SELECT osm_id, nv, ci // 2 AS vi,
+         CAST(FLOOR(MAX(CASE WHEN ci % 2 = 0 THEN val END) * 1000 + 0.5)
+              AS BIGINT) AS qx,
+         CAST(FLOOR(MAX(CASE WHEN ci % 2 = 1 THEN val END) * 1000 + 0.5)
+              AS BIGINT) AS qy
+  FROM v GROUP BY 1, 2, 3
+), r AS (
+  SELECT osm_id, nv, generate_subscripts(ring_offsets, 1) - 1 AS ring_idx,
+         unnest(ring_offsets) AS roff
+  FROM b
+), re AS (
+  SELECT osm_id, ring_idx, roff,
+         COALESCE(LEAD(roff) OVER (PARTITION BY osm_id ORDER BY ring_idx),
+                  nv) AS rend
+  FROM r
+), assigned AS (
+  SELECT p.osm_id, r.ring_idx, r.roff, r.rend, p.vi, p.qx, p.qy,
+         LEAD(p.qx) OVER (PARTITION BY p.osm_id, r.ring_idx ORDER BY p.vi)
+             AS nx,
+         LEAD(p.qy) OVER (PARTITION BY p.osm_id, r.ring_idx ORDER BY p.vi)
+             AS ny
+  FROM px p JOIN re r
+    ON r.osm_id = p.osm_id AND p.vi >= r.roff AND p.vi < r.rend
+)
+SELECT osm_id, CAST(ring_idx AS BIGINT) AS ring_idx,
+       CAST(rend - roff AS BIGINT) AS ring_nv,
+       CAST(COALESCE(SUM(CASE WHEN nx IS NOT NULL
+                THEN qx * (ny - qy) - (nx - qx) * qy END), 0) AS BIGINT)
+           AS area2_mm2
+FROM assigned GROUP BY osm_id, ring_idx, rend, roff
 """,
         # LISA components, integer-exact: every term pre-multiplied by
         # the tile count so no float mean enters the comparison

@@ -1382,3 +1382,210 @@ def q_dem_slope(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
 
     rep = dem.map_batches(replicate, batch_format="pyarrow")
     return map_key_partitions(rep, ["trow", "tcol"], gradient, num_partitions)
+
+
+def morton32(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+    """Interleave two 16-bit tile coordinates into a 32-bit Morton (Z-order)
+    code — the locality-preserving shard key for resumable tile output
+    (reference tiles address by (z, x, y); Z-order is the standard
+    space-filling-curve linearization of that grid, cf. the quadtree walk
+    in /root/reference/src/generate-tileset.ts:37-65).  Pure bit math,
+    vectorized; exact int64 throughout."""
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = (v | (v << 8)) & np.int64(0x00FF00FF)
+        v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.int64(0x33333333)
+        v = (v | (v << 1)) & np.int64(0x55555555)
+        return v
+
+    tx = tx.astype(np.int64)
+    ty = ty.astype(np.int64)
+    return spread(tx) | (spread(ty) << 1)
+
+
+def q_zorder(sf_dir: str, shard_bits: int = 10) -> "ray.data.Dataset":
+    """Z-order (Morton) index per building over the z16 tile grid, plus the
+    top-``shard_bits`` shard id a range-partitioned resumable writer would
+    key its output directories by.  Embarrassingly parallel: one
+    vectorized map over parsed batches, no shuffle at any scale — the
+    shard id IS the partitioning (adjacent shards are spatially adjacent,
+    so a 256-node fleet writing by shard gets locality for free).
+
+    Output: (osm_id, tile_x, tile_y, morton, shard)."""
+    shift = np.int64(32 - shard_bits)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(cx) & np.isfinite(cy)
+        cx, cy, oid = cx[ok], cy[ok], oid[ok]
+        tx = np.floor((cx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)
+        ty = np.floor((WORLD_HALF - cy) / TILE_SIZE_Z16).astype(np.int64)
+        m = morton32(tx, ty)
+        return pa.table(
+            {
+                "osm_id": pa.array(oid),
+                "tile_x": pa.array(tx.astype(np.int32)),
+                "tile_y": pa.array(ty.astype(np.int32)),
+                "morton": pa.array(m),
+                "shard": pa.array(m >> shift),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "centroid_x", "centroid_y"])
+        .map_batches(assign, batch_format="pyarrow")
+    )
+
+
+def q_media_density(sf_dir: str) -> "ray.data.Dataset":
+    """Texture-media span density per z16 map tile — the interleaved×geo
+    cross: each ``media`` span (``atlas://{family}/{name}``, the
+    reference's texture atlas families at
+    /root/reference/src/textures/building_textures.ts:103-209) lands in
+    the tile of its document's building centroid; rollup counts spans and
+    distinct textures per (tile, family).
+
+    Scale shape: media refs and centroid come from the SAME parsed row, so
+    there is no doc→building join anywhere; per-batch partials collapse to
+    (occupied tiles × ≤2 families) rows before the one bounded groupby.
+
+    Output: (tile_x, tile_y, family, n_media)."""
+    import pyarrow.compute as pc
+
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        refs = batch.column("media_refs")
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        counts = np.diff(np.asarray(refs.offsets))
+        row = np.repeat(np.arange(len(batch)), counts)
+        tx = np.floor((cx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)[row]
+        ty = np.floor((WORLD_HALF - cy) / TILE_SIZE_Z16).astype(np.int64)[row]
+        flat = refs.values
+        # 'atlas://family/name' → family (slot 3 of the '/'-split, 1-based,
+        # mirroring the oracle's string_split(media_ref,'/')[3])
+        sliced = pc.utf8_slice_codeunits(flat, 8)
+        split = pc.split_pattern(sliced, "/", max_splits=1)
+        fam = split.values.take(pa.array(np.asarray(split.offsets)[:-1]))
+        fam_codes = fam.dictionary_encode()
+        code = np.asarray(fam_codes.indices, dtype=np.int64)
+        key = (tx * np.int64(1 << 24) + ty) * np.int64(64) + code
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        ucode = (uk % 64).astype(np.int64)
+        utile = uk // 64
+        return pa.table(
+            {
+                "tile_x": pa.array((utile // (1 << 24)).astype(np.int32)),
+                "tile_y": pa.array((utile % (1 << 24)).astype(np.int32)),
+                "family": fam_codes.dictionary.take(pa.array(ucode)),
+                "p_n": pa.array(n),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["centroid_x", "centroid_y", "media_refs"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y", "family"])
+        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_media"))
+    )
+
+
+def q_ring_areas(sf_dir: str) -> "ray.data.Dataset":
+    """Integer-exact shoelace area per polygon ring (G5's area kernel made
+    oracle-exact): coordinates quantize to millimeters
+    (``floor(c*1000+0.5)`` int64, the repo's established float rule), and
+    the signed doubled area sums the differenced edge terms
+    ``x_i*(y_{i+1}-y_i) - (x_{i+1}-x_i)*y_i`` — exact integers on both
+    engines, so association order can't split the oracle (reference area
+    kernel: /root/reference/src/building/geometry-utils.ts).
+
+    Scale shape: one vectorized map over parsed batches (global edge-term
+    array + one reduceat per ring run), no shuffle, no per-ring Python.
+
+    Output: (osm_id, ring_idx, ring_nv, area2_mm2)."""
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "coords", "ring_offsets"])
+        .map_batches(ring_areas_batch, batch_format="pyarrow")
+    )
+
+
+def ring_areas_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized integer-shoelace kernel for q_ring_areas (unit-tested
+    directly against a scalar reference in tests/test_round4c_ops.py)."""
+    batch = batch.combine_chunks()
+    empty = pa.table(
+        {
+            "osm_id": pa.array([], type=pa.int64()),
+            "ring_idx": pa.array([], type=pa.int64()),
+            "ring_nv": pa.array([], type=pa.int64()),
+            "area2_mm2": pa.array([], type=pa.int64()),
+        }
+    )
+    coords = batch.column("coords")
+    if isinstance(coords, pa.ChunkedArray):
+        coords = coords.combine_chunks()
+    roffs = batch.column("ring_offsets")
+    if isinstance(roffs, pa.ChunkedArray):
+        roffs = roffs.combine_chunks()
+    oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+    flat = np.asarray(coords.values, dtype=np.float64)
+    if len(flat) == 0:
+        return empty
+    co = np.asarray(coords.offsets, dtype=np.int64)  # in doubles
+    nv_row = (co[1:] - co[:-1]) // 2  # vertices per building
+    vstart_row = co[:-1] // 2
+    ro = np.asarray(roffs.offsets, dtype=np.int64)
+    rings_per_row = ro[1:] - ro[:-1]
+    rvals = np.asarray(roffs.values, dtype=np.int64)  # ring starts, per-bldg units
+    if rvals.size == 0:
+        return empty
+    ring_row = np.repeat(np.arange(len(batch)), rings_per_row)
+    ring_start = rvals + vstart_row[ring_row]  # global vertex index
+    # ring end = next ring start within the same building, else bldg end
+    ring_end = np.empty_like(ring_start)
+    ring_end[:-1] = ring_start[1:]
+    ring_end[-1] = vstart_row[ring_row[-1]] + nv_row[ring_row[-1]]
+    last_of_row = np.flatnonzero(np.diff(ring_row, append=-1) != 0)
+    ring_end[last_of_row] = (vstart_row + nv_row)[ring_row[last_of_row]]
+    qx = np.floor(flat[0::2] * 1000.0 + 0.5).astype(np.int64)
+    qy = np.floor(flat[1::2] * 1000.0 + 0.5).astype(np.int64)
+    term = qx[:-1] * (qy[1:] - qy[:-1]) - (qx[1:] - qx[:-1]) * qy[:-1]
+    # zero the phantom edge that spans a ring boundary (last vertex of
+    # each ring has no outgoing edge)
+    mask_end = ring_end - 1
+    term_m = term.copy()
+    term_m[mask_end[mask_end < len(term)]] = 0
+    # reduceat over ring starts (append sentinel to avoid len-0 tails)
+    starts = np.minimum(ring_start, len(term_m) - 1)
+    sums = np.add.reduceat(term_m, starts) if len(term_m) else np.zeros(0, np.int64)
+    # <2-vertex rings have no edge (reduceat's duplicate-start quirk would
+    # otherwise leak a neighbor term); rings starting past the last edge
+    # were clamped above — both are area 0 by definition
+    degenerate = (ring_start >= len(term_m)) | (ring_end - ring_start < 2)
+    sums = np.where(degenerate, 0, sums)
+    return pa.table(
+        {
+            "osm_id": pa.array(np.repeat(oid, rings_per_row)),
+            "ring_idx": pa.array(
+                np.arange(len(ring_row), dtype=np.int64)
+                - np.repeat(
+                    np.concatenate(
+                        [[0], np.cumsum(rings_per_row[:-1])]
+                    ).astype(np.int64),
+                    rings_per_row,
+                )
+            ),
+            "ring_nv": pa.array(ring_end - ring_start),
+            "area2_mm2": pa.array(sums),
+        }
+    )
+
