@@ -783,6 +783,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_zorder": geo.q_zorder,
         "geo_media_density": geo.q_media_density,
         "geo_ring_areas": geo.q_ring_areas,
+        "geo_rasterize": geo.q_rasterize,
+        "geo_media_dispersion": geo.q_media_dispersion,
+        "geo_hex_smooth": geo.q_hex_smooth,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
@@ -1207,6 +1210,101 @@ WITH sp AS (
 )
 SELECT tile_x, tile_y, family, CAST(COUNT(*) AS BIGINT) AS n_media
 FROM m JOIN b USING (osm_id) GROUP BY 1, 2, 3
+""",
+        # vector→raster burn: bbox cover expanded cell-by-cell (two nested
+        # unnest(range) levels — a single SELECT with two unnests would zip)
+        "geo_rasterize": f"""
+WITH t AS (
+  SELECT t0.osm_id, t0.tile_x, t0.tile_y, t0.tile_x1, t0.tile_y1,
+         CASE WHEN b.height IS NOT NULL
+              THEN CAST(FLOOR(b.height * 10 + 0.5) AS BIGINT)
+              ELSE 0 END AS hdm
+  FROM ({_TILE_SQL}) t0
+  JOIN read_parquet('{_SYNTH_001}/buildings/*.parquet') b
+    ON b.osm_id = t0.osm_id
+), cx AS (
+  SELECT osm_id, hdm, unnest(range(tile_x, tile_x1 + 1)) AS cell_x,
+         tile_y, tile_y1
+  FROM t
+), c AS (
+  SELECT osm_id, hdm, cell_x, unnest(range(tile_y, tile_y1 + 1)) AS cell_y
+  FROM cx
+)
+SELECT CAST(cell_x AS INTEGER) AS cell_x, CAST(cell_y AS INTEGER) AS cell_y,
+       CAST(COUNT(*) AS BIGINT) AS n_buildings,
+       CAST(MAX(hdm) AS BIGINT) AS max_height_dm,
+       CAST(SUM(hdm) AS BIGINT) AS sum_height_dm
+FROM c GROUP BY 1, 2
+""",
+        # per-texture spatial dispersion: distinct-tile counting through the
+        # same two-level rollup the engine runs
+        "geo_media_dispersion": f"""
+WITH sp AS (
+  SELECT doc_id, s.kind AS kind, s.text AS txt, s.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+), ids AS (
+  SELECT doc_id,
+         MAX(CASE WHEN kind = 'tag' AND txt LIKE 'osm_id=%'
+                  THEN CAST(substr(txt, 8) AS BIGINT) END) AS osm_id
+  FROM sp GROUP BY doc_id
+), b AS (
+  SELECT osm_id,
+         CAST(FLOOR((centroid_x + {_W}) / {_T}) AS INTEGER) AS tile_x,
+         CAST(FLOOR(({_W} - centroid_y) / {_T}) AS INTEGER) AS tile_y,
+         CAST(FLOOR(centroid_x * 1000 + 0.5) AS BIGINT) AS qcx,
+         CAST(FLOOR(centroid_y * 1000 + 0.5) AS BIGINT) AS qcy
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), g AS (
+  SELECT sp.media_ref, b.tile_x, b.tile_y,
+         COUNT(*) AS n, SUM(b.qcx) AS scx, SUM(b.qcy) AS scy
+  FROM sp JOIN ids USING (doc_id) JOIN b USING (osm_id)
+  WHERE sp.kind = 'media'
+  GROUP BY 1, 2, 3
+)
+SELECT media_ref,
+       CAST(SUM(n) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(MIN(tile_x) AS INTEGER) AS min_tx,
+       CAST(MAX(tile_x) AS INTEGER) AS max_tx,
+       CAST(MIN(tile_y) AS INTEGER) AS min_ty,
+       CAST(MAX(tile_y) AS INTEGER) AS max_ty,
+       CAST(SUM(scx) AS BIGINT) AS sum_cx_mm,
+       CAST(SUM(scy) AS BIGINT) AS sum_cy_mm
+FROM g GROUP BY 1
+""",
+        # 7-cell hex neighborhood aggregate over the hexbin grid
+        "geo_hex_smooth": f"""
+WITH f AS (
+  SELECT ({_HEX_S3!r} * centroid_x - centroid_y / 3.0) / 1000.0 AS cx,
+         (centroid_y * {_HEX_TT!r}) / 1000.0 AS cz
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), r AS (
+  SELECT FLOOR(cx + 0.5) AS rx, FLOOR((-cx - cz) + 0.5) AS ry,
+         FLOOR(cz + 0.5) AS rz,
+         ABS(FLOOR(cx + 0.5) - cx) AS dx,
+         ABS(FLOOR((-cx - cz) + 0.5) - (-cx - cz)) AS dy,
+         ABS(FLOOR(cz + 0.5) - cz) AS dz
+  FROM f
+), hx AS (
+  SELECT CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS hq,
+         CASE WHEN (dx > dy AND dx > dz) OR dy > dz THEN rz
+              ELSE -rx - ry END AS hr
+  FROM r
+), h AS (
+  SELECT CAST(hq AS BIGINT) AS hex_q, CAST(hr AS BIGINT) AS hex_r,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM hx GROUP BY 1, 2
+)
+SELECT a.hex_q AS hex_q, a.hex_r AS hex_r, a.n AS n_local,
+       CAST(SUM(b.n) AS BIGINT) AS n_hood
+FROM h a JOIN h b
+  ON (b.hex_q - a.hex_q) IN (-1, 0, 1)
+ AND (b.hex_r - a.hex_r) IN (-1, 0, 1)
+ AND (b.hex_q - a.hex_q) + (b.hex_r - a.hex_r) IN (-1, 0, 1)
+ AND NOT ((b.hex_q - a.hex_q) = -1 AND (b.hex_r - a.hex_r) = -1)
+ AND NOT ((b.hex_q - a.hex_q) = 1 AND (b.hex_r - a.hex_r) = 1)
+GROUP BY 1, 2, 3
 """,
         # integer-exact shoelace per ring: millimeter-quantized coords,
         # differenced edge terms — exact integers, association-proof

@@ -1589,3 +1589,222 @@ def ring_areas_batch(batch: pa.Table) -> pa.Table:
         }
     )
 
+
+
+def q_rasterize(sf_dir: str) -> "ray.data.Dataset":
+    """Vector→raster: burn every building's z16 bbox cover onto the tile
+    grid and roll up per cell — count, max and total decimeter height
+    (the write-side counterpart of q_dem_zonal's raster→vector read; the
+    reference's per-tile feature batching is the n=1-cell special case,
+    /root/reference/src/generate-tileset.ts:37-65).
+
+    Scale shape: replicate rows by their bbox cover (bounded by footprint
+    size / cell size, never by corpus size), collapse to per-batch cell
+    partials (packed-key bincount + maximum.at), then ONE bounded groupby
+    over occupied cells.
+
+    Output: (cell_x, cell_y, n_buildings, max_height_dm, sum_height_dm)."""
+
+    def burn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "cell_x": pa.array([], type=pa.int32()),
+                    "cell_y": pa.array([], type=pa.int32()),
+                    "p_n": pa.array([], type=pa.int64()),
+                    "p_maxh": pa.array([], type=pa.int64()),
+                    "p_sumh": pa.array([], type=pa.int64()),
+                }
+            )
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        hdm = np.where(np.isfinite(h), np.floor(h * 10 + 0.5), 0.0).astype(np.int64)
+        tx0 = np.floor((minx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)
+        ty0 = np.floor((WORLD_HALF - maxy) / TILE_SIZE_Z16).astype(np.int64)
+        tx1 = np.floor((maxx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)
+        ty1 = np.floor((WORLD_HALF - miny) / TILE_SIZE_Z16).astype(np.int64)
+        w = tx1 - tx0 + 1
+        reps = w * (ty1 - ty0 + 1)
+        row = np.repeat(np.arange(len(reps)), reps)
+        k = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps[:-1])]).astype(np.int64), reps
+        )
+        cx = tx0[row] + k % w[row]
+        cy = ty0[row] + k // w[row]
+        key = cx * np.int64(1 << 20) + cy
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        sh = np.bincount(inv, weights=hdm[row], minlength=len(uk)).astype(np.int64)
+        mh = np.zeros(len(uk), dtype=np.int64)
+        np.maximum.at(mh, inv, hdm[row])
+        return pa.table(
+            {
+                "cell_x": pa.array((uk // (1 << 20)).astype(np.int32)),
+                "cell_y": pa.array((uk % (1 << 20)).astype(np.int32)),
+                "p_n": pa.array(n),
+                "p_maxh": pa.array(mh),
+                "p_sumh": pa.array(sh),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["minx", "miny", "maxx", "maxy", "height"])
+        .map_batches(burn, batch_format="pyarrow")
+        .groupby(["cell_x", "cell_y"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n_buildings"),
+            ray.data.aggregate.Max("p_maxh", alias_name="max_height_dm"),
+            ray.data.aggregate.Sum("p_sumh", alias_name="sum_height_dm"),
+        )
+    )
+
+
+def q_media_dispersion(sf_dir: str) -> "ray.data.Dataset":
+    """Per-texture spatial dispersion (the interleaved×geo cross read the
+    other way from q_media_density): for every atlas texture, how many
+    spans use it, across how many distinct z16 tiles, the tile bbox of
+    its usage, and the integer-exact millimeter centroid mass (texture
+    inventory: /root/reference/src/textures/building_textures.ts:103-209).
+
+    Scale shape: per-batch (ref, tile) partials → one bounded groupby
+    (refs × occupied tiles) → a second tiny rollup keyed by ref alone;
+    distinct-tile counting is exact because stage one already collapsed
+    to one row per (ref, tile).
+
+    Output: (media_ref, n_spans, n_tiles, min_tx, max_tx, min_ty, max_ty,
+    sum_cx_mm, sum_cy_mm)."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        refs = batch.column("media_refs")
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        counts = np.diff(np.asarray(refs.offsets))
+        row = np.repeat(np.arange(len(batch)), counts)
+        tx = np.floor((cx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)[row]
+        ty = np.floor((WORLD_HALF - cy) / TILE_SIZE_Z16).astype(np.int64)[row]
+        qcx = np.floor(cx * 1000.0 + 0.5).astype(np.int64)[row]
+        qcy = np.floor(cy * 1000.0 + 0.5).astype(np.int64)[row]
+        flat = refs.values.dictionary_encode()
+        code = np.asarray(flat.indices, dtype=np.int64)
+        key = (code * np.int64(1 << 20) + tx) * np.int64(1 << 20) + ty
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "media_ref": flat.dictionary.take(
+                    pa.array((uk // np.int64(1 << 40)).astype(np.int64))
+                ),
+                "tile_x": pa.array(
+                    ((uk // np.int64(1 << 20)) % np.int64(1 << 20)).astype(np.int32)
+                ),
+                "tile_y": pa.array((uk % np.int64(1 << 20)).astype(np.int32)),
+                "p_n": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+                "p_scx": pa.array(
+                    np.bincount(inv, weights=qcx, minlength=len(uk)).astype(np.int64)
+                ),
+                "p_scy": pa.array(
+                    np.bincount(inv, weights=qcy, minlength=len(uk)).astype(np.int64)
+                ),
+            }
+        )
+
+    per_tile = (
+        parsed_ds(sf_dir)
+        .select_columns(["centroid_x", "centroid_y", "media_refs"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["media_ref", "tile_x", "tile_y"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_n", alias_name="n"),
+            ray.data.aggregate.Sum("p_scx", alias_name="scx"),
+            ray.data.aggregate.Sum("p_scy", alias_name="scy"),
+        )
+    )
+    rolled = per_tile.groupby("media_ref").aggregate(
+        ray.data.aggregate.Sum("n", alias_name="n_spans"),
+        ray.data.aggregate.Count(alias_name="n_tiles"),
+        ray.data.aggregate.Min("tile_x", alias_name="min_tx"),
+        ray.data.aggregate.Max("tile_x", alias_name="max_tx"),
+        ray.data.aggregate.Min("tile_y", alias_name="min_ty"),
+        ray.data.aggregate.Max("tile_y", alias_name="max_ty"),
+        ray.data.aggregate.Sum("scx", alias_name="sum_cx_mm"),
+        ray.data.aggregate.Sum("scy", alias_name="sum_cy_mm"),
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        return t.cast(
+            pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("n_spans", pa.int64()),
+                    ("n_tiles", pa.int64()),
+                    ("min_tx", pa.int32()),
+                    ("max_tx", pa.int32()),
+                    ("min_ty", pa.int32()),
+                    ("max_ty", pa.int32()),
+                    ("sum_cx_mm", pa.int64()),
+                    ("sum_cy_mm", pa.int64()),
+                ]
+            )
+        )
+
+    return rolled.map_batches(cast, batch_format="pyarrow")
+
+
+def q_hex_smooth(sf_dir: str, size: float = 1000.0) -> "ray.data.Dataset":
+    """Neighborhood aggregate on the hexagonal index (q_hexbin's grid):
+    per OCCUPIED hex, its own count plus the building count over the
+    7-cell neighborhood (self + 6 axial neighbors) — the hex-topology
+    analog of the quadtree q_tile_smooth stencil.
+
+    Scale shape: replicate-7 over the bounded hex table (already ≤
+    occupied-hex count, never corpus rows) → ONE groupby; occupied
+    filtering rides the own-count aggregate, so no second pass.
+
+    Output: (hex_q, hex_r, n_local, n_hood)."""
+    import pyarrow.compute as pc
+
+    NEIGH = np.array(
+        [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)],
+        dtype=np.int64,
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        q = batch.column("hex_q").to_numpy(zero_copy_only=False)
+        r = batch.column("hex_r").to_numpy(zero_copy_only=False)
+        n = batch.column("n_buildings").to_numpy(zero_copy_only=False)
+        m = len(q)
+        tq = (q[None, :] + NEIGH[:, 0:1]).ravel()
+        tr = (r[None, :] + NEIGH[:, 1:2]).ravel()
+        hood = np.tile(n, len(NEIGH))
+        own = np.concatenate([n, np.zeros((len(NEIGH) - 1) * m, dtype=n.dtype)])
+        return pa.table(
+            {
+                "hex_q": pa.array(tq),
+                "hex_r": pa.array(tr),
+                "p_own": pa.array(own),
+                "p_hood": pa.array(hood),
+            }
+        )
+
+    smoothed = (
+        q_hexbin(sf_dir, size=size)
+        .drop_columns(["sum_height_dm"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby(["hex_q", "hex_r"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_own", alias_name="n_local"),
+            ray.data.aggregate.Sum("p_hood", alias_name="n_hood"),
+        )
+    )
+
+    def occupied(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_local"), 0))
+
+    return smoothed.map_batches(occupied, batch_format="pyarrow")

@@ -155,3 +155,124 @@ def test_ring_areas_batch_split_invariance():
         sum((_run_kernel(rows[i : i + 7]) for i in range(0, len(rows), 7)), [])
     )
     assert whole == split
+
+
+SF = "/root/testdata/sf0.001"
+_SYNTH = "/tmp/osm3d_synth/sf0.001"
+_W = 20037508.342789244
+_T = 40075016.685578488 / 65536.0
+
+
+def _buildings():
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import pyarrow.dataset as pds
+
+    return pds.dataset(sorted(__import__("glob").glob(f"{_SYNTH}/buildings/*.parquet"))).to_table()
+
+
+def test_rasterize_brute_force(ray_session):
+    from collections import defaultdict
+
+    from osm_data_3d_tiles_ray.pipelines.geo import q_rasterize
+
+    got = q_rasterize(SF).to_pandas()
+    b = _buildings().to_pylist()
+    cells = defaultdict(lambda: [0, 0, 0])
+    for r in b:
+        tx0 = int(np.floor((r["minx"] + _W) / _T))
+        ty0 = int(np.floor((_W - r["maxy"]) / _T))
+        tx1 = int(np.floor((r["maxx"] + _W) / _T))
+        ty1 = int(np.floor((_W - r["miny"]) / _T))
+        h = r["height"]
+        hdm = int(np.floor(h * 10 + 0.5)) if h is not None and np.isfinite(h) else 0
+        for cx in range(tx0, tx1 + 1):
+            for cy in range(ty0, ty1 + 1):
+                c = cells[(cx, cy)]
+                c[0] += 1
+                c[1] = max(c[1], hdm)
+                c[2] += hdm
+    want = sorted((k[0], k[1], v[0], v[1], v[2]) for k, v in cells.items())
+    got_rows = sorted(
+        zip(got.cell_x, got.cell_y, got.n_buildings, got.max_height_dm, got.sum_height_dm)
+    )
+    assert [tuple(map(int, r)) for r in got_rows] == want
+
+
+def test_media_dispersion_brute_force(ray_session):
+    from collections import defaultdict
+
+    import glob
+
+    import pyarrow.dataset as pds
+
+    from osm_data_3d_tiles_ray.pipelines.geo import q_media_dispersion
+
+    got = q_media_dispersion(SF).to_pandas().set_index("media_ref")
+    docs = pds.dataset(sorted(glob.glob(f"{_SYNTH}/documents/*.parquet"))).to_table()
+    b = _buildings()
+    binfo = {
+        o: (cx, cy)
+        for o, cx, cy in zip(
+            b.column("osm_id").to_pylist(),
+            b.column("centroid_x").to_pylist(),
+            b.column("centroid_y").to_pylist(),
+        )
+    }
+    per_ref = defaultdict(list)
+    for doc in docs.to_pylist():
+        osm = None
+        refs = []
+        for s in doc["spans"]:
+            if s["kind"] == "tag" and s["text"].startswith("osm_id="):
+                osm = int(s["text"][7:])
+            elif s["kind"] == "media":
+                refs.append(s["media_ref"])
+        if osm is None:
+            continue
+        cx, cy = binfo[osm]
+        tx = int(np.floor((cx + _W) / _T))
+        ty = int(np.floor((_W - cy) / _T))
+        qcx = int(np.floor(cx * 1000 + 0.5))
+        qcy = int(np.floor(cy * 1000 + 0.5))
+        for ref in refs:
+            per_ref[ref].append((tx, ty, qcx, qcy))
+    assert set(per_ref) == set(got.index)
+    for ref, uses in per_ref.items():
+        row = got.loc[ref]
+        assert int(row.n_spans) == len(uses)
+        assert int(row.n_tiles) == len({(t[0], t[1]) for t in uses})
+        assert int(row.min_tx) == min(t[0] for t in uses)
+        assert int(row.max_tx) == max(t[0] for t in uses)
+        assert int(row.min_ty) == min(t[1] for t in uses)
+        assert int(row.max_ty) == max(t[1] for t in uses)
+        assert int(row.sum_cx_mm) == sum(t[2] for t in uses)
+        assert int(row.sum_cy_mm) == sum(t[3] for t in uses)
+
+
+def test_hex_smooth_brute_force(ray_session):
+    from collections import Counter
+
+    from osm_data_3d_tiles_ray.pipelines.geo import hex_axial, q_hex_smooth
+
+    got = q_hex_smooth(SF).to_pandas()
+    b = _buildings()
+    cx = np.asarray(b.column("centroid_x").to_pylist(), dtype=np.float64)
+    cy = np.asarray(b.column("centroid_y").to_pylist(), dtype=np.float64)
+    ok = np.isfinite(cx) & np.isfinite(cy)
+    hq, hr = hex_axial(cx[ok], cy[ok], 1000.0)
+    counts = Counter(zip(hq.tolist(), hr.tolist()))
+    want = {}
+    for (q, r), n in counts.items():
+        hood = sum(
+            counts.get((q + dq, r + dr), 0)
+            for dq, dr in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+        )
+        want[(q, r)] = (n, hood)
+    got_map = {
+        (int(a), int(b_)): (int(l), int(h))
+        for a, b_, l, h in zip(got.hex_q, got.hex_r, got.n_local, got.n_hood)
+    }
+    assert got_map == want
