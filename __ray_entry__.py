@@ -786,6 +786,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_rasterize": geo.q_rasterize,
         "geo_media_dispersion": geo.q_media_dispersion,
         "geo_hex_smooth": geo.q_hex_smooth,
+        "geo_text_density": geo.q_text_density,
+        "geo_idw": geo.q_idw,
+        # iterative star-rewriting CC — not SQL-expressible at this shape
+        # (transitive-closure CTE is ~n² pairs); exact BFS oracle in
+        # tests/test_round4c_ops.py at sf0.001 AND sf0.01
+        "geo_tile_components": geo.q_tile_components,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
@@ -1272,6 +1278,72 @@ SELECT media_ref,
        CAST(SUM(scx) AS BIGINT) AS sum_cx_mm,
        CAST(SUM(scy) AS BIGINT) AS sum_cy_mm
 FROM g GROUP BY 1
+""",
+        # integer IDW: weights are exact integer quotients of quantized-mm
+        # squared distances, so sums and the final quotient are
+        # association-proof on both engines
+        "geo_idw": f"""
+WITH p AS (
+  SELECT CAST(FLOOR((centroid_x + {_W}) / {_T}) AS BIGINT) AS tx,
+         CAST(FLOOR(({_W} - centroid_y) / {_T}) AS BIGINT) AS ty,
+         CAST(FLOOR(centroid_x * 1000 + 0.5) AS BIGINT) AS qpx,
+         CAST(FLOOR(centroid_y * 1000 + 0.5) AS BIGINT) AS qpy,
+         CASE WHEN height IS NOT NULL
+              THEN CAST(FLOOR(height * 10 + 0.5) AS BIGINT) ELSE 0 END AS hdm
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), cx AS (
+  SELECT p.*, tx + unnest(range(-2, 3)) AS cell_x FROM p
+), c AS (
+  SELECT cx.*, ty + unnest(range(-2, 3)) AS cell_y FROM cx
+), w AS (
+  SELECT cell_x, cell_y, hdm,
+         CAST(1000000000000 AS BIGINT) * 10 //
+             GREATEST((qpx - CAST(FLOOR(((cell_x + 0.5) * {_T} - {_W}) * 1000
+                                        + 0.5) AS BIGINT))
+                      * (qpx - CAST(FLOOR(((cell_x + 0.5) * {_T} - {_W}) * 1000
+                                          + 0.5) AS BIGINT))
+                      + (qpy - CAST(FLOOR(({_W} - (cell_y + 0.5) * {_T}) * 1000
+                                          + 0.5) AS BIGINT))
+                      * (qpy - CAST(FLOOR(({_W} - (cell_y + 0.5) * {_T}) * 1000
+                                          + 0.5) AS BIGINT)),
+                      1000000) AS wgt
+  FROM c
+)
+SELECT CAST(cell_x AS INTEGER) AS cell_x, CAST(cell_y AS INTEGER) AS cell_y,
+       CAST(SUM(wgt) AS BIGINT) AS sum_w,
+       CAST(SUM(wgt * hdm) AS BIGINT) AS sum_wh,
+       CAST(CAST(SUM(wgt * hdm) AS BIGINT) * 1000 //
+            GREATEST(CAST(SUM(wgt) AS BIGINT), 1) AS BIGINT) AS idw_e3
+FROM w GROUP BY 1, 2
+""",
+        # text mass per tile: spans fold to per-doc scalars, then the
+        # building's centroid tile, mirroring the engine's partial pass
+        "geo_text_density": f"""
+WITH sp AS (
+  SELECT doc_id, s.kind AS kind, s.text AS txt
+  FROM (SELECT doc_id, unnest(spans) AS s
+        FROM read_parquet('{_SYNTH_001}/documents/*.parquet'))
+), per_doc AS (
+  SELECT doc_id,
+         MAX(CASE WHEN kind = 'tag' AND txt LIKE 'osm_id=%'
+                  THEN CAST(substr(txt, 8) AS BIGINT) END) AS osm_id,
+         CAST(SUM(CASE WHEN kind = 'text' THEN length(txt) ELSE 0 END)
+              AS BIGINT) AS chars,
+         CAST(SUM(CASE WHEN kind = 'tag' THEN 1 ELSE 0 END) AS BIGINT)
+             AS tags
+  FROM sp GROUP BY doc_id
+), b AS (
+  SELECT osm_id,
+         CAST(FLOOR((centroid_x + {_W}) / {_T}) AS INTEGER) AS tile_x,
+         CAST(FLOOR(({_W} - centroid_y) / {_T}) AS INTEGER) AS tile_y
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+)
+SELECT tile_x, tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS text_chars,
+       CAST(SUM(tags) AS BIGINT) AS n_tags
+FROM per_doc JOIN b USING (osm_id)
+GROUP BY 1, 2
 """,
         # 7-cell hex neighborhood aggregate over the hexbin grid
         "geo_hex_smooth": f"""

@@ -1808,3 +1808,384 @@ def q_hex_smooth(sf_dir: str, size: float = 1000.0) -> "ray.data.Dataset":
         return t.filter(pc.greater(t.column("n_local"), 0))
 
     return smoothed.map_batches(occupied, batch_format="pyarrow")
+
+
+def q_text_density(sf_dir: str) -> "ray.data.Dataset":
+    """Text mass per z16 map tile (the text×geo cross next to
+    q_media_density's media×geo): per tile, the document count, total
+    text-span characters and tag-span count of the buildings whose
+    centroid lands there — the per-tile corpus weight a geo-stratified
+    text sampler would draw against.
+
+    Scale shape: spans never leave the parse task (char counts fold to
+    per-doc scalars inside the batch); per-batch tile partials → ONE
+    bounded groupby over occupied tiles.
+
+    Output: (tile_x, tile_y, n_docs, text_chars, n_tags)."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        n = len(batch)
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        values = spans.values
+        counts = np.diff(np.asarray(spans.offsets))
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        kind = values.field("kind")
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        is_tag = pc.equal(kind, "tag").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(values.field("text")).to_numpy(zero_copy_only=False)
+        chars = np.bincount(row[is_text], weights=tlen[is_text], minlength=n)
+        tags = np.bincount(row[is_tag], minlength=n).astype(np.int64)
+        tx = np.floor((cx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)
+        ty = np.floor((WORLD_HALF - cy) / TILE_SIZE_Z16).astype(np.int64)
+        key = tx * np.int64(1 << 20) + ty
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "tile_x": pa.array((uk // (1 << 20)).astype(np.int32)),
+                "tile_y": pa.array((uk % (1 << 20)).astype(np.int32)),
+                "p_docs": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+                "p_chars": pa.array(
+                    np.bincount(inv, weights=chars, minlength=len(uk)).astype(np.int64)
+                ),
+                "p_tags": pa.array(
+                    np.bincount(inv, weights=tags, minlength=len(uk)).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir, keep_spans=True)
+        .select_columns(["centroid_x", "centroid_y", "spans"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("p_chars", alias_name="text_chars"),
+            ray.data.aggregate.Sum("p_tags", alias_name="n_tags"),
+        )
+    )
+
+
+def q_idw(sf_dir: str, radius_cells: int = 2) -> "ray.data.Dataset":
+    """Integer-exact inverse-distance-weighted interpolation of building
+    heights onto the z16 cell grid (points→raster, completing the
+    raster↔vector axis next to q_dem_sample's raster→points read): every
+    centroid contributes to the (2r+1)² cell block around it with weight
+    ``10^13 // max(d², 10^6)`` — distances in exact quantized
+    millimeters, so weights, weighted sums and the final ``//`` quotient
+    are identical integers on both engines; no float ever crosses the
+    oracle boundary.
+
+    Scale shape: bounded 25× replicate per point, per-batch cell partials
+    (unique + add.at on int64 — bincount's float64 weights would lose
+    exactness past 2^53), ONE bounded groupby over touched cells.
+
+    Output: (cell_x, cell_y, sum_w, sum_wh, idw_e3)."""
+    r = radius_cells
+    NUM = np.int64(10**13)
+    DMIN = np.int64(10**6)
+
+    def contribute(batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(cx) & np.isfinite(cy)
+        cx, cy, h = cx[ok], cy[ok], h[ok]
+        hdm = np.where(np.isfinite(h), np.floor(h * 10 + 0.5), 0.0).astype(np.int64)
+        tx = np.floor((cx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)
+        ty = np.floor((WORLD_HALF - cy) / TILE_SIZE_Z16).astype(np.int64)
+        qpx = np.floor(cx * 1000.0 + 0.5).astype(np.int64)
+        qpy = np.floor(cy * 1000.0 + 0.5).astype(np.int64)
+        offs = np.arange(-r, r + 1, dtype=np.int64)
+        dx = np.repeat(offs, 2 * r + 1)  # 25 block offsets
+        dy = np.tile(offs, 2 * r + 1)
+        n = len(cx)
+        cell_x = (tx[:, None] + dx[None, :]).ravel()
+        cell_y = (ty[:, None] + dy[None, :]).ravel()
+        # quantized-mm cell centers: identical double expression in SQL
+        qccx = np.floor(
+            ((cell_x + 0.5) * TILE_SIZE_Z16 - WORLD_HALF) * 1000.0 + 0.5
+        ).astype(np.int64)
+        qccy = np.floor(
+            (WORLD_HALF - (cell_y + 0.5) * TILE_SIZE_Z16) * 1000.0 + 0.5
+        ).astype(np.int64)
+        px = np.repeat(qpx, (2 * r + 1) ** 2)
+        py = np.repeat(qpy, (2 * r + 1) ** 2)
+        d2 = (px - qccx) ** 2 + (py - qccy) ** 2
+        w = NUM // np.maximum(d2, DMIN)
+        wh = w * np.repeat(hdm, (2 * r + 1) ** 2)
+        key = cell_x * np.int64(1 << 20) + cell_y
+        uk, inv = np.unique(key, return_inverse=True)
+        sw = np.zeros(len(uk), dtype=np.int64)
+        swh = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sw, inv, w)
+        np.add.at(swh, inv, wh)
+        return pa.table(
+            {
+                "cell_x": pa.array((uk // (1 << 20)).astype(np.int32)),
+                "cell_y": pa.array((uk % (1 << 20)).astype(np.int32)),
+                "p_sw": pa.array(sw),
+                "p_swh": pa.array(swh),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sw = t.column("sum_w").to_numpy(zero_copy_only=False)
+        swh = t.column("sum_wh").to_numpy(zero_copy_only=False)
+        idw = (swh * np.int64(1000)) // np.maximum(sw, 1)
+        return t.append_column("idw_e3", pa.array(idw))
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["centroid_x", "centroid_y", "height"])
+        .map_batches(contribute, batch_format="pyarrow")
+        .groupby(["cell_x", "cell_y"])
+        .aggregate(
+            ray.data.aggregate.Sum("p_sw", alias_name="sum_w"),
+            ray.data.aggregate.Sum("p_swh", alias_name="sum_wh"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+def _component_nodes(b: pa.Table) -> pa.Table:
+    """(tile_x, tile_y, …) → packed CC node rows (node = tx<<20 | ty)."""
+    tx = b.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+    ty = b.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "tx": pa.array(tx),
+            "ty": pa.array(ty),
+            "node": pa.array(tx * np.int64(1 << 20) + ty),
+        }
+    )
+
+
+def _edge_dedup_sorted(u: np.ndarray, v: np.ndarray):
+    """Lexsort + boundary mask dedup of (u, v) pairs (NEVER pack into one
+    int64 — node ids reach 2^36, a packed key overflows and collides)."""
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    keep = np.ones(len(us), dtype=bool)
+    keep[1:] = (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])
+    return us[keep], vs[keep]
+
+
+def q_tile_components(sf_dir: str, max_rounds: int = 24) -> "ray.data.Dataset":
+    """Connected components over the occupied z16 tile grid
+    (4-connectivity) — raster region labeling, the spatial sibling of
+    textops.dedup_clusters' affix clustering: every occupied tile gets
+    the minimum packed tile-id of its contiguous urban blob.
+
+    Algorithm: alternating LARGE-STAR / SMALL-STAR edge rewriting
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds, vs O(diameter) for plain neighbor-min
+    label propagation (this corpus's largest blob spans ~8k tiles with
+    diameter ~190: measured 10 star rounds vs 98 propagation rounds).
+    Each half-round is ONE hash exchange keyed by the star center
+    (``map_key_partitions``) + a sorted segment-min and vectorized edge
+    emission per partition; per-center dedup rides the same exchange, so
+    the edge multiset stays O(occupied-tile adjacency) throughout.
+
+    Not SQL-expressible at this corpus's shape (a transitive-closure
+    recursive CTE materializes ~n² reachability pairs for the giant
+    blob), so the driver records a rows-only check; the exact oracle is
+    a pytest BFS at sf0.001 and sf0.01 (tests/test_round4c_ops.py).
+
+    Scale shape: the iteration state is the bounded occupied-tile edge
+    list (≈2 edges/tile), never corpus rows; both star ops are
+    exchange + segment passes with no per-key dispatch; convergence is
+    detected from (count, checksum) of the edge multiset — monotone
+    under star rewriting, so equality means fixed point.
+
+    Output: (tile_x, tile_y, component_id) — component_id is the packed
+    (tile_x << 20 | tile_y) id of the component's minimum tile."""
+    from .partition import map_key_partitions, run_starts
+
+    PACK = np.int64(1 << 20)
+
+    nodes = (
+        tile_stats(
+            ownership_assignments(
+                parsed_ds(sf_dir).select_columns(
+                    ["osm_id", "minx", "miny", "maxx", "maxy"]
+                )
+            )
+        )
+        .map_batches(_component_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def seed_edges(b: pa.Table) -> pa.Table:
+        # candidate east/south edges keyed by the NEIGHBOR id, plus one
+        # presence row per occupied node; the cull keeps a candidate only
+        # when its key-run contains a presence row (neighbor occupied)
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        tx = b.column("tx").to_numpy(zero_copy_only=False)
+        ty = b.column("ty").to_numpy(zero_copy_only=False)
+        east = (tx + 1) * PACK + ty
+        south = tx * PACK + (ty + 1)
+        n = len(node)
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([east, south, node])),
+                "u": pa.array(np.concatenate([node, node, node])),
+                "v": pa.array(np.concatenate([east, south, node])),
+                "real": pa.array(
+                    np.concatenate(
+                        [np.zeros(2 * n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+            }
+        )
+
+    def cull_phantoms(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+        )
+        if len(tbl) == 0:
+            return empty
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        real = tbl.column("real").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, us, vs, rs = k[order], u[order], v[order], real[order]
+        starts = run_starts(ks)
+        idx = np.flatnonzero(starts)
+        occupied = np.maximum.reduceat(rs, idx) == 1
+        run_id = np.cumsum(starts) - 1
+        keep = occupied[run_id] & (rs == 0)
+        return pa.table({"u": pa.array(us[keep]), "v": pa.array(vs[keep])})
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate([u, v])),
+                "n": pa.array(np.concatenate([v, u])),
+            }
+        )
+
+    def large_star_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+        )
+        if len(tbl) == 0:
+            return empty
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        cs, ns = _edge_dedup_sorted(c, n)
+        starts = run_starts(cs)
+        idx = np.flatnonzero(starts)
+        run_id = np.cumsum(starts) - 1
+        mins = np.minimum(np.minimum.reduceat(ns, idx), cs[idx])
+        m = mins[run_id]
+        big = ns > cs
+        out_u, out_v = ns[big], m[big]
+        ok = out_u != out_v
+        return pa.table({"u": pa.array(out_u[ok]), "v": pa.array(out_v[ok])})
+
+    def orient_hi(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array(np.maximum(u, v)),
+                "n": pa.array(np.minimum(u, v)),
+            }
+        )
+
+    def small_star_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+        )
+        if len(tbl) == 0:
+            return empty
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        cs, ns = _edge_dedup_sorted(c, n)
+        starts = run_starts(cs)
+        idx = np.flatnonzero(starts)
+        run_id = np.cumsum(starts) - 1
+        mins = np.minimum(np.minimum.reduceat(ns, idx), cs[idx])
+        m = mins[run_id]
+        out_u = np.concatenate([ns, cs[idx]])
+        out_v = np.concatenate([m, mins])
+        ok = out_u != out_v
+        ou, ov = _edge_dedup_sorted(out_u[ok], out_v[ok])
+        return pa.table({"u": pa.array(ou), "v": pa.array(ov)})
+
+    edges = map_key_partitions(
+        nodes.map_batches(seed_edges, batch_format="pyarrow"), ["k"], cull_phantoms
+    ).materialize()
+
+    prev = None
+    converged = False
+    for _ in range(max_rounds):
+        edges = map_key_partitions(
+            edges.map_batches(symmetrize, batch_format="pyarrow"),
+            ["c"],
+            large_star_part,
+        )
+        edges = map_key_partitions(
+            edges.map_batches(orient_hi, batch_format="pyarrow"),
+            ["c"],
+            small_star_part,
+        ).materialize()
+        sig = (edges.count(), edges.sum("u"), edges.sum("v"))
+        if sig == prev:
+            converged = True
+            break
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"q_tile_components: star rewriting did not converge in "
+            f"{max_rounds} rounds"
+        )
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "label": b.column("node"),
+            }
+        )
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("u"), "label": b.column("v")})
+
+    def label_min(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tile_x": pa.array([], type=pa.int32()),
+                "tile_y": pa.array([], type=pa.int32()),
+                "component_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        node = tbl.column("node").to_numpy(zero_copy_only=False)
+        lab = tbl.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, node))
+        ns, ls = node[order], lab[order]
+        starts = run_starts(ns)
+        firsts = np.flatnonzero(starts)
+        return pa.table(
+            {
+                "tile_x": pa.array((ns[firsts] // PACK).astype(np.int32)),
+                "tile_y": pa.array((ns[firsts] % PACK).astype(np.int32)),
+                "component_id": pa.array(ls[firsts]),
+            }
+        )
+
+    union = nodes.map_batches(node_rows, batch_format="pyarrow").union(
+        edges.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    return map_key_partitions(union, ["node"], label_min)

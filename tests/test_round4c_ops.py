@@ -276,3 +276,93 @@ def test_hex_smooth_brute_force(ray_session):
         for a, b_, l, h in zip(got.hex_q, got.hex_r, got.n_local, got.n_hood)
     }
     assert got_map == want
+
+
+def _bfs_components(tiles):
+    truth = {}
+    for t in tiles:
+        tk = (t[0] << 20) + t[1]
+        if tk in truth:
+            continue
+        seen = {t}
+        q = [t]
+        comp = [t]
+        while q:
+            x, y = q.pop()
+            for nb in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+                if nb in tiles and nb not in seen:
+                    seen.add(nb)
+                    q.append(nb)
+                    comp.append(nb)
+        m = min((c[0] << 20) + c[1] for c in comp)
+        for c in comp:
+            truth[(c[0] << 20) + c[1]] = m
+    return truth
+
+
+def test_tile_components_bfs_oracle(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.geo import q_tile_components
+
+    got_df = q_tile_components(SF).to_pandas()
+    b = _buildings()
+    tx = np.floor((np.asarray(b.column("minx")) + _W) / _T).astype(np.int64)
+    ty = np.floor((_W - np.asarray(b.column("maxy"))) / _T).astype(np.int64)
+    truth = _bfs_components(set(zip(tx.tolist(), ty.tolist())))
+    got = {
+        (int(r.tile_x) << 20) + int(r.tile_y): int(r.component_id)
+        for r in got_df.itertuples()
+    }
+    assert got == truth
+    # component ids are member minima: every id is a member of its own set
+    roots = set(got.values())
+    assert roots <= set(got)
+    assert all(got[r] == r for r in roots)
+
+
+def test_tile_components_synthetic_shapes(ray_session):
+    # ring blob (hole in the middle), diagonal non-adjacency, singleton —
+    # via a monkeypatched node table fed through the same star rounds
+    import pyarrow as pa
+
+    import osm_data_3d_tiles_ray.pipelines.geo as geo_mod
+
+    tiles = (
+        [(x, 10) for x in range(5, 11)]
+        + [(x, 14) for x in range(5, 11)]
+        + [(5, y) for y in range(10, 15)]
+        + [(10, y) for y in range(10, 15)]  # rectangle ring
+        + [(20, 20), (21, 21)]  # diagonal: NOT connected under 4-conn
+        + [(30, 30)]  # singleton
+    )
+    tiles = sorted(set(tiles))
+    truth = _bfs_components(set(tiles))
+
+    real_parsed = geo_mod.parsed_ds
+    real_own = geo_mod.ownership_assignments
+    real_stats = geo_mod.tile_stats
+
+    def fake_stats(_):
+        return __import__("ray").data.from_arrow(
+            pa.table(
+                {
+                    "tile_x": pa.array([t[0] for t in tiles], type=pa.int32()),
+                    "tile_y": pa.array([t[1] for t in tiles], type=pa.int32()),
+                }
+            )
+        )
+
+    geo_mod.tile_stats = fake_stats
+    geo_mod.ownership_assignments = lambda ds: ds
+    try:
+        got_df = geo_mod.q_tile_components(SF).to_pandas()
+    finally:
+        geo_mod.tile_stats = real_stats
+        geo_mod.ownership_assignments = real_own
+        geo_mod.parsed_ds = real_parsed
+    got = {
+        (int(r.tile_x) << 20) + int(r.tile_y): int(r.component_id)
+        for r in got_df.itertuples()
+    }
+    assert got == truth
+    # ring blob + the two diagonal (non-4-connected) tiles + singleton
+    assert len(set(got.values())) == 4
