@@ -79,6 +79,20 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
     )
 
 
+_VARINT_CHUNK = 1_000_000
+_VARINT_SCRATCH: dict = {}
+
+
+def _varint_scratch(name: str, size: int, dtype) -> "np.ndarray":
+    """Per-process reusable scratch buffer (each Ray worker/actor process
+    owns its copy; tasks in a worker run serially, so no aliasing)."""
+    buf = _VARINT_SCRATCH.get(name)
+    if buf is None or len(buf) < size:
+        buf = np.empty(size, dtype)
+        _VARINT_SCRATCH[name] = buf
+    return buf
+
+
 def _varint_encode_arr(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized LEB128 core: uint64 values → (packed uint8 array,
     per-value byte counts).  Per-value encoding is position-independent, so
@@ -92,20 +106,47 @@ def _varint_encode_arr(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     max_k = max(1, (int(v.max()).bit_length() + 6) // 7)
     if max_k == 1:
         return v.astype(np.uint8), np.ones(n, np.int64)
-    nb = np.ones(n, np.int64)
-    for k in range(1, max_k):
-        nb += v >= (np.uint64(1) << np.uint64(7 * k))
-    # write the bytes of value i into row i of an (n, max_k) matrix and
-    # boolean-compress row-major — one contiguous pass, no per-byte-rank
-    # fancy scatter (measured 1.25-1.5x over the scatter form, byte-equal)
-    mat = np.empty((n, max_k), np.uint8)
-    for j in range(max_k):
-        mat[:, j] = (v >> np.uint64(7 * j)).astype(np.uint8) & 0x7F
-    ks = np.arange(max_k, dtype=np.int64)
-    keep = ks[None, :] < nb[:, None]
-    cont = ks[None, :] < (nb - 1)[:, None]
-    mat |= cont.astype(np.uint8) << 7
-    return mat[keep], nb
+    # chunked scatter into per-process reusable scratch: one whole-array
+    # pass first-touches O(n*k) fresh pages per call — the documented
+    # page-fault killer (CLAUDE.md) that regressed tile_compression 2-4x;
+    # 1M-value chunks keep temps warm across chunks AND across calls
+    # (measured 4-6x over both the whole-array scatter and the (n, max_k)
+    # matrix forms at 20M values, byte-identical)
+    chunk = _VARINT_CHUNK
+    sc = _varint_scratch("cmp", chunk, np.bool_)
+    st = _varint_scratch("st", chunk, np.int64)
+    nb = np.empty(n, np.int64)
+    for s0 in range(0, n, chunk):
+        s1 = min(n, s0 + chunk)
+        vv = v[s0:s1]
+        nbc = nb[s0:s1]
+        nbc[:] = 1
+        for k in range(1, max_k):
+            np.greater_equal(
+                vv, np.uint64(1) << np.uint64(7 * k), out=sc[: s1 - s0]
+            )
+            nbc += sc[: s1 - s0]
+    out = np.empty(int(nb.sum()), np.uint8)
+    pos = 0
+    for s0 in range(0, n, chunk):
+        s1 = min(n, s0 + chunk)
+        m_ = s1 - s0
+        vv = v[s0:s1]
+        nbc = nb[s0:s1]
+        np.cumsum(nbc, out=st[:m_])
+        st[:m_] -= nbc
+        sz = int(st[m_ - 1] + nbc[m_ - 1])
+        oc = out[pos : pos + sz]
+        oc[:] = 0
+        for j in range(max_k):
+            mm = nbc > j
+            byte = ((vv[mm] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(
+                np.uint8
+            )
+            cont = (nbc[mm] > j + 1).astype(np.uint8)
+            oc[st[:m_][mm] + j] = byte | (cont << 7)
+        pos += sz
+    return out, nb
 
 
 def varint_encode(vals: np.ndarray) -> bytes:
