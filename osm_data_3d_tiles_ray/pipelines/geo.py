@@ -2018,8 +2018,13 @@ def q_tile_components(sf_dir: str, max_rounds: int = 24) -> "ray.data.Dataset":
             )
         )
         .map_batches(_component_nodes, batch_format="pyarrow")
+        .repartition(32)
         .materialize()
     )
+    # block-count hygiene: every exchange below sorts its input, and Ray's
+    # sort cost scales with input block count (196-block unions measured
+    # 5x slower than 32-block for the same 13k rows) — cap blocks at each
+    # materialization point
 
     def seed_edges(b: pa.Table) -> pa.Table:
         # candidate east/south edges keyed by the NEIGHBOR id, plus one
@@ -2122,24 +2127,206 @@ def q_tile_components(sf_dir: str, max_rounds: int = 24) -> "ray.data.Dataset":
         ou, ov = _edge_dedup_sorted(out_u[ok], out_v[ok])
         return pa.table({"u": pa.array(ou), "v": pa.array(ov)})
 
-    edges = map_key_partitions(
-        nodes.map_batches(seed_edges, batch_format="pyarrow"), ["k"], cull_phantoms
-    ).materialize()
+    edges = (
+        map_key_partitions(
+            nodes.map_batches(seed_edges, batch_format="pyarrow"),
+            ["k"],
+            cull_phantoms,
+        )
+        .repartition(32)
+        .materialize()
+    )
 
+    # ---- phase 1: block-local exact CC -----------------------------------
+    # One exchange keyed by the z8 block (256×256 z16 tiles) of the edge's
+    # endpoints; inside a partition every edge is block-internal, so an
+    # in-memory min-propagation with full pointer compression labels the
+    # local subgraphs exactly.  The giant urban blob collapses to one local
+    # root per block it touches, so phase 2's quotient graph is bounded by
+    # BLOCK-BOUNDARY density, not tile count.
+    BLOCK = np.int64(1 << 8)
+
+    def block_of(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+        return (tx // BLOCK) * np.int64(1 << 8) + (ty // BLOCK)
+
+    def local_rows(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        bu = block_of(u // PACK, u % PACK)
+        bv = block_of(v // PACK, v % PACK)
+        internal = bu == bv
+        return pa.table(
+            {
+                "bkey": pa.array(bu[internal]),
+                "a": pa.array(u[internal]),
+                "b": pa.array(v[internal]),
+            }
+        )
+
+    def node_presence(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkey": pa.array(block_of(node // PACK, node % PACK)),
+                "a": pa.array(node),
+                "b": pa.array(node),
+            }
+        )
+
+    def cross_rows(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        bu = block_of(u // PACK, u % PACK)
+        bv = block_of(v // PACK, v % PACK)
+        cross = bu != bv
+        return pa.table({"u": pa.array(u[cross]), "v": pa.array(v[cross])})
+
+    def local_cc(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.array([], type=pa.int64()),
+                "lroot": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        bb = tbl.column("b").to_numpy(zero_copy_only=False)
+        ids = np.unique(np.concatenate([a, bb]))
+        lab = np.arange(len(ids), dtype=np.int64)
+        ui = np.searchsorted(ids, a)
+        vi = np.searchsorted(ids, bb)
+        # min over edges + full pointer compression each sweep: the inner
+        # new[new] loop doubles pointer depth, so sweeps are O(log diam)
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, ui, lab[vi])
+            np.minimum.at(new, vi, lab[ui])
+            while True:
+                nn = new[new]
+                if np.array_equal(nn, new):
+                    break
+                new = nn
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return pa.table({"node": pa.array(ids), "lroot": pa.array(ids[lab])})
+
+    internal = edges.map_batches(local_rows, batch_format="pyarrow").union(
+        nodes.map_batches(node_presence, batch_format="pyarrow")
+    )
+    mapping = (
+        map_key_partitions(internal, ["bkey"], local_cc)
+        .repartition(32)
+        .materialize()
+    )
+    cross = (
+        edges.map_batches(cross_rows, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+
+    # ---- phase 2: resolve crossing edges to (lroot_u, lroot_v) ----------
+    # two tag-union hash joins against the bounded node→lroot mapping
+    def _provider_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("node"),
+                "val": b.column("lroot"),
+                "other": pa.array(
+                    np.full(len(b), -1, dtype=np.int64)
+                ),
+            }
+        )
+
+    def _consumer_rows(key_col: str, other_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column(key_col),
+                    "val": pa.array(np.full(len(b), -1, dtype=np.int64)),
+                    "other": b.column(other_col),
+                }
+            )
+
+        return fn
+
+    def _join_apply(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "u": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        val = tbl.column("val").to_numpy(zero_copy_only=False)
+        oth = tbl.column("other").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        ks, vs, os_ = key[order], val[order], oth[order]
+        starts = run_starts(ks)
+        idx = np.flatnonzero(starts)
+        prov = np.maximum.reduceat(vs, idx)
+        run_id = np.cumsum(starts) - 1
+        cons = os_ >= 0
+        # (resolved root, carried other endpoint)
+        return pa.table(
+            {"u": pa.array(prov[run_id[cons]]), "v": pa.array(os_[cons])}
+        )
+
+    half = (
+        map_key_partitions(
+            mapping.map_batches(_provider_rows, batch_format="pyarrow").union(
+                cross.map_batches(_consumer_rows("u", "v"), batch_format="pyarrow")
+            ),
+            ["key"],
+            _join_apply,
+        )
+        .repartition(8)
+        .materialize()
+    )
+    # half = (lroot_u, v); resolve v the same way
+    quotient = (
+        map_key_partitions(
+            mapping.map_batches(_provider_rows, batch_format="pyarrow").union(
+                half.map_batches(_consumer_rows("v", "u"), batch_format="pyarrow")
+            ),
+            ["key"],
+            _join_apply,
+        )
+        .repartition(8)
+        .materialize()
+    )
+
+    # ---- phase 3: star rounds on the bounded quotient graph -------------
+    import ray.data.aggregate as agg
+
+    qedges = quotient
     prev = None
-    converged = False
-    for _ in range(max_rounds):
-        edges = map_key_partitions(
-            edges.map_batches(symmetrize, batch_format="pyarrow"),
+    converged = qedges.count() == 0  # no crossing edges: locals are global
+    for _ in range(0 if converged else max_rounds):
+        qedges = map_key_partitions(
+            qedges.map_batches(symmetrize, batch_format="pyarrow"),
             ["c"],
             large_star_part,
         )
-        edges = map_key_partitions(
-            edges.map_batches(orient_hi, batch_format="pyarrow"),
-            ["c"],
-            small_star_part,
-        ).materialize()
-        sig = (edges.count(), edges.sum("u"), edges.sum("v"))
+        qedges = (
+            map_key_partitions(
+                qedges.map_batches(orient_hi, batch_format="pyarrow"),
+                ["c"],
+                small_star_part,
+            )
+            .repartition(8)
+            .materialize()
+        )
+        sig = tuple(
+            qedges.aggregate(
+                agg.Count(alias_name="n"),
+                agg.Sum("u", alias_name="su"),
+                agg.Sum("v", alias_name="sv"),
+            ).values()
+        )
         if sig == prev:
             converged = True
             break
@@ -2150,18 +2337,39 @@ def q_tile_components(sf_dir: str, max_rounds: int = 24) -> "ray.data.Dataset":
             f"{max_rounds} rounds"
         )
 
-    def node_rows(b: pa.Table) -> pa.Table:
+    # ---- phase 4: node → lroot → groot ------------------------------------
+    def _root_consumers(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "node": b.column("node"),
-                "label": b.column("node"),
+                "key": b.column("lroot"),
+                "val": pa.array(np.full(len(b), -1, dtype=np.int64)),
+                "other": b.column("node"),
             }
         )
 
-    def edge_rows(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("u"), "label": b.column("v")})
+    def _star_providers(b: pa.Table) -> pa.Table:
+        # star edges point member → root; a local root with no star edge is
+        # its own global root, provided by the self rows below
+        return pa.table(
+            {
+                "key": b.column("u"),
+                "val": b.column("v"),
+                "other": pa.array(np.full(len(b), -1, dtype=np.int64)),
+            }
+        )
 
-    def label_min(tbl: pa.Table) -> pa.Table:
+    def _self_providers(b: pa.Table) -> pa.Table:
+        lr = b.column("lroot").to_numpy(zero_copy_only=False)
+        roots = np.unique(lr)
+        return pa.table(
+            {
+                "key": pa.array(roots),
+                "val": pa.array(roots),
+                "other": pa.array(np.full(len(roots), -1, dtype=np.int64)),
+            }
+        )
+
+    def _final_apply(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "tile_x": pa.array([], type=pa.int32()),
@@ -2171,21 +2379,33 @@ def q_tile_components(sf_dir: str, max_rounds: int = 24) -> "ray.data.Dataset":
         )
         if len(tbl) == 0:
             return empty
-        node = tbl.column("node").to_numpy(zero_copy_only=False)
-        lab = tbl.column("label").to_numpy(zero_copy_only=False)
-        order = np.lexsort((lab, node))
-        ns, ls = node[order], lab[order]
-        starts = run_starts(ns)
-        firsts = np.flatnonzero(starts)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        val = tbl.column("val").to_numpy(zero_copy_only=False)
+        oth = tbl.column("other").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        ks, vs, os_ = key[order], val[order], oth[order]
+        starts = run_starts(ks)
+        idx = np.flatnonzero(starts)
+        # provider value per run: the MIN positive val (self-provider gives
+        # the root id, a star edge gives the smaller global root)
+        vmask = np.where(vs >= 0, vs, np.int64(1 << 62))
+        prov = np.minimum.reduceat(vmask, idx)
+        run_id = np.cumsum(starts) - 1
+        cons = os_ >= 0
+        node = os_[cons]
+        groot = prov[run_id[cons]]
         return pa.table(
             {
-                "tile_x": pa.array((ns[firsts] // PACK).astype(np.int32)),
-                "tile_y": pa.array((ns[firsts] % PACK).astype(np.int32)),
-                "component_id": pa.array(ls[firsts]),
+                "tile_x": pa.array((node // PACK).astype(np.int32)),
+                "tile_y": pa.array((node % PACK).astype(np.int32)),
+                "component_id": pa.array(groot),
             }
         )
 
-    union = nodes.map_batches(node_rows, batch_format="pyarrow").union(
-        edges.map_batches(edge_rows, batch_format="pyarrow")
+    final_union = (
+        qedges.map_batches(_star_providers, batch_format="pyarrow")
+        .union(mapping.map_batches(_self_providers, batch_format="pyarrow"))
+        .union(mapping.map_batches(_root_consumers, batch_format="pyarrow"))
+        .repartition(32)
     )
-    return map_key_partitions(union, ["node"], label_min)
+    return map_key_partitions(final_union, ["key"], _final_apply)

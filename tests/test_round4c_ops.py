@@ -366,3 +366,50 @@ def test_tile_components_synthetic_shapes(ray_session):
     assert got == truth
     # ring blob + the two diagonal (non-4-connected) tiles + singleton
     assert len(set(got.values())) == 4
+
+
+def test_tile_components_cross_block(ray_session):
+    # shapes spanning multiple z8 blocks exercise the crossing-edge
+    # resolution + quotient star rounds (sf corpora fit one block)
+    import pyarrow as pa
+
+    import osm_data_3d_tiles_ray.pipelines.geo as geo_mod
+
+    tiles = []
+    # horizontal strip crossing three block boundaries (x 200..820)
+    tiles += [(x, 100) for x in range(200, 821, 1)]
+    # vertical strip crossing a y-block boundary, DISJOINT from the strip
+    tiles += [(40, y) for y in range(200, 400)]
+    # blob straddling the 4-corner point (511/512, 511/512)
+    tiles += [(x, y) for x in range(510, 514) for y in range(510, 514)]
+    # singleton in a far block
+    tiles += [(3000, 3000)]
+    tiles = sorted(set(tiles))
+    truth = _bfs_components(set(tiles))
+
+    real_stats = geo_mod.tile_stats
+    real_own = geo_mod.ownership_assignments
+
+    def fake_stats(_):
+        return __import__("ray").data.from_arrow(
+            pa.table(
+                {
+                    "tile_x": pa.array([t[0] for t in tiles], type=pa.int32()),
+                    "tile_y": pa.array([t[1] for t in tiles], type=pa.int32()),
+                }
+            )
+        )
+
+    geo_mod.tile_stats = fake_stats
+    geo_mod.ownership_assignments = lambda ds: ds
+    try:
+        got_df = geo_mod.q_tile_components(SF).to_pandas()
+    finally:
+        geo_mod.tile_stats = real_stats
+        geo_mod.ownership_assignments = real_own
+    got = {
+        (int(r.tile_x) << 20) + int(r.tile_y): int(r.component_id)
+        for r in got_df.itertuples()
+    }
+    assert got == truth
+    assert len(set(got.values())) == 4
