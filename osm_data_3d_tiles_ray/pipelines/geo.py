@@ -109,7 +109,7 @@ def q_zoom_rollup(sf_dir: str, z_top: int = 10) -> "ray.data.Dataset":
     zoom from the leaf grid (z16) up to ``z_top`` — the quadtree roll-up
     the tileset tree summarizes implicitly (each z-1 parent is the >>1 of
     its four children; reference walks the same parent chain when nesting
-    tileset nodes, ``/root/reference/src/tilesetGenerator.ts``).
+    tileset nodes, ``/root/reference/generate-tileset.ts``).
 
     Shape: one pass emits per-batch partial counts for ALL zoom levels at
     once (7 packed (z, x>>s, y>>s) unique/count rows per distinct leaf
@@ -901,7 +901,7 @@ def q_tile_smooth(sf_dir: str) -> "ray.data.Dataset":
     z16 tile with the summed building count of its 3x3 neighborhood —
     the hotspot/blur pass over the A1 tile-stats grid (reference analog:
     the per-tile aggregation the tileset writer feeds,
-    /root/reference/src/generate-tileset.ts:37-65, with a spatial
+    /root/reference/generate-tileset.ts:37-65, with a spatial
     smoothing window the reference computes client-side).
 
     Scale shape: reuses the A1 combiner-tree stats (zero payload through
@@ -1055,7 +1055,7 @@ def q_hexbin(sf_dir: str, size: float = 1000.0) -> "ray.data.Dataset":
     per-hex rollup of count and exact decimeter height mass.  The hex
     grid is the north-rule's named index family ("H3/S2 index") next to
     the square quadtree the tiler uses (reference grid:
-    /root/reference/src/generate-tileset.ts:37-65).
+    /root/reference/generate-tileset.ts:37-65).
 
     Scale shape: embarrassingly parallel per-batch assignment + count
     partials, then ONE bounded groupby over occupied hexes (hex count is
@@ -1389,7 +1389,7 @@ def morton32(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
     code — the locality-preserving shard key for resumable tile output
     (reference tiles address by (z, x, y); Z-order is the standard
     space-filling-curve linearization of that grid, cf. the quadtree walk
-    in /root/reference/src/generate-tileset.ts:37-65).  Pure bit math,
+    in /root/reference/generate-tileset.ts:37-65).  Pure bit math,
     vectorized; exact int64 throughout."""
 
     def spread(v: np.ndarray) -> np.ndarray:
@@ -1504,8 +1504,8 @@ def q_ring_areas(sf_dir: str) -> "ray.data.Dataset":
     (``floor(c*1000+0.5)`` int64, the repo's established float rule), and
     the signed doubled area sums the differenced edge terms
     ``x_i*(y_{i+1}-y_i) - (x_{i+1}-x_i)*y_i`` — exact integers on both
-    engines, so association order can't split the oracle (reference area
-    kernel: /root/reference/src/building/geometry-utils.ts).
+    engines, so association order can't split the oracle (reference
+    twice-area kernel: /root/reference/src/math/utils.ts:7-22).
 
     Scale shape: one vectorized map over parsed batches (global edge-term
     array + one reduceat per ring run), no shuffle, no per-ring Python.
@@ -1596,7 +1596,7 @@ def q_rasterize(sf_dir: str) -> "ray.data.Dataset":
     grid and roll up per cell — count, max and total decimeter height
     (the write-side counterpart of q_dem_zonal's raster→vector read; the
     reference's per-tile feature batching is the n=1-cell special case,
-    /root/reference/src/generate-tileset.ts:37-65).
+    /root/reference/generate-tileset.ts:37-65).
 
     Scale shape: replicate rows by their bbox cover (bounded by footprint
     size / cell size, never by corpus size), collapse to per-batch cell
