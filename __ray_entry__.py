@@ -714,6 +714,172 @@ def entry() -> Any:
     return geometry_stats(docs)
 
 
+def _s2_ij_sql(src: str, level: int) -> str:
+    """CTE chunk: rows of (osm_id, px, py) EPSG:3857 → (osm_id, face, i, j)
+    at ``level`` — mirrors ``geom/s2.py:s2_cell_from_mercator`` expression
+    by expression (Gudermannian lat, cube-face CASE with the same x≥y≥z
+    tie order, quadratic ST warp, floor-then-clamp)."""
+    n = 1 << level
+    return f"""
+ll AS (
+  SELECT osm_id, px / {_W} * PI() AS lon,
+         2 * ATAN(EXP(py / {_W} * PI())) - PI() / 2 AS lat
+  FROM {src}
+), sph AS (
+  SELECT osm_id, COS(lat) * COS(lon) AS x, COS(lat) * SIN(lon) AS y,
+         SIN(lat) AS z
+  FROM ll
+), fc AS (
+  SELECT osm_id, x, y, z,
+         CASE WHEN ABS(x) >= ABS(y) AND ABS(x) >= ABS(z)
+                THEN CASE WHEN x > 0 THEN 0 ELSE 3 END
+              WHEN ABS(y) >= ABS(z)
+                THEN CASE WHEN y > 0 THEN 1 ELSE 4 END
+              ELSE CASE WHEN z > 0 THEN 2 ELSE 5 END END AS face
+  FROM sph
+), fuv AS (
+  SELECT osm_id, face,
+         CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                   WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+         CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                   WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+  FROM fc
+), st AS (
+  SELECT osm_id, face,
+         CASE WHEN u >= 0 THEN 0.5 * SQRT(1 + 3 * u)
+              ELSE 1 - 0.5 * SQRT(1 - 3 * u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5 * SQRT(1 + 3 * v)
+              ELSE 1 - 0.5 * SQRT(1 - 3 * v) END AS t
+  FROM fuv
+), ij AS (
+  SELECT osm_id, CAST(face AS BIGINT) AS face,
+         CAST(LEAST(GREATEST(FLOOR(s * {n}.0), 0), {n - 1}) AS BIGINT) AS i,
+         CAST(LEAST(GREATEST(FLOOR(t * {n}.0), 0), {n - 1}) AS BIGINT) AS j
+  FROM st
+)"""
+
+
+def _hilbert_sql(src: str, level: int) -> str:
+    """Recursive-CTE Hilbert xy2d over rows (osm_id, face, i, j) — the
+    mod-s reflect/rotate recurrence, integer-identical to
+    ``geom/s2.py:hilbert_xy2d`` (and to its vectorized numpy loop)."""
+    s0 = 1 << (level - 1)
+    return f"""
+h AS (
+  SELECT osm_id, face, i, j, i AS x, j AS y,
+         CAST(0 AS BIGINT) AS d, CAST({s0} AS BIGINT) AS s
+  FROM {src}
+  UNION ALL
+  SELECT osm_id, face, i, j,
+         CASE WHEN (y & s) = 0
+              THEN (CASE WHEN (x & s) > 0 THEN s - 1 - (y % s) ELSE (y % s) END)
+              ELSE (x % s) END,
+         CASE WHEN (y & s) = 0
+              THEN (CASE WHEN (x & s) > 0 THEN s - 1 - (x % s) ELSE (x % s) END)
+              ELSE (y % s) END,
+         d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                         CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+         s // 2
+  FROM h WHERE s > 0
+)"""
+
+
+def _s2_cells_sql(level: int = 12) -> str:
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT osm_id, centroid_x AS px, centroid_y AS py
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), {_s2_ij_sql('b', level)}, {_hilbert_sql('ij', level)}
+SELECT osm_id, CAST(face AS INTEGER) AS s2_face, i AS s2_i, j AS s2_j,
+       CAST(face * {1 << (2 * level)} + d AS BIGINT) AS s2_cell
+FROM h WHERE s = 0
+"""
+
+
+def _s2_cover_sql(level: int = 16) -> str:
+    return f"""
+WITH RECURSIVE bb AS (
+  SELECT osm_id, minx, miny, maxx, maxy
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), corners AS (
+  SELECT osm_id, unnest([
+      {{'px': minx, 'py': miny}}, {{'px': maxx, 'py': miny}},
+      {{'px': minx, 'py': maxy}}, {{'px': maxx, 'py': maxy}}]) AS pt
+  FROM bb
+), b AS (
+  SELECT osm_id, pt.px AS px, pt.py AS py FROM corners
+), {_s2_ij_sql('b', level)}, rect AS (
+  SELECT osm_id, MIN(face) AS face,
+         MIN(i) AS i0, MAX(i) AS i1, MIN(j) AS j0, MAX(j) AS j1
+  FROM ij GROUP BY osm_id
+), ci AS (
+  SELECT osm_id, face, unnest(range(i0, i1 + 1)) AS i, j0, j1 FROM rect
+), cells AS (
+  SELECT osm_id, face, i, unnest(range(j0, j1 + 1)) AS j FROM ci
+), {_hilbert_sql('cells', level)}
+SELECT osm_id,
+       CAST(face * {1 << (2 * level)} + d AS BIGINT) AS s2_cell
+FROM h WHERE s = 0
+"""
+
+
+def _subtree_avail_sql() -> str:
+    """Implicit-tiling availability: ancestor/leaf bits OR'd per z12 root,
+    mirroring ``pipelines/geo.q_subtree_avail`` — unrolled 4-bit Morton,
+    level-order offsets (0,1,5,21), 52-bit BIGINT-safe words."""
+    mort = (
+        "((ax & 1) + ((ax >> 1) & 1) * 4 + ((ax >> 2) & 1) * 16"
+        " + ((ax >> 3) & 1) * 64"
+        " + (ay & 1) * 2 + ((ay >> 1) & 1) * 8 + ((ay >> 2) & 1) * 32"
+        " + ((ay >> 3) & 1) * 128)"
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(tile_x AS BIGINT) AS tx, CAST(tile_y AS BIGINT) AS ty,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM ({_TILE_SQL}) GROUP BY 1, 2
+), d AS (SELECT unnest(range(0, 5)) AS dep),
+e AS (
+  SELECT tx // 16 AS root_x, ty // 16 AS root_y, nb, dep,
+         (tx % 16) >> (4 - dep) AS ax, (ty % 16) >> (4 - dep) AS ay
+  FROM t CROSS JOIN d
+), m AS (
+  SELECT root_x, root_y, nb, dep, {mort} AS mort FROM e
+), p AS (
+  SELECT root_x, root_y, nb, dep, mort,
+         CASE dep WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 5
+                  ELSE 21 END + mort AS ibit
+  FROM m
+)
+SELECT CAST(root_x AS INTEGER) AS root_x, CAST(root_y AS INTEGER) AS root_y,
+       CAST(COUNT(CASE WHEN dep = 4 THEN 1 END) AS BIGINT) AS n_tiles,
+       CAST(COALESCE(SUM(CASE WHEN dep = 4 THEN nb END), 0) AS BIGINT)
+           AS n_buildings,
+       CAST(COALESCE(bit_or(CASE WHEN dep < 4 AND ibit < 52
+                THEN CAST(1 AS BIGINT) << CAST(ibit AS INTEGER) END), 0)
+           AS BIGINT) AS int_w0,
+       CAST(COALESCE(bit_or(CASE WHEN dep < 4 AND ibit >= 52
+                THEN CAST(1 AS BIGINT) << CAST(ibit - 52 AS INTEGER) END), 0)
+           AS BIGINT) AS int_w1,
+       CAST(COALESCE(bit_or(CASE WHEN dep = 4 AND mort // 52 = 0
+                THEN CAST(1 AS BIGINT) << CAST(mort % 52 AS INTEGER) END), 0)
+           AS BIGINT) AS leaf_w0,
+       CAST(COALESCE(bit_or(CASE WHEN dep = 4 AND mort // 52 = 1
+                THEN CAST(1 AS BIGINT) << CAST(mort % 52 AS INTEGER) END), 0)
+           AS BIGINT) AS leaf_w1,
+       CAST(COALESCE(bit_or(CASE WHEN dep = 4 AND mort // 52 = 2
+                THEN CAST(1 AS BIGINT) << CAST(mort % 52 AS INTEGER) END), 0)
+           AS BIGINT) AS leaf_w2,
+       CAST(COALESCE(bit_or(CASE WHEN dep = 4 AND mort // 52 = 3
+                THEN CAST(1 AS BIGINT) << CAST(mort % 52 AS INTEGER) END), 0)
+           AS BIGINT) AS leaf_w3,
+       CAST(COALESCE(bit_or(CASE WHEN dep = 4 AND mort // 52 = 4
+                THEN CAST(1 AS BIGINT) << CAST(mort % 52 AS INTEGER) END), 0)
+           AS BIGINT) AS leaf_w4
+FROM p GROUP BY 1, 2
+"""
+
+
 def _q_geometry_stats(sf_dir: str) -> Any:
     import ray.data
 
@@ -807,6 +973,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_lod_sample": geo.q_lod_sample,
         "geo_sample_points": geo.q_sample_points,
         "geo_simplify": geo.q_simplify,
+        # S2-analog spherical index (north-star companions): cube-face +
+        # quadratic ST + Hilbert cell per centroid; bbox covering on an
+        # actor pool with a per-actor Hilbert memo ("S2 covering cache")
+        "geo_s2_cells": geo.q_s2_cells,
+        "geo_s2_cover": geo.q_s2_cover,
+        # implicit-tiling availability subtrees (z12 roots, depth 4)
+        "geo_subtree_avail": geo.q_subtree_avail,
         # full geometry build (vertex counts not SQL-expressible → rows-only
         # check here; pytest goldens cover the kernels, SURVEY.md §5.1)
         "geo_geometry_stats": _q_geometry_stats,
@@ -1453,6 +1626,9 @@ SELECT osm_id,
 FROM ({_TILE_SQL})
 """,
         "geo_cell_cover_exact": _cell_cover_exact_sql(),
+        "geo_s2_cells": _s2_cells_sql(),
+        "geo_s2_cover": _s2_cover_sql(),
+        "geo_subtree_avail": _subtree_avail_sql(),
         "geo_point_in_polygon": _point_in_polygon_sql(),
         "geo_lod_sample": _lod_sample_sql(),
         "geo_sample_points": _sample_points_sql(),

@@ -2409,3 +2409,243 @@ def q_tile_components(sf_dir: str, max_rounds: int = 24) -> "ray.data.Dataset":
         .repartition(32)
     )
     return map_key_partitions(final_union, ["key"], _final_apply)
+
+
+# --------------------------------------------------------------------------
+# S2-analog spherical cells + implicit-tiling availability (session D)
+# --------------------------------------------------------------------------
+
+S2_CELL_LEVEL = 12
+S2_COVER_LEVEL = 16
+
+
+def q_s2_cells(sf_dir: str, level: int = S2_CELL_LEVEL) -> "ray.data.Dataset":
+    """S2-analog cell id per building centroid: cube-face + quadratic-ST +
+    Hilbert linearization (``geom/s2.py``) — the spherical companion to
+    the z16 mercator grid the reference tiles by
+    (``/root/reference/generate-tileset.ts:37-65``).  Unlike mercator
+    tiles, these cells are near-equal-area at every latitude and the
+    Hilbert id is seam-free, so a global fleet can range-partition shards
+    by cell id directly.
+
+    Zero exchange: one vectorized map over parsed batches (the Hilbert
+    recurrence is ``level`` whole-array passes, no per-row Python).
+
+    Output: (osm_id, s2_face, s2_i, s2_j, s2_cell)."""
+    from ..geom.s2 import s2_cell_from_mercator
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        face, i, j, cell = s2_cell_from_mercator(cx, cy, level)
+        return pa.table(
+            {
+                "osm_id": batch.column("osm_id"),
+                "s2_face": pa.array(face.astype(np.int32)),
+                "s2_i": pa.array(i),
+                "s2_j": pa.array(j),
+                "s2_cell": pa.array(cell),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "centroid_x", "centroid_y"])
+        .map_batches(assign, batch_format="pyarrow")
+    )
+
+
+class _S2CoverActor:
+    """Stateful S2 covering stage (the north star's "S2 covering caches"):
+    per-actor memo of Hilbert positions keyed by (i, j) block — repeated
+    cells across batches (dense urban areas hit the same cells over and
+    over) skip the 16-pass recurrence.  Setup state lives in ``__init__``
+    (once per actor), per the actor-pool rule."""
+
+    def __init__(self, level: int):
+        self.level = level
+        self.cache: dict = {}
+        self.hits = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geom.s2 import hilbert_xy2d, s2_cell_from_mercator
+
+        level = self.level
+        n = len(batch)
+        oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        minx = batch.column("minx").to_numpy(zero_copy_only=False)
+        miny = batch.column("miny").to_numpy(zero_copy_only=False)
+        maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        # all four bbox corners through the same face/i/j kernel the
+        # oracle mirrors; min/max over corners = the (i, j) rectangle
+        # (u, v are monotone in lon/lat within a face, so the rectangle
+        # is the standard superset covering)
+        fs = np.empty((4, n), dtype=np.int64)
+        is_ = np.empty((4, n), dtype=np.int64)
+        js = np.empty((4, n), dtype=np.int64)
+        for k, (cx, cy) in enumerate(
+            [(minx, miny), (maxx, miny), (minx, maxy), (maxx, maxy)]
+        ):
+            f, i, j, _ = s2_cell_from_mercator(cx, cy, level)
+            fs[k], is_[k], js[k] = f, i, j
+        face = fs.min(axis=0)
+        i0, i1 = is_.min(axis=0), is_.max(axis=0)
+        j0, j1 = js.min(axis=0), js.max(axis=0)
+        # expand rectangles: rows repeat per cover cell
+        ni = (i1 - i0 + 1).astype(np.int64)
+        nj = (j1 - j0 + 1).astype(np.int64)
+        counts = ni * nj
+        row = np.repeat(np.arange(n), counts)
+        total = int(counts.sum())
+        # within-row offsets 0..count-1 (per-run padded cumsum)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        ci = i0[row] + offs // nj[row]
+        cj = j0[row] + offs % nj[row]
+        # memoized Hilbert: only compute distinct new (i, j) pairs
+        key = (ci << np.int64(32)) | cj
+        uk, inv = np.unique(key, return_inverse=True)
+        dvals = np.empty(len(uk), dtype=np.int64)
+        miss_idx = [k for k, kk in enumerate(uk) if int(kk) not in self.cache]
+        if miss_idx:
+            mi = np.asarray(miss_idx)
+            dm = hilbert_xy2d(level, uk[mi] >> np.int64(32), uk[mi] & np.int64((1 << 32) - 1))
+            for k, dd in zip(mi, dm):
+                self.cache[int(uk[k])] = int(dd)
+        for k, kk in enumerate(uk):
+            dvals[k] = self.cache[int(kk)]
+        self.hits += len(key) - len(miss_idx)
+        cell = face[row] * (np.int64(1) << (2 * level)) + dvals[inv]
+        return pa.table(
+            {
+                "osm_id": pa.array(oid[row]),
+                "s2_cell": pa.array(cell),
+            }
+        )
+
+
+def q_s2_cover(sf_dir: str, level: int = S2_COVER_LEVEL) -> "ray.data.Dataset":
+    """S2-analog covering of each building bbox at ``level``: one row per
+    (osm_id, covering cell).  The covering is the (i, j) rectangle spanned
+    by the four bbox corners — a superset covering, exactly like published
+    S2 coverings are supersets of their region — and runs on an actor pool
+    whose per-actor Hilbert memo is the "S2 covering cache" stage from the
+    north-star operator list.
+
+    Output: (osm_id, s2_cell)."""
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+        .map_batches(
+            _S2CoverActor,
+            fn_constructor_args=(level,),
+            batch_format="pyarrow",
+            concurrency=_pool(),
+            batch_size=1024,
+        )
+    )
+
+
+# implicit tiling: subtree root every 4 levels above the z16 leaf grid
+SUBTREE_DEPTH = 4
+_SUBTREE_WORD = 52  # bits per availability word: BIGINT-safe on both engines
+_LEVEL_OFFSETS = (0, 1, 5, 21)  # (4^d - 1) / 3, level-order bit offsets
+
+
+def q_subtree_avail(sf_dir: str) -> "ray.data.Dataset":
+    """3D-Tiles-1.1-style implicit-tiling availability subtrees: the z16
+    occupied-tile set rolled into per-z12-root subtrees of depth 4, each
+    emitting its internal tile-availability bitstream (85 bits, levels
+    z12..z15 in level-order Morton position) and its child-subtree
+    availability (256 z16 bits) packed into 52-bit words — the compact
+    index a tileset reader streams INSTEAD of a tileset.json node per tile
+    (the reference writes an explicit two-level tree,
+    ``/root/reference/generate-tileset.ts:67-141``; availability subtrees
+    are how the same quadtree ships at planet scale).
+
+    Shape: per-batch partials collapse buildings to distinct (root, local
+    z16 tile) rows with counts, then ONE ``map_key_partitions`` exchange
+    keyed by root sets ancestor/leaf bits with ``np.bitwise_or.reduceat``
+    per root run — one dispatch per partition, never per subtree.
+
+    Output: (root_x, root_y, n_tiles, n_buildings, int_w0, int_w1,
+    leaf_w0..leaf_w4) — every word exact int64, bit 52+ never used."""
+    from .partition import map_key_partitions, run_starts
+
+    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    assigned = ownership_assignments(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = batch.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (tx << np.int64(21)) | ty
+        uk, cnt = np.unique(key, return_counts=True)
+        utx, uty = uk >> np.int64(21), uk & np.int64((1 << 21) - 1)
+        return pa.table(
+            {
+                "root_x": pa.array((utx >> 4).astype(np.int32)),
+                "root_y": pa.array((uty >> 4).astype(np.int32)),
+                "local": pa.array(((utx & 15) << np.int64(4)) | (uty & 15)),
+                "p_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def build(part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return pa.table(
+                {
+                    "root_x": pa.array([], type=pa.int32()),
+                    "root_y": pa.array([], type=pa.int32()),
+                    "n_tiles": pa.array([], type=pa.int64()),
+                    "n_buildings": pa.array([], type=pa.int64()),
+                    "int_w0": pa.array([], type=pa.int64()),
+                    "int_w1": pa.array([], type=pa.int64()),
+                    **{f"leaf_w{w}": pa.array([], type=pa.int64()) for w in range(5)},
+                }
+            )
+        rx = part.column("root_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ry = part.column("root_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        loc = part.column("local").to_numpy(zero_copy_only=False)
+        pn = part.column("p_n").to_numpy(zero_copy_only=False)
+        rkey = (rx << np.int64(21)) | ry
+        order = np.lexsort((loc, rkey))
+        rkey, loc, pn = rkey[order], loc[order], pn[order]
+        # collapse duplicate (root, local) partials from different batches
+        starts = run_starts(rkey, loc)
+        idx = np.flatnonzero(starts)
+        nb_tile = np.add.reduceat(pn, idx)
+        rkey_t = rkey[idx]
+        lx, ly = loc[idx] >> np.int64(4), loc[idx] & np.int64(15)
+        # per-root scalars
+        rstarts = run_starts(rkey_t)
+        ridx = np.flatnonzero(rstarts)
+        roots = rkey_t[ridx]
+        n_tiles = np.diff(np.append(ridx, len(rkey_t)))
+        n_build = np.add.reduceat(nb_tile, ridx)
+        rid = np.cumsum(rstarts) - 1  # tile row -> root row
+        n_roots = len(roots)
+        words = np.zeros((n_roots, 7), dtype=np.int64)
+        one = np.int64(1)
+        for d in range(SUBTREE_DEPTH):
+            m = morton32(lx >> (SUBTREE_DEPTH - d), ly >> (SUBTREE_DEPTH - d))
+            bit = _LEVEL_OFFSETS[d] + m
+            w = bit // _SUBTREE_WORD  # 0 or 1 (bit <= 84)
+            np.bitwise_or.at(words, (rid, w), one << (bit % _SUBTREE_WORD))
+        m = morton32(lx, ly)  # leaf / child-subtree availability
+        np.bitwise_or.at(words, (rid, 2 + m // _SUBTREE_WORD), one << (m % _SUBTREE_WORD))
+        return pa.table(
+            {
+                "root_x": pa.array((roots >> np.int64(21)).astype(np.int32)),
+                "root_y": pa.array((roots & np.int64((1 << 21) - 1)).astype(np.int32)),
+                "n_tiles": pa.array(n_tiles.astype(np.int64)),
+                "n_buildings": pa.array(n_build.astype(np.int64)),
+                "int_w0": pa.array(words[:, 0]),
+                "int_w1": pa.array(words[:, 1]),
+                **{f"leaf_w{w}": pa.array(words[:, 2 + w]) for w in range(5)},
+            }
+        )
+
+    partials = assigned.map_batches(partial, batch_format="pyarrow")
+    return map_key_partitions(partials, ["root_x", "root_y"], build)
