@@ -980,6 +980,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_s2_cover": geo.q_s2_cover,
         # implicit-tiling availability subtrees (z12 roots, depth 4)
         "geo_subtree_avail": geo.q_subtree_avail,
+        # spec-shaped .subtree binaries written + decoded back; the oracle
+        # recomputes the decoded counts from the availability words, so a
+        # green row certifies the binary artifact, not just the aggregate
+        "geo_subtree_files": geo.q_subtree_files,
         # full geometry build (vertex counts not SQL-expressible → rows-only
         # check here; pytest goldens cover the kernels, SURVEY.md §5.1)
         "geo_geometry_stats": _q_geometry_stats,
@@ -1629,6 +1633,12 @@ FROM ({_TILE_SQL})
         "geo_s2_cells": _s2_cells_sql(),
         "geo_s2_cover": _s2_cover_sql(),
         "geo_subtree_avail": _subtree_avail_sql(),
+        "geo_subtree_files": f"""
+SELECT root_x, root_y, n_tiles,
+       CAST(bit_count(int_w0) + bit_count(int_w1) + n_tiles AS BIGINT)
+           AS tile_available
+FROM ({_subtree_avail_sql()})
+""",
         "geo_point_in_polygon": _point_in_polygon_sql(),
         "geo_lod_sample": _lod_sample_sql(),
         "geo_sample_points": _sample_points_sql(),

@@ -2649,3 +2649,59 @@ def q_subtree_avail(sf_dir: str) -> "ray.data.Dataset":
 
     partials = assigned.map_batches(partial, batch_format="pyarrow")
     return map_key_partitions(partials, ["root_x", "root_y"], build)
+
+
+def q_subtree_files(sf_dir: str) -> "ray.data.Dataset":
+    """Implicit-tiling ROUND TRIP: materialize :func:`q_subtree_avail` as
+    spec-shaped ``.subtree`` binaries + the implicit root tileset
+    (``stages/subtree.write_subtrees`` — atomic, lineage-tracked,
+    resumable), then decode every file back in a distributed map and emit
+    what the BINARY says: (root_x, root_y, n_tiles, tile_available).
+
+    The SQL oracle recomputes tile_available from the availability words
+    (``bit_count(int_w0) + bit_count(int_w1) + n_tiles``), so a green row
+    proves the bitstream encode→file→decode path is exact — the artifact
+    is checked, not just the aggregate.  3D Tiles 1.1 implicit tiling is
+    the planet-scale replacement for the reference's explicit two-level
+    tree (``/root/reference/generate-tileset.ts:18-74``).
+    """
+    import re
+    from pathlib import Path
+
+    from ..stages.subtree import decode_subtree, write_subtrees
+
+    out = Path("/tmp/osm3d_subtrees") / Path(sf_dir).name
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = write_subtrees(q_subtree_avail(sf_dir), str(out))
+
+    frag_pat = re.compile(r"subtrees/(\d+)_(\d+)/")
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        rows = []
+        for frag in batch.column("fragment").to_pylist():
+            m = frag_pat.match(frag)
+            dec = decode_subtree((out / frag).read_bytes())
+            rows.append(
+                (
+                    int(m.group(1)),
+                    int(m.group(2)),
+                    dec["n_tiles"],
+                    dec["tile_available"],
+                )
+            )
+            if not dec["content_matches_leaves"]:
+                raise ValueError(f"content bits != leaf bits in {frag}")
+        cols = list(zip(*rows)) if rows else ([], [], [], [])
+        return pa.table(
+            {
+                "root_x": pa.array(cols[0], type=pa.int32()),
+                "root_y": pa.array(cols[1], type=pa.int32()),
+                "n_tiles": pa.array(cols[2], type=pa.int64()),
+                "tile_available": pa.array(cols[3], type=pa.int64()),
+            }
+        )
+
+    frags = ray.data.from_items(
+        [{"fragment": f} for f in manifest["fragments"]]
+    ).repartition(max(1, min(32, len(manifest["fragments"]) // 8 or 1)))
+    return frags.map_batches(decode_batch, batch_format="pyarrow")

@@ -78,6 +78,39 @@ class PartitionWriter:
         ltmp.rename(lpath)
         return rec
 
+    def write_bytes(
+        self, partition_id: str, payload: bytes, fragment: str, rows_in: int, fingerprint: str
+    ) -> dict:
+        """Atomic binary-fragment variant of :meth:`write` (e.g. one
+        ``.subtree`` file per partition, ``stages/subtree.py``): same
+        tmp+rename commit, same skip-if-done resume, but the data file
+        lives at ``<out>/<fragment>`` and the lineage record carries the
+        fragment path so ``finalize_manifest`` lists it verbatim."""
+        t0 = time.time()
+        final = self.out / fragment
+        lpath = self.out / "lineage" / f"{partition_id}.json"
+        if final.exists() and self.fingerprint_matches(partition_id, fingerprint):
+            rec = self.record(partition_id, rows_in, rows_in, 0, "skipped", fingerprint)
+            rec["fragment"] = fragment
+            return rec
+        final.parent.mkdir(parents=True, exist_ok=True)
+        tmp = final.with_suffix(f".tmp-{os.getpid()}")
+        tmp.write_bytes(payload)
+        tmp.rename(final)
+        rec = self.record(
+            partition_id,
+            rows_in,
+            rows_in,
+            int((time.time() - t0) * 1000),
+            "written",
+            fingerprint,
+        )
+        rec["fragment"] = fragment
+        ltmp = lpath.with_suffix(f".tmp-{os.getpid()}")
+        ltmp.write_text(json.dumps(rec))
+        ltmp.rename(lpath)
+        return rec
+
     @staticmethod
     def record(
         partition_id: str,
@@ -106,7 +139,9 @@ def finalize_manifest(out_dir: str) -> dict:
     for f in sorted((out / "lineage").glob("*.json")):
         records.append(json.loads(f.read_text()))
     manifest = {
-        "fragments": [f"tiles/{r['partition_id']}.parquet" for r in records],
+        "fragments": [
+            r.get("fragment", f"tiles/{r['partition_id']}.parquet") for r in records
+        ],
         "n_partitions": len(records),
         "rows_out": sum(r["rows_out"] for r in records),
         "vertices": sum(r.get("vertices", 0) for r in records),
