@@ -823,6 +823,44 @@ FROM h WHERE s = 0
 """
 
 
+def _s2_neighbors_sql(level: int = 16) -> str:
+    """Occupied-cell 8-neighborhood over the S2-analog grid — mirrors
+    ``pipelines/geo.q_s2_neighbors``: same within-face adjacency rule,
+    same clamp, Hilbert center ids via the shared recursive CTE."""
+    n = 1 << level
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT osm_id, centroid_x AS px, centroid_y AS py
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), {_s2_ij_sql('b', level)}, occ AS (
+  SELECT DISTINCT face, i, j FROM ij
+), nbr AS (
+  SELECT o.face, o.i, o.j, o.i + dx.d AS ni, o.j + dy.d AS nj
+  FROM occ o
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+  WHERE NOT (dx.d = 0 AND dy.d = 0)
+    AND o.i + dx.d >= 0 AND o.i + dx.d < {n}
+    AND o.j + dy.d >= 0 AND o.j + dy.d < {n}
+), flag AS (
+  SELECT nbr.face, nbr.i, nbr.j,
+         CASE WHEN o2.i IS NOT NULL THEN 1 ELSE 0 END AS occ
+  FROM nbr LEFT JOIN occ o2
+    ON o2.face = nbr.face AND o2.i = nbr.ni AND o2.j = nbr.nj
+), agg AS (
+  SELECT face, i, j, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         CAST(SUM(occ) AS BIGINT) AS n_occupied
+  FROM flag GROUP BY 1, 2, 3
+), cellsrc AS (
+  SELECT CAST(0 AS BIGINT) AS osm_id, face, i, j FROM occ
+), {_hilbert_sql('cellsrc', level)}
+SELECT CAST(c.face * {1 << (2 * level)} + c.d AS BIGINT) AS s2_cell,
+       a.n_neighbors, a.n_occupied
+FROM (SELECT face, i, j, d FROM h WHERE s = 0) c
+JOIN agg a ON a.face = c.face AND a.i = c.i AND a.j = c.j
+"""
+
+
 def _subtree_avail_sql() -> str:
     """Implicit-tiling availability: ancestor/leaf bits OR'd per z12 root,
     mirroring ``pipelines/geo.q_subtree_avail`` — unrolled 4-bit Morton,
@@ -978,6 +1016,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # actor pool with a per-actor Hilbert memo ("S2 covering cache")
         "geo_s2_cells": geo.q_s2_cells,
         "geo_s2_cover": geo.q_s2_cover,
+        # occupied-cell 8-neighborhood on the spherical grid (tag-union
+        # occupancy join — no broadcast of the occupied-cell set)
+        "geo_s2_neighbors": geo.q_s2_neighbors,
         # implicit-tiling availability subtrees (z12 roots, depth 4)
         "geo_subtree_avail": geo.q_subtree_avail,
         # spec-shaped .subtree binaries written + decoded back; the oracle
@@ -1632,6 +1673,7 @@ FROM ({_TILE_SQL})
         "geo_cell_cover_exact": _cell_cover_exact_sql(),
         "geo_s2_cells": _s2_cells_sql(),
         "geo_s2_cover": _s2_cover_sql(),
+        "geo_s2_neighbors": _s2_neighbors_sql(),
         "geo_subtree_avail": _subtree_avail_sql(),
         "geo_subtree_files": f"""
 SELECT root_x, root_y, n_tiles,

@@ -2705,3 +2705,138 @@ def q_subtree_files(sf_dir: str) -> "ray.data.Dataset":
         [{"fragment": f} for f in manifest["fragments"]]
     ).repartition(max(1, min(32, len(manifest["fragments"]) // 8 or 1)))
     return frags.map_batches(decode_batch, batch_format="pyarrow")
+
+
+def q_s2_neighbors(sf_dir: str, level: int = S2_COVER_LEVEL) -> "ray.data.Dataset":
+    """Occupied-cell adjacency over the S2-analog grid: for every occupied
+    cell (≥1 building centroid) count its valid within-face (i, j)
+    8-neighbors and how many of THOSE are occupied — the spherical-grid
+    neighborhood operator (hotspot dilation, coverage-gap detection) that
+    pairs with the mercator-grid ``q_hex_smooth`` / ``stencil_3x3``
+    family.  Cross-face adjacency is intentionally out of scope (cells on
+    a face edge see < 8 neighbors); the oracle applies the same rule, so
+    parity is exact.
+
+    Scale shape: everything downstream of the parse is bounded by
+    OCCUPIED CELLS (per-batch uniques → distinct), never corpus rows:
+    neighbor expansion is ×8 on that bounded set, occupancy is ONE
+    tag-union keyed exchange (probe rows + self rows sort together; a
+    run's min tag says occupied — no broadcast of the occupied set, which
+    at planet scale is 100M+ cells), and the per-center rollup is a
+    second bounded exchange.
+
+    Output: (s2_cell, n_neighbors, n_occupied)."""
+    from ..geom.s2 import s2_cell_from_mercator
+    from .partition import first_per_key, map_key_partitions, run_starts
+
+    n_side = np.int64(1) << level
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        face, i, j, cell = s2_cell_from_mercator(cx, cy, level)
+        key = (face << np.int64(2 * level + 2)) | (i << np.int64(level)) | j
+        _, idx = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "s2_face": pa.array(face[idx]),
+                "i": pa.array(i[idx]),
+                "j": pa.array(j[idx]),
+                "s2_cell": pa.array(cell[idx]),
+            }
+        )
+
+    cells = first_per_key(
+        parsed_ds(sf_dir)
+        .select_columns(["centroid_x", "centroid_y"])
+        .map_batches(cell_partial, batch_format="pyarrow"),
+        ["s2_face", "i", "j"],
+    )
+
+    _OFFS = np.array(
+        [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)],
+        dtype=np.int64,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        face = batch.column("s2_face").to_numpy(zero_copy_only=False)
+        i = batch.column("i").to_numpy(zero_copy_only=False)
+        j = batch.column("j").to_numpy(zero_copy_only=False)
+        cell = batch.column("s2_cell").to_numpy(zero_copy_only=False)
+        n = len(face)
+        ni = (i[:, None] + _OFFS[:, 0][None, :]).ravel()
+        nj = (j[:, None] + _OFFS[:, 1][None, :]).ravel()
+        pf = np.repeat(face, 8)
+        pc = np.repeat(cell, 8)
+        ok = (ni >= 0) & (ni < n_side) & (nj >= 0) & (nj < n_side)
+        return pa.table(
+            {
+                "s2_face": pa.array(np.concatenate([face, pf[ok]])),
+                "i": pa.array(np.concatenate([i, ni[ok]])),
+                "j": pa.array(np.concatenate([j, nj[ok]])),
+                "center": pa.array(np.concatenate([cell, pc[ok]])),
+                "probe": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int64), np.ones(int(ok.sum()), dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    tagged = cells.map_batches(expand, batch_format="pyarrow")
+
+    def occ_fn(part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return pa.table(
+                {
+                    "center": pa.array([], type=pa.int64()),
+                    "occ": pa.array([], type=pa.int64()),
+                }
+            )
+        face = part.column("s2_face").to_numpy(zero_copy_only=False)
+        i = part.column("i").to_numpy(zero_copy_only=False)
+        j = part.column("j").to_numpy(zero_copy_only=False)
+        center = part.column("center").to_numpy(zero_copy_only=False)
+        probe = part.column("probe").to_numpy(zero_copy_only=False)
+        order = np.lexsort((probe, j, i, face))
+        face, i, j = face[order], i[order], j[order]
+        center, probe = center[order], probe[order]
+        starts = run_starts(face, i, j)
+        idx = np.flatnonzero(starts)
+        # a run's FIRST row (probe sorts last) is a self row iff occupied
+        occupied_run = probe[idx] == 0
+        rid = np.cumsum(starts) - 1
+        keep = probe == 1
+        return pa.table(
+            {
+                "center": pa.array(center[keep]),
+                "occ": pa.array(occupied_run[rid[keep]].astype(np.int64)),
+            }
+        )
+
+    flags = map_key_partitions(tagged, ["s2_face", "i", "j"], occ_fn)
+
+    def rollup(part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return pa.table(
+                {
+                    "s2_cell": pa.array([], type=pa.int64()),
+                    "n_neighbors": pa.array([], type=pa.int64()),
+                    "n_occupied": pa.array([], type=pa.int64()),
+                }
+            )
+        center = part.column("center").to_numpy(zero_copy_only=False)
+        occ = part.column("occ").to_numpy(zero_copy_only=False)
+        order = np.argsort(center, kind="stable")
+        center, occ = center[order], occ[order]
+        starts = run_starts(center)
+        idx = np.flatnonzero(starts)
+        return pa.table(
+            {
+                "s2_cell": pa.array(center[idx]),
+                "n_neighbors": pa.array(np.diff(np.append(idx, len(center)))),
+                "n_occupied": pa.array(np.add.reduceat(occ, idx)),
+            }
+        )
+
+    return map_key_partitions(flags, ["center"], rollup)

@@ -173,3 +173,37 @@ def test_subtree_avail_invariants(ray_session):
         for m in st["leaf"]:
             want_leaf |= 1 << m
         assert got_leaf == want_leaf
+
+
+def test_s2_neighbors_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines import geo
+
+    got = (
+        geo.q_s2_neighbors(SF)
+        .to_pandas()
+        .sort_values("s2_cell")
+        .reset_index(drop=True)
+    )
+    # brute force from the centroid cells
+    cells = geo.q_s2_cells(SF, level=geo.S2_COVER_LEVEL).to_pandas()
+    occ = set(zip(cells.s2_face, cells.s2_i, cells.s2_j))
+    cell_of = {
+        (f, i, j): c
+        for f, i, j, c in zip(cells.s2_face, cells.s2_i, cells.s2_j, cells.s2_cell)
+    }
+    n = 1 << geo.S2_COVER_LEVEL
+    want = {}
+    for f, i, j in occ:
+        nb = n_occ = 0
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == dj == 0:
+                    continue
+                ni, nj = i + di, j + dj
+                if 0 <= ni < n and 0 <= nj < n:
+                    nb += 1
+                    n_occ += (f, ni, nj) in occ
+        want[cell_of[(f, i, j)]] = (nb, n_occ)
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        assert want[row.s2_cell] == (row.n_neighbors, row.n_occupied)
