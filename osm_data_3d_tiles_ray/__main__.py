@@ -67,6 +67,13 @@ def main(argv=None) -> int:
     pt = sub.add_parser("pack-textures", help="emit the atlas frame dict parquet")
     pt.add_argument("--out", required=True)
 
+    wst = sub.add_parser(
+        "write-subtrees",
+        help="implicit-tiling .subtree files + implicit root tileset.json",
+    )
+    wst.add_argument("--sf", type=float, default=0.001)
+    wst.add_argument("--out", required=True)
+
     rq = sub.add_parser(
         "run-query",
         help="run any registered pipeline (see --list) over an sf dir and write parquet",
@@ -159,6 +166,21 @@ def main(argv=None) -> int:
                         "partitions": m["n_partitions"],
                         "tiles": m["rows_out"],
                         "vertices": m["vertices"],
+                    }
+                )
+            )
+        elif args.cmd == "write-subtrees":
+            from .pipelines.geo import q_subtree_avail
+            from .stages.subtree import write_subtrees
+
+            root = ensure_synth(args.sf)
+            m = write_subtrees(q_subtree_avail(str(root)), args.out)
+            print(
+                json.dumps(
+                    {
+                        "subtrees": m["n_roots"],
+                        "tiles": m["rows_out"],
+                        "out": args.out,
                     }
                 )
             )

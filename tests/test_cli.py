@@ -72,3 +72,18 @@ def test_run_query_cli(tmp_path):
 
     r = _run("run-query", "no_such_query")
     assert r.returncode == 2
+
+
+def test_write_subtrees_cli(tmp_path):
+    out = tmp_path / "implicit"
+    r = _run("write-subtrees", "--sf", "0.001", "--out", str(out))
+    assert r.returncode == 0, r.stderr[-500:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["subtrees"] == 63 and res["tiles"] == 1385
+    assert (out / "tileset.json").exists()
+    from osm_data_3d_tiles_ray.stages.subtree import decode_subtree
+
+    frags = sorted(out.glob("subtrees/*/0/0/0.subtree"))
+    assert len(frags) == 63
+    total = sum(decode_subtree(f.read_bytes())["n_tiles"] for f in frags)
+    assert total == 1385
