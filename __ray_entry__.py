@@ -823,6 +823,50 @@ FROM h WHERE s = 0
 """
 
 
+def _kmeans_exact_sql(n_clusters: int = 4, iters: int = 3) -> str:
+    """Unrolled integer Lloyd rounds mirroring ``ann.kmeans_exact``:
+    micro-unit quantization, vec_id<k init, ROW_NUMBER argmin with the
+    same (dist, cluster) tie order, floormod-adjusted exact floor
+    division, empty clusters keep the previous centroid."""
+    blocks = []
+    for t in range(iters + 1):
+        blocks.append(f"""
+d{t} AS (
+  SELECT e.vec_id, c.cluster,
+         SUM((e.q - c.mu) * (e.q - c.mu)) AS dist
+  FROM eq e JOIN cent{t} c USING (dim) GROUP BY 1, 2
+), a{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{t}) WHERE rn = 1
+)""")
+        if t < iters:
+            blocks.append(f"""
+s{t} AS (
+  SELECT a.cluster, e.dim, SUM(e.q) AS s, COUNT(*) AS n
+  FROM a{t} a JOIN eq e USING (vec_id) GROUP BY 1, 2
+), cent{t + 1} AS (
+  SELECT p.cluster, p.dim,
+         CAST(CASE WHEN s.n IS NULL THEN p.mu
+              ELSE (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n END
+              AS BIGINT) AS mu
+  FROM cent{t} p LEFT JOIN s{t} s ON s.cluster = p.cluster AND s.dim = p.dim
+)""")
+    return f"""
+WITH dims AS (
+  SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS dim
+), eq AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, d.dim,
+         CAST(FLOOR(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, dims d
+), cent0 AS (
+  SELECT vec_id AS cluster, dim, q AS mu FROM eq WHERE vec_id < {n_clusters}
+), {', '.join(blocks)}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}
+"""
+
+
 def _s2_neighbors_sql(level: int = 16) -> str:
     """Occupied-cell 8-neighborhood over the S2-analog grid — mirrors
     ``pipelines/geo.q_s2_neighbors``: same within-face adjacency rule,
@@ -1056,6 +1100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": corpus_stats.span_dedup,
         "media_context": corpus_stats.media_context,
         "ann_topk": ann.ann_topk,
+        # integer-exact distributed Lloyd k-means (iterative-ML shape with
+        # a value-exact oracle: unrolled SQL rounds mirror every iteration)
+        "kmeans_exact": ann.kmeans_exact,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "events_hourly": events.hourly_by_type,
@@ -2486,6 +2533,7 @@ SELECT CAST(q.label AS BIGINT) AS label, nl.n AS n_vectors,
                   * 1000000 + 0.5) AS BIGINT) AS cohesion_e6
 FROM q JOIN nl USING (label)
 """,
+        "kmeans_exact": _kmeans_exact_sql(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
 pairs AS (

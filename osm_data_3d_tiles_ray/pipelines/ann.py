@@ -1057,3 +1057,133 @@ def product_quantize(
         batch_size=4096,
         batch_format="pyarrow",
     )
+
+
+KMEANS_EXACT_SCALE = 1_000_000  # micro-units: floor(x * 1e6) per dimension
+
+
+def _quantize_embeddings(batch: pa.Table, dims: int) -> tuple[np.ndarray, np.ndarray]:
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    m = np.asarray(
+        emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+    ).reshape(-1, dims)
+    q = np.floor(m * KMEANS_EXACT_SCALE).astype(np.int64)
+    return batch.column("vec_id").to_numpy(zero_copy_only=False), q
+
+
+def _kmeans_assign_int(q: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c Σ_d (q_d − μ_cd)² in pure int64 (ties → lowest cluster,
+    numpy argmin semantics — mirrored by the oracle's ORDER BY dist,
+    cluster).  |q| ≤ ~2e6 ⇒ per-dim square ≤ 1.6e13, ×64 dims ≤ 1e15:
+    comfortably inside int64."""
+    n, k = len(q), len(cent)
+    dist = np.empty((n, k), dtype=np.int64)
+    for c in range(k):
+        diff = q - cent[c][None, :]
+        np.square(diff, out=diff)
+        dist[:, c] = diff.sum(axis=1)
+    return np.argmin(dist, axis=1)
+
+
+def kmeans_exact(
+    sf_dir: str, n_clusters: int = 4, iters: int = 3
+) -> "ray.data.Dataset":
+    """INTEGER-EXACT distributed Lloyd k-means over the full embeddings
+    table — the iterative-ML Ray Data shape (per-iteration ``map_batches``
+    partials + driver-side k×d combine + closure-broadcast centroids,
+    same plan as :func:`kmeans_centroids_distributed`) made bit-exactly
+    reproducible and SQL-checkable:
+
+    * coordinates quantized once to micro-units (``floor(x·1e6)`` in
+      float64 — float32→float64 is exact, so both engines quantize
+      identically);
+    * init = the quantized vectors of ``vec_id 0..k−1`` (deterministic);
+    * assignment distances, cluster sums, and the centroid update
+      ``μ = floordiv(Σq, n)`` are all int64 ops (floor division spelled
+      with an explicit floormod so the oracle's truncating ``//`` agrees
+      on negatives);
+    * empty clusters keep their previous centroid.
+
+    The oracle unrolls the same ``iters`` Lloyd rounds as SQL CTE blocks
+    over ``unnest(embedding) WITH ORDINALITY`` — per-row-per-cluster
+    distance aggregation, ROW_NUMBER argmin, LEFT-JOIN centroid update —
+    so the query's final assignment is checked value-exact, not just in
+    aggregate.  Scale shape: the data never leaves ``map_batches`` (each
+    iteration ships k×d+k integers per block); centroids are broadcast by
+    closure (k×d ≪ data); no exchange anywhere.
+
+    Output: (vec_id, cluster) after ``iters`` iterations."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    dims = None
+    head = []
+    got = 0
+    for rb in pf.iter_batches(columns=["vec_id", "embedding"], batch_size=4096):
+        t = pa.Table.from_batches([rb])
+        if dims is None:
+            dims = len(t.column("embedding")[0])
+        head.append(t)
+        got += len(t)
+        if got >= n_clusters:
+            break
+    h = pa.concat_tables(head)
+    hv, hq = _quantize_embeddings(h, dims)
+    order = np.argsort(hv)
+    cent = hq[order[:n_clusters]].copy()
+
+    ds = _embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+
+    for _ in range(iters):
+        c = cent  # captured by value this iteration
+
+        def partial(batch: pa.Table, c=c) -> pa.Table:
+            _, q = _quantize_embeddings(batch, dims)
+            assign = _kmeans_assign_int(q, c)
+            sums = np.zeros((n_clusters, dims), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            counts = np.bincount(assign, minlength=n_clusters).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(n_clusters, dtype=np.int64)),
+                    "count": pa.array(counts),
+                    "vsum": pa.array(list(sums), type=pa.large_list(pa.int64())),
+                }
+            )
+
+        sums = np.zeros((n_clusters, dims), dtype=np.int64)
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ):
+            cl = t.column("cluster").to_numpy(zero_copy_only=False)
+            cn = t.column("count").to_numpy(zero_copy_only=False)
+            vs = np.asarray(
+                t.column("vsum").combine_chunks().values.to_numpy(
+                    zero_copy_only=False
+                )
+            ).reshape(len(cl), dims)
+            np.add.at(sums, cl, vs)
+            np.add.at(counts, cl, cn)
+        new = cent.copy()
+        nonempty = counts > 0
+        # exact floor division (numpy // floors; spelled identically in SQL)
+        new[nonempty] = np.floor_divide(sums[nonempty], counts[nonempty, None])
+        cent = new
+
+    cfinal = cent
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        vid, q = _quantize_embeddings(batch, dims)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "cluster": pa.array(
+                    _kmeans_assign_int(q, cfinal).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

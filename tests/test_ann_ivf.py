@@ -230,3 +230,51 @@ def test_ipc_source_roundtrip(ray_session):
     norm = read_ipc_documents(out, source="bare").to_pandas()
     assert set(norm.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
     assert (norm.source == "bare").all() and (norm.lang == "und").all()
+
+
+def test_kmeans_exact_matches_local_lloyd(ray_session):
+    """Distributed integer Lloyd == single-process integer Lloyd, bit for
+    bit (partial-combine order must not matter: all sums are int64)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.ann import (
+        KMEANS_EXACT_SCALE,
+        kmeans_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        kmeans_exact(sf)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy()
+    dims = len(t.column("embedding")[0])
+    m = np.asarray(
+        t.column("embedding").combine_chunks().values.to_numpy(zero_copy_only=False),
+        dtype=np.float64,
+    ).reshape(-1, dims)
+    q = np.floor(m * KMEANS_EXACT_SCALE).astype(np.int64)
+    order = np.argsort(vid)
+    vid, q = vid[order], q[order]
+    k, iters = 4, 3
+    cent = q[:k].copy()
+
+    def assign(qm, c):
+        d = np.stack([((qm - cc[None, :]) ** 2).sum(axis=1) for cc in c], axis=1)
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        a = assign(q, cent)
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                cent[c] = np.floor_divide(q[mask].sum(axis=0), mask.sum())
+    final = assign(q, cent)
+    assert (got.vec_id.to_numpy() == vid).all()
+    assert (got.cluster.to_numpy() == final).all()
+    assert len(np.unique(final)) >= 2  # the corpus isn't degenerate
