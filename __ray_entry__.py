@@ -867,6 +867,48 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}
 """
 
 
+def _tile_pagerank_sql(iters: int = 5) -> str:
+    """Unrolled integer PageRank rounds mirroring ``geo.q_tile_pagerank``
+    — same SCALE/BASE units, same ``p // deg`` truncation (all values
+    non-negative, so DuckDB's truncating ``//`` IS floor), same deg-0
+    rule (no incoming edges → BASE)."""
+    scale = 10**12
+    base = 15 * scale // 100
+    blocks = [
+        f"p0 AS (SELECT tile_x, tile_y, CAST({scale} AS BIGINT) AS p FROM occ)"
+    ]
+    for t in range(iters):
+        blocks.append(f"""
+c{t + 1} AS (
+  SELECT e.nx AS tile_x, e.ny AS tile_y, SUM(p.p // d.deg) AS s
+  FROM e JOIN p{t} p ON p.tile_x = e.sx AND p.tile_y = e.sy
+         JOIN deg d ON d.sx = e.sx AND d.sy = e.sy
+  GROUP BY 1, 2
+), p{t + 1} AS (
+  SELECT o.tile_x, o.tile_y,
+         CAST({base} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS p
+  FROM occ o LEFT JOIN c{t + 1} c USING (tile_x, tile_y)
+)""")
+    return f"""
+WITH occ AS (
+  SELECT DISTINCT tile_x, tile_y FROM ({_TILE_SQL})
+), nbr AS (
+  SELECT o.tile_x AS sx, o.tile_y AS sy,
+         o.tile_x + dx.d AS nx, o.tile_y + dy.d AS ny
+  FROM occ o
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+  WHERE NOT (dx.d = 0 AND dy.d = 0)
+), e AS (
+  SELECT n.sx, n.sy, n.nx, n.ny
+  FROM nbr n JOIN occ t ON t.tile_x = n.nx AND t.tile_y = n.ny
+), deg AS (
+  SELECT sx, sy, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1, 2
+), {', '.join(blocks)}
+SELECT tile_x, tile_y, p AS pr FROM p{iters}
+"""
+
+
 def _s2_neighbors_sql(level: int = 16) -> str:
     """Occupied-cell 8-neighborhood over the S2-analog grid — mirrors
     ``pipelines/geo.q_s2_neighbors``: same within-face adjacency rule,
@@ -1022,6 +1064,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_parse": geo.q_parse,
         "geo_assignments": geo.q_assignments,
         "geo_tile_stats": geo.q_tile_stats,
+        # integer-exact PageRank over occupied-tile adjacency (iterative
+        # graph shape: one keyed exchange per round, state on self rows)
+        "geo_tile_pagerank": geo.q_tile_pagerank,
         "geo_zoom_rollup": geo.q_zoom_rollup,
         "geo_hexbin": geo.q_hexbin,
         "geo_overlap_pairs": geo.q_overlap_pairs,
@@ -1317,6 +1362,7 @@ FROM ({_TILE_SQL})
 SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS batch_length
 FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
 """,
+        "geo_tile_pagerank": _tile_pagerank_sql(),
         # quadtree pyramid: leaf (z16) counts rolled up to z10 by >> shifts
         "geo_zoom_rollup": f"""
 WITH t AS ({_TILE_SQL}),

@@ -2840,3 +2840,231 @@ def q_s2_neighbors(sf_dir: str, level: int = S2_COVER_LEVEL) -> "ray.data.Datase
         )
 
     return map_key_partitions(flags, ["center"], rollup)
+
+
+PAGERANK_SCALE = 10**12  # per-node starting mass, integer micro-prob units
+PAGERANK_BASE = 15 * PAGERANK_SCALE // 100  # (1-d) share, d = 0.85
+
+
+def q_tile_pagerank(sf_dir: str, iters: int = 5) -> "ray.data.Dataset":
+    """Integer-exact PageRank over the occupied-tile 8-adjacency graph —
+    the iterative-graph Ray Data shape (alongside ``q_tile_components``):
+    spatial centrality of the urban fabric, where dense contiguous areas
+    accumulate rank and isolated tiles stay at the base share.
+
+    Exactness contract (the oracle unrolls the same rounds in SQL):
+    every node starts with ``SCALE`` units; one round is
+    ``p' = BASE + (85 · Σ_{u→v} (p_u // deg_u)) // 100`` in pure int64
+    (all quantities non-negative, so ``//`` is floor on both engines).
+    Deviations from textbook PageRank, applied identically on both
+    sides: no dangling-mass redistribution (deg-0 nodes keep BASE) and
+    integer truncation of shares.  ``SCALE`` is corpus-sized — at 1e9+
+    nodes pick SCALE ≈ 2^62 / N so hub sums stay inside int64 (bound
+    documented: p_v ≤ N·SCALE at the fixed point).
+
+    Scale shape: nodes = OCCUPIED tiles (an aggregate, never building
+    rows); adjacency is the tag-union occupancy exchange (no broadcast);
+    each PageRank round is ONE ``map_key_partitions``
+    exchange of (node + contribution) rows whose state (deg, neighbor
+    list) rides the self row, so the edge list is never re-joined.
+
+    Output: (tile_x, tile_y, pr)."""
+    from .partition import map_key_partitions, run_starts
+
+    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    nodes = tile_stats(ownership_assignments(ds)).select_columns(["tile_x", "tile_y"])
+
+    _OFF = np.array(
+        [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)],
+        dtype=np.int64,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = batch.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (tx << np.int64(21)) | ty
+        n = len(tx)
+        nx = (tx[:, None] + _OFF[:, 0][None, :]).ravel()
+        ny = (ty[:, None] + _OFF[:, 1][None, :]).ravel()
+        ok = (nx >= 0) & (ny >= 0)  # z16 grid edge clamp
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate([tx, nx[ok]])),
+                "y": pa.array(np.concatenate([ty, ny[ok]])),
+                "src": pa.array(np.concatenate([key, np.repeat(key, 8)[ok]])),
+                "probe": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int64), np.ones(int(ok.sum()), dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def occ_fn(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], type=pa.int64()),
+                "nbr": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(part) == 0:
+            return empty
+        x = part.column("x").to_numpy(zero_copy_only=False)
+        y = part.column("y").to_numpy(zero_copy_only=False)
+        src = part.column("src").to_numpy(zero_copy_only=False)
+        probe = part.column("probe").to_numpy(zero_copy_only=False)
+        order = np.lexsort((probe, y, x))
+        x, y, src, probe = x[order], y[order], src[order], probe[order]
+        starts = run_starts(x, y)
+        idx = np.flatnonzero(starts)
+        occupied = probe[idx] == 0  # self row sorts first in its run
+        rid = np.cumsum(starts) - 1
+        keep = (probe == 1) & occupied[rid]
+        # edge src → this occupied tile (the probing node gains a neighbor)
+        return pa.table(
+            {
+                "key": pa.array(src[keep]),
+                "nbr": pa.array(((x << np.int64(21)) | y)[keep]),
+            }
+        )
+
+    edges = map_key_partitions(nodes.map_batches(expand, batch_format="pyarrow"), ["x", "y"], occ_fn)
+
+    # node state: (key, deg, nbrs) — deg-0 nodes kept via the tagged union
+    def node_tag(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = batch.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array((tx << np.int64(21)) | ty),
+                "nbr": pa.array(np.full(len(tx), -1, dtype=np.int64)),
+            }
+        )
+
+    def collect(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], type=pa.int64()),
+                "p": pa.array([], type=pa.int64()),
+                "deg": pa.array([], type=pa.int64()),
+                "nbrs": pa.array([], type=pa.large_list(pa.int64())),
+            }
+        )
+        if len(part) == 0:
+            return empty
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        nbr = part.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, key))
+        key, nbr = key[order], nbr[order]
+        starts = run_starts(key)
+        idx = np.flatnonzero(starts)
+        ends = np.append(idx[1:], len(key))
+        real = nbr != -1  # -1 = the presence row from node_tag
+        deg = np.add.reduceat(real.astype(np.int64), idx)
+        # neighbor list per node: values with the presence rows dropped
+        keep_vals = nbr[real]
+        offsets = np.concatenate([[0], np.cumsum(deg)])
+        nbrs = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), pa.array(keep_vals, type=pa.int64())
+        )
+        return pa.table(
+            {
+                "key": pa.array(key[idx]),
+                "p": pa.array(np.full(len(idx), PAGERANK_SCALE, dtype=np.int64)),
+                "deg": pa.array(deg),
+                "nbrs": nbrs,
+            }
+        )
+
+    state = map_key_partitions(
+        edges.union(nodes.map_batches(node_tag, batch_format="pyarrow")),
+        ["key"],
+        collect,
+    ).repartition(8)
+
+    def spread(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        p = batch.column("p").to_numpy(zero_copy_only=False)
+        deg = batch.column("deg").to_numpy(zero_copy_only=False)
+        nbrs = batch.column("nbrs")
+        if isinstance(nbrs, pa.ChunkedArray):
+            nbrs = nbrs.combine_chunks()
+        vals = nbrs.values.to_numpy(zero_copy_only=False)
+        share = np.floor_divide(p, np.maximum(deg, 1))
+        contrib_val = np.repeat(share, deg)
+        # self rows carry the state; kind sorts them first within a key
+        n = len(key)
+        self_tbl = pa.table(
+            {
+                "key": batch.column("key"),
+                "kind": pa.array(np.zeros(n, dtype=np.int64)),
+                "val": pa.array(np.zeros(n, dtype=np.int64)),
+                "deg": batch.column("deg"),
+                "nbrs": nbrs,
+            }
+        )
+        m = len(vals)
+        empty_lists = pa.LargeListArray.from_arrays(
+            pa.array(np.zeros(m + 1, dtype=np.int64)),
+            pa.array([], type=pa.int64()),
+        )
+        contrib_tbl = pa.table(
+            {
+                "key": pa.array(vals),
+                "kind": pa.array(np.ones(m, dtype=np.int64)),
+                "val": pa.array(contrib_val),
+                "deg": pa.array(np.zeros(m, dtype=np.int64)),
+                "nbrs": empty_lists,
+            }
+        )
+        return pa.concat_tables([self_tbl, contrib_tbl])
+
+    def gather(part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.int64()),
+                    "p": pa.array([], type=pa.int64()),
+                    "deg": pa.array([], type=pa.int64()),
+                    "nbrs": pa.array([], type=pa.large_list(pa.int64())),
+                }
+            )
+        import pyarrow.compute as pc
+
+        part = part.take(
+            pc.sort_indices(
+                part, sort_keys=[("key", "ascending"), ("kind", "ascending")]
+            )
+        )
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        val = part.column("val").to_numpy(zero_copy_only=False)
+        starts = run_starts(key)
+        idx = np.flatnonzero(starts)
+        s = np.add.reduceat(val, idx)
+        p_new = PAGERANK_BASE + np.floor_divide(85 * s, 100)
+        head = part.take(pa.array(idx))  # the self rows (kind 0 first)
+        return pa.table(
+            {
+                "key": head.column("key"),
+                "p": pa.array(p_new),
+                "deg": head.column("deg"),
+                "nbrs": head.column("nbrs"),
+            }
+        )
+
+    for _ in range(iters):
+        state = map_key_partitions(
+            state.map_batches(spread, batch_format="pyarrow"), ["key"], gather
+        ).repartition(8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": pa.array((key >> np.int64(21)).astype(np.int32)),
+                "tile_y": pa.array((key & np.int64((1 << 21) - 1)).astype(np.int32)),
+                "pr": batch.column("p"),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")

@@ -207,3 +207,43 @@ def test_s2_neighbors_brute_force(ray_session):
     assert len(got) == len(want)
     for row in got.itertuples():
         assert want[row.s2_cell] == (row.n_neighbors, row.n_occupied)
+
+
+def test_tile_pagerank_brute_force(ray_session):
+    from osm_data_3d_tiles_ray.pipelines import geo
+    from osm_data_3d_tiles_ray.pipelines.geo import PAGERANK_BASE, PAGERANK_SCALE
+    from osm_data_3d_tiles_ray.stages.assign import ownership_assignments
+
+    got = (
+        geo.q_tile_pagerank(SF)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    ds = geo.parsed_ds(SF).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    a = ownership_assignments(ds).to_pandas()
+    occ = sorted(set(zip(a.tile_x.astype(int), a.tile_y.astype(int))))
+    occ_set = set(occ)
+    nbrs = {
+        t: [
+            (t[0] + dx, t[1] + dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (t[0] + dx, t[1] + dy) in occ_set
+        ]
+        for t in occ
+    }
+    p = {t: PAGERANK_SCALE for t in occ}
+    for _ in range(5):
+        incoming = {t: 0 for t in occ}
+        for t in occ:
+            if nbrs[t]:
+                share = p[t] // len(nbrs[t])
+                for v in nbrs[t]:
+                    incoming[v] += share
+        p = {t: PAGERANK_BASE + (85 * incoming[t]) // 100 for t in occ}
+    assert len(got) == len(occ)
+    for row in got.itertuples():
+        assert p[(row.tile_x, row.tile_y)] == row.pr
+    # non-degenerate: dense cores rank above the base share somewhere
+    assert got.pr.max() > PAGERANK_BASE
