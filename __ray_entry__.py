@@ -1067,6 +1067,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact PageRank over occupied-tile adjacency (iterative
         # graph shape: one keyed exchange per round, state on self rows)
         "geo_tile_pagerank": geo.q_tile_pagerank,
+        # shuffle-key skew audit (hot cells + salt factor, north-rule
+        # "salted-key skew splitting" diagnostic)
+        "geo_skew_audit": geo.q_skew_audit,
         "geo_zoom_rollup": geo.q_zoom_rollup,
         "geo_hexbin": geo.q_hexbin,
         "geo_overlap_pairs": geo.q_overlap_pairs,
@@ -1363,6 +1366,25 @@ SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS batch_length
 FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
 """,
         "geo_tile_pagerank": _tile_pagerank_sql(),
+        "geo_skew_audit": f"""
+WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({_TILE_SQL}) GROUP BY tile_x, tile_y
+), r AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS rn FROM c
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles, CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(MAX(cnt) AS BIGINT) AS max_count
+  FROM c
+)
+SELECT s.n_tiles, s.total, s.max_count,
+       (SELECT cnt FROM r WHERE rn = (s.n_tiles - 1) * 99 // 100 + 1) AS p99_count,
+       s.total * 1000000 // s.n_tiles AS mean_e6,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+        WHERE cnt * s.n_tiles > 8 * s.total) AS hot_tiles,
+       (s.max_count * s.n_tiles + 8 * s.total - 1) // (8 * s.total) AS salt_factor
+FROM s
+""",
         # quadtree pyramid: leaf (z16) counts rolled up to z10 by >> shifts
         "geo_zoom_rollup": f"""
 WITH t AS ({_TILE_SQL}),

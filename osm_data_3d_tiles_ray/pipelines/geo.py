@@ -3068,3 +3068,50 @@ def q_tile_pagerank(sf_dir: str, iters: int = 5) -> "ray.data.Dataset":
         )
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def q_skew_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Shuffle-key skew audit for the tile-assignment exchange — the
+    diagnostic behind the engine's salted accumulate path
+    (``stages/accumulate.py``; north rule: "salted-key skew splitting for
+    dense urban cells"): how unbalanced are the per-tile loads, and what
+    salt factor would the hottest cell need so no reduce task exceeds
+    ~8× the mean?
+
+    All integer-exact: mean in micro-units (floor), p99 as the exact
+    order statistic at floor((n−1)·99/100) of the ascending counts,
+    hot_tiles = count of tiles above 8× mean, salt_factor =
+    ceil(max · n / (8 · total)).
+
+    Scale shape: inputs are the per-tile COUNTS (an aggregate bounded by
+    occupied tiles, never building rows); the single-partition final pass
+    is over that bounded table only — the same boundedness argument as
+    the tileset root fan-in.
+
+    Output: one row (n_tiles, total, max_count, p99_count, mean_e6,
+    hot_tiles, salt_factor)."""
+    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    counts = tile_stats(ownership_assignments(ds)).select_columns(["batch_length"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        c = np.sort(batch.column("batch_length").to_numpy(zero_copy_only=False))
+        n = len(c)
+        total = int(c.sum())
+        mean_e6 = total * 1_000_000 // n
+        p99 = int(c[(n - 1) * 99 // 100])
+        mx = int(c[-1])
+        hot = int((c * n > 8 * total).sum())  # count > 8·mean, exact
+        salt = (mx * n + 8 * total - 1) // (8 * total)
+        return pa.table(
+            {
+                "n_tiles": pa.array([n], type=pa.int64()),
+                "total": pa.array([total], type=pa.int64()),
+                "max_count": pa.array([mx], type=pa.int64()),
+                "p99_count": pa.array([p99], type=pa.int64()),
+                "mean_e6": pa.array([mean_e6], type=pa.int64()),
+                "hot_tiles": pa.array([hot], type=pa.int64()),
+                "salt_factor": pa.array([salt], type=pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(audit, batch_format="pyarrow", batch_size=None)

@@ -247,3 +247,24 @@ def test_tile_pagerank_brute_force(ray_session):
         assert p[(row.tile_x, row.tile_y)] == row.pr
     # non-degenerate: dense cores rank above the base share somewhere
     assert got.pr.max() > PAGERANK_BASE
+
+
+def test_skew_audit_brute_force(ray_session):
+    import numpy as np
+
+    from osm_data_3d_tiles_ray.pipelines import geo
+    from osm_data_3d_tiles_ray.stages.assign import ownership_assignments
+
+    got = geo.q_skew_audit(SF).to_pandas()
+    assert len(got) == 1
+    ds = geo.parsed_ds(SF).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    a = ownership_assignments(ds).to_pandas()
+    c = np.sort(a.groupby(["tile_x", "tile_y"]).size().to_numpy())
+    n, total = len(c), int(c.sum())
+    row = got.iloc[0]
+    assert row.n_tiles == n and row.total == total
+    assert row.max_count == c[-1]
+    assert row.p99_count == c[(n - 1) * 99 // 100]
+    assert row.mean_e6 == total * 1_000_000 // n
+    assert row.hot_tiles == int((c * n > 8 * total).sum())
+    assert row.salt_factor == (int(c[-1]) * n + 8 * total - 1) // (8 * total)
