@@ -323,6 +323,88 @@ FROM {last2} WHERE wb_6 * 500000000 < v * {M}
 """
 
 
+def _reservoir_sample_sql(k: int = 100, tag: int = 57) -> str:
+    """SQL mirror of sampling.reservoir_sample: the keyed-Jenkins
+    priority (geom/rng.py:keyed_uniform's two avalanche rounds, BIGINT
+    mod-2^32 wraparound) over doc_id, smallest-``k`` with (h, doc_id)
+    tie order."""
+    M = 4294967296
+    tagmix = (tag * 2654435761) % M
+    c1, o1 = _jenkins_round_sql("a0", "rv1_")
+    c2, o2 = _jenkins_round_sql("a1", "rv2_")
+    return f"""
+SELECT doc_id, CAST({o2} AS BIGINT) AS h FROM (
+  SELECT doc_id, xor(doc_id % {M}, {tagmix}) AS a0, {c1},
+         xor({o1}, (doc_id // {M}) % {M}) AS a1, {c2}
+  FROM documents
+) ORDER BY h, doc_id LIMIT {k}
+"""
+
+
+def _domain_mix_sql() -> str:
+    """SQL mirror of corpus_stats.domain_mix: per-topic word-boundary
+    regex hit counts (same RE2 patterns), argmax with first-listed tie
+    break as a CASE chain, 'other' on zero hits."""
+    from osm_data_3d_tiles_ray.pipelines.corpus_stats import _DOMAIN_TAXONOMY
+
+    hit_cols = []
+    for topic, kws in _DOMAIN_TAXONOMY:
+        terms = " + ".join(
+            f"len(regexp_extract_all(text, '\\b{kw}\\b'))" for kw in kws
+        )
+        hit_cols.append(f"CAST({terms} AS BIGINT) AS {topic}_hits")
+    names = [t for t, _ in _DOMAIN_TAXONOMY]
+    # argmax, first-listed wins ties: topic i wins iff its count >= every
+    # LATER topic's count and no EARLIER topic already won
+    cases = []
+    for i, t in enumerate(names[:-1]):
+        conds = " AND ".join(f"{t}_hits >= {u}_hits" for u in names[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{t}'")
+    case_sql = (
+        f"CASE WHEN greatest({', '.join(n + '_hits' for n in names)}) = 0 "
+        f"THEN 'other' {' '.join(cases)} ELSE '{names[-1]}' END"
+    )
+    return f"""
+WITH h AS (
+  SELECT source, {', '.join(hit_cols)},
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tokens
+  FROM documents
+), t AS (
+  SELECT source, tokens, {case_sql} AS topic FROM h
+)
+SELECT source, topic, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+def _distance_bands_sql() -> str:
+    """SQL mirror of geo.q_distance_bands: the identical Gudermannian +
+    haversine expression chain with the landmark lon/lat/cos embedded as
+    the SAME Python-computed literals, floor-to-centimeters, 2 km integer
+    bands."""
+    from osm_data_3d_tiles_ray.pipelines.geo import _BAND_CM, _landmark_lonlat
+
+    lon0, lat0, coslat0 = _landmark_lonlat()
+    return f"""
+WITH ll AS (
+  SELECT centroid_x / {_W} * PI() AS lon,
+         2 * ATAN(EXP(centroid_y / {_W} * PI())) - PI() / 2 AS lat
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), d AS (
+  SELECT CAST(FLOOR(2.0 * 6371000.0 * ASIN(SQRT(
+           SIN((lat - {lat0!r}) / 2.0) * SIN((lat - {lat0!r}) / 2.0)
+         + {coslat0!r} * COS(lat) * SIN((lon - {lon0!r}) / 2.0)
+                                  * SIN((lon - {lon0!r}) / 2.0)
+         )) * 100.0 + 0.5) AS BIGINT) AS d_cm
+  FROM ll
+)
+SELECT d_cm // {_BAND_CM} AS band, CAST(COUNT(*) AS BIGINT) AS n_buildings,
+       CAST(SUM(d_cm) AS BIGINT) AS sum_dist_cm
+FROM d GROUP BY 1
+"""
+
+
 def _rfm_sql() -> str:
     """SQL mirror of mining.rfm_segments (exact tercile thresholds with
     the ceil-rank integer rule on each metric)."""
@@ -1247,6 +1329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_median_exact": events.value_median_exact,
         "events_type_p90_exact": events.type_p90_exact,
         "events_session_ids": events.session_ids,
+        "events_session_paths": events.session_paths,
+        "reservoir_sample": sampling.reservoir_sample,
+        "domain_mix": corpus_stats.domain_mix,
+        "geo_distance_bands": geo.q_distance_bands,
         "doc_chunks": textops.doc_chunks,
         "term_scrub": textops.term_scrub,
         "quality_top_percent": textops.quality_top_percent,
@@ -3919,4 +4005,37 @@ WITH v AS (
 )
 SELECT event_type, value_micro, n, dense_rank FROM r WHERE dense_rank <= 3
 """,
+        # session path analysis: same 30-min gap CTE as events_sessionize,
+        # paths truncated to the first 8 events, deterministic (ts, event_id)
+        # step order
+        "events_session_paths": """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), b AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+), r AS (
+  SELECT user_id, sess, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 8 GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1
+""",
+        "reservoir_sample": _reservoir_sample_sql(),
+        "domain_mix": _domain_mix_sql(),
+        "geo_distance_bands": _distance_bands_sql(),
     }

@@ -1002,3 +1002,95 @@ def pack_stats(
 
     partials = pack.map_batches(partial, batch_format="pyarrow")
     return map_key_partitions(partials, ["example_id"], per_example)
+
+
+# taxonomy: (topic, word-boundary keywords), priority order = list order;
+# a doc's topic is the one with the MOST keyword hits, first-listed wins ties,
+# 'other' when no keyword occurs at all — the rule-based domain classifier a
+# mixture-weighting pass (DoReMi-style static recipe) consumes.
+_DOMAIN_TAXONOMY: list[tuple[str, list[str]]] = [
+    ("storage", ["scan", "row", "column", "table"]),
+    ("compute", ["join", "agg", "sort", "merge", "hash"]),
+    ("streaming", ["stream", "window", "batch"]),
+    ("query", ["query", "filter", "group", "order"]),
+]
+
+
+def domain_mix(sf_dir: str) -> "ray.data.Dataset":
+    """Rule-based domain classification + mixing-weight inputs: each
+    document is assigned the taxonomy topic with the most word-boundary
+    keyword hits (ties → taxonomy order, zero hits → ``other``), then the
+    corpus reports per (source, topic) document and token counts — the
+    table a data-mixing recipe turns into sampling weights.
+
+    Scale shape: ZERO data exchange — per batch, one compiled-regex count
+    per keyword (bounded by taxonomy size) via ``pc.count_substring_regex``,
+    an (n_docs × n_topics) argmax, and a (source, topic) partial count;
+    the only shuffle is the tiny partial groupby (|sources| × |topics|
+    rows per block).
+
+    Output: (source, topic, n_docs, n_tokens)."""
+    from .textops import _docs
+
+    topics = [t for t, _ in _DOMAIN_TAXONOMY]
+
+    def classify(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(batch)
+        hits = np.zeros((n, len(_DOMAIN_TAXONOMY)), dtype=np.int64)
+        for j, (_, kws) in enumerate(_DOMAIN_TAXONOMY):
+            for kw in kws:
+                c = pc.count_substring_regex(text, rf"\b{kw}\b")
+                hits[:, j] += c.to_numpy(zero_copy_only=False).astype(np.int64)
+        # argmax with first-listed tie-break; 'other' when all zero
+        best = np.argmax(hits, axis=1)
+        none = hits.max(axis=1) == 0
+        topic = np.array(topics, dtype=object)[best]
+        topic[none] = "other"
+        tokens = (
+            pc.count_substring_regex(text, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "topic": pa.array(topic, type=pa.string()),
+                "tokens": pa.array(tokens),
+            }
+        )
+        g = t.group_by(["source", "topic"]).aggregate(
+            [("tokens", "sum"), ("tokens", "count")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "topic": g.column("topic"),
+                "p_tok": g.column("tokens_sum"),
+                "p_doc": pc.cast(g.column("tokens_count"), pa.int64()),
+            }
+        )
+
+    partials = (
+        _docs(sf_dir)
+        .select_columns(["text", "source"])
+        .map_batches(classify, batch_format="pyarrow")
+    )
+    merged = partials.groupby(["source", "topic"]).aggregate(
+        ray.data.aggregate.Sum("p_doc", alias_name="n_docs"),
+        ray.data.aggregate.Sum("p_tok", alias_name="n_tokens"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "topic": batch.column("topic"),
+                "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+                "n_tokens": pc.cast(batch.column("n_tokens"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

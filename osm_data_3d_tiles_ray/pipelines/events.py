@@ -2400,3 +2400,98 @@ def watermark_late_counts(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def session_paths(
+    sf_dir: str, gap_minutes: int = 30, max_steps: int = 8
+) -> "ray.data.Dataset":
+    """Session path analysis: the event-type sequence of each gap-based
+    session (same 30-min rule as :func:`sessionize`), truncated to the
+    first ``max_steps`` events, counted corpus-wide — the "what do users
+    do, in what order" summary a product-analytics pipeline derives from
+    a clickstream (no reference analog; companion operator family).
+
+    Scale shape: ONE user-keyed exchange (the sessionize shuffle); inside
+    each hash partition the path strings are assembled by a single
+    vectorized polars group-join (no per-session Python), and only
+    (path, count) partials — bounded by distinct paths, not sessions —
+    leave the partition.  A tiny path-keyed groupby merges partials.
+    Path cardinality is bounded by |event_type|^max_steps observed, in
+    practice thousands; at web scale cap ``max_steps`` (8 here) and the
+    alphabet, exactly as production funnel tools do.
+
+    Output: (path, n_sessions); ties inside a session break by
+    (ts, event_id) — the same deterministic order the oracle's
+    ``string_agg(... ORDER BY ts, event_id)`` uses."""
+    import polars as pl
+
+    from .partition import map_key_partitions
+
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def paths_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "path": pa.array([], type=pa.string()),
+                "p_n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        ts = tbl.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, tsv, uid))
+        tsv, uid = tsv[order], uid[order]
+        brk = np.ones(len(tsv), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (np.diff(tsv) > gap_us)
+        sess = np.cumsum(brk) - 1
+        first = np.flatnonzero(brk)
+        pos = np.arange(len(tsv), dtype=np.int64) - np.repeat(
+            first, np.diff(np.append(first, len(tsv)))
+        )
+        keep = pos < max_steps
+        types = et.take(pa.array(order[keep]))
+        df = pl.DataFrame(
+            {"sess": sess[keep], "t": pl.from_arrow(types)}
+        )
+        # one vectorized join per session, then a partition-local count
+        paths = (
+            df.group_by("sess", maintain_order=True)
+            .agg(pl.col("t").str.join(">"))
+            .group_by("t")
+            .len()
+        )
+        return pa.table(
+            {
+                "path": paths.get_column("t").to_arrow().cast(pa.string()),
+                "p_n": pa.array(
+                    paths.get_column("len").to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    partials = map_key_partitions(
+        _events(sf_dir).select_columns(["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        paths_part,
+    )
+    merged = partials.groupby("path").aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n_sessions")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": batch.column("path"),
+                "n_sessions": pc.cast(batch.column("n_sessions"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

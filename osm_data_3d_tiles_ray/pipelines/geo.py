@@ -3115,3 +3115,86 @@ def q_skew_audit(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return counts.repartition(1).map_batches(audit, batch_format="pyarrow", batch_size=None)
+
+
+# geodesic distance-band landmark: the center of the synthetic city's
+# mercator extent (FIXTURES.md); lat/lon/cos-lat are precomputed ONCE in
+# Python and embedded as literals in both the kernel and the oracle SQL,
+# so the only per-row transcendental work is the shared expression chain.
+_LANDMARK_MX = 540000.0
+_LANDMARK_MY = 5725000.0
+_BAND_CM = 200_000  # 2 km bands, in integer centimeters
+
+
+def _landmark_lonlat() -> tuple[float, float, float]:
+    import math
+
+    lon0 = _LANDMARK_MX / WORLD_HALF * math.pi
+    lat0 = 2.0 * math.atan(math.exp(_LANDMARK_MY / WORLD_HALF * math.pi)) - math.pi / 2.0
+    return lon0, lat0, math.cos(lat0)
+
+
+def q_distance_bands(sf_dir: str) -> "ray.data.Dataset":
+    """Great-circle (haversine) distance bands from a fixed landmark: every
+    building centroid → spherical lon/lat (the same Gudermannian used by
+    the tileset's EPSG:4326 output, geom/transforms.py) → haversine
+    distance to the landmark → 2 km band; per-band building count and
+    integer-centimeter distance sum.  The geodesic-math companion to the
+    planar kNN/range operators (the reference's region boundary logic is
+    planar-only — generate-tileset.ts computes boxes in mercator).
+
+    Scale shape: ZERO data exchange — one vectorized trig pass per batch,
+    per-batch (band, count, sum) partials, then a tiny band-keyed groupby
+    (≤ ~50 rows per block).  Distances are summed as int64 centimeters so
+    the partial-combine tree is associative-exact (CLAUDE.md float rule).
+
+    Output: (band, n_buildings, sum_dist_cm)."""
+    lon0, lat0, coslat0 = _landmark_lonlat()
+    R2 = 2.0 * 6371000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(cx) & np.isfinite(cy)
+        cx, cy = cx[ok], cy[ok]
+        lon = cx / WORLD_HALF * np.pi
+        lat = 2.0 * np.arctan(np.exp(cy / WORLD_HALF * np.pi)) - np.pi / 2.0
+        sp = np.sin((lat - lat0) / 2.0)
+        sl = np.sin((lon - lon0) / 2.0)
+        a = sp * sp + coslat0 * np.cos(lat) * sl * sl
+        d = R2 * np.arcsin(np.sqrt(a))
+        d_cm = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        band = d_cm // _BAND_CM
+        uniq, inv = np.unique(band, return_inverse=True)
+        return pa.table(
+            {
+                "band": pa.array(uniq),
+                "p_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "p_sum": pa.array(
+                    np.bincount(inv, weights=d_cm).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = (
+        parsed_ds(sf_dir)
+        .select_columns(["centroid_x", "centroid_y"])
+        .map_batches(partial, batch_format="pyarrow")
+    )
+    merged = partials.groupby("band").aggregate(
+        ray.data.aggregate.Sum("p_n", alias_name="n_buildings"),
+        ray.data.aggregate.Sum("p_sum", alias_name="sum_dist_cm"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "band": batch.column("band"),
+                "n_buildings": pc.cast(batch.column("n_buildings"), pa.int64()),
+                "sum_dist_cm": pc.cast(batch.column("sum_dist_cm"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

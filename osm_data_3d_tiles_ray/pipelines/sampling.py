@@ -280,3 +280,70 @@ def weighted_join_sample(
         )
 
     return map_key_partitions(anchors.union(events), ["user_id"], sample_part)
+
+
+def reservoir_sample(sf_dir: str, k: int = 100, tag: int = 57) -> "ray.data.Dataset":
+    """Deterministic distributed reservoir sample: a uniform
+    without-replacement ``k``-subset of the documents table, as the ``k``
+    rows with the SMALLEST keyed-Jenkins priority ``h(doc_id, tag)``
+    (Vitter's reservoir semantics made rerunnable: fixed hash priorities
+    instead of stateful randomness, so the sample is partition-invariant,
+    resumable, and exactly SQL-mirrorable — the standard trick for
+    samples that must survive retries at 100 TB).
+
+    Scale shape: each block emits only its own top-``k`` partial (a
+    ``np.argpartition`` per batch, no sort of the full block); ONE
+    single-key exchange merges ``k × n_blocks`` candidate rows — KBs, not
+    corpus — and the final top-``k`` is one partition kernel.  The
+    documents read prunes to ``doc_id`` alone.
+
+    Output: (doc_id, h); ties (h equal) break by doc_id, mirrored in the
+    oracle's ``ORDER BY h, doc_id LIMIT k``."""
+    from ..geom.rng import jenkins_mix
+    from .partition import map_key_partitions
+
+    tagmix = np.uint32((tag * 2654435761) & 0xFFFFFFFF)
+
+    def priority(ids: np.ndarray) -> np.ndarray:
+        key = ids.astype(np.uint64)
+        h = jenkins_mix(key.astype(np.uint32) ^ tagmix)
+        return jenkins_mix(h ^ (key >> np.uint64(32)).astype(np.uint32))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = priority(ids).astype(np.int64)
+        if len(ids) > k:
+            idx = np.argpartition(h, k)[:k]
+            ids, h = ids[idx], h[idx]
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "h": pa.array(h),
+            }
+        )
+
+    def final_topk(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "h": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        h = tbl.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "h": pa.array(h[order]),
+            }
+        )
+
+    import ray.data as rd
+
+    partials = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(partial_topk, batch_format="pyarrow")
+    return map_key_partitions(partials, ["one"], final_topk, num_partitions=1)
