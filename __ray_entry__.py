@@ -1315,6 +1315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_yearly_top_supplier": relational.yearly_top_supplier,
         "rel_discounted_revenue": relational.discounted_revenue,
         "rel_revenue_rollup": relational.revenue_rollup,
+        "rel_product_profit": relational.product_profit,
+        "rel_promo_suppliers": relational.promo_suppliers,
         "events_watermark_late": events.watermark_late_counts,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
@@ -3260,6 +3262,38 @@ WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
   AND l.l_shipdate < TIMESTAMP '1997-01-01'
   AND s.s_nationkey <> c.c_nationkey
 GROUP BY 1, 2, 3
+""",
+        "rel_product_profit": """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)
+           - CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)) AS profit_cent
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+        "rel_promo_suppliers": """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                   AND l_shipdate < TIMESTAMP '1996-01-01'
+                  THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                  ELSE 0 END) AS q95,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qall
+  FROM lineitem
+  WHERE l_partkey IN
+        (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+)
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM pairs WHERE 2 * q95 > qall)
 """,
         "rel_small_qty_revenue": """
 WITH stats AS (

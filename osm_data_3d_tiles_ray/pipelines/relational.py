@@ -3034,3 +3034,293 @@ def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def product_profit(sf_dir: str, part_like: str = "red") -> "ray.data.Dataset":
+    """TPC-H Q9-shaped product-type profit: for lineitems of parts whose
+    name contains ``part_like``, profit = revenue − (part retail price ×
+    quantity), rolled up by the SUPPLIER's nation and the ORDER year.
+    (The reference TPC-H Q9 prices cost from ``partsupp.ps_supplycost``;
+    the driver's corpus has no partsupp table, so the part's retail price
+    stands in as the unit cost — the join/rollup shape is Q9's.)
+
+    Scale shape: the part filter + unit cost and the supplier→nation
+    attribute are bounded dimensions composed driver-side into sorted
+    lookup arrays (the Q5 pattern); the one genuinely unbounded join —
+    lineitem ⋈ orders for the order YEAR — runs as a single keyed
+    tag-union exchange on orderkey, carrying only (nat:int64, year:int16,
+    profit_cent:int64) per fact row, with per-(nation, year) partials
+    reduced inside each partition before the final 25×N_years groupby.
+
+    Integer-exact: profit_cent = floor(price·(1−disc)·100 + .5)
+    − floor(retail·100 + .5)·floor(qty + .5), summed in int64.
+
+    Output: (nation, o_year, profit_cent)."""
+    import pyarrow.parquet as pq
+
+    from .partition import map_key_partitions
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    m = pc.match_substring(part.column("p_name"), part_like)
+    part = part.filter(m)
+    pkey = part.column("p_partkey").to_numpy()
+    p_order = np.argsort(pkey)
+    pkey = pkey[p_order]
+    pcost = np.floor(
+        part.column("p_retailprice").to_numpy()[p_order] * 100 + 0.5
+    ).astype(np.int64)
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    skey = sup.column("s_suppkey").to_numpy()
+    snat = sup.column("s_nationkey").to_numpy()
+    s_order = np.argsort(skey)
+    skey, snat = skey[s_order], snat[s_order]
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pkey, pk), 0, max(len(pkey) - 1, 0))
+        keep = len(pkey) > 0 and pkey[pos] == pk
+        if np.ndim(keep) == 0:  # len(pkey) == 0
+            keep = np.zeros(len(batch), dtype=bool)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(price * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        cost = pcost[pos[keep]] * np.floor(qty + 0.5).astype(np.int64)
+        sp = np.clip(np.searchsorted(skey, sk), 0, max(len(skey) - 1, 0))
+        nat = np.where(skey[sp] == sk, snat[sp], -1).astype(np.int64)
+        m = nat >= 0  # inner-join semantics: unmatched supplier drops the row
+        return pa.table(
+            {
+                "key": pa.array(ok[m]),
+                "side": pa.array(np.ones(int(m.sum()), dtype=np.int8)),
+                "nat": pa.array(nat[m]),
+                "year": pa.array(np.zeros(int(m.sum()), dtype=np.int16)),
+                "cent": pa.array((rev - cost)[m]),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        if isinstance(od, pa.ChunkedArray):
+            od = od.combine_chunks()
+        year = (
+            od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("o_orderkey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "nat": pa.array(np.zeros(n, dtype=np.int64)),
+                "year": pa.array(year.astype(np.int16)),
+                "cent": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(line_rows, batch_format="pyarrow")
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def year_partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nat": pa.array([], type=pa.int64()),
+                "o_year": pa.array([], type=pa.int64()),
+                "p_cent": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        nat = tbl.column("nat").to_numpy(zero_copy_only=False)
+        year = tbl.column("year").to_numpy(zero_copy_only=False)
+        cent = tbl.column("cent").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))  # order row (side 0) first per key
+        key, side, nat, year, cent = (
+            key[order], side[order], nat[order], year[order], cent[order]
+        )
+        new = np.concatenate([[True], key[1:] != key[:-1]])
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        has_order = side[starts] == 0
+        o_year = year[starts].astype(np.int64)  # valid where has_order
+        fact = (side == 1) & has_order[run_id]
+        if not fact.any():
+            return empty
+        code = nat[fact] * 4096 + (o_year[run_id[fact]] - 1970)
+        uk, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cent[fact])
+        return pa.table(
+            {
+                "nat": pa.array(uk // 4096),
+                "o_year": pa.array(uk % 4096 + 1970),
+                "p_cent": pa.array(sums),
+            }
+        )
+
+    partials = map_key_partitions(lines.union(ords), ["key"], year_partial)
+    merged = partials.groupby(["nat", "o_year"]).aggregate(
+        ray.data.aggregate.Sum("p_cent", alias_name="profit_cent")
+    )
+
+    nat_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey = nat_tbl.column("n_nationkey").to_numpy()
+    nname = np.asarray(nat_tbl.column("n_name").to_pylist(), dtype=object)
+    n_order = np.argsort(nkey)
+    nkey, nname = nkey[n_order], nname[n_order]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch.column("nat").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(nkey, nt), 0, max(len(nkey) - 1, 0))
+        return pa.table(
+            {
+                "nation": pa.array(nname[pos].astype(str)),
+                "o_year": pc.cast(batch.column("o_year"), pa.int64()),
+                "profit_cent": pc.cast(batch.column("profit_cent"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def promo_suppliers(sf_dir: str, part_like: str = "small") -> "ray.data.Dataset":
+    """TPC-H Q20-shaped potential-promotion suppliers: suppliers who, for
+    at least one part whose name starts with ``part_like``, shipped MORE
+    quantity inside 1995 than in all other years combined (2·qty_1995 >
+    qty_total — the reference Q20 compares ``ps_availqty`` against half
+    the window's shipped quantity; with no partsupp table in the corpus,
+    the all-time shipped quantity stands in for stock on hand, keeping
+    the correlated-threshold + semi-join shape).
+
+    Scale shape: the part-name filter broadcasts as a sorted partkey
+    array; per-batch partials pre-sum (qty_1995, qty_total) per
+    (partkey, suppkey) so the one groupby exchange carries two int64s
+    per distinct pair; qualifying pairs reduce to DISTINCT suppkeys via a
+    second (tiny, supplier-bounded) groupby; names attach from the
+    bounded supplier/nation dimensions.
+
+    Integer-exact throughout (quantities floor(q+.5), doubled compare).
+
+    Output: (s_name, n_name) — one row per qualifying supplier."""
+    import pyarrow.parquet as pq
+
+    lo_us = np.datetime64("1995-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64("1996-01-01", "us").astype(np.int64)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    part = part.filter(pc.starts_with(part.column("p_name"), part_like))
+    pkey = np.sort(part.column("p_partkey").to_numpy())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(pkey, pk), 0, max(len(pkey) - 1, 0))
+        keep = (pkey[pos] == pk) if len(pkey) else np.zeros(len(batch), bool)
+        if not keep.any():
+            return pa.table(
+                {
+                    "pk": pa.array([], type=pa.int64()),
+                    "sk": pa.array([], type=pa.int64()),
+                    "q95": pa.array([], type=pa.int64()),
+                    "qall": pa.array([], type=pa.int64()),
+                }
+            )
+        pk = pk[keep]
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False)[keep] + 0.5
+        ).astype(np.int64)
+        sd = batch.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        sd_us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        in95 = ((sd_us >= lo_us) & (sd_us < hi_us)).astype(np.int64)
+        order = np.lexsort((sk, pk))
+        pk, sk, qty, in95 = pk[order], sk[order], qty[order], in95[order]
+        new = np.concatenate(
+            [[True], (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        )
+        idx = np.flatnonzero(new)
+        return pa.table(
+            {
+                "pk": pa.array(pk[idx]),
+                "sk": pa.array(sk[idx]),
+                "q95": pa.array(np.add.reduceat(qty * in95, idx)),
+                "qall": pa.array(np.add.reduceat(qty, idx)),
+            }
+        )
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["pk", "sk"])
+        .aggregate(
+            ray.data.aggregate.Sum("q95", alias_name="s95"),
+            ray.data.aggregate.Sum("qall", alias_name="sall"),
+        )
+    )
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        s95 = pc.cast(batch.column("s95"), pa.int64()).to_numpy(zero_copy_only=False)
+        sall = pc.cast(batch.column("sall"), pa.int64()).to_numpy(zero_copy_only=False)
+        sk = batch.column("sk").to_numpy(zero_copy_only=False)
+        return pa.table({"sk": pa.array(np.unique(sk[2 * s95 > sall]))})
+
+    distinct = (
+        pairs.map_batches(qualifying, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(ray.data.aggregate.Count(alias_name="n"))
+    )
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    skey = sup.column("s_suppkey").to_numpy()
+    s_order = np.argsort(skey)
+    skey = skey[s_order]
+    sname = np.asarray(sup.column("s_name").to_pylist(), dtype=object)[s_order]
+    snat = sup.column("s_nationkey").to_numpy()[s_order]
+    nat_tbl = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey = nat_tbl.column("n_nationkey").to_numpy()
+    nname = np.asarray(nat_tbl.column("n_name").to_pylist(), dtype=object)
+    n_order = np.argsort(nkey)
+    nkey, nname = nkey[n_order], nname[n_order]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sk = batch.column("sk").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(skey, sk), 0, max(len(skey) - 1, 0))
+        ok = skey[pos] == sk
+        pos = pos[ok]
+        np_ = np.clip(np.searchsorted(nkey, snat[pos]), 0, max(len(nkey) - 1, 0))
+        return pa.table(
+            {
+                "s_name": pa.array(sname[pos].astype(str)),
+                "n_name": pa.array(nname[np_].astype(str)),
+            }
+        )
+
+    return distinct.map_batches(finish, batch_format="pyarrow")
