@@ -313,9 +313,12 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
-    merged = base.union(per_part).groupby("doc_id").aggregate(
-        ray.data.aggregate.Sum("p_grams", alias_name="n_grams"),
-        ray.data.aggregate.Sum("p_novel", alias_name="n_novel"),
+    from .partition import sum_by_key
+
+    merged = sum_by_key(
+        base.union(per_part),
+        ["doc_id"],
+        {"p_grams": "n_grams", "p_novel": "n_novel"},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -724,12 +727,18 @@ def span_dedup(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
     signal for stripping repeated headers/footers from interleaved docs.
 
     Scale shape: stage 1 flattens each batch to fixed-width
-    (h1, h2, doc_num, chars) rows — the span TEXT never shuffles, only
-    its 128-bit hash; ONE text-hash exchange co-locates each distinct
-    text's rows, a segment pass counts distinct docs per run (rows sort
-    (h, doc), so distinct docs = doc-boundary count) and flags rows in
-    runs touching >= 2 docs; a final doc-keyed groupby rolls up per-doc
-    span/char totals.
+    (h1, h2, doc_num, n, chars) rows COLLAPSED per (text, doc) — the span
+    TEXT never shuffles, only its 128-bit hash, and within-doc repeats of
+    one text ride as a count; each doc's span total rides the same
+    exchange as ONE side-0 row (keyed by its own doc hash — base rows
+    need no co-location, they only need to reach the final rollup), so
+    the source streams exactly once.  The text-hash exchange co-locates
+    each distinct text's rows, a segment pass counts distinct docs per
+    run (rows sort (h, doc), so distinct docs = run-boundary count) and
+    emits per-doc partials ONLY for runs touching >= 2 docs — the final
+    doc-keyed groupby therefore aggregates one base row per doc plus the
+    (sparse) duplicate partials, not one row per span: the second
+    all-to-all shrinks from O(spans) to O(docs + dup partials).
 
     Output: (doc_id, n_text_spans, n_dup_spans, dup_chars)."""
     import polars as pl
@@ -761,12 +770,38 @@ def span_dedup(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
             .to_numpy(zero_copy_only=False)
         )
         row = np.repeat(np.arange(len(batch), dtype=np.int64), n_spans)[keep]
+        dn = doc_num[row]
+        # collapse per (text, doc): within-doc repeats become a count
+        order = np.lexsort((dn, h2, h1))
+        h1, h2, dn, ch = h1[order], h2[order], dn[order], chars[order]
+        starts = run_starts(h1, h2, dn)
+        idx = np.flatnonzero(starts)
+        n = np.diff(np.append(idx, len(h1)))
+        ch_sum = np.add.reduceat(ch, idx) if len(idx) else ch[:0]
+        # one side-0 base row per doc carries its textual-span total;
+        # its hash slot is the doc hash (any value — base rows are
+        # reduced per doc, never per text run)
+        n_text = np.bincount(row, minlength=len(batch)).astype(np.int64)
+        has_text = n_text > 0  # the rollup keys on textual spans only
+        n_text = n_text[has_text]
+        all_docs = doc_num[has_text]
         return pa.table(
             {
-                "h1": pa.array(h1),
-                "h2": pa.array(h2),
-                "doc_num": pa.array(doc_num[row]),
-                "chars": pa.array(chars),
+                "h1": pa.array(np.concatenate([h1[idx], all_docs])),
+                "h2": pa.array(
+                    np.concatenate([h2[idx], np.zeros(len(all_docs), np.int64)])
+                ),
+                "doc_num": pa.array(np.concatenate([dn[idx], all_docs])),
+                "n": pa.array(np.concatenate([n, n_text])),
+                "chars": pa.array(np.concatenate([ch_sum, np.zeros(len(all_docs), np.int64)])),
+                "side": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(idx), dtype=np.int8),
+                            np.zeros(len(all_docs), dtype=np.int8),
+                        ]
+                    )
+                ),
             }
         )
 
@@ -781,45 +816,71 @@ def span_dedup(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
         )
         if len(tbl) == 0:
             return empty
-        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
-        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
-        dn = tbl.column("doc_num").to_numpy(zero_copy_only=False)
-        ch = tbl.column("chars").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        dn_all = tbl.column("doc_num").to_numpy(zero_copy_only=False)
+        n_all = tbl.column("n").to_numpy(zero_copy_only=False)
+        is_text = side == 1
+        base = pa.table(
+            {
+                "doc_num": pa.array(dn_all[~is_text]),
+                "p_spans": pa.array(n_all[~is_text]),
+                "p_dup": pa.array(np.zeros(int((~is_text).sum()), np.int64)),
+                "p_chars": pa.array(np.zeros(int((~is_text).sum()), np.int64)),
+            }
+        )
+        if not is_text.any():
+            return base
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)[is_text]
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)[is_text]
+        dn = dn_all[is_text]
+        n = n_all[is_text]
+        ch = tbl.column("chars").to_numpy(zero_copy_only=False)[is_text]
         order = np.lexsort((dn, h2, h1))
-        h1, h2, dn, ch = h1[order], h2[order], dn[order], ch[order]
+        h1, h2, dn, n, ch = h1[order], h2[order], dn[order], n[order], ch[order]
+        # rows are already distinct (text, doc) pairs, so a text run's
+        # length IS its distinct-doc count
         text_start = run_starts(h1, h2)
-        doc_start = run_starts(h1, h2, dn)
         idx = np.flatnonzero(text_start)
         run_len = np.diff(np.append(idx, len(h1)))
-        n_docs = np.add.reduceat(doc_start.astype(np.int64), idx)
-        is_dup = np.repeat(n_docs >= 2, run_len)
-        ud, inv = np.unique(dn, return_inverse=True)
-        p_spans = np.bincount(inv, minlength=len(ud)).astype(np.int64)
-        p_dup = np.bincount(inv, weights=is_dup, minlength=len(ud)).astype(
+        is_dup = np.repeat(run_len >= 2, run_len)
+        if not is_dup.any():
+            return base
+        dnd, nd, chd = dn[is_dup], n[is_dup], ch[is_dup]
+        ud, inv = np.unique(dnd, return_inverse=True)
+        p_dup = np.bincount(inv, weights=nd, minlength=len(ud)).astype(
             np.int64
         )
         p_chars = np.bincount(
-            inv, weights=ch * is_dup, minlength=len(ud)
+            inv, weights=chd, minlength=len(ud)
         ).astype(np.int64)
-        return pa.table(
+        dup = pa.table(
             {
                 "doc_num": pa.array(ud),
-                "p_spans": pa.array(p_spans),
+                "p_spans": pa.array(np.zeros(len(ud), np.int64)),
                 "p_dup": pa.array(p_dup),
                 "p_chars": pa.array(p_chars),
             }
         )
+        return pa.concat_tables([base, dup])
 
     rows = (
         documents_ds(sf_dir)
         .select_columns(["doc_id", "spans"])
         .map_batches(stage1, batch_format="pyarrow")
     )
+    from .partition import sum_by_key
+
     partials = map_key_partitions(rows, ["h1", "h2"], flag_dups, num_partitions)
-    merged = partials.groupby("doc_num").aggregate(
-        ray.data.aggregate.Sum("p_spans", alias_name="n_text_spans"),
-        ray.data.aggregate.Sum("p_dup", alias_name="n_dup_spans"),
-        ray.data.aggregate.Sum("p_chars", alias_name="dup_chars"),
+    # second exchange: sum_by_key, not groupby().aggregate() — Ray's hash
+    # aggregate measured ~5× the exchange cost at this key cardinality
+    merged = sum_by_key(
+        partials,
+        ["doc_num"],
+        {
+            "p_spans": "n_text_spans",
+            "p_dup": "n_dup_spans",
+            "p_chars": "dup_chars",
+        },
     )
 
     def finish(batch: pa.Table) -> pa.Table:

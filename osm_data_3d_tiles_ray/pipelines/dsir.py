@@ -200,9 +200,10 @@ def dsir_score(
     partials = ex.map_batches(
         score_block, batch_format="pyarrow", batch_size=None
     )
-    merged = partials.groupby("doc_id").aggregate(
-        ray.data.aggregate.Sum("p_ntok", alias_name="n_tok"),
-        ray.data.aggregate.Sum("p_score", alias_name="dsir_e6"),
+    from .partition import sum_by_key
+
+    merged = sum_by_key(
+        partials, ["doc_id"], {"p_ntok": "n_tok", "p_score": "dsir_e6"}
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -385,18 +386,17 @@ def curation_matrix(sf_dir: str) -> "ray.data.Dataset":
     ).materialize()
     d = dsir_score(sf_dir).map_batches(slot("d"), batch_format="pyarrow")
 
-    merged = (
-        base.union(q)
-        .union(k)
-        .union(c)
-        .union(d)
-        .groupby("doc_id")
-        .aggregate(
-            ray.data.aggregate.Sum("q", alias_name="q_keep"),
-            ray.data.aggregate.Sum("k", alias_name="dedup_keeper"),
-            ray.data.aggregate.Sum("c", alias_name="contaminated"),
-            ray.data.aggregate.Sum("d", alias_name="dsir_kept"),
-        )
+    from .partition import sum_by_key
+
+    merged = sum_by_key(
+        base.union(q).union(k).union(c).union(d),
+        ["doc_id"],
+        {
+            "q": "q_keep",
+            "k": "dedup_keeper",
+            "c": "contaminated",
+            "d": "dsir_kept",
+        },
     )
 
     def finish(batch: pa.Table) -> pa.Table:

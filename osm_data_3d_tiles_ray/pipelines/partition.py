@@ -206,3 +206,42 @@ def stencil_3x3(
         stencil_sum,
         num_partitions,
     )
+
+
+def sum_by_key(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    sums: dict[str, str],
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> "ray.data.Dataset":
+    """``groupby(keys).aggregate(Sum...)`` replacement for INTEGER
+    measures at high key cardinality: one keyed exchange + a
+    ``reduceat`` per partition, instead of Ray's per-key hash aggregate
+    (measured 5× the exchange cost at ~10^6 distinct keys).
+
+    ``sums`` maps source column → output column.  Integer-exact (int64
+    accumulate, association-free) — do NOT use for float measures that
+    an oracle compares exactly.
+    """
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            cols = {c: tbl.column(c) for c in key_cols}
+            for src, dst in sums.items():
+                cols[dst] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        keys = [
+            tbl.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+        ]
+        order = np.lexsort(keys[::-1])
+        sorted_keys = [k[order] for k in keys]
+        idx = np.flatnonzero(run_starts(*sorted_keys))
+        out = {c: pa.array(k[idx]) for c, k in zip(key_cols, sorted_keys)}
+        for src, dst in sums.items():
+            v = tbl.column(src).to_numpy(zero_copy_only=False)[order]
+            out[dst] = pa.array(
+                np.add.reduceat(v.astype(np.int64), idx)
+            )
+        return pa.table(out)
+
+    return map_key_partitions(ds, key_cols, fn, num_partitions)

@@ -1603,9 +1603,12 @@ def chunk_dedup(
         .map_batches(explode, batch_format="pyarrow")
     )
     partials = map_key_partitions(rows, ["h1"], part_fn, num_partitions)
-    g = partials.groupby("doc_id").aggregate(
-        ray.data.aggregate.Sum("n_chunks", alias_name="n_chunks"),
-        ray.data.aggregate.Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+    from .partition import sum_by_key
+
+    g = sum_by_key(
+        partials,
+        ["doc_id"],
+        {"n_chunks": "n_chunks", "n_dup_chunks": "n_dup_chunks"},
     )
 
     def cast_cols(batch: pa.Table) -> pa.Table:
@@ -2100,9 +2103,10 @@ def bigram_lm_score(sf_dir: str, num_partitions: int = 256) -> "ray.data.Dataset
         score_block, batch_format="pyarrow", batch_size=None
     )
 
-    merged = partials.groupby("doc_id").aggregate(
-        ray.data.aggregate.Sum("p_n", alias_name="n_bigrams"),
-        ray.data.aggregate.Sum("p_lp", alias_name="logprob_e6"),
+    from .partition import sum_by_key
+
+    merged = sum_by_key(
+        partials, ["doc_id"], {"p_n": "n_bigrams", "p_lp": "logprob_e6"}
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -2828,9 +2832,10 @@ def jaccard_word_pairs(
         attach_sizes,
         num_partitions,
     )
-    merged = halves.groupby(["doc_a", "doc_b"]).aggregate(
-        ray.data.aggregate.Sum("inter", alias_name="inter"),
-        ray.data.aggregate.Sum("nsz", alias_name="nsz"),
+    from .partition import sum_by_key
+
+    merged = sum_by_key(
+        halves, ["doc_a", "doc_b"], {"inter": "inter", "nsz": "nsz"}
     )
 
     def finish(batch: pa.Table) -> pa.Table:
