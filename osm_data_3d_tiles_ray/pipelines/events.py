@@ -714,15 +714,14 @@ def top_users(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
             }
         )
 
-    merged = (
+    from .partition import sum_by_key
+
+    merged = sum_by_key(
         _events(sf_dir)
         .select_columns(["user_id", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            ray.data.aggregate.Sum("p_sum", alias_name="total_value_e4"),
-            ray.data.aggregate.Sum("p_cnt", alias_name="n_events"),
-        )
+        .map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"p_sum": "total_value_e4", "p_cnt": "n_events"},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -1857,16 +1856,14 @@ def decayed_user_score(
             }
         )
 
-    merged = (
+    from .partition import sum_by_key
+
+    merged = sum_by_key(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            ray.data.aggregate.Sum("p_n", alias_name="n_events"),
-            ray.data.aggregate.Sum("p_w", alias_name="decayed_value_e6"),
-        )
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"p_n": "n_events", "p_w": "decayed_value_e6"},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -2217,9 +2214,10 @@ def type_top_values(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         _events(sf_dir)
         .select_columns(["event_type", "value"])
         .map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["event_type", "v_e6"])
-        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n"))
     )
+    from .partition import sum_by_key
+
+    merged = sum_by_key(merged, ["event_type", "v_e6"], {"p_n": "n"})
 
     def finish(batch: pa.Table) -> pa.Table:
         et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
@@ -2482,9 +2480,9 @@ def session_paths(
         ["user_id"],
         paths_part,
     )
-    merged = partials.groupby("path").aggregate(
-        ray.data.aggregate.Sum("p_n", alias_name="n_sessions")
-    )
+    from .partition import sum_by_key
+
+    merged = sum_by_key(partials, ["path"], {"p_n": "n_sessions"})
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -138,10 +138,12 @@ def q_zoom_rollup(sf_dir: str, z_top: int = 10) -> "ray.data.Dataset":
             }
         )
 
-    summed = (
-        assigned.map_batches(partial, batch_format="pyarrow")
-        .groupby("zkey")
-        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_buildings"))
+    from .partition import sum_by_key
+
+    summed = sum_by_key(
+        assigned.map_batches(partial, batch_format="pyarrow"),
+        ["zkey"],
+        {"p_n": "n_buildings"},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -1087,15 +1089,14 @@ def q_hexbin(sf_dir: str, size: float = 1000.0) -> "ray.data.Dataset":
             }
         )
 
-    return (
+    from .partition import sum_by_key
+
+    return sum_by_key(
         parsed_ds(sf_dir)
         .select_columns(["centroid_x", "centroid_y", "height"])
-        .map_batches(assign, batch_format="pyarrow")
-        .groupby(["hex_q", "hex_r"])
-        .aggregate(
-            ray.data.aggregate.Sum("p_n", alias_name="n_buildings"),
-            ray.data.aggregate.Sum("p_hdm", alias_name="sum_height_dm"),
-        )
+        .map_batches(assign, batch_format="pyarrow"),
+        ["hex_q", "hex_r"],
+        {"p_n": "n_buildings", "p_hdm": "sum_height_dm"},
     )
 
 
@@ -1494,12 +1495,14 @@ def q_media_density(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
+    from .partition import sum_by_key
+
+    return sum_by_key(
         parsed_ds(sf_dir)
         .select_columns(["centroid_x", "centroid_y", "media_refs"])
-        .map_batches(assign, batch_format="pyarrow")
-        .groupby(["tile_x", "tile_y", "family"])
-        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_media"))
+        .map_batches(assign, batch_format="pyarrow"),
+        ["tile_x", "tile_y", "family"],
+        {"p_n": "n_media"},
     )
 
 
@@ -1720,16 +1723,14 @@ def q_media_dispersion(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    per_tile = (
+    from .partition import sum_by_key
+
+    per_tile = sum_by_key(
         parsed_ds(sf_dir)
         .select_columns(["centroid_x", "centroid_y", "media_refs"])
-        .map_batches(partials, batch_format="pyarrow")
-        .groupby(["media_ref", "tile_x", "tile_y"])
-        .aggregate(
-            ray.data.aggregate.Sum("p_n", alias_name="n"),
-            ray.data.aggregate.Sum("p_scx", alias_name="scx"),
-            ray.data.aggregate.Sum("p_scy", alias_name="scy"),
-        )
+        .map_batches(partials, batch_format="pyarrow"),
+        ["media_ref", "tile_x", "tile_y"],
+        {"p_n": "n", "p_scx": "scx", "p_scy": "scy"},
     )
     rolled = per_tile.groupby("media_ref").aggregate(
         ray.data.aggregate.Sum("n", alias_name="n_spans"),
@@ -1798,15 +1799,14 @@ def q_hex_smooth(sf_dir: str, size: float = 1000.0) -> "ray.data.Dataset":
             }
         )
 
-    smoothed = (
+    from .partition import sum_by_key
+
+    smoothed = sum_by_key(
         q_hexbin(sf_dir, size=size)
         .drop_columns(["sum_height_dm"])
-        .map_batches(replicate, batch_format="pyarrow")
-        .groupby(["hex_q", "hex_r"])
-        .aggregate(
-            ray.data.aggregate.Sum("p_own", alias_name="n_local"),
-            ray.data.aggregate.Sum("p_hood", alias_name="n_hood"),
-        )
+        .map_batches(replicate, batch_format="pyarrow"),
+        ["hex_q", "hex_r"],
+        {"p_own": "n_local", "p_hood": "n_hood"},
     )
 
     def occupied(t: pa.Table) -> pa.Table:
@@ -1864,16 +1864,14 @@ def q_text_density(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
+    from .partition import sum_by_key
+
+    return sum_by_key(
         parsed_ds(sf_dir, keep_spans=True)
         .select_columns(["centroid_x", "centroid_y", "spans"])
-        .map_batches(partials, batch_format="pyarrow")
-        .groupby(["tile_x", "tile_y"])
-        .aggregate(
-            ray.data.aggregate.Sum("p_docs", alias_name="n_docs"),
-            ray.data.aggregate.Sum("p_chars", alias_name="text_chars"),
-            ray.data.aggregate.Sum("p_tags", alias_name="n_tags"),
-        )
+        .map_batches(partials, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        {"p_docs": "n_docs", "p_chars": "text_chars", "p_tags": "n_tags"},
     )
 
 
@@ -1946,17 +1944,19 @@ def q_idw(sf_dir: str, radius_cells: int = 2) -> "ray.data.Dataset":
         idw = (swh * np.int64(1000)) // np.maximum(sw, 1)
         return t.append_column("idw_e3", pa.array(idw))
 
-    return (
+    from .partition import sum_by_key
+
+    partials = (
         parsed_ds(sf_dir)
         .select_columns(["centroid_x", "centroid_y", "height"])
         .map_batches(contribute, batch_format="pyarrow")
-        .groupby(["cell_x", "cell_y"])
-        .aggregate(
-            ray.data.aggregate.Sum("p_sw", alias_name="sum_w"),
-            ray.data.aggregate.Sum("p_swh", alias_name="sum_wh"),
-        )
-        .map_batches(finish, batch_format="pyarrow")
     )
+    merged = sum_by_key(
+        partials,
+        ["cell_x", "cell_y"],
+        {"p_sw": "sum_w", "p_swh": "sum_wh"},
+    )
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 def _component_nodes(b: pa.Table) -> pa.Table:
     """(tile_x, tile_y, …) → packed CC node rows (node = tx<<20 | ty)."""

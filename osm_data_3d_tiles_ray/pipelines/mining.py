@@ -31,6 +31,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .partition import sum_by_key
+
 
 def _local_skyline(price: np.ndarray, date: np.ndarray):
     """Indices of the 2-D skyline (maximize both): p survives iff no q
@@ -179,8 +181,10 @@ def basket_pairs(sf_dir: str, k: int = 20) -> "pa.Table":
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     pair_partials = map_key_partitions(li, ["l_orderkey"], distinct_pairs)
-    counts = pair_partials.groupby(["part_a", "part_b"]).aggregate(
-        ray.data.aggregate.Sum("cnt", alias_name="n_orders")
+    # pair-keyed rollup via sum_by_key: pair cardinality grows with the
+    # part domain squared, far past Ray's per-key hash-aggregate sweet spot
+    counts = sum_by_key(
+        pair_partials, ["part_a", "part_b"], {"cnt": "n_orders"}
     )
 
     def topk_partial(batch: pa.Table) -> pa.Table:
@@ -333,10 +337,10 @@ def revenue_concentration(sf_dir: str) -> "pa.Table":
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="cent"))
-        .materialize()  # scanned twice: threshold + rollup
     )
+    spend = sum_by_key(
+        spend, ["c_custkey"], {"p_cent": "cent"}
+    ).materialize()  # scanned twice: threshold + rollup
     n = spend.count()
     k = -(-n // 10)  # ceil(n/10) top-decile size
     thr = exact_value_ranks(spend, "cent", [n - k + 1])[n - k + 1]
@@ -408,10 +412,10 @@ def spend_gini(sf_dir: str, bucket_bits: int = 16) -> "pa.Table":
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="cent"))
-        .materialize()  # scanned twice: bucket totals + rank resolve
     )
+    spend = sum_by_key(
+        spend, ["c_custkey"], {"p_cent": "cent"}
+    ).materialize()  # scanned twice: bucket totals + rank resolve
 
     def bucket_totals(batch: pa.Table) -> pa.Table:
         v = pc.cast(batch.column("cent"), pa.int64()).to_numpy(
@@ -526,9 +530,8 @@ def nation_spend_gini(sf_dir: str, bucket_bits: int = 16) -> "ray.data.Dataset":
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(ray.data.aggregate.Sum("p_cent", alias_name="cent"))
     )
+    spend = sum_by_key(spend, ["c_custkey"], {"p_cent": "cent"})
 
     # nation attach: one custkey-keyed tag-union exchange (customer is the
     # small side per partition; no broadcast of the customer table)

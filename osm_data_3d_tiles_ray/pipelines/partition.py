@@ -208,27 +208,35 @@ def stencil_3x3(
     )
 
 
-def sum_by_key(
+def reduce_by_key(
     ds: "ray.data.Dataset",
     key_cols: list[str],
-    sums: dict[str, str],
+    specs: list[tuple],
     num_partitions: int = DEFAULT_PARTITIONS,
 ) -> "ray.data.Dataset":
-    """``groupby(keys).aggregate(Sum...)`` replacement for INTEGER
-    measures at high key cardinality: one keyed exchange + a
-    ``reduceat`` per partition, instead of Ray's per-key hash aggregate
-    (measured 5× the exchange cost at ~10^6 distinct keys).
+    """``groupby(keys).aggregate(...)`` replacement at high key
+    cardinality: one keyed exchange + a segment ``reduceat`` per
+    partition, instead of Ray's per-key hash aggregate (measured ~5× the
+    exchange cost at ~10^6 distinct keys — the per-KEY constant
+    dominates past ~10^4 groups).
 
-    ``sums`` maps source column → output column.  Integer-exact (int64
-    accumulate, association-free) — do NOT use for float measures that
-    an oracle compares exactly.
+    ``specs`` is a list of ``(src_col, op, dst_col)`` with op in
+    {"sum", "min", "max", "count"}.  "sum" accumulates in int64
+    (integer-exact, association-free) — do NOT use it for float measures
+    an oracle compares exactly; "min"/"max" keep the source dtype (safe
+    for floats — order statistics are association-free); "count" counts
+    rows per key (src_col ignored).
     """
+    _UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
 
     def fn(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             cols = {c: tbl.column(c) for c in key_cols}
-            for src, dst in sums.items():
-                cols[dst] = pa.array([], type=pa.int64())
+            for src, op, dst in specs:
+                if op in ("sum", "count"):
+                    cols[dst] = pa.array([], type=pa.int64())
+                else:
+                    cols[dst] = tbl.column(src)
             return pa.table(cols)
         keys = [
             tbl.column(c).to_numpy(zero_copy_only=False) for c in key_cols
@@ -237,11 +245,30 @@ def sum_by_key(
         sorted_keys = [k[order] for k in keys]
         idx = np.flatnonzero(run_starts(*sorted_keys))
         out = {c: pa.array(k[idx]) for c, k in zip(key_cols, sorted_keys)}
-        for src, dst in sums.items():
+        n = len(sorted_keys[0])
+        for src, op, dst in specs:
+            if op == "count":
+                out[dst] = pa.array(np.diff(np.append(idx, n)))
+                continue
             v = tbl.column(src).to_numpy(zero_copy_only=False)[order]
-            out[dst] = pa.array(
-                np.add.reduceat(v.astype(np.int64), idx)
-            )
+            if op == "sum":
+                v = v.astype(np.int64)
+            out[dst] = pa.array(_UFUNC[op].reduceat(v, idx))
         return pa.table(out)
 
     return map_key_partitions(ds, key_cols, fn, num_partitions)
+
+
+def sum_by_key(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    sums: dict[str, str],
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Integer-Sum-only shorthand for :func:`reduce_by_key`."""
+    return reduce_by_key(
+        ds,
+        key_cols,
+        [(src, "sum", dst) for src, dst in sums.items()],
+        num_partitions,
+    )
