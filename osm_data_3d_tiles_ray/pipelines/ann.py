@@ -651,9 +651,11 @@ def semantic_dedup(
 
     Output: (vec_id, keep:int64 0/1, dup_of — smallest similar smaller
     id, or -1 for kept rows)."""
+    from .partition import reduce_by_key
+
     pairs = embedding_near_dup(sf_dir, threshold=threshold, n_planes=n_planes)
-    agg = pairs.groupby("vec_id").aggregate(
-        ray.data.aggregate.Min("dup_of", alias_name="dup_of_min")
+    agg = reduce_by_key(
+        pairs, ["vec_id"], [("dup_of", "min", "dup_of_min")]
     )
     drop_tbl = agg.to_pandas()  # bounded: one row per DROPPED vector
     if len(drop_tbl) == 0:  # to_pandas drops columns on empty datasets

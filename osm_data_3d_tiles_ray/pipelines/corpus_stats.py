@@ -129,10 +129,12 @@ def vocab_growth(
              "p_min": pa.array(mins)}
         )
 
-    first = (
-        docs.map_batches(partial_min, batch_format="pyarrow")
-        .groupby("term_hash")
-        .aggregate(ray.data.aggregate.Min("p_min", alias_name="first_doc"))
+    from .partition import reduce_by_key
+
+    first = reduce_by_key(
+        docs.map_batches(partial_min, batch_format="pyarrow"),
+        ["term_hash"],
+        [("p_min", "min", "first_doc")],
     )
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
@@ -582,11 +584,12 @@ def media_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        documents_ds(sf_dir)
-        .map_batches(pairs, batch_format="pyarrow")
-        .groupby(["ref_a", "ref_b"])
-        .aggregate(ray.data.aggregate.Sum("p_n", alias_name="n_docs"))
+    from .partition import sum_by_key
+
+    return sum_by_key(
+        documents_ds(sf_dir).map_batches(pairs, batch_format="pyarrow"),
+        ["ref_a", "ref_b"],
+        {"p_n": "n_docs"},
     )
 
 

@@ -1658,16 +1658,18 @@ def q_rasterize(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
+    from .partition import reduce_by_key
+
+    return reduce_by_key(
         parsed_ds(sf_dir)
         .select_columns(["minx", "miny", "maxx", "maxy", "height"])
-        .map_batches(burn, batch_format="pyarrow")
-        .groupby(["cell_x", "cell_y"])
-        .aggregate(
-            ray.data.aggregate.Sum("p_n", alias_name="n_buildings"),
-            ray.data.aggregate.Max("p_maxh", alias_name="max_height_dm"),
-            ray.data.aggregate.Sum("p_sumh", alias_name="sum_height_dm"),
-        )
+        .map_batches(burn, batch_format="pyarrow"),
+        ["cell_x", "cell_y"],
+        [
+            ("p_n", "sum", "n_buildings"),
+            ("p_maxh", "max", "max_height_dm"),
+            ("p_sumh", "sum", "sum_height_dm"),
+        ],
     )
 
 

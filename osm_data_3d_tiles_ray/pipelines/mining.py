@@ -262,14 +262,18 @@ def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
             columns=["o_custkey", "o_orderdate", "o_totalprice"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(
-            ray.data.aggregate.Max("p_rec", alias_name="recency_us"),
-            ray.data.aggregate.Sum("p_freq", alias_name="frequency"),
-            ray.data.aggregate.Sum("p_cent", alias_name="monetary_cent"),
-        )
-        .materialize()  # scanned twice per metric by the threshold passes
     )
+    from .partition import reduce_by_key
+
+    per_user = reduce_by_key(
+        per_user,
+        ["c_custkey"],
+        [
+            ("p_rec", "max", "recency_us"),
+            ("p_freq", "sum", "frequency"),
+            ("p_cent", "sum", "monetary_cent"),
+        ],
+    ).materialize()  # scanned twice per metric by the threshold passes
     n = per_user.count()
     r33, r67 = -(-33 * n // 100), -(-67 * n // 100)
     th = {}
