@@ -1161,6 +1161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_zorder": geo.q_zorder,
         "geo_media_density": geo.q_media_density,
         "geo_ring_areas": geo.q_ring_areas,
+        "geo_edge_stats": geo.q_edge_stats,
+        "geo_tile_height_p90": geo.q_tile_height_p90,
         "geo_rasterize": geo.q_rasterize,
         "geo_media_dispersion": geo.q_media_dispersion,
         "geo_hex_smooth": geo.q_hex_smooth,
@@ -1801,6 +1803,78 @@ GROUP BY 1, 2, 3
 """,
         # integer-exact shoelace per ring: millimeter-quantized coords,
         # differenced edge terms — exact integers, association-proof
+        "geo_edge_stats": f"""
+WITH b AS (
+  SELECT osm_id, coords, ring_offsets, len(coords) // 2 AS nv
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+  WHERE len(coords) > 0 AND len(ring_offsets) > 0
+), v AS (
+  SELECT osm_id, nv, (generate_subscripts(coords, 1) - 1) AS ci,
+         unnest(coords) AS val
+  FROM b
+), px AS (
+  SELECT osm_id, nv, ci // 2 AS vi,
+         CAST(FLOOR(MAX(CASE WHEN ci % 2 = 0 THEN val END) * 1000 + 0.5)
+              AS BIGINT) AS qx,
+         CAST(FLOOR(MAX(CASE WHEN ci % 2 = 1 THEN val END) * 1000 + 0.5)
+              AS BIGINT) AS qy
+  FROM v GROUP BY 1, 2, 3
+), r AS (
+  SELECT osm_id, nv, generate_subscripts(ring_offsets, 1) - 1 AS ring_idx,
+         unnest(ring_offsets) AS roff
+  FROM b
+), re AS (
+  SELECT osm_id, ring_idx, roff,
+         COALESCE(LEAD(roff) OVER (PARTITION BY osm_id ORDER BY ring_idx),
+                  nv) AS rend
+  FROM r
+), e AS (
+  SELECT p.osm_id, r.ring_idx, p.vi, p.qx, p.qy,
+         LEAD(p.qx) OVER (PARTITION BY p.osm_id, r.ring_idx ORDER BY p.vi)
+             - p.qx AS dx,
+         LEAD(p.qy) OVER (PARTITION BY p.osm_id, r.ring_idx ORDER BY p.vi)
+             - p.qy AS dy
+  FROM px p JOIN re r
+    ON r.osm_id = p.osm_id AND p.vi >= r.roff AND p.vi < r.rend
+), g AS (
+  SELECT osm_id, ring_idx, vi, dx, dy, dx * dx + dy * dy AS len2,
+         ROW_NUMBER() OVER (
+           PARTITION BY osm_id
+           ORDER BY dx * dx + dy * dy DESC, ring_idx, vi
+         ) AS rk
+  FROM e WHERE dx IS NOT NULL
+)
+SELECT osm_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(ABS(dx) + ABS(dy)) AS BIGINT) AS manh_perim_mm,
+       CAST(MAX(len2) AS BIGINT) AS max_edge_len2,
+       CAST(MAX(CASE WHEN rk = 1 THEN
+             CASE WHEN dy < 0 THEN 4 ELSE 0 END
+             + CASE WHEN dx < 0 THEN 2 ELSE 0 END
+             + CASE WHEN ABS(dy) > ABS(dx) THEN 1 ELSE 0 END
+           END) AS BIGINT) AS max_edge_oct
+FROM g GROUP BY osm_id
+""",
+        "geo_tile_height_p90": f"""
+WITH t AS (
+  SELECT CAST(FLOOR((centroid_x + {_W}) / {_T}) AS BIGINT) AS tile_x,
+         CAST(FLOOR(({_W} - centroid_y) / {_T}) AS BIGINT) AS tile_y,
+         CAST(FLOOR(height * 10 + 0.5) AS BIGINT) AS hdm
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+  WHERE height IS NOT NULL
+), c AS (
+  SELECT tile_x, tile_y, hdm, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY 1, 2, 3
+), w AS (
+  SELECT tile_x, tile_y, hdm,
+         SUM(cnt) OVER (PARTITION BY tile_x, tile_y ORDER BY hdm) AS cum,
+         SUM(cnt) OVER (PARTITION BY tile_x, tile_y) AS n
+  FROM c
+)
+SELECT tile_x, tile_y, CAST(MAX(n) AS BIGINT) AS n_heights,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN hdm END) AS BIGINT)
+           AS p90_dm
+FROM w GROUP BY 1, 2
+""",
         "geo_ring_areas": f"""
 WITH b AS (
   SELECT osm_id, coords, ring_offsets, len(coords) // 2 AS nv

@@ -1599,6 +1599,192 @@ def ring_areas_batch(batch: pa.Table) -> pa.Table:
 
 
 
+def q_edge_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-building footprint edge statistics, integer-exact: edge count,
+    Manhattan perimeter in quantized millimeters, and the squared length
+    + direction class of the LONGEST edge (tie → first in (ring, vertex)
+    order).  The direction class is the 3-bit code
+    ``(dy<0)·4 + (dx<0)·2 + (|dy|>|dx|)`` — a deterministic 8-way
+    partition of edge bearings built purely from integer comparisons, so
+    both engines agree bit-for-bit (no atan2 crosses the oracle; the
+    aspect-class trick of q_dem_slope applied to footprint edges).
+    Squared length, not length: edge norms need sqrt, which is not
+    association-free; len² in mm² is exact int64.
+
+    Scale shape: one vectorized map over parsed batches (global edge
+    arrays + bincount / reduceat per building run), no shuffle — output
+    is one row per building, the same cardinality as its input block.
+
+    Output: (osm_id, n_edges, manh_perim_mm, max_edge_len2,
+    max_edge_oct)."""
+
+    def edges(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        empty = pa.table(
+            {
+                "osm_id": pa.array([], type=pa.int64()),
+                "n_edges": pa.array([], type=pa.int64()),
+                "manh_perim_mm": pa.array([], type=pa.int64()),
+                "max_edge_len2": pa.array([], type=pa.int64()),
+                "max_edge_oct": pa.array([], type=pa.int64()),
+            }
+        )
+        coords = batch.column("coords")
+        if isinstance(coords, pa.ChunkedArray):
+            coords = coords.combine_chunks()
+        roffs = batch.column("ring_offsets")
+        if isinstance(roffs, pa.ChunkedArray):
+            roffs = roffs.combine_chunks()
+        oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        flat = np.asarray(coords.values, dtype=np.float64)
+        if len(flat) < 4:
+            return empty
+        co = np.asarray(coords.offsets, dtype=np.int64)
+        nv_row = (co[1:] - co[:-1]) // 2
+        vstart_row = co[:-1] // 2
+        ro = np.asarray(roffs.offsets, dtype=np.int64)
+        rings_per_row = ro[1:] - ro[:-1]
+        rvals = np.asarray(roffs.values, dtype=np.int64)
+        if rvals.size == 0:
+            return empty
+        ring_row = np.repeat(np.arange(len(batch)), rings_per_row)
+        ring_start = rvals + vstart_row[ring_row]
+        ring_end = np.empty_like(ring_start)
+        ring_end[:-1] = ring_start[1:]
+        last_of_row = np.flatnonzero(np.diff(ring_row, append=-1) != 0)
+        ring_end[last_of_row] = (vstart_row + nv_row)[ring_row[last_of_row]]
+        qx = np.floor(flat[0::2] * 1000.0 + 0.5).astype(np.int64)
+        qy = np.floor(flat[1::2] * 1000.0 + 0.5).astype(np.int64)
+        dx = qx[1:] - qx[:-1]
+        dy = qy[1:] - qy[:-1]
+        n_edge = len(dx)
+        real = np.ones(n_edge, dtype=bool)
+        tails = ring_end - 1
+        real[tails[(tails >= 0) & (tails < n_edge)]] = False
+        erow = np.repeat(np.arange(len(batch)), nv_row)[:-1] if len(qx) else \
+            np.empty(0, np.int64)
+        # an edge whose endpoints straddle two buildings is already a
+        # ring tail (last ring of a building ends at the building end)
+        nb = len(batch)
+        n_edges = np.bincount(erow, weights=real, minlength=nb).astype(np.int64)
+        manh = np.bincount(
+            erow, weights=(np.abs(dx) + np.abs(dy)) * real, minlength=nb
+        ).astype(np.int64)
+        len2 = np.where(real, dx * dx + dy * dy, np.int64(-1))
+        estart = np.minimum(vstart_row, max(n_edge - 1, 0))
+        runmax = np.maximum.reduceat(len2, estart) if n_edge else np.full(nb, -1)
+        runmax = np.where(n_edges > 0, runmax, -1)
+        # first edge index attaining the run max (global order = (ring, vi))
+        cand = np.where(
+            (len2 == runmax[erow]) & real, np.arange(n_edge), n_edge
+        )
+        argmax = np.minimum.reduceat(cand, estart) if n_edge else np.full(nb, 0)
+        keep = n_edges > 0
+        am = np.minimum(argmax[keep], n_edge - 1)
+        oct_ = (
+            (dy[am] < 0).astype(np.int64) * 4
+            + (dx[am] < 0).astype(np.int64) * 2
+            + (np.abs(dy[am]) > np.abs(dx[am])).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "osm_id": pa.array(oid[keep]),
+                "n_edges": pa.array(n_edges[keep]),
+                "manh_perim_mm": pa.array(manh[keep]),
+                "max_edge_len2": pa.array(runmax[keep]),
+                "max_edge_oct": pa.array(oct_),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "coords", "ring_offsets"])
+        .map_batches(edges, batch_format="pyarrow")
+    )
+
+
+def q_tile_height_p90(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-tile 90th-percentile building height, computed as a
+    DISTRIBUTED counting quantile: heights quantize to decimeters (the
+    bounded domain makes the exact quantile a cumulative-count scan, no
+    sort of raw values), per-batch (tile, dm) partials collapse before
+    the one keyed exchange, and each tile's p90 is the smallest dm whose
+    cumulative count reaches ceil(0.9·n) — pure integers end to end
+    (``10·cum ≥ 9·n`` ⇔ ``cum ≥ ceil(0.9·n)``).
+
+    The per-key quantile pattern at cell cardinality: groupby-free,
+    scales with occupied tiles, never holds a tile's raw heights.
+
+    Output: (tile_x, tile_y, n_heights, p90_dm)."""
+    from .partition import map_key_partitions, run_starts, sum_by_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(cx) & np.isfinite(cy) & np.isfinite(h)
+        cx, cy, h = cx[ok], cy[ok], h[ok]
+        tx = np.floor((cx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)
+        ty = np.floor((WORLD_HALF - cy) / TILE_SIZE_Z16).astype(np.int64)
+        hdm = np.floor(h * 10 + 0.5).astype(np.int64)
+        key = (tx * np.int64(1 << 20) + ty) * np.int64(1 << 21) + hdm
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "tile_x": pa.array(uk // np.int64(1 << 41)),
+                "tile_y": pa.array((uk >> np.int64(21)) % np.int64(1 << 20)),
+                "hdm": pa.array(uk % np.int64(1 << 21)),
+                "p_cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = sum_by_key(
+        parsed_ds(sf_dir)
+        .select_columns(["centroid_x", "centroid_y", "height"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["tile_x", "tile_y", "hdm"],
+        {"p_cnt": "cnt"},
+    )
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tile_x": pa.array([], type=pa.int64()),
+                "tile_y": pa.array([], type=pa.int64()),
+                "n_heights": pa.array([], type=pa.int64()),
+                "p90_dm": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        tx = tbl.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = tbl.column("tile_y").to_numpy(zero_copy_only=False)
+        dm = tbl.column("hdm").to_numpy(zero_copy_only=False)
+        c = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((dm, ty, tx))
+        tx, ty, dm, c = tx[order], ty[order], dm[order], c[order]
+        idx = np.flatnonzero(run_starts(tx, ty))
+        run_len = np.diff(np.append(idx, len(tx)))
+        run_id = np.repeat(np.arange(len(idx)), run_len)
+        csum = np.cumsum(c)
+        base = np.repeat(csum[idx] - c[idx], run_len)
+        cum = csum - base
+        n = np.repeat(np.add.reduceat(c, idx), run_len)
+        hit = 10 * cum >= 9 * n
+        first_hit = np.where(hit, np.arange(len(tx)), len(tx))
+        sel = np.minimum.reduceat(first_hit, idx)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx[idx]),
+                "tile_y": pa.array(ty[idx]),
+                "n_heights": pa.array(np.add.reduceat(c, idx)),
+                "p90_dm": pa.array(dm[sel]),
+            }
+        )
+
+    return map_key_partitions(counts, ["tile_x", "tile_y"], pick)
+
+
 def q_rasterize(sf_dir: str) -> "ray.data.Dataset":
     """Vector→raster: burn every building's z16 bbox cover onto the tile
     grid and roll up per cell — count, max and total decimeter height
