@@ -1159,6 +1159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_local_moran": geo.q_local_moran,
         "geo_dem_slope": geo.q_dem_slope,
         "geo_zorder": geo.q_zorder,
+        "geo_hilbert": geo.q_hilbert,
+        "geo_nn_within": geo.q_nn_within,
         "geo_media_density": geo.q_media_density,
         "geo_ring_areas": geo.q_ring_areas,
         "geo_edge_stats": geo.q_edge_stats,
@@ -1615,6 +1617,49 @@ SELECT osm_id, CAST(tx AS INTEGER) AS tile_x, CAST(ty AS INTEGER) AS tile_y,
        CAST(x | (y << 1) AS BIGINT) AS morton,
        CAST((x | (y << 1)) >> 22 AS BIGINT) AS shard
 FROM s4
+""",
+        # Hilbert index over the z16 tile grid: reuses the S2 cells'
+        # recursive-CTE xy2d (integer-identical to geom/s2.py:hilbert_xy2d)
+        "geo_hilbert": f"""
+WITH RECURSIVE t AS (
+  SELECT osm_id, CAST(0 AS BIGINT) AS face,
+         CAST(FLOOR((centroid_x + {_W}) / {_T}) AS BIGINT) AS i,
+         CAST(FLOOR(({_W} - centroid_y) / {_T}) AS BIGINT) AS j
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), {_hilbert_sql('t', 16)}
+SELECT osm_id, CAST(i AS INTEGER) AS tile_x, CAST(j AS INTEGER) AS tile_y,
+       d AS hilbert_d, CAST(d >> 22 AS BIGINT) AS shard
+FROM h WHERE s = 0
+""",
+        # windowed nearest neighbor: candidates replicate to the 9 cells
+        # of a 150 m integer grid (quantized mm, offset non-negative so
+        # truncating // IS floor), equi-join on cell = the Ray exchange
+        "geo_nn_within": f"""
+WITH p AS (
+  SELECT osm_id,
+         CAST(FLOOR(centroid_x * 1000 + 0.5) AS BIGINT) + 20037508343 AS qx,
+         CAST(FLOOR(centroid_y * 1000 + 0.5) AS BIGINT) + 20037508343 AS qy
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), c AS (
+  SELECT osm_id, qx, qy, qx // 150000 AS cx, qy // 150000 AS cy FROM p
+), offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)) t(dx, dy)
+), rep AS (
+  SELECT c.osm_id, c.qx, c.qy, c.cx + o.dx AS cx, c.cy + o.dy AS cy
+  FROM c CROSS JOIN offs o
+), d AS (
+  SELECT h.osm_id, r.osm_id AS nn,
+         (h.qx - r.qx) * (h.qx - r.qx) + (h.qy - r.qy) * (h.qy - r.qy) AS d2
+  FROM c h JOIN rep r ON r.cx = h.cx AND r.cy = h.cy
+                     AND r.osm_id <> h.osm_id
+), rk AS (
+  SELECT osm_id, nn, d2,
+         ROW_NUMBER() OVER (PARTITION BY osm_id ORDER BY d2, nn) AS rn
+  FROM d
+)
+SELECT osm_id, nn AS nn_id, CAST(d2 AS BIGINT) AS nn_d2_mm2
+FROM rk WHERE rn = 1
 """,
         # media spans × map tiles (the interleaved×geo cross): spans join
         # their building through the doc's osm_id tag, exactly as parse does

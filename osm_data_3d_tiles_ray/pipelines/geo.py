@@ -1447,6 +1447,166 @@ def q_zorder(sf_dir: str, shard_bits: int = 10) -> "ray.data.Dataset":
     )
 
 
+def q_hilbert(sf_dir: str, shard_bits: int = 10) -> "ray.data.Dataset":
+    """Hilbert-curve index per building over the z16 tile grid, plus the
+    top-``shard_bits`` shard id — the locality-tighter sibling of
+    q_zorder (Hilbert has no diagonal jumps, so consecutive shard ranges
+    are edge-connected regions — tighter write locality for a
+    range-partitioned resumable tile writer; it is also the curve the
+    S2-analog cells of q_s2_cells walk, via the same
+    ``geom/s2.py:hilbert_xy2d`` kernel).  Same scale shape as q_zorder:
+    one vectorized map over parsed batches, no shuffle at any scale; the
+    shard id IS the partitioning a 256-node fleet would write output
+    directories by.
+
+    Output: (osm_id, tile_x, tile_y, hilbert_d, shard)."""
+    from ..geom.s2 import hilbert_xy2d
+
+    shift = np.int64(32 - shard_bits)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(cx) & np.isfinite(cy)
+        cx, cy, oid = cx[ok], cy[ok], oid[ok]
+        tx = np.floor((cx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)
+        ty = np.floor((WORLD_HALF - cy) / TILE_SIZE_Z16).astype(np.int64)
+        h = hilbert_xy2d(16, tx, ty)
+        return pa.table(
+            {
+                "osm_id": pa.array(oid),
+                "tile_x": pa.array(tx.astype(np.int32)),
+                "tile_y": pa.array(ty.astype(np.int32)),
+                "hilbert_d": pa.array(h),
+                "shard": pa.array(h >> shift),
+            }
+        )
+
+    return (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "centroid_x", "centroid_y"])
+        .map_batches(assign, batch_format="pyarrow")
+    )
+
+
+# 150 m neighbor-window grid for q_nn_within: cell edge in quantized
+# millimeters (integer, so cell assignment is bit-exact on both engines)
+# and the world-half offset that makes quantized coords non-negative
+# (floor division == truncation, no sign ambiguity between numpy and SQL).
+NN_CELL_MM = np.int64(150_000)
+NN_OFF_MM = np.int64(20_037_508_343)
+
+
+def q_nn_within(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
+    """Bounded-window nearest neighbor: for every building, the closest
+    OTHER building centroid within its 3×3 cell neighborhood on a 150 m
+    integer grid (Chebyshev window — a candidate is visible iff its cell
+    is within ±1 of the home cell; ties break to the lowest neighbor
+    osm_id).  This is the windowed-NN join a spatial engine runs corpus-
+    wide where q_knn answers point queries: J4's kNN primitive
+    (reference distance scan in /root/reference/generate-tileset.ts
+    tile-selection walk) turned into a self-join over ALL buildings,
+    with the window making the all-pairs problem local.
+
+    Scale shape: candidates replicate to their 9 neighbor cells (fixed
+    9× of 32-byte rows — no geometry travels), ONE cell-keyed hash
+    exchange co-locates each home cell with its full candidate window,
+    and in-partition pairing is a vectorized h×k rectangular cross
+    product per cell run (bounded by 9·density² — the same dense-urban
+    skew bound as q_overlap_pairs, on a 150 m cell).  Distances compare
+    as exact int64 mm² (no sqrt crosses the oracle).
+
+    Output: (osm_id, nn_id, nn_d2_mm2) — buildings with an empty window
+    emit no row, exactly as the oracle's inner join drops them."""
+    from .partition import map_key_partitions, run_starts
+
+    PACK = np.int64(1) << 20
+    offs = np.array(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], dtype=np.int64
+    )
+
+    def cover(batch: pa.Table) -> pa.Table:
+        oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        qx = np.floor(cx * 1000 + 0.5).astype(np.int64) + NN_OFF_MM
+        qy = np.floor(cy * 1000 + 0.5).astype(np.int64) + NN_OFF_MM
+        cellx = qx // NN_CELL_MM
+        celly = qy // NN_CELL_MM
+        n = len(oid)
+        rep = np.repeat(np.arange(n), len(offs))
+        dx = np.tile(offs[:, 0], n)
+        dy = np.tile(offs[:, 1], n)
+        return pa.table(
+            {
+                "cell": pa.array(
+                    (cellx[rep] + dx) * PACK + (celly[rep] + dy)
+                ),
+                "osm_id": pa.array(oid[rep]),
+                "qx": pa.array(qx[rep]),
+                "qy": pa.array(qy[rep]),
+                "home": pa.array(((dx == 0) & (dy == 0)).astype(np.int8)),
+            }
+        )
+
+    def nn_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "osm_id": pa.array([], type=pa.int64()),
+                "nn_id": pa.array([], type=pa.int64()),
+                "nn_d2_mm2": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+        osm = tbl.column("osm_id").to_numpy(zero_copy_only=False)
+        qx = tbl.column("qx").to_numpy(zero_copy_only=False)
+        qy = tbl.column("qy").to_numpy(zero_copy_only=False)
+        home = tbl.column("home").to_numpy(zero_copy_only=False)
+        # homes first within each cell run, so pair row i < h is a home
+        order = np.lexsort((osm, -home.astype(np.int64), cell))
+        cell, osm, qx, qy, home = (
+            a[order] for a in (cell, osm, qx, qy, home)
+        )
+        starts = np.flatnonzero(run_starts(cell))
+        k = np.diff(np.append(starts, len(cell)))
+        h = np.add.reduceat(home.astype(np.int64), starts)
+        hk = h * k
+        tot = int(hk.sum())
+        if tot == 0:
+            return empty
+        run_of_pair = np.repeat(np.arange(len(k)), hk)
+        pos = np.arange(tot) - np.repeat(np.cumsum(hk) - hk, hk)
+        kk = k[run_of_pair]
+        ia = np.repeat(starts, hk) + pos // kk
+        ib = np.repeat(starts, hk) + pos % kk
+        keep = osm[ia] != osm[ib]
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return empty
+        d2 = (qx[ia] - qx[ib]) ** 2 + (qy[ia] - qy[ib]) ** 2
+        # min per home row, tie → lowest neighbor osm_id
+        o2 = np.lexsort((osm[ib], d2, ia))
+        ia, ib, d2 = ia[o2], ib[o2], d2[o2]
+        first = run_starts(ia)
+        return pa.table(
+            {
+                "osm_id": pa.array(osm[ia[first]]),
+                "nn_id": pa.array(osm[ib[first]]),
+                "nn_d2_mm2": pa.array(d2[first]),
+            }
+        )
+
+    covered = (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "centroid_x", "centroid_y"])
+        .map_batches(cover, batch_format="pyarrow")
+    )
+    return map_key_partitions(covered, ["cell"], nn_part, num_partitions)
+
+
 def q_media_density(sf_dir: str) -> "ray.data.Dataset":
     """Texture-media span density per z16 map tile — the interleaved×geo
     cross: each ``media`` span (``atlas://{family}/{name}``, the
