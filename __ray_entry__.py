@@ -1165,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_ring_areas": geo.q_ring_areas,
         "geo_edge_stats": geo.q_edge_stats,
         "geo_tile_height_p90": geo.q_tile_height_p90,
+        "geo_tile_orientation": geo.q_tile_orientation,
+        "geo_radius_count": geo.q_radius_count,
         "geo_rasterize": geo.q_rasterize,
         "geo_media_dispersion": geo.q_media_dispersion,
         "geo_hex_smooth": geo.q_hex_smooth,
@@ -1898,6 +1900,98 @@ SELECT osm_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
              + CASE WHEN ABS(dy) > ABS(dx) THEN 1 ELSE 0 END
            END) AS BIGINT) AS max_edge_oct
 FROM g GROUP BY osm_id
+""",
+        # per-tile modal longest-edge octant: the edge CTE of
+        # geo_edge_stats + centroid tile + mode with lowest-octant ties
+        "geo_tile_orientation": f"""
+WITH b AS (
+  SELECT osm_id, coords, ring_offsets, len(coords) // 2 AS nv,
+         CAST(FLOOR((centroid_x + {_W}) / {_T}) AS BIGINT) AS tile_x,
+         CAST(FLOOR(({_W} - centroid_y) / {_T}) AS BIGINT) AS tile_y
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+  WHERE len(coords) > 0 AND len(ring_offsets) > 0
+), v AS (
+  SELECT osm_id, nv, (generate_subscripts(coords, 1) - 1) AS ci,
+         unnest(coords) AS val
+  FROM b
+), px AS (
+  SELECT osm_id, nv, ci // 2 AS vi,
+         CAST(FLOOR(MAX(CASE WHEN ci % 2 = 0 THEN val END) * 1000 + 0.5)
+              AS BIGINT) AS qx,
+         CAST(FLOOR(MAX(CASE WHEN ci % 2 = 1 THEN val END) * 1000 + 0.5)
+              AS BIGINT) AS qy
+  FROM v GROUP BY 1, 2, 3
+), r AS (
+  SELECT osm_id, nv, generate_subscripts(ring_offsets, 1) - 1 AS ring_idx,
+         unnest(ring_offsets) AS roff
+  FROM b
+), re AS (
+  SELECT osm_id, ring_idx, roff,
+         COALESCE(LEAD(roff) OVER (PARTITION BY osm_id ORDER BY ring_idx),
+                  nv) AS rend
+  FROM r
+), e AS (
+  SELECT p.osm_id, r.ring_idx, p.vi, p.qx, p.qy,
+         LEAD(p.qx) OVER (PARTITION BY p.osm_id, r.ring_idx ORDER BY p.vi)
+             - p.qx AS dx,
+         LEAD(p.qy) OVER (PARTITION BY p.osm_id, r.ring_idx ORDER BY p.vi)
+             - p.qy AS dy
+  FROM px p JOIN re r
+    ON r.osm_id = p.osm_id AND p.vi >= r.roff AND p.vi < r.rend
+), g AS (
+  SELECT osm_id, dx, dy,
+         ROW_NUMBER() OVER (
+           PARTITION BY osm_id
+           ORDER BY dx * dx + dy * dy DESC, ring_idx, vi
+         ) AS rk
+  FROM e WHERE dx IS NOT NULL
+), o AS (
+  SELECT osm_id,
+         MAX(CASE WHEN rk = 1 THEN
+               CASE WHEN dy < 0 THEN 4 ELSE 0 END
+               + CASE WHEN dx < 0 THEN 2 ELSE 0 END
+               + CASE WHEN ABS(dy) > ABS(dx) THEN 1 ELSE 0 END
+             END) AS oct
+  FROM g GROUP BY osm_id
+), tb AS (
+  SELECT b.tile_x, b.tile_y, o.oct FROM o JOIN b USING (osm_id)
+), c AS (
+  SELECT tile_x, tile_y, oct, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tb GROUP BY 1, 2, 3
+), m AS (
+  SELECT tile_x, tile_y, oct, cnt,
+         SUM(cnt) OVER (PARTITION BY tile_x, tile_y) AS n,
+         ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                            ORDER BY cnt DESC, oct) AS rn
+  FROM c
+)
+SELECT tile_x, tile_y, CAST(n AS BIGINT) AS n_oriented,
+       CAST(oct AS BIGINT) AS modal_oct, cnt AS modal_cnt
+FROM m WHERE rn = 1
+""",
+        # windowed density: q_nn_within's replicated-grid join as a LEFT
+        # join so isolated buildings keep their zero
+        "geo_radius_count": f"""
+WITH p AS (
+  SELECT osm_id,
+         CAST(FLOOR(centroid_x * 1000 + 0.5) AS BIGINT) + 20037508343 AS qx,
+         CAST(FLOOR(centroid_y * 1000 + 0.5) AS BIGINT) + 20037508343 AS qy
+  FROM read_parquet('{_SYNTH_001}/buildings/*.parquet')
+), c AS (
+  SELECT osm_id, qx, qy, qx // 150000 AS cx, qy // 150000 AS cy FROM p
+), offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)) t(dx, dy)
+), rep AS (
+  SELECT c.osm_id, c.qx, c.qy, c.cx + o.dx AS cx, c.cy + o.dy AS cy
+  FROM c CROSS JOIN offs o
+)
+SELECT h.osm_id, CAST(COUNT(r.osm_id) AS BIGINT) AS n_within_100m
+FROM c h LEFT JOIN rep r
+  ON r.cx = h.cx AND r.cy = h.cy AND r.osm_id <> h.osm_id
+ AND (h.qx - r.qx) * (h.qx - r.qx) + (h.qy - r.qy) * (h.qy - r.qy)
+     <= 10000000000
+GROUP BY h.osm_id
 """,
         "geo_tile_height_p90": f"""
 WITH t AS (

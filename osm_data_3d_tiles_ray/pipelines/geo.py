@@ -1777,90 +1777,105 @@ def q_edge_stats(sf_dir: str) -> "ray.data.Dataset":
 
     Output: (osm_id, n_edges, manh_perim_mm, max_edge_len2,
     max_edge_oct)."""
-
-    def edges(batch: pa.Table) -> pa.Table:
-        batch = batch.combine_chunks()
-        empty = pa.table(
-            {
-                "osm_id": pa.array([], type=pa.int64()),
-                "n_edges": pa.array([], type=pa.int64()),
-                "manh_perim_mm": pa.array([], type=pa.int64()),
-                "max_edge_len2": pa.array([], type=pa.int64()),
-                "max_edge_oct": pa.array([], type=pa.int64()),
-            }
-        )
-        coords = batch.column("coords")
-        if isinstance(coords, pa.ChunkedArray):
-            coords = coords.combine_chunks()
-        roffs = batch.column("ring_offsets")
-        if isinstance(roffs, pa.ChunkedArray):
-            roffs = roffs.combine_chunks()
-        oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
-        flat = np.asarray(coords.values, dtype=np.float64)
-        if len(flat) < 4:
-            return empty
-        co = np.asarray(coords.offsets, dtype=np.int64)
-        nv_row = (co[1:] - co[:-1]) // 2
-        vstart_row = co[:-1] // 2
-        ro = np.asarray(roffs.offsets, dtype=np.int64)
-        rings_per_row = ro[1:] - ro[:-1]
-        rvals = np.asarray(roffs.values, dtype=np.int64)
-        if rvals.size == 0:
-            return empty
-        ring_row = np.repeat(np.arange(len(batch)), rings_per_row)
-        ring_start = rvals + vstart_row[ring_row]
-        ring_end = np.empty_like(ring_start)
-        ring_end[:-1] = ring_start[1:]
-        last_of_row = np.flatnonzero(np.diff(ring_row, append=-1) != 0)
-        ring_end[last_of_row] = (vstart_row + nv_row)[ring_row[last_of_row]]
-        qx = np.floor(flat[0::2] * 1000.0 + 0.5).astype(np.int64)
-        qy = np.floor(flat[1::2] * 1000.0 + 0.5).astype(np.int64)
-        dx = qx[1:] - qx[:-1]
-        dy = qy[1:] - qy[:-1]
-        n_edge = len(dx)
-        real = np.ones(n_edge, dtype=bool)
-        tails = ring_end - 1
-        real[tails[(tails >= 0) & (tails < n_edge)]] = False
-        erow = np.repeat(np.arange(len(batch)), nv_row)[:-1] if len(qx) else \
-            np.empty(0, np.int64)
-        # an edge whose endpoints straddle two buildings is already a
-        # ring tail (last ring of a building ends at the building end)
-        nb = len(batch)
-        n_edges = np.bincount(erow, weights=real, minlength=nb).astype(np.int64)
-        manh = np.bincount(
-            erow, weights=(np.abs(dx) + np.abs(dy)) * real, minlength=nb
-        ).astype(np.int64)
-        len2 = np.where(real, dx * dx + dy * dy, np.int64(-1))
-        estart = np.minimum(vstart_row, max(n_edge - 1, 0))
-        runmax = np.maximum.reduceat(len2, estart) if n_edge else np.full(nb, -1)
-        runmax = np.where(n_edges > 0, runmax, -1)
-        # first edge index attaining the run max (global order = (ring, vi))
-        cand = np.where(
-            (len2 == runmax[erow]) & real, np.arange(n_edge), n_edge
-        )
-        argmax = np.minimum.reduceat(cand, estart) if n_edge else np.full(nb, 0)
-        keep = n_edges > 0
-        am = np.minimum(argmax[keep], n_edge - 1)
-        oct_ = (
-            (dy[am] < 0).astype(np.int64) * 4
-            + (dx[am] < 0).astype(np.int64) * 2
-            + (np.abs(dy[am]) > np.abs(dx[am])).astype(np.int64)
-        )
-        return pa.table(
-            {
-                "osm_id": pa.array(oid[keep]),
-                "n_edges": pa.array(n_edges[keep]),
-                "manh_perim_mm": pa.array(manh[keep]),
-                "max_edge_len2": pa.array(runmax[keep]),
-                "max_edge_oct": pa.array(oct_),
-            }
-        )
-
     return (
         parsed_ds(sf_dir)
         .select_columns(["osm_id", "coords", "ring_offsets"])
-        .map_batches(edges, batch_format="pyarrow")
+        .map_batches(edge_stats_batch, batch_format="pyarrow")
     )
+
+
+def edge_stats_batch(batch: pa.Table) -> pa.Table:
+    """Whole-batch footprint edge statistics (see q_edge_stats).  If the
+    batch carries centroid columns, the kept rows additionally get their
+    z16 (tile_x, tile_y) — the composition hook q_tile_orientation uses."""
+    with_tile = "centroid_x" in batch.schema.names
+    batch = batch.combine_chunks()
+    cols = {
+        "osm_id": pa.array([], type=pa.int64()),
+        "n_edges": pa.array([], type=pa.int64()),
+        "manh_perim_mm": pa.array([], type=pa.int64()),
+        "max_edge_len2": pa.array([], type=pa.int64()),
+        "max_edge_oct": pa.array([], type=pa.int64()),
+    }
+    if with_tile:
+        cols["tile_x"] = pa.array([], type=pa.int64())
+        cols["tile_y"] = pa.array([], type=pa.int64())
+    empty = pa.table(cols)
+    coords = batch.column("coords")
+    if isinstance(coords, pa.ChunkedArray):
+        coords = coords.combine_chunks()
+    roffs = batch.column("ring_offsets")
+    if isinstance(roffs, pa.ChunkedArray):
+        roffs = roffs.combine_chunks()
+    oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+    flat = np.asarray(coords.values, dtype=np.float64)
+    if len(flat) < 4:
+        return empty
+    co = np.asarray(coords.offsets, dtype=np.int64)
+    nv_row = (co[1:] - co[:-1]) // 2
+    vstart_row = co[:-1] // 2
+    ro = np.asarray(roffs.offsets, dtype=np.int64)
+    rings_per_row = ro[1:] - ro[:-1]
+    rvals = np.asarray(roffs.values, dtype=np.int64)
+    if rvals.size == 0:
+        return empty
+    ring_row = np.repeat(np.arange(len(batch)), rings_per_row)
+    ring_start = rvals + vstart_row[ring_row]
+    ring_end = np.empty_like(ring_start)
+    ring_end[:-1] = ring_start[1:]
+    last_of_row = np.flatnonzero(np.diff(ring_row, append=-1) != 0)
+    ring_end[last_of_row] = (vstart_row + nv_row)[ring_row[last_of_row]]
+    qx = np.floor(flat[0::2] * 1000.0 + 0.5).astype(np.int64)
+    qy = np.floor(flat[1::2] * 1000.0 + 0.5).astype(np.int64)
+    dx = qx[1:] - qx[:-1]
+    dy = qy[1:] - qy[:-1]
+    n_edge = len(dx)
+    real = np.ones(n_edge, dtype=bool)
+    tails = ring_end - 1
+    real[tails[(tails >= 0) & (tails < n_edge)]] = False
+    erow = np.repeat(np.arange(len(batch)), nv_row)[:-1] if len(qx) else \
+        np.empty(0, np.int64)
+    # an edge whose endpoints straddle two buildings is already a
+    # ring tail (last ring of a building ends at the building end)
+    nb = len(batch)
+    n_edges = np.bincount(erow, weights=real, minlength=nb).astype(np.int64)
+    manh = np.bincount(
+        erow, weights=(np.abs(dx) + np.abs(dy)) * real, minlength=nb
+    ).astype(np.int64)
+    len2 = np.where(real, dx * dx + dy * dy, np.int64(-1))
+    estart = np.minimum(vstart_row, max(n_edge - 1, 0))
+    runmax = np.maximum.reduceat(len2, estart) if n_edge else np.full(nb, -1)
+    runmax = np.where(n_edges > 0, runmax, -1)
+    # first edge index attaining the run max (global order = (ring, vi))
+    cand = np.where(
+        (len2 == runmax[erow]) & real, np.arange(n_edge), n_edge
+    )
+    argmax = np.minimum.reduceat(cand, estart) if n_edge else np.full(nb, 0)
+    keep = n_edges > 0
+    am = np.minimum(argmax[keep], n_edge - 1)
+    oct_ = (
+        (dy[am] < 0).astype(np.int64) * 4
+        + (dx[am] < 0).astype(np.int64) * 2
+        + (np.abs(dy[am]) > np.abs(dx[am])).astype(np.int64)
+    )
+    out = {
+        "osm_id": pa.array(oid[keep]),
+        "n_edges": pa.array(n_edges[keep]),
+        "manh_perim_mm": pa.array(manh[keep]),
+        "max_edge_len2": pa.array(runmax[keep]),
+        "max_edge_oct": pa.array(oct_),
+    }
+    if with_tile:
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)[keep]
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)[keep]
+        out["tile_x"] = pa.array(
+            np.floor((cx + WORLD_HALF) / TILE_SIZE_Z16).astype(np.int64)
+        )
+        out["tile_y"] = pa.array(
+            np.floor((WORLD_HALF - cy) / TILE_SIZE_Z16).astype(np.int64)
+        )
+    return pa.table(out)
+
 
 
 def q_tile_height_p90(sf_dir: str) -> "ray.data.Dataset":
@@ -1943,6 +1958,181 @@ def q_tile_height_p90(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return map_key_partitions(counts, ["tile_x", "tile_y"], pick)
+
+
+def q_tile_orientation(sf_dir: str) -> "ray.data.Dataset":
+    """Per-tile modal footprint orientation: the most common longest-edge
+    direction class (edge_stats_batch's integer octant) among the tile's
+    buildings — the building-alignment statistic cartographic
+    generalization keys on (a tile whose buildings share a bearing gets
+    grid-aligned simplification).  Ties break to the lowest octant.
+
+    Scale shape: orientation octants come from the same no-shuffle edge
+    kernel as q_edge_stats (composition, not recompute-from-scratch
+    SQL), per-batch (tile, oct) partials collapse to ≤ 8 rows per
+    occupied tile before the ONE keyed exchange, and the modal pick is a
+    sorted segment scan per tile run — the q_tile_height_p90 pattern at
+    a bounded (8-value) domain.
+
+    Output: (tile_x, tile_y, n_oriented, modal_oct, modal_cnt)."""
+    from .partition import map_key_partitions, run_starts, sum_by_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tx = batch.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = batch.column("tile_y").to_numpy(zero_copy_only=False)
+        oc = batch.column("max_edge_oct").to_numpy(zero_copy_only=False)
+        key = (tx * np.int64(1 << 20) + ty) * np.int64(8) + oc
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "tile_x": pa.array(uk // np.int64(8 << 20)),
+                "tile_y": pa.array((uk >> np.int64(3)) % np.int64(1 << 20)),
+                "oct": pa.array(uk % np.int64(8)),
+                "p_cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = sum_by_key(
+        parsed_ds(sf_dir)
+        .select_columns(
+            ["osm_id", "coords", "ring_offsets", "centroid_x", "centroid_y"]
+        )
+        .map_batches(edge_stats_batch, batch_format="pyarrow")
+        .select_columns(["tile_x", "tile_y", "max_edge_oct"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["tile_x", "tile_y", "oct"],
+        {"p_cnt": "cnt"},
+    )
+
+    def modal(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tile_x": pa.array([], type=pa.int64()),
+                "tile_y": pa.array([], type=pa.int64()),
+                "n_oriented": pa.array([], type=pa.int64()),
+                "modal_oct": pa.array([], type=pa.int64()),
+                "modal_cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        tx = tbl.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = tbl.column("tile_y").to_numpy(zero_copy_only=False)
+        oc = tbl.column("oct").to_numpy(zero_copy_only=False)
+        c = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        # sort each tile's octants by (-count, oct): first row of the run
+        # is the mode with the lowest-octant tie rule
+        order = np.lexsort((oc, -c, ty, tx))
+        tx, ty, oc, c = tx[order], ty[order], oc[order], c[order]
+        idx = np.flatnonzero(run_starts(tx, ty))
+        n = np.add.reduceat(c, idx)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx[idx]),
+                "tile_y": pa.array(ty[idx]),
+                "n_oriented": pa.array(n),
+                "modal_oct": pa.array(oc[idx]),
+                "modal_cnt": pa.array(c[idx]),
+            }
+        )
+
+    return map_key_partitions(counts, ["tile_x", "tile_y"], modal)
+
+
+def q_radius_count(sf_dir: str, num_partitions: int = 64) -> "ray.data.Dataset":
+    """Exact windowed density: for EVERY building, the count of other
+    buildings whose centroid lies within 100 m (Euclidean, exact int64
+    mm² comparison — isolated buildings emit 0, unlike q_nn_within's
+    inner-join drop).  The density feature LOD budgeting and urban-core
+    detection key on.
+
+    Scale shape: identical to q_nn_within — 9× fixed-size candidate
+    replication on the 150 m integer grid (one cell ring strictly
+    contains the 100 m ball), ONE cell-keyed exchange, vectorized h×k
+    pairing per cell run, zero-count homes recovered from the home flag
+    without any second pass or join.
+
+    Output: (osm_id, n_within_100m)."""
+    from .partition import map_key_partitions, run_starts
+
+    R2 = np.int64(100_000) ** 2  # 100 m in quantized mm, squared
+    PACK = np.int64(1) << 20
+    offs = np.array(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], dtype=np.int64
+    )
+
+    def cover(batch: pa.Table) -> pa.Table:
+        oid = batch.column("osm_id").to_numpy(zero_copy_only=False)
+        cx = batch.column("centroid_x").to_numpy(zero_copy_only=False)
+        cy = batch.column("centroid_y").to_numpy(zero_copy_only=False)
+        qx = np.floor(cx * 1000 + 0.5).astype(np.int64) + NN_OFF_MM
+        qy = np.floor(cy * 1000 + 0.5).astype(np.int64) + NN_OFF_MM
+        cellx = qx // NN_CELL_MM
+        celly = qy // NN_CELL_MM
+        n = len(oid)
+        rep = np.repeat(np.arange(n), len(offs))
+        dx = np.tile(offs[:, 0], n)
+        dy = np.tile(offs[:, 1], n)
+        return pa.table(
+            {
+                "cell": pa.array((cellx[rep] + dx) * PACK + (celly[rep] + dy)),
+                "osm_id": pa.array(oid[rep]),
+                "qx": pa.array(qx[rep]),
+                "qy": pa.array(qy[rep]),
+                "home": pa.array(((dx == 0) & (dy == 0)).astype(np.int8)),
+            }
+        )
+
+    def count_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "osm_id": pa.array([], type=pa.int64()),
+                "n_within_100m": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+        osm = tbl.column("osm_id").to_numpy(zero_copy_only=False)
+        qx = tbl.column("qx").to_numpy(zero_copy_only=False)
+        qy = tbl.column("qy").to_numpy(zero_copy_only=False)
+        home = tbl.column("home").to_numpy(zero_copy_only=False)
+        order = np.lexsort((osm, -home.astype(np.int64), cell))
+        cell, osm, qx, qy, home = (
+            a[order] for a in (cell, osm, qx, qy, home)
+        )
+        starts = np.flatnonzero(run_starts(cell))
+        k = np.diff(np.append(starts, len(cell)))
+        h = np.add.reduceat(home.astype(np.int64), starts)
+        hk = h * k
+        tot = int(hk.sum())
+        counts = np.zeros(len(cell), dtype=np.int64)
+        if tot:
+            run_of_pair = np.repeat(np.arange(len(k)), hk)
+            pos = np.arange(tot) - np.repeat(np.cumsum(hk) - hk, hk)
+            kk = k[run_of_pair]
+            ia = np.repeat(starts, hk) + pos // kk
+            ib = np.repeat(starts, hk) + pos % kk
+            hit = (osm[ia] != osm[ib]) & (
+                (qx[ia] - qx[ib]) ** 2 + (qy[ia] - qy[ib]) ** 2 <= R2
+            )
+            counts = np.bincount(
+                ia[hit], minlength=len(cell)
+            ).astype(np.int64)
+        mine = home == 1
+        return pa.table(
+            {
+                "osm_id": pa.array(osm[mine]),
+                "n_within_100m": pa.array(counts[mine]),
+            }
+        )
+
+    covered = (
+        parsed_ds(sf_dir)
+        .select_columns(["osm_id", "centroid_x", "centroid_y"])
+        .map_batches(cover, batch_format="pyarrow")
+    )
+    return map_key_partitions(covered, ["cell"], count_part, num_partitions)
 
 
 def q_rasterize(sf_dir: str) -> "ray.data.Dataset":

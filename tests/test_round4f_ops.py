@@ -115,3 +115,82 @@ def test_nn_within_matches_bruteforce(ray_session):
     assert got["nn_d2_mm2"].tolist() == exp["nn_d2_mm2"].tolist()
     # symmetry sanity: the relation is not empty and distances positive
     assert (got["nn_d2_mm2"] > 0).all()
+
+
+def test_radius_count_matches_bruteforce(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.geo import q_nn_within, q_radius_count
+
+    got = (
+        _to_pandas(q_radius_count(SF_DIR))
+        .sort_values("osm_id")
+        .reset_index(drop=True)
+    )
+
+    b = _buildings()
+    osm = b["osm_id"].to_numpy()
+    qx = np.floor(b["centroid_x"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    qy = np.floor(b["centroid_y"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    # brute force over ALL pairs: the 150 m cell ring strictly contains
+    # the 100 m ball, so the window never clips a true neighbor
+    d2 = (qx[:, None] - qx[None, :]) ** 2 + (qy[:, None] - qy[None, :]) ** 2
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    dup = osm[:, None] == osm[None, :]
+    exp_cnt = ((d2 <= 100_000**2) & ~dup).sum(axis=1)
+    exp = (
+        pd.DataFrame({"osm_id": osm, "n_within_100m": exp_cnt})
+        .sort_values("osm_id")
+        .reset_index(drop=True)
+    )
+    # every building emits exactly one row, zeros included
+    assert len(got) == len(exp)
+    assert got["osm_id"].tolist() == exp["osm_id"].tolist()
+    assert got["n_within_100m"].tolist() == exp["n_within_100m"].tolist()
+    assert (got["n_within_100m"] == 0).any()
+    # coherence with the NN join: a 100 m-close NN implies count >= 1
+    nn = _to_pandas(q_nn_within(SF_DIR))
+    close = nn[nn["nn_d2_mm2"] <= 100_000**2]
+    merged = close.merge(got, on="osm_id")
+    assert (merged["n_within_100m"] >= 1).all()
+
+
+def test_tile_orientation_matches_bruteforce(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.geo import (
+        q_edge_stats,
+        q_tile_orientation,
+    )
+    from osm_data_3d_tiles_ray.constants import TILE_SIZE_Z16, WORLD_HALF
+
+    got = (
+        _to_pandas(q_tile_orientation(SF_DIR))
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    es = _to_pandas(q_edge_stats(SF_DIR))
+    b = pd.read_parquet(
+        f"{__import__('osm_data_3d_tiles_ray.synth.generator', fromlist=['ensure_synth']).ensure_synth(0.001)}/buildings",
+        columns=["osm_id", "centroid_x", "centroid_y"],
+    )
+    m = es.merge(b, on="osm_id")
+    m["tile_x"] = np.floor(
+        (m["centroid_x"].to_numpy() + WORLD_HALF) / TILE_SIZE_Z16
+    ).astype(np.int64)
+    m["tile_y"] = np.floor(
+        (WORLD_HALF - m["centroid_y"].to_numpy()) / TILE_SIZE_Z16
+    ).astype(np.int64)
+    exp_rows = []
+    for (tx, ty), grp in m.groupby(["tile_x", "tile_y"]):
+        counts = grp["max_edge_oct"].value_counts()
+        top = counts.max()
+        modal = min(o for o, c in counts.items() if c == top)
+        exp_rows.append((tx, ty, len(grp), modal, top))
+    exp = (
+        pd.DataFrame(
+            exp_rows,
+            columns=["tile_x", "tile_y", "n_oriented", "modal_oct", "modal_cnt"],
+        )
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for col in exp.columns:
+        assert got[col].tolist() == exp[col].tolist(), col
