@@ -1086,6 +1086,200 @@ FROM p GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# uint64 wrap-arithmetic SQL mirrors (near-dup / sketch family)
+#
+# DuckDB has no unsigned 64-bit type, so the engine's uint64 hash chains
+# (pipelines/textops.py: _minhash_batch / _simhash_batch) are mirrored in
+# HUGEINT kept in [0, 2^64) with explicit ``% 2^64`` wraps; xor/bit_count
+# run in the signed BIGINT domain (two's complement is bit-identical) and
+# convert back for unsigned comparisons/mins.
+
+_U64 = 1 << 64
+_I64 = 1 << 63
+_GOLD = 0x9E3779B97F4A7C15
+_FNV = 0x100000001B3
+
+
+def _u2s(x: str) -> str:
+    """HUGEINT in [0,2^64) → the same 64 bits as signed BIGINT."""
+    return (
+        f"(CASE WHEN ({x}) >= {_I64} THEN CAST(({x}) - {_U64} AS BIGINT) "
+        f"ELSE CAST(({x}) AS BIGINT) END)"
+    )
+
+
+def _s2u(x: str) -> str:
+    """Signed BIGINT → the same 64 bits as HUGEINT in [0,2^64)."""
+    return (
+        f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {_U64} "
+        f"ELSE CAST(({x}) AS HUGEINT) END)"
+    )
+
+
+def _xor_u(a: str, b: str) -> str:
+    """uint64 xor of two HUGEINT-in-[0,2^64) expressions."""
+    return _s2u(f"xor({_u2s(a)}, {_u2s(b)})")
+
+
+def _mulmod_u64(x: str, c: int) -> str:
+    """``x * c mod 2^64`` for HUGEINT ``x`` in [0,2^64) and a Python-int
+    constant ``c`` < 2^64 — split at 2^32 so no intermediate product
+    exceeds HUGEINT range (x_lo*c ≤ 2^96, x_hi*c ≤ 2^96)."""
+    return (
+        f"(((({x}) % 4294967296) * {c} + "
+        f"((({x}) // 4294967296) * {c} % 4294967296) * 4294967296) % {_U64})"
+    )
+
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(ord(substr(text, CAST(i AS INT), 1))
+            + 256 * ord(substr(text, CAST(i AS INT) + 1, 1))
+            + 65536 * ord(substr(text, CAST(i AS INT) + 2, 1))
+            + 16777216 * ord(substr(text, CAST(i AS INT) + 3, 1))
+           AS BIGINT) AS s
+  FROM documents, unnest(range(1, length(text) - 2)) AS u(i)
+  WHERE length(text) >= 4
+  UNION
+  SELECT doc_id, CAST(0 AS BIGINT) AS s
+  FROM documents WHERE length(text) < 4
+)"""
+
+
+def _minhash_buckets_ctes() -> str:
+    """CTE chain ending in ``bk(doc_id, band, band_key)`` — the exact LSH
+    band keys of ``textops._minhash_batch`` (64 perms × 16 bands, 4-byte
+    char shingles, h = s·a_i xor s>>7, FNV-fold band keys), expression by
+    expression in wrap arithmetic."""
+    perms = ", ".join(
+        f"({j}, CAST({((j + 1) * _GOLD) % _U64 | 1} AS HUGEINT))"
+        for j in range(64)
+    )
+    # per-shingle perm hash: (s*a mod 2^64) xor (s >> 7); s < 2^32 so the
+    # single HUGEINT product fits and s//128 is the unsigned shift
+    hv = _xor_u(f"(CAST(s AS HUGEINT) * a) % {_U64}", "CAST(s // 128 AS HUGEINT)")
+    # band-key FNV fold over the band's 4 perm minima (keys start at 0:
+    # k1 = s0; k_{r+1} = (k_r * FNV mod 2^64) xor s_r)
+    k = "s0"
+    for r in (1, 2, 3):
+        k = _xor_u(_mulmod_u64(k, _FNV), f"s{r}")
+    return f"""
+{_SHINGLE_CTE},
+perms(j, a) AS (VALUES {perms}),
+hv AS MATERIALIZED (
+  SELECT doc_id, j, MIN({hv}) AS sig
+  FROM sh CROSS JOIN perms GROUP BY 1, 2
+),
+piv AS (
+  SELECT doc_id, j // 4 AS band,
+         MAX(CASE WHEN j % 4 = 0 THEN sig END) AS s0,
+         MAX(CASE WHEN j % 4 = 1 THEN sig END) AS s1,
+         MAX(CASE WHEN j % 4 = 2 THEN sig END) AS s2,
+         MAX(CASE WHEN j % 4 = 3 THEN sig END) AS s3
+  FROM hv GROUP BY 1, 2
+),
+bk AS MATERIALIZED (
+  SELECT doc_id, band, {k} AS band_key FROM piv
+)"""
+
+
+def _minhash_pairs_sql() -> str:
+    """Oracle for ``textops.minhash_near_dup``: docs sharing any LSH band
+    bucket, paired with the bucket's smallest doc_id."""
+    return f"""
+WITH {_minhash_buckets_ctes()},
+mn AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, band_key) AS dup_of
+  FROM bk
+)
+SELECT DISTINCT doc_id, dup_of FROM mn WHERE doc_id > dup_of
+"""
+
+
+def _jaccard_ngram_pairs_sql(threshold_pct: int = 50) -> str:
+    """Oracle for ``textops.jaccard_ngram_pairs``: MinHash candidates
+    verified by exact shingle-set Jaccard, percentage rounded half-even
+    in pure integer arithmetic (np.round mirror)."""
+    return f"""
+WITH {_minhash_buckets_ctes()},
+mn AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, band_key) AS dup_of
+  FROM bk
+),
+cand AS (SELECT DISTINCT doc_id, dup_of FROM mn WHERE doc_id > dup_of),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_id, c.dup_of, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.dup_of AND b.s = a.s
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.doc_id, c.dup_of,
+         COALESCE(i.i, 0) AS i,
+         sa.n + sb.n - COALESCE(i.i, 0) AS u
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.dup_of = c.dup_of
+  JOIN sz sa ON sa.doc_id = c.doc_id
+  JOIN sz sb ON sb.doc_id = c.dup_of
+),
+r AS (
+  SELECT doc_id, dup_of, i, u,
+         (100 * i) // u AS f, 100 * i - ((100 * i) // u) * u AS rem
+  FROM j WHERE 2 * i >= u AND u > 0
+)
+SELECT doc_id, dup_of,
+       CAST(f + CASE WHEN 2 * rem > u THEN 1
+                     WHEN 2 * rem = u AND f % 2 = 1 THEN 1
+                     ELSE 0 END AS BIGINT) AS jaccard_pct
+FROM r
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    """Oracle for ``textops.simhash_near_dup``: 64-bit SimHash over char
+    shingles (h = s·GOLD xor s>>13, signed bit votes), 4×16-bit band
+    buckets, pairwise Hamming ≤ ``max_hamming`` within buckets."""
+    h = _xor_u(
+        f"(CAST(s AS HUGEINT) * {_GOLD}) % {_U64}", "CAST(s // 8192 AS HUGEINT)"
+    )
+    # sig as unsigned HUGEINT from the 64 positive-vote bits
+    return f"""
+WITH {_SHINGLE_CTE},
+hv AS MATERIALIZED (SELECT doc_id, {h} AS h FROM sh),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h // CAST(power(2::HUGEINT, j) AS HUGEINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS votes
+  FROM hv, unnest(range(0, 64)) AS u(j)
+  GROUP BY 1, 2
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN votes > 0
+              THEN CAST(power(2::HUGEINT, j) AS HUGEINT) END), 0) AS sig
+  FROM bits GROUP BY 1
+),
+bk AS (
+  SELECT doc_id, sig, band,
+         (sig // CAST(power(2::HUGEINT, band * 16) AS HUGEINT)) % 65536
+             AS band_key
+  FROM sig, unnest(range(0, 4)) AS u(band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS dup_of,
+         bit_count(xor({_u2s('a.sig')}, {_u2s('b.sig')})) AS hamming
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id > b.doc_id
+)
+SELECT doc_id, dup_of, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 def _q_geometry_stats(sf_dir: str) -> Any:
     import ray.data
 
@@ -2169,6 +2363,9 @@ FROM j
 SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY text
 """,
+        "minhash_near_dup": _minhash_pairs_sql(),
+        "jaccard_ngram_pairs": _jaccard_ngram_pairs_sql(),
+        "simhash_near_dup": _simhash_pairs_sql(),
         # Heaps-law vocabulary growth over word TRIGRAMS (hash identity on
         # the engine side ≡ string identity here, the decontaminate pattern)
         "vocab_growth": """
