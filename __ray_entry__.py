@@ -1280,6 +1280,199 @@ FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
+def _splitmix_ctes(src: str, h: str, d: str, carry: str) -> tuple[str, str]:
+    """Salted splitmix64 (``textops._splitmix64_salted``) as linear
+    MATERIALIZED CTE steps over HUGEINT-in-[0,2^64) column ``h`` with salt
+    column ``d``; final CTE carries ``carry`` plus ``smz``."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    steps = [
+        f"({h} + {d} + {_GOLD}) % {_U64}",
+        _mulmod_u64(_xor_u("z1", f"z1 // {1 << 30}"), c1),
+        _mulmod_u64(_xor_u("z2", f"z2 // {1 << 27}"), c2),
+        _xor_u("z3", f"z3 // {1 << 31}"),
+    ]
+    ctes, prev = [], src
+    for i, expr in enumerate(steps, start=1):
+        ctes.append(
+            f"smx{i} AS MATERIALIZED (SELECT {carry}, {expr} AS z{i} FROM {prev})"
+        )
+        prev = f"smx{i}"
+    return ",\n".join(ctes), prev
+
+
+def _term_counts_cms_sql(depth: int = 4, width: int = 1024, k: int = 10) -> str:
+    """Oracle for ``textops.term_counts_cms``: the Count-Min estimate is a
+    pure function of the term stream once the hashes are fixed — bucket
+    ``d`` of a term is salted-splitmix64 of its base-257 poly hash, the
+    counter is the summed count of ALL terms landing in that bucket, and
+    the estimate is the min over depths.  Probe terms are the exact
+    top-``k`` (same ordering as the ``top_terms`` oracle)."""
+    sm, last = _splitmix_ctes("hd", "h", "d", "w, c, d")
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE w <> '' GROUP BY 1),
+top AS (SELECT w AS term FROM cnt ORDER BY c DESC, w LIMIT {k}),
+pw AS (
+  WITH RECURSIVE pr(j, p) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL
+    SELECT j + 1, (p * 257) % {_U64} FROM pr
+    WHERE j < (SELECT MAX(length(w)) FROM cnt)
+  ) SELECT * FROM pr
+),
+ch AS (
+  SELECT w, CAST(i AS BIGINT) AS i,
+         CAST(ord(substr(w, CAST(i AS INT), 1)) AS HUGEINT) AS b,
+         CAST(length(w) AS BIGINT) AS L
+  FROM cnt, unnest(range(1, length(w) + 1)) AS u(i)
+),
+h0 AS MATERIALIZED (
+  SELECT ch.w, SUM(ch.b * pw.p) % {_U64} AS h
+  FROM ch JOIN pw ON pw.j = ch.L - ch.i GROUP BY 1
+),
+hd AS (
+  SELECT h0.w, cnt.c, h0.h, dd.d
+  FROM h0 JOIN cnt USING (w) CROSS JOIN (SELECT unnest(range(0, {depth})) AS d) dd
+),
+{sm},
+bkt AS (SELECT w, c, d, z4 % {width} AS idx FROM {last}),
+csum AS (SELECT d, idx, SUM(c) AS bc FROM bkt GROUP BY 1, 2)
+SELECT t.term, CAST(MIN(cs.bc) AS BIGINT) AS est_count
+FROM top t
+JOIN bkt b ON b.w = t.term
+JOIN csum cs ON cs.d = b.d AND cs.idx = b.idx
+GROUP BY 1
+"""
+
+
+def _hll_sql(p: int = 12) -> str:
+    """Oracle for ``events.distinct_users_hll``: the HLL estimate is a
+    pure function of the id set once the hash is fixed — splitmix64 per
+    distinct user, register = max rank per bucket (the engine's 6-step
+    halving cascade mirrored arithmetically: no bitwise ops, only
+    compares and in-range multiplies), Z as the integer S = Σ 2^(maxrank
+    − reg), and the identical double expression for the estimate with
+    the linear-counting branch."""
+    m = 1 << p
+    maxrank = 64 - p + 1
+    sm, last = _splitmix_ctes("hx", "h", "0", "h")
+    # halving cascade: (cur, rank) through shifts 32..1
+    casc, prev = [], "rr"
+    for i, s in enumerate((32, 16, 8, 4, 2, 1), start=1):
+        lim = 1 << (64 - s)
+        casc.append(
+            f"c{i} AS (SELECT idx, rest, "
+            f"rank + CASE WHEN cur = 0 THEN 0 WHEN cur < {lim} THEN {s} "
+            f"ELSE 0 END AS rank, "
+            f"CASE WHEN cur < {lim} THEN cur * {1 << s} ELSE cur END AS cur "
+            f"FROM {prev})"
+        )
+        prev = f"c{i}"
+    cascade = ",\n".join(casc)
+    alpha_est = (
+        f"((0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)})"
+        f" * {float(1 << maxrank)} / CAST(s_int AS DOUBLE)"
+    )
+    return f"""
+WITH u AS (SELECT DISTINCT CAST(user_id AS HUGEINT) AS h FROM events),
+hx AS (SELECT h FROM u),
+{sm},
+rr AS (
+  SELECT z4 // {1 << (64 - p)} AS idx,
+         (z4 * {1 << p}) % {_U64} AS rest,
+         CAST(1 AS BIGINT) AS rank,
+         (z4 * {1 << p}) % {_U64} AS cur
+  FROM {last}
+),
+{cascade},
+regs AS (
+  SELECT idx,
+         MAX(CASE WHEN rest = 0 THEN {maxrank}
+                  ELSE LEAST(rank, {maxrank}) END) AS reg
+  FROM c6 GROUP BY 1
+),
+agg AS (
+  SELECT SUM(CAST(power(2.0, {maxrank} - reg) AS HUGEINT)) AS s_occ,
+         COUNT(*) AS n_occ
+  FROM regs
+),
+fin AS (
+  SELECT s_occ + ({m} - n_occ) * CAST({1 << maxrank} AS HUGEINT) AS s_int,
+         {m} - n_occ AS zeros
+  FROM agg
+)
+SELECT CAST(ROUND(CASE WHEN {alpha_est} <= {2.5 * m} AND zeros > 0
+            THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+            ELSE {alpha_est} END) AS BIGINT) AS n_users_hll
+FROM fin
+"""
+
+
+def _tile_components_sql(rounds: int = 16) -> str:
+    """Oracle for ``geo.q_tile_components``: connected components of the
+    occupied z16 tile grid (4-connectivity), labels = min packed tile id
+    per component.  The label is algorithm-independent; plain hook +
+    pointer-jump unrolling stalls at label plateaus (only grid hooks
+    cross local minima → O(diameter) rounds), so the oracle unrolls the
+    same alternating LARGE-STAR / SMALL-STAR edge rewriting the engine
+    runs (Kiveris et al., SoCC'14 — O(log n) rounds); at the fixed point
+    every non-root node holds exactly one edge to its component min."""
+    ctes = []
+    prev = "e0"
+    for k in range(1, rounds + 1):
+        # large-star: center on every endpoint; n > c rewires to the
+        # center's neighborhood min
+        ctes.append(
+            f"""dl{k} AS MATERIALIZED (
+  SELECT DISTINCT c, n FROM (
+    SELECT u AS c, v AS n FROM {prev}
+    UNION ALL SELECT v, u FROM {prev})
+),
+ml{k} AS (SELECT c, LEAST(MIN(n), c) AS m FROM dl{k} GROUP BY 1),
+gl{k} AS MATERIALIZED (
+  SELECT DISTINCT d.n AS u, m.m AS v
+  FROM dl{k} d JOIN ml{k} m USING (c)
+  WHERE d.n > d.c AND d.n <> m.m
+)"""
+        )
+        # small-star: center on the larger endpoint; all smaller
+        # neighbors (and the center) rewire to the neighborhood min
+        ctes.append(
+            f"""ds{k} AS MATERIALIZED (
+  SELECT DISTINCT GREATEST(u, v) AS c, LEAST(u, v) AS n FROM gl{k}
+),
+ms{k} AS (SELECT c, MIN(n) AS m FROM ds{k} GROUP BY 1),
+es{k} AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT d.n AS u, m.m AS v FROM ds{k} d JOIN ms{k} m USING (c)
+    UNION ALL
+    SELECT c AS u, m AS v FROM ms{k})
+  WHERE u <> v
+)"""
+        )
+        prev = f"es{k}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH occ AS (
+  SELECT DISTINCT CAST(tile_x AS BIGINT) AS tx, CAST(tile_y AS BIGINT) AS ty
+  FROM ({_TILE_SQL})
+),
+n AS MATERIALIZED (SELECT tx, ty, tx * 1048576 + ty AS node FROM occ),
+e0 AS MATERIALIZED (
+  SELECT a.node AS u, b.node AS v
+  FROM n a JOIN n b ON b.tx = a.tx + 1 AND b.ty = a.ty
+  UNION ALL
+  SELECT a.node, b.node
+  FROM n a JOIN n b ON b.tx = a.tx AND b.ty = a.ty + 1
+),
+{chain},
+lab AS (SELECT u AS node, MIN(v) AS root FROM {prev} GROUP BY 1)
+SELECT CAST(n.tx AS INTEGER) AS tile_x, CAST(n.ty AS INTEGER) AS tile_y,
+       CAST(COALESCE(lab.root, n.node) AS BIGINT) AS component_id
+FROM n LEFT JOIN lab ON lab.node = n.node
+"""
+
+
 def _q_geometry_stats(sf_dir: str) -> Any:
     import ray.data
 
@@ -2363,6 +2556,9 @@ FROM j
 SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY text
 """,
+        "term_counts_cms": _term_counts_cms_sql(),
+        "events_distinct_users_hll": _hll_sql(),
+        "geo_tile_components": _tile_components_sql(),
         "minhash_near_dup": _minhash_pairs_sql(),
         "jaccard_ngram_pairs": _jaccard_ngram_pairs_sql(),
         "simhash_near_dup": _simhash_pairs_sql(),

@@ -409,8 +409,15 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> "pa.Table":
         regs = np.maximum(regs, np.asarray(row["regs"], dtype=np.int8))
 
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
+    # Z = Σ 2^-reg = S / 2^maxrank with S integer-EXACT (Python ints; the
+    # float-powers sum is association-sensitive past 53 bits of spread, so
+    # partial-order would leak into the estimate — and the DuckDB oracle
+    # reproduces the integer S bit-for-bit)
+    maxrank = 64 - p + 1
+    hist = np.bincount(regs.astype(np.int64), minlength=maxrank + 1)
+    s_int = sum(int(c) << (maxrank - r) for r, c in enumerate(hist) if c)
+    est = alpha * m * m * float(1 << maxrank) / float(s_int)
+    zeros = int(hist[0])
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)  # linear counting
     return pa.table({"n_users_hll": pa.array([int(round(est))], type=pa.int64())})

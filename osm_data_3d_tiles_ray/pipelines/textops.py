@@ -1202,6 +1202,40 @@ def _splitmix64_salted(x: np.ndarray, salt: int) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _poly257_u64(arr) -> np.ndarray:
+    """Base-257 polynomial hash of each UTF-8 string mod 2^64
+    (``h = Σ byte_i · 257^(L-1-i)``) — one whole-batch pass over the
+    Arrow buffers, no per-string Python.  Chosen over the library xxhash
+    because the DuckDB oracle reproduces it exactly in HUGEINT wrap
+    arithmetic (the ``doc_fingerprint`` convention).  Strings must be
+    non-empty (callers filter '' first)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
+    data = (
+        np.frombuffer(arr.buffers()[2], np.uint8)
+        if arr.buffers()[2]
+        else np.zeros(0, np.uint8)
+    )
+    lens = np.diff(offs)
+    total = int(lens.sum())
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    abs_idx = np.repeat(offs[:-1], lens) + within
+    exp = np.repeat(lens, lens) - 1 - within
+    maxlen = int(lens.max())
+    pw = np.empty(maxlen, dtype=np.uint64)
+    pw[0] = 1
+    for k in range(1, maxlen):
+        pw[k] = pw[k - 1] * np.uint64(257)
+    contrib = data[abs_idx].astype(np.uint64) * pw[exp]
+    return np.add.reduceat(contrib, starts)
+
+
 def term_counts_cms(
     sf_dir: str, depth: int = 4, width: int = 1024, probe_terms: int = 10
 ) -> "pa.Table":
@@ -1213,7 +1247,6 @@ def term_counts_cms(
     The reported rows are the Misra–Gries top terms re-estimated from the
     sketch — the classic candidates-from-MG + counts-from-CMS pairing.
     Output: (term, est_count)."""
-    import polars as pl
 
     def partial(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -1221,7 +1254,7 @@ def term_counts_cms(
             text = text.combine_chunks()
         flat = pc.split_pattern(text, " ").flatten()
         kept = flat.filter(pc.not_equal(flat, ""))
-        h = pl.from_arrow(kept).hash(seed=0xC35).to_numpy()
+        h = _poly257_u64(kept)
         mat = np.zeros((depth, width), dtype=np.int64)
         for d in range(depth):
             idx = (_splitmix64_salted(h.view(np.int64), d) % np.uint64(width)).astype(
@@ -1244,7 +1277,7 @@ def term_counts_cms(
 
     top = top_terms(sf_dir, k=probe_terms)
     terms = top.column("term").to_numpy(zero_copy_only=False)
-    th = pl.Series(terms.astype(object)).hash(seed=0xC35).to_numpy()
+    th = _poly257_u64(pa.array(terms.astype(object), type=pa.string()))
     ests = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
     for d in range(depth):
         idx = (_splitmix64_salted(th.view(np.int64), d) % np.uint64(width)).astype(
