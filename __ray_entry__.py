@@ -1473,6 +1473,50 @@ FROM n LEFT JOIN lab ON lab.node = n.node
 """
 
 
+def _tile_bfs_sql(horizon: int = 12, n_landmarks: int = 16) -> str:
+    """Oracle for ``geo.q_tile_bfs``: unrolled Bellman rounds (one per
+    hop of the horizon) over the occupied-tile 4-adjacency; label =
+    hops·2^42 + landmark id, numeric MIN = lexicographic (hops,
+    landmark) min."""
+    SH = 1 << 42
+    ctes, prev = [], "l0"
+    for k in range(1, horizon + 1):
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT e.v AS node, "
+            f"MIN(p.best + CASE WHEN e.u = e.v THEN 0 ELSE {SH} END) AS best "
+            f"FROM e JOIN {prev} p ON p.node = e.u GROUP BY 1)"
+        )
+        prev = f"l{k}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH cagg AS (
+  SELECT CAST(tile_x AS BIGINT) AS tx, CAST(tile_y AS BIGINT) AS ty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({_TILE_SQL}) GROUP BY 1, 2
+),
+n AS MATERIALIZED (SELECT tx, ty, tx * 1048576 + ty AS node, cnt FROM cagg),
+lm AS (SELECT node FROM n ORDER BY cnt DESC, node LIMIT {n_landmarks}),
+e0 AS (
+  SELECT a.node AS u, b.node AS v
+  FROM n a JOIN n b ON b.tx = a.tx + 1 AND b.ty = a.ty
+  UNION ALL
+  SELECT a.node, b.node
+  FROM n a JOIN n b ON b.tx = a.tx AND b.ty = a.ty + 1
+),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0
+  UNION ALL SELECT v, u FROM e0
+  UNION ALL SELECT node, node FROM n
+),
+l0 AS (SELECT node, node AS best FROM lm),
+{chain}
+SELECT CAST(n.tx AS INTEGER) AS tile_x, CAST(n.ty AS INTEGER) AS tile_y,
+       CAST(f.best // {SH} AS BIGINT) AS hops,
+       CAST(f.best % {SH} AS BIGINT) AS landmark
+FROM {prev} f JOIN n ON n.node = f.node
+"""
+
+
 def _q_geometry_stats(sf_dir: str) -> Any:
     import ray.data
 
@@ -1563,6 +1607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (transitive-closure CTE is ~n² pairs); exact BFS oracle in
         # tests/test_round4c_ops.py at sf0.001 AND sf0.01
         "geo_tile_components": geo.q_tile_components,
+        # bounded-horizon multi-source BFS (isochrone) from the densest tiles
+        "geo_tile_bfs": geo.q_tile_bfs,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
@@ -1743,6 +1789,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value_corr": diagnostics.type_value_corr,
         "source_lang_pmi": diagnostics.source_lang_pmi,
         "dup_span_coverage": textops.dup_span_coverage,
+        # content-defined chunking (FastCDC-shape local-boundary cuts) +
+        # exact chunk dedup across the corpus
+        "cdc_chunk_dedup": textops.cdc_chunk_dedup,
         "curriculum_rank": textops.curriculum_rank,
         "geo_range_join_sample": sampling.range_join_sample,
         "rle_run_stats": storage.rle_run_stats,
@@ -2559,6 +2608,7 @@ FROM documents GROUP BY text
         "term_counts_cms": _term_counts_cms_sql(),
         "events_distinct_users_hll": _hll_sql(),
         "geo_tile_components": _tile_components_sql(),
+        "geo_tile_bfs": _tile_bfs_sql(),
         "minhash_near_dup": _minhash_pairs_sql(),
         "jaccard_ngram_pairs": _jaccard_ngram_pairs_sql(),
         "simhash_near_dup": _simhash_pairs_sql(),
@@ -4360,6 +4410,56 @@ SELECT c.source, c.lang, c.n,
   CAST(FLOOR(LN(CAST(c.n * t.total AS DOUBLE) / (s.cs * l.cl))
              * 1000000 + 0.5) AS BIGINT) AS pmi_e6
 FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
+""",
+        # CDC: cut before 0-based window index i (1-based pos = i+1 > 1)
+        # when the 8-byte rolling hash ≡ 0 mod 64 — same windowed SUM(b·pw)
+        # as doc_fingerprint; chunk identity is the exact substring
+        "cdc_chunk_dedup": """
+WITH p AS (
+  SELECT * FROM (VALUES
+    (0, CAST(74051159531521793 AS HUGEINT)),
+    (1, CAST(288136807515649 AS HUGEINT)),
+    (2, CAST(1121154893057 AS HUGEINT)),
+    (3, CAST(4362470401 AS HUGEINT)),
+    (4, CAST(16974593 AS HUGEINT)),
+    (5, CAST(66049 AS HUGEINT)),
+    (6, CAST(257 AS HUGEINT)),
+    (7, CAST(1 AS HUGEINT))) AS p(j, pw)
+), c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS b,
+         CAST(length(text) AS BIGINT) AS L
+  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+), h AS (
+  SELECT doc_id, i - j AS pos,
+         SUM(b * pw) % 18446744073709551616 AS m
+  FROM c CROSS JOIN p
+  WHERE i - j >= 1 AND i - j <= L - 7
+  GROUP BY 1, 2
+), cuts AS (
+  SELECT doc_id, pos FROM h WHERE m % 64 = 0 AND pos > 1
+), bounds AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, pos FROM cuts
+    UNION ALL SELECT doc_id, 1 FROM documents
+    UNION ALL SELECT doc_id, length(text) + 1 FROM documents)
+), spans AS (
+  SELECT doc_id, pos AS s,
+         LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS e
+  FROM bounds
+), ck AS MATERIALIZED (
+  SELECT b.doc_id, substr(d.text, CAST(b.s AS INT), CAST(b.e - b.s AS INT)) AS chunk
+  FROM spans b JOIN documents d USING (doc_id) WHERE b.e IS NOT NULL
+), dd AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ck GROUP BY 1
+)
+SELECT ck.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_chunks,
+       CAST(COALESCE(SUM(CASE WHEN dd.nd >= 2 THEN length(ck.chunk) END), 0)
+           AS BIGINT) AS shared_chars
+FROM ck JOIN dd USING (chunk)
+GROUP BY 1
 """,
         "dup_span_coverage": """
 WITH t AS (

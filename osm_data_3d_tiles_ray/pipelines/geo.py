@@ -3741,3 +3741,142 @@ def q_distance_bands(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# bounded-horizon multi-source BFS over the occupied tile grid (session G)
+# --------------------------------------------------------------------------
+
+
+def q_tile_bfs(
+    sf_dir: str, horizon: int = 12, n_landmarks: int = 16
+) -> "ray.data.Dataset":
+    """Hop distance (4-adjacency, ≤ ``horizon``) from the ``n_landmarks``
+    densest tiles — the multi-source BFS / isochrone shape over the
+    occupied z16 grid: "how far is every urban tile from the nearest
+    hub".  Tiles beyond the horizon are absent from the output (the
+    bounded horizon is what makes the op streamable: exactly ``horizon``
+    keyed exchanges, independent of graph diameter).
+
+    Encoding: a label is ``hops·2^42 + landmark_node`` (packed landmark
+    ids < 2^40), so lexicographic (hops, landmark) minimisation is ONE
+    integer ``min`` — ties at equal distance resolve to the smallest
+    landmark id on both engines.
+
+    Scale shape: nodes = the occupied-tile aggregate; landmarks are a
+    distributed sort + ``limit(n)`` (bounded take, broadcast by
+    closure); each BFS round is one ``reduce_by_key`` min-exchange of
+    (node, label) rows with occupancy riding as a max-flag — never a
+    join against building rows; per-round ``materialize()`` keeps the
+    iterative lineage flat (the q_tile_components discipline).
+
+    Output: (tile_x, tile_y, hops, landmark)."""
+    from .partition import reduce_by_key
+
+    PACK = np.int64(1 << 20)
+    SH = np.int64(1 << 42)
+    SENT = np.int64(horizon + 1) * SH + PACK * PACK
+
+    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
+    stats = tile_stats(ownership_assignments(ds))
+
+    def pack_nodes(b: pa.Table) -> pa.Table:
+        tx = b.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = b.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = b.column("batch_length").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(tx * PACK + ty),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    nodes = stats.map_batches(pack_nodes, batch_format="pyarrow").materialize()
+    lm_rows = (
+        nodes.sort(["cnt", "node"], descending=[True, False])
+        .limit(n_landmarks)
+        .take_all()
+    )
+    lm = np.array(sorted(int(r["node"]) for r in lm_rows), dtype=np.int64)
+
+    def presence(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        n = len(node)
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "best": pa.array(np.full(n, SENT, dtype=np.int64)),
+                "occ": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    pres = nodes.map_batches(presence, batch_format="pyarrow").materialize()
+
+    import ray.data as rd
+
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(lm),
+                "best": pa.array(lm),  # hops 0 → label = landmark id
+                "occ": pa.array(np.zeros(len(lm), dtype=np.int64)),
+            }
+        )
+    )
+
+    _OFF = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)], dtype=np.int64)
+
+    def emit(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        best = b.column("best").to_numpy(zero_copy_only=False)
+        tx, ty = node // PACK, node % PACK
+        nx = (tx[:, None] + _OFF[:, 0][None, :]).ravel()
+        ny = (ty[:, None] + _OFF[:, 1][None, :]).ravel()
+        ok = (nx >= 0) & (ny >= 0)
+        nbest = (np.repeat(best, 4) + SH)[ok]
+        nnode = (nx * PACK + ny)[ok]
+        n_out = len(nnode) + len(node)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([node, nnode])),
+                "best": pa.array(np.concatenate([best, nbest])),
+                "occ": pa.array(np.zeros(n_out, dtype=np.int64)),
+            }
+        )
+
+    for _ in range(horizon):
+        emits = labels.map_batches(emit, batch_format="pyarrow")
+        red = reduce_by_key(
+            emits.union(pres),
+            ["node"],
+            [("best", "min", "best"), ("occ", "max", "occ")],
+        )
+
+        def keep(b: pa.Table) -> pa.Table:
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            best = b.column("best").to_numpy(zero_copy_only=False)
+            occ = b.column("occ").to_numpy(zero_copy_only=False)
+            m = (occ == 1) & (best < SENT)
+            return pa.table(
+                {
+                    "node": pa.array(node[m]),
+                    "best": pa.array(best[m]),
+                    "occ": pa.array(np.zeros(int(m.sum()), dtype=np.int64)),
+                }
+            )
+
+        labels = red.map_batches(keep, batch_format="pyarrow").repartition(8).materialize()
+
+    def finish(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        best = b.column("best").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": pa.array((node // PACK).astype(np.int32)),
+                "tile_y": pa.array((node % PACK).astype(np.int32)),
+                "hops": pa.array(best // SH),
+                "landmark": pa.array(best % SH),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")

@@ -3812,3 +3812,179 @@ def dup_source_matrix(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["src_a", "src_b"])
         .aggregate(ray.data.aggregate.Sum("p_n", alias_name="dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (FastCDC-shape) + exact chunk dedup
+
+
+def cdc_chunk_dedup(sf_dir: str, window: int = 8, mask_mod: int = 64) -> "ray.data.Dataset":
+    """Content-defined chunking dedup: split every document at positions
+    where the ``window``-byte rolling hash ≡ 0 (mod ``mask_mod``) — the
+    boundary depends only on LOCAL bytes (the CDC property behind
+    rsync/LBFS/FastCDC), so insertions shift chunk contents without
+    re-cutting the rest of the document — then count, per document, how
+    many of its chunks occur verbatim in ≥ 2 distinct documents (shared
+    boilerplate at sub-document granularity, robust to edits that break
+    whole-document exact dedup).
+
+    Output: (doc_id, n_chunks, n_shared_chunks, shared_chars).
+
+    Scale shape: chunk boundaries and per-doc chunk counts come from ONE
+    whole-batch sliding-window pass over the concatenated text buffer
+    (the ``doc_fingerprint`` kernel) — chunk strings are zero-copy offset
+    slices of that buffer; only 128-bit chunk digests + doc ids enter the
+    exchange (16 B/chunk), keyed by digest; a sorted segment pass counts
+    distinct docs per digest run and emits per-doc partials ONLY for
+    shared chunks, so the second exchange is O(docs + shared partials),
+    never O(chunks)."""
+    import polars as pl
+
+    from .partition import map_key_partitions, run_starts
+
+    K = int(window)
+    B = np.uint64(257)
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lb = text.cast(pa.large_binary())
+        offs = np.frombuffer(lb.buffers()[1], np.int64)[
+            lb.offset : lb.offset + len(lb) + 1
+        ]
+        buf = np.frombuffer(lb.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(batch)
+        Lb = len(buf)
+        if Lb >= K:
+            powers = (B ** np.arange(K, dtype=np.uint64))[::-1]
+            w = np.lib.stride_tricks.sliding_window_view(buf.astype(np.uint64), K)
+            h = (w * powers).sum(axis=1)
+            cand = np.flatnonzero(h % np.uint64(mask_mod) == 0)
+            d = np.searchsorted(offs, cand, side="right") - 1
+            keep = (cand - offs[d] >= 1) & (cand <= offs[d + 1] - K)
+            cuts = cand[keep]
+        else:
+            cuts = np.zeros(0, dtype=np.int64)
+        bounds = np.unique(np.concatenate([offs, cuts]))
+        starts = bounds[:-1]
+        chunk_doc = np.searchsorted(offs, starts, side="right") - 1
+        chunk_len = np.diff(bounds)
+        # zero-copy chunk strings: bounds (re-based to the original data
+        # buffer) ARE the large_string offsets
+        base = np.frombuffer(lb.buffers()[1], np.int64)[lb.offset]
+        chunks = pa.Array.from_buffers(
+            pa.large_string(),
+            len(starts),
+            [
+                None,
+                pa.py_buffer((bounds + base).astype(np.int64).tobytes()),
+                lb.buffers()[2],
+            ],
+        )
+        s = pl.from_arrow(chunks)
+        h1 = s.hash(seed=0xCDC1).to_numpy().view(np.int64)
+        h2 = s.hash(seed=0xCDC2).to_numpy().view(np.int64)
+        dn = doc[chunk_doc]
+        # collapse per (chunk digest, doc): within-doc repeats ride as counts
+        order = np.lexsort((dn, h2, h1))
+        h1o, h2o, dno = h1[order], h2[order], dn[order]
+        cl = chunk_len[order]
+        st = run_starts(h1o, h2o, dno)
+        idx = np.flatnonzero(st)
+        cnt = np.diff(np.append(idx, len(h1o)))
+        chars = np.add.reduceat(cl, idx) if len(idx) else cl[:0]
+        return pa.table(
+            {
+                "h1": pa.array(h1o[idx]),
+                "h2": pa.array(h2o[idx]),
+                "doc_id": pa.array(dno[idx]),
+                "cnt": pa.array(cnt),
+                "chars": pa.array(chars),
+            }
+        )
+
+    def base_counts(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lb = text.cast(pa.large_binary())
+        offs = np.frombuffer(lb.buffers()[1], np.int64)[
+            lb.offset : lb.offset + len(lb) + 1
+        ]
+        buf = np.frombuffer(lb.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        n = len(batch)
+        Lb = len(buf)
+        if Lb >= K:
+            powers = (B ** np.arange(K, dtype=np.uint64))[::-1]
+            w = np.lib.stride_tricks.sliding_window_view(buf.astype(np.uint64), K)
+            h = (w * powers).sum(axis=1)
+            cand = np.flatnonzero(h % np.uint64(mask_mod) == 0)
+            d = np.searchsorted(offs, cand, side="right") - 1
+            keep = (cand - offs[d] >= 1) & (cand <= offs[d + 1] - K)
+            n_cuts = np.bincount(d[keep], minlength=n)
+        else:
+            n_cuts = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chunks": pa.array(n_cuts + 1),
+                "n_shared_chunks": pa.array(np.zeros(n, np.int64)),
+                "shared_chars": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    rows = docs.map_batches(stage1, batch_format="pyarrow")
+
+    def shared_part(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chunks": pa.array([], type=pa.int64()),
+                "n_shared_chunks": pa.array([], type=pa.int64()),
+                "shared_chars": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        dn = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        chars = tbl.column("chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dn, h2, h1))
+        h1o, h2o, dno = h1[order], h2[order], dn[order]
+        co, cho = cnt[order], chars[order]
+        st = run_starts(h1o, h2o)
+        run_id = np.cumsum(st) - 1
+        n_docs_in_run = np.bincount(run_id)  # rows are (digest, doc)-distinct
+        shared = n_docs_in_run[run_id] >= 2
+        if not shared.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(dno[shared]),
+                "n_chunks": pa.array(np.zeros(int(shared.sum()), np.int64)),
+                "n_shared_chunks": pa.array(co[shared]),
+                "shared_chars": pa.array(cho[shared]),
+            }
+        )
+
+    partials = map_key_partitions(rows, ["h1", "h2"], shared_part)
+    base = docs.map_batches(base_counts, batch_format="pyarrow")
+
+    from .partition import sum_by_key
+
+    return sum_by_key(
+        base.union(partials),
+        ["doc_id"],
+        {
+            "n_chunks": "n_chunks",
+            "n_shared_chunks": "n_shared_chunks",
+            "shared_chars": "shared_chars",
+        },
+    )

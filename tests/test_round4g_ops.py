@@ -1,0 +1,154 @@
+"""Round-4 session-G operators: CDC chunk dedup, tile BFS."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _cdc_chunks_bruteforce(text: str, K: int = 8, mod: int = 64) -> list[str]:
+    """Per-doc reference: scalar rolling-hash cuts (independent reimpl)."""
+    b = text.encode("utf-8")
+    L = len(b)
+    cuts = []
+    for i in range(1, L - K + 1):
+        h = 0
+        for k in range(K):
+            h = (h * 257 + b[i + k]) % (1 << 64)
+        if h % mod == 0:
+            cuts.append(i)
+    bounds = [0] + cuts + [L]
+    return [b[s:e].decode("utf-8") for s, e in zip(bounds[:-1], bounds[1:])]
+
+
+def test_cdc_chunk_dedup_bruteforce(ray_session):
+    from osm_data_3d_tiles_ray.pipelines.textops import cdc_chunk_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        cdc_chunk_dedup(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    # brute force over the whole corpus
+    from collections import Counter, defaultdict
+
+    chunk_docs: dict[str, set] = defaultdict(set)
+    per_doc: dict[int, list[str]] = {}
+    for did, text in docs.items():
+        ch = _cdc_chunks_bruteforce(text)
+        per_doc[did] = ch
+        for c in ch:
+            chunk_docs[c].add(did)
+    exp = {}
+    for did, ch in per_doc.items():
+        shared = [c for c in ch if len(chunk_docs[c]) >= 2]
+        exp[did] = (len(ch), len(shared), sum(len(c) for c in shared))
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        e = exp[row.doc_id]
+        assert (row.n_chunks, row.n_shared_chunks, row.shared_chars) == e, row.doc_id
+
+    # CDC property: inserting a prefix far from a chunk must not re-cut it —
+    # chunks strictly after the edit window are preserved verbatim
+    some = next(iter(docs.values()))
+    edited = "XYZZY " + some
+    a = _cdc_chunks_bruteforce(some)
+    b = _cdc_chunks_bruteforce(edited)
+    if len(a) >= 3:
+        # the tail chunks (content-addressed) reappear
+        assert a[-1] in b
+
+
+def test_cdc_batch_invariance(ray_session):
+    """Chunk stats must not depend on batch boundaries."""
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines import textops
+
+    sf = "/root/testdata/sf0.001"
+    a = textops.cdc_chunk_dedup(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    orig = textops._docs
+
+    def small_batches(sf_dir):
+        return orig(sf_dir).repartition(13)
+
+    textops._docs = small_batches
+    try:
+        b = (
+            textops.cdc_chunk_dedup(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        textops._docs = orig
+    assert a.equals(b)
+
+
+def test_tile_bfs_bruteforce(ray_session):
+    """Engine BFS vs an independent heap-free BFS over the same grid."""
+    from collections import deque
+
+    import duckdb
+
+    from osm_data_3d_tiles_ray.pipelines.geo import q_tile_bfs
+    import __ray_entry__ as entry
+
+    got = (
+        q_tile_bfs("/root/testdata/sf0.01", horizon=6, n_landmarks=4)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    occ = con.execute(
+        f"SELECT tile_x, tile_y, COUNT(*) AS cnt FROM ({entry._TILE_SQL}) GROUP BY 1,2"
+    ).df()
+    PACK = 1 << 20
+    nodes = {
+        int(r.tile_x) * PACK + int(r.tile_y): int(r.cnt) for r in occ.itertuples()
+    }
+    lms = sorted(nodes, key=lambda n: (-nodes[n], n))[:4]
+    # multi-source BFS with (hops, landmark) lexicographic labels
+    best = {n: (0, n) for n in lms}
+    frontier = deque(lms)
+    while frontier:
+        cur = frontier.popleft()
+        h, lmk = best[cur]
+        if h >= 6:
+            continue
+        tx, ty = cur // PACK, cur % PACK
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (tx + dx) * PACK + (ty + dy)
+            if nb not in nodes:
+                continue
+            cand = (h + 1, lmk)
+            if nb not in best or cand < best[nb]:
+                best[nb] = cand
+                frontier.append(nb)
+    # NOTE: plain BFS can settle a node with a lexicographically larger
+    # landmark at equal hops; fix up with Bellman passes to the fixpoint
+    changed = True
+    while changed:
+        changed = False
+        for n in list(best):
+            h, lmk = best[n]
+            if h >= 6:
+                continue
+            tx, ty = n // PACK, n % PACK
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (tx + dx) * PACK + (ty + dy)
+                if nb not in nodes:
+                    continue
+                cand = (h + 1, lmk)
+                if cand < best.get(nb, (99, 0)):
+                    best[nb] = cand
+                    changed = True
+    assert len(got) == len(best)
+    for row in got.itertuples():
+        n = int(row.tile_x) * PACK + int(row.tile_y)
+        assert best[n] == (row.hops, row.landmark), (n, best[n], row)
