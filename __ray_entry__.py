@@ -1792,6 +1792,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # content-defined chunking (FastCDC-shape local-boundary cuts) +
         # exact chunk dedup across the corpus
         "cdc_chunk_dedup": textops.cdc_chunk_dedup,
+        # C4-style canonicalize-then-exact dedup
+        "normalized_dedup": textops.normalized_dedup,
+        # asymmetric delta dedup: new shard vs the existing base corpus
+        "delta_dedup": textops.delta_dedup,
         "curriculum_rank": textops.curriculum_rank,
         "geo_range_join_sample": sampling.range_join_sample,
         "rle_run_stats": storage.rle_run_stats,
@@ -2609,7 +2613,43 @@ FROM documents GROUP BY text
         "events_distinct_users_hll": _hll_sql(),
         "geo_tile_components": _tile_components_sql(),
         "geo_tile_bfs": _tile_bfs_sql(),
+        "delta_dedup": f"""
+WITH {_minhash_buckets_ctes()},
+thr AS (
+  SELECT MAX(doc_id) AS t FROM (
+    SELECT doc_id FROM documents ORDER BY doc_id
+    LIMIT (SELECT GREATEST((COUNT(*) * 80) // 100, 1) FROM documents))
+),
+ex AS (
+  SELECT n.doc_id, 1 AS dup_kind
+  FROM documents n, thr
+  WHERE n.doc_id > thr.t
+    AND EXISTS (SELECT 1 FROM documents b
+                WHERE b.doc_id <= thr.t AND b.text = n.text)
+),
+nr AS (
+  SELECT DISTINCT a.doc_id, 2 AS dup_kind
+  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+  CROSS JOIN thr
+  WHERE a.doc_id > thr.t AND b.doc_id <= thr.t
+)
+SELECT doc_id, CAST(MIN(dup_kind) AS BIGINT) AS dup_kind
+FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr)
+GROUP BY 1
+""",
         "minhash_near_dup": _minhash_pairs_sql(),
+        # identical RE2 normalization on both engines (term_scrub pattern)
+        "normalized_dedup": """
+WITH nx AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                             '\s+', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(length(nt) AS BIGINT) AS norm_chars
+FROM nx GROUP BY nt
+""",
         "jaccard_ngram_pairs": _jaccard_ngram_pairs_sql(),
         "simhash_near_dup": _simhash_pairs_sql(),
         # Heaps-law vocabulary growth over word TRIGRAMS (hash identity on

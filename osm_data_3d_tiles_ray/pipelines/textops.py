@@ -3988,3 +3988,197 @@ def cdc_chunk_dedup(sf_dir: str, window: int = 8, mask_mod: int = 64) -> "ray.da
             "shared_chars": "shared_chars",
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# normalization-based exact dedup (C4-style canonicalization first)
+
+
+def normalized_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup AFTER text canonicalization (lowercase, punctuation
+    stripped, whitespace runs collapsed, ends trimmed) — the C4-style
+    "soft exact" dedup that catches case/punctuation variants plain
+    exact dedup misses.  Both the engine (RE2 via pyarrow.compute) and
+    the oracle (RE2 via DuckDB regexp_replace) run the identical
+    normalization, so group keys match string-for-string.
+
+    Output: one row per duplicate CLASS with ≥1 member —
+    (doc_id = min id in class, n_dups, norm_chars).
+
+    Scale shape: normalization is a zero-shuffle vectorized map; only
+    the 128-bit digest of the normalized text + doc id enter the
+    exchange (dedup_exact's digest-shuffle shape, 16 B/doc)."""
+    import polars as pl
+
+    from .partition import map_key_partitions, run_starts
+
+    def norm_digest(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t = pc.utf8_lower(text)
+        t = pc.replace_substring_regex(t, r"[.,!?;:]", "")
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        s = pl.from_arrow(t)
+        return pa.table(
+            {
+                "h1": pa.array(s.hash(seed=0x4E0).to_numpy().view(np.int64)),
+                "h2": pa.array(s.hash(seed=0x4E1).to_numpy().view(np.int64)),
+                "doc_id": batch.column("doc_id"),
+                "norm_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    rows = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        norm_digest, batch_format="pyarrow"
+    )
+
+    def per_class(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_dups": pa.array([], type=pa.int64()),
+                "norm_chars": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = tbl.column("norm_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h2, h1))
+        h1o, h2o, do, nco = h1[order], h2[order], did[order], nc[order]
+        st = run_starts(h1o, h2o)
+        idx = np.flatnonzero(st)
+        cnt = np.diff(np.append(idx, len(do)))
+        return pa.table(
+            {
+                "doc_id": pa.array(do[idx]),
+                "n_dups": pa.array(cnt),
+                "norm_chars": pa.array(nco[idx]),
+            }
+        )
+
+    return map_key_partitions(rows, ["h1", "h2"], per_class)
+
+
+# ---------------------------------------------------------------------------
+# delta dedup: new shard vs existing base corpus (continuous-crawl shape)
+
+
+def delta_dedup(sf_dir: str, split_pct: int = 80) -> "ray.data.Dataset":
+    """Asymmetric dedup of a NEW shard against the EXISTING corpus — the
+    continuous-crawl ingestion gate: a new document is dropped if it
+    exactly matches any base document's text, or flagged near if it
+    shares a MinHash LSH band with one.  Base docs are never re-examined
+    (the whole point of delta processing: cost scales with the delta,
+    not the corpus).
+
+    The base/new split is deterministic: docs with
+    ``doc_id < percentile(split_pct)`` by id order form the base (a
+    stand-in for "already ingested").
+
+    Output: (doc_id, dup_kind) for flagged NEW docs — dup_kind
+    1 = exact text match to base, 2 = near (shares an LSH band with a
+    base doc, no exact match).
+
+    Scale shape: one digest exchange for the exact leg (16 B/doc, side
+    flags ride the rows; a run is a hit iff it contains a base row) and
+    the MinHash band exchange for the near leg (band keys only) — the
+    same segment-pass culls as minhash_near_dup, no per-bucket dispatch,
+    and no base-vs-base pair work anywhere."""
+    import polars as pl
+
+    from .partition import first_per_key, map_key_partitions, run_starts
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ids = docs.select_columns(["doc_id"])
+    n_total = ids.count()
+    k = max(1, (n_total * split_pct) // 100)
+    # deterministic split threshold: the k-th smallest doc_id (distributed
+    # sort + bounded take of one row)
+    thr = ids.sort("doc_id").limit(k).max("doc_id")
+
+    def exact_rows(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "h1": pa.array(s.hash(seed=0xDE17A1).to_numpy().view(np.int64)),
+                "h2": pa.array(s.hash(seed=0xDE17A2).to_numpy().view(np.int64)),
+                "doc_id": pa.array(did),
+                "is_base": pa.array((did <= thr).astype(np.int8)),
+            }
+        )
+
+    ex = docs.map_batches(exact_rows, batch_format="pyarrow")
+
+    def exact_hits(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "dup_kind": pa.array([], type=pa.int64())}
+        )
+        if len(tbl) == 0:
+            return empty
+        h1 = tbl.column("h1").to_numpy(zero_copy_only=False)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False)
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        isb = tbl.column("is_base").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h2, h1))
+        h1o, h2o, do, bo = h1[order], h2[order], did[order], isb[order]
+        st = run_starts(h1o, h2o)
+        idx = np.flatnonzero(st)
+        run_id = np.cumsum(st) - 1
+        has_base = np.maximum.reduceat(bo, idx) == 1
+        hit = has_base[run_id] & (bo == 0)
+        n = int(hit.sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(do[hit]),
+                "dup_kind": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    exact = map_key_partitions(ex, ["h1", "h2"], exact_hits).materialize()
+
+    # near leg: MinHash bands with side flags
+    sigs = docs.map_batches(_minhash_batch, batch_format="pyarrow")
+
+    def near_hits(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "dup_kind": pa.array([], type=pa.int64())}
+        )
+        if len(tbl) < 2:
+            return empty
+        band = tbl.column("band").to_numpy(zero_copy_only=False)
+        key = tbl.column("band_key").to_numpy(zero_copy_only=False)
+        ids_ = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        isb = (ids_ <= thr).astype(np.int8)
+        order = np.lexsort((ids_, key, band))
+        bando, keyo, ido, bo = band[order], key[order], ids_[order], isb[order]
+        st = run_starts(bando, keyo)
+        idx = np.flatnonzero(st)
+        run_id = np.cumsum(st) - 1
+        has_base = np.maximum.reduceat(bo, idx) == 1
+        hit = has_base[run_id] & (bo == 0)
+        n = int(hit.sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ido[hit]),
+                "dup_kind": pa.array(np.full(n, 2, dtype=np.int64)),
+            }
+        )
+
+    near = map_key_partitions(sigs, ["band", "band_key"], near_hits)
+    # one row per flagged doc: exact (1) wins over near (2)
+    from .partition import reduce_by_key
+
+    return reduce_by_key(
+        exact.union(near), ["doc_id"], [("dup_kind", "min", "dup_kind")]
+    )

@@ -152,3 +152,81 @@ def test_tile_bfs_bruteforce(ray_session):
     for row in got.itertuples():
         n = int(row.tile_x) * PACK + int(row.tile_y)
         assert best[n] == (row.hops, row.landmark), (n, best[n], row)
+
+
+def _patched_docs(textops, tbl):
+    """Context helper: route textops._docs to an in-memory table."""
+    import contextlib
+
+    import ray.data
+
+    @contextlib.contextmanager
+    def cm():
+        orig = textops._docs
+        textops._docs = lambda sf: ray.data.from_arrow(tbl)
+        try:
+            yield
+        finally:
+            textops._docs = orig
+
+    return cm()
+
+
+def test_normalized_dedup_catches_case_and_punct(ray_session):
+    from osm_data_3d_tiles_ray.pipelines import textops
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello, World!  foo",
+                    "hello world foo",       # same after normalization
+                    "HELLO;  world FOO",     # same after normalization
+                    "a different document",
+                    "a  different document", # same after whitespace collapse
+                ]
+            ),
+        }
+    )
+    with _patched_docs(textops, tbl):
+        df = (
+            textops.normalized_dedup("ignored")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    classes = dict(zip(df.doc_id, df.n_dups))
+    assert classes == {1: 3, 4: 2}
+    # '!' is not in the strip set, so doc 1's class normalizes with it...
+    # verify the exact normalized length of the doc-4 class
+    n4 = df[df.doc_id == 4].norm_chars.iloc[0]
+    assert n4 == len("a different document")
+
+
+def test_delta_dedup_kinds(ray_session):
+    from osm_data_3d_tiles_ray.pipelines import textops
+
+    base_text = "the quick brown fox jumps over the lazy dog " * 8
+    near_text = base_text[:-20] + "and then it stopped."
+    tbl = pa.table(
+        {
+            # 80% split of 10 docs → base = ids 1..8, new = 9,10
+            "doc_id": pa.array(list(range(1, 11)), type=pa.int64()),
+            "text": pa.array(
+                ["filler document %d with its own words" % i for i in range(1, 8)]
+                + [base_text, base_text, near_text]
+            ),
+        }
+    )
+    with _patched_docs(textops, tbl):
+        df = (
+            textops.delta_dedup("ignored")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    kinds = dict(zip(df.doc_id, df.dup_kind))
+    assert kinds[9] == 1          # exact copy of base doc 8
+    assert kinds.get(10) == 2     # near-dup of base doc 8 (shares bands)
+    assert set(kinds) == {9, 10}  # base docs never flagged
