@@ -1517,6 +1517,76 @@ FROM {prev} f JOIN n ON n.node = f.node
 """
 
 
+def _ann_lsh_topk_sql(n_planes: int = 12, tag: int = 0x51A000) -> str:
+    """Oracle for ``ann.ann_lsh_topk``: the ±1 sign planes are bit 0 of a
+    Jenkins round over ``plane·dims + d + tag`` (identical to the engine
+    after the session-G determinization), so bucket signatures, the
+    multiprobe (Hamming-1) candidate set, and the within-candidate cosine
+    ranks are all reproducible; like ``ann_topk``, only ranks are
+    compared (ordering is stable far beyond float association noise)."""
+    mix, h = _jenkins_round_sql("a0", "m")
+    return f"""
+WITH u AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+),
+dm AS (SELECT CAST(MAX(d) + 1 AS BIGINT) AS dims FROM u),
+s0 AS (
+  SELECT t2.range AS b, dd.d,
+         CAST(t2.range * dm.dims + dd.d + {tag} AS BIGINT) AS a0
+  FROM (SELECT DISTINCT d FROM u) dd
+  CROSS JOIN range(0, {n_planes}) t2 CROSS JOIN dm
+),
+s1 AS (SELECT b, d, {mix} FROM s0),
+sgn AS (SELECT b, d,
+               CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+        FROM s1),
+dot AS (
+  SELECT u.vec_id, s.b, SUM(u.v * s.sign) AS dp
+  FROM u JOIN sgn s USING (d) GROUP BY 1, 2
+),
+sig AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dp > 0
+                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                  ELSE 0 END) AS BIGINT) AS sg
+  FROM dot GROUP BY 1
+),
+qs AS (SELECT vec_id AS qid, sg AS qsig FROM sig WHERE vec_id < 10),
+flips AS (
+  SELECT CAST(0 AS BIGINT) AS f
+  UNION ALL
+  SELECT CAST(1 AS BIGINT) << CAST(range AS INTEGER) FROM range(0, {n_planes})
+),
+probe AS (SELECT DISTINCT xor(qsig, f) AS ps FROM qs CROSS JOIN flips),
+cand AS (SELECT DISTINCT s.vec_id FROM sig s JOIN probe p ON p.ps = s.sg),
+pairs AS (
+  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ee
+  FROM (SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id < 10) q
+  CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid AND e.vec_id IN (SELECT vec_id FROM cand)
+),
+un AS (
+  SELECT qid, vec_id,
+         CAST(UNNEST(qe) AS DOUBLE) AS qa, CAST(UNNEST(ee) AS DOUBLE) AS ea
+  FROM pairs
+),
+sims AS (
+  SELECT qid, vec_id,
+         SUM(qa * ea) / (sqrt(SUM(qa * qa)) * sqrt(SUM(ea * ea))) AS sim
+  FROM un GROUP BY qid, vec_id
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT qid, vec_id, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 5
+"""
+
+
 def _q_geometry_stats(sf_dir: str) -> Any:
     import ray.data
 
@@ -2613,6 +2683,7 @@ FROM documents GROUP BY text
         "events_distinct_users_hll": _hll_sql(),
         "geo_tile_components": _tile_components_sql(),
         "geo_tile_bfs": _tile_bfs_sql(),
+        "ann_lsh_topk": _ann_lsh_topk_sql(),
         "delta_dedup": f"""
 WITH {_minhash_buckets_ctes()},
 thr AS (

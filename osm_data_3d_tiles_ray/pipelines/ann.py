@@ -219,9 +219,23 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 12) -> "ray.data.Dataset":
     signature per vector, exact scoring only within the query's bucket
     neighborhood (bucket + Hamming-1 probes)."""
     qid, qmat = _load_queries(sf_dir)
-    rng = np.random.default_rng(0xC0FFEE)
     dims = qmat.shape[1]
-    planes = rng.standard_normal((n_planes, dims))
+    # ±1 sign planes from one keyed Jenkins round (geom/rng.py) — the same
+    # derivation the random-projection op uses, so the DuckDB oracle
+    # reproduces the identical plane matrix bit-for-bit (sign-LSH with
+    # Rademacher planes is a standard SimHash family); tag 0x51A000
+    # decorrelates these planes from the projection op's matrix
+    from ..geom.rng import jenkins_mix
+
+    seeds = (
+        np.arange(n_planes, dtype=np.uint32)[:, None] * np.uint32(dims)
+        + np.arange(dims, dtype=np.uint32)[None, :]
+        + np.uint32(0x51A000)
+    )
+    planes = (
+        1.0
+        - 2.0 * (jenkins_mix(seeds.ravel()) & np.uint32(1)).astype(np.float64)
+    ).reshape(n_planes, dims)
 
     def signature(m: np.ndarray) -> np.ndarray:
         bits = (m @ planes.T) > 0
