@@ -1587,6 +1587,111 @@ SELECT qid, vec_id, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 5
 """
 
 
+def _embedding_pairs_ctes(
+    threshold: float, n_planes: int = 8, tag: int = 0xE4B000
+) -> str:
+    """CTE chain ending in ``epairs(vec_id, dup_of, sim)`` — the exact
+    sign-LSH bucket pairs of ``ann.embedding_near_dup`` (Jenkins ±1
+    planes, same-bucket candidates, normalized-cosine verify ≥
+    ``threshold``).  Bucket signs come from the RAW vectors (positive
+    norms preserve sign), cosines from the normalized pair."""
+    mix, h = _jenkins_round_sql("a0", "m")
+    return f"""
+eu AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+),
+edm AS (SELECT CAST(MAX(d) + 1 AS BIGINT) AS dims FROM eu),
+es0 AS (
+  SELECT t2.range AS b, dd.d,
+         CAST(t2.range * edm.dims + dd.d + {tag} AS BIGINT) AS a0
+  FROM (SELECT DISTINCT d FROM eu) dd
+  CROSS JOIN range(0, {n_planes}) t2 CROSS JOIN edm
+),
+es1 AS (SELECT b, d, {mix} FROM es0),
+esgn AS (SELECT b, d,
+                CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+         FROM es1),
+edot AS (
+  SELECT eu.vec_id, s.b, SUM(eu.v * s.sign) AS dp
+  FROM eu JOIN esgn s USING (d) GROUP BY 1, 2
+),
+esig AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dp > 0
+                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                  ELSE 0 END) AS BIGINT) AS sg
+  FROM edot GROUP BY 1
+),
+ecand AS (
+  SELECT a.vec_id, b.vec_id AS dup_of
+  FROM esig a JOIN esig b ON a.sg = b.sg AND a.vec_id > b.vec_id
+),
+eun AS (
+  SELECT c.vec_id, c.dup_of, ua.d, ua.v AS va, ub.v AS vb
+  FROM ecand c
+  JOIN eu ua ON ua.vec_id = c.vec_id
+  JOIN eu ub ON ub.vec_id = c.dup_of AND ub.d = ua.d
+),
+epairs AS MATERIALIZED (
+  SELECT vec_id, dup_of,
+         SUM(va * vb) / (sqrt(SUM(va * va)) * sqrt(SUM(vb * vb))) AS sim
+  FROM eun GROUP BY 1, 2
+  HAVING SUM(va * vb) / (sqrt(SUM(va * va)) * sqrt(SUM(vb * vb)))
+         >= {threshold}
+)"""
+
+
+def _embedding_near_dup_sql(threshold: float = 0.92) -> str:
+    return f"""
+WITH {_embedding_pairs_ctes(threshold)}
+SELECT vec_id, dup_of, CAST(ROUND(sim * 100) AS BIGINT) AS sim_pct
+FROM epairs
+"""
+
+
+def _semantic_dedup_sql(threshold: float = 0.35) -> str:
+    """Oracle for ``ann.semantic_dedup``: greedy keep-lowest-id over the
+    near-dup pair relation at the SemDeDup threshold."""
+    return f"""
+WITH {_embedding_pairs_ctes(threshold)},
+drop_min AS (
+  SELECT vec_id, MIN(dup_of) AS dup_of_min FROM epairs GROUP BY 1
+)
+SELECT e.vec_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(COALESCE(d.dup_of_min, -1) AS BIGINT) AS dup_of
+FROM embeddings e LEFT JOIN drop_min d ON d.vec_id = e.vec_id
+"""
+
+
+def _q_embedding_near_dup(sf_dir: str) -> Any:
+    """At the 0.92 threshold this corpus legitimately has zero pairs, and
+    ``Dataset.to_pandas()`` on an empty dataset drops columns (CLAUDE.md
+    quirk) — materialize to a TYPED Arrow table so the driver's schema
+    compare sees the real columns."""
+    import pyarrow as pa
+
+    import ray
+
+    from osm_data_3d_tiles_ray.pipelines.ann import embedding_near_dup
+
+    ds = embedding_near_dup(sf_dir)
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows or t.num_columns]
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "dup_of": pa.array([], type=pa.int64()),
+            "sim_pct": pa.array([], type=pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    tbl = pa.concat_tables([p.select(empty.column_names) for p in parts])
+    return tbl if tbl.num_rows or tbl.num_columns else empty
+
+
 def _q_geometry_stats(sf_dir: str) -> Any:
     import ray.data
 
@@ -1721,7 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": textops.minhash_near_dup,
         "simhash_near_dup": textops.simhash_near_dup,
         "jaccard_ngram_pairs": textops.jaccard_ngram_pairs,
-        "embedding_near_dup": ann.embedding_near_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
         "doc_fingerprint": textops.doc_fingerprint,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
@@ -2684,6 +2789,8 @@ FROM documents GROUP BY text
         "geo_tile_components": _tile_components_sql(),
         "geo_tile_bfs": _tile_bfs_sql(),
         "ann_lsh_topk": _ann_lsh_topk_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "delta_dedup": f"""
 WITH {_minhash_buckets_ctes()},
 thr AS (

@@ -117,12 +117,23 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 8) 
     buckets + exact within-bucket verification (the scale path: the
     all-pairs matrix never materializes; the shuffle key is the bucket id).
     Output: (vec_id, dup_of, sim_pct:int) with vec_id > dup_of."""
-    rng = np.random.default_rng(0xD0B)
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     dims = len(t.column("embedding")[0])
-    planes = rng.standard_normal((n_planes, dims))
+    # ±1 Jenkins sign planes (SimHash family) — deterministic and
+    # SQL-mirrorable like ann_lsh_topk's; tag decorrelates the matrix
+    from ..geom.rng import jenkins_mix
+
+    seeds = (
+        np.arange(n_planes, dtype=np.uint32)[:, None] * np.uint32(dims)
+        + np.arange(dims, dtype=np.uint32)[None, :]
+        + np.uint32(0xE4B000)
+    )
+    planes = (
+        1.0
+        - 2.0 * (jenkins_mix(seeds.ravel()) & np.uint32(1)).astype(np.float64)
+    ).reshape(n_planes, dims)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         emb = batch.column("embedding")

@@ -230,3 +230,38 @@ def test_delta_dedup_kinds(ray_session):
     assert kinds[9] == 1          # exact copy of base doc 8
     assert kinds.get(10) == 2     # near-dup of base doc 8 (shares bands)
     assert set(kinds) == {9, 10}  # base docs never flagged
+
+
+def test_embedding_near_dup_finds_planted_pairs(ray_session):
+    """Plant three near-identical vectors; the Jenkins-plane LSH bucket +
+    cosine verify must pair them (and only them) above threshold."""
+    import ray.data
+
+    from osm_data_3d_tiles_ray.pipelines import ann
+
+    rngless = np.linspace(-1.0, 1.0, 16)
+    base = rngless / np.linalg.norm(rngless)
+    near1 = base + 1e-3
+    near2 = base - 1e-3
+    # orthogonal-ish fillers
+    others = [np.roll(base, k) * (1 + 0.1 * k) for k in range(3, 8)]
+    vecs = [base, near1, near2] + others
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tbl, f"{td}/embeddings.parquet")
+        df = ann.embedding_near_dup(td).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(df.vec_id, df.dup_of)}
+    assert {(1, 0), (2, 0), (2, 1)} <= pairs
+    assert (df.sim_pct >= 92).all()
+    # planted trio must be ~100% similar
+    assert set(df[df.dup_of == 0].sim_pct) == {100}
