@@ -3415,7 +3415,16 @@ def q_tile_pagerank(sf_dir: str, iters: int = 5) -> "ray.data.Dataset":
     from .partition import map_key_partitions, run_starts
 
     ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
-    nodes = tile_stats(ownership_assignments(ds)).select_columns(["tile_x", "tile_y"])
+    # block-count hygiene (the q_tile_components discipline): every
+    # exchange below sorts its input, and Ray sort cost scales with the
+    # INPUT block count — the parse leaves ~200 blocks for ~13k aggregate
+    # rows, so cap once here before the replicate/exchange chain
+    nodes = (
+        tile_stats(ownership_assignments(ds))
+        .select_columns(["tile_x", "tile_y"])
+        .repartition(8)
+        .materialize()
+    )
 
     _OFF = np.array(
         [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)],
@@ -3791,7 +3800,13 @@ def q_tile_bfs(
             }
         )
 
-    nodes = stats.map_batches(pack_nodes, batch_format="pyarrow").materialize()
+    # block-count hygiene: cap the ~200 parse-inherited blocks before the
+    # per-round exchanges (Ray sort cost scales with input block count)
+    nodes = (
+        stats.map_batches(pack_nodes, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
     lm_rows = (
         nodes.sort(["cnt", "node"], descending=[True, False])
         .limit(n_landmarks)
@@ -3865,7 +3880,15 @@ def q_tile_bfs(
                 }
             )
 
-        labels = red.map_batches(keep, batch_format="pyarrow").repartition(8).materialize()
+        # per-round materialize + bounded repartition: measured faster than
+        # the lazy 12-round chain (21.8 s vs 14.0 s at sf0.1 — deep lazy
+        # plans re-optimize per barrier); at 100 TB rounds stay ~occupied
+        # tiles, so the materialization is an aggregate, never corpus rows
+        labels = (
+            red.map_batches(keep, batch_format="pyarrow")
+            .repartition(8)
+            .materialize()
+        )
 
     def finish(b: pa.Table) -> pa.Table:
         node = b.column("node").to_numpy(zero_copy_only=False)
