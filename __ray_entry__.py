@@ -2729,6 +2729,35 @@ r AS (
 )
 SELECT qid, osm_id, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= k
 """,
+        "geo_knn_bucketed": f"""
+WITH t AS (SELECT 40075016.685578488 / 8192.0 AS ts),
+qb AS (
+  SELECT qid, x, y, k,
+         CAST(FLOOR((x + 20037508.342789244) / ts) AS BIGINT) AS bx,
+         CAST(FLOOR((20037508.342789244 - y) / ts) AS BIGINT) AS by
+  FROM {qp} CROSS JOIN t
+),
+bb AS (
+  SELECT osm_id, centroid_x, centroid_y,
+         CAST(FLOOR((centroid_x + 20037508.342789244) / ts) AS BIGINT) AS bx,
+         CAST(FLOOR((20037508.342789244 - centroid_y) / ts) AS BIGINT) AS by
+  FROM {b} CROSS JOIN t
+),
+d AS (
+  SELECT q.qid, b.osm_id, q.k,
+         sqrt((b.centroid_x - q.x) * (b.centroid_x - q.x)
+              + (b.centroid_y - q.y) * (b.centroid_y - q.y)) AS dist
+  FROM qb q JOIN bb b
+    ON b.bx BETWEEN q.bx - 1 AND q.bx + 1
+   AND b.by BETWEEN q.by - 1 AND q.by + 1
+),
+r AS (
+  SELECT qid, osm_id, k,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, osm_id) AS rn
+  FROM d
+)
+SELECT qid, osm_id, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= k
+""",
         "geo_point_bbox_join": f"""
 SELECT q.qid, b.osm_id
 FROM {qp} q JOIN {b} b
