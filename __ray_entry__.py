@@ -1932,6 +1932,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_product_profit": relational.product_profit,
         "rel_promo_suppliers": relational.promo_suppliers,
         "events_watermark_late": events.watermark_late_counts,
+        # tumbling event-time windows with allowed lateness (Flink window
+        # lifecycle, batch-exact over the jittered-arrival replay)
+        "events_tumbling_lateness": events.tumbling_lateness,
         "events_user_gaps": events.user_gap_stats,
         "events_value_histogram": events.value_histogram,
         "events_distinct_users_by_type": events.distinct_users_by_type,
@@ -4252,6 +4255,36 @@ FROM pc GROUP BY 1
         # cohort retention triangle: first-order-month cohorts x months since
         # watermark late-arrival accounting (arrival order = event_id;
         # watermark = running max event-time minus 10 min)
+        "events_tumbling_lateness": """
+WITH a AS (
+  SELECT ts, event_id, value,
+         epoch_us(ts) + (event_id * 2654435761) % 4294967296 % 1800000000 AS arr
+  FROM events
+), s AS (
+  SELECT ts, value,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+         MAX(epoch_us(ts)) OVER (ORDER BY arr, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_max
+  FROM a
+), c AS (
+  SELECT window_us,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_e6,
+         CASE WHEN wm_max IS NULL
+               OR wm_max - 600000000 < window_us + 3600000000 THEN 0
+              WHEN wm_max - 600000000 >=
+                   window_us + 3600000000 + 300000000 THEN 2
+              ELSE 1 END AS st
+  FROM s
+)
+SELECT window_us,
+       CAST(SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+       CAST(SUM(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late_accepted,
+       CAST(SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN st <= 1 THEN v_e6 END), 0) AS BIGINT)
+           AS accepted_sum_micro
+FROM c GROUP BY 1
+""",
         "events_watermark_late": """
 WITH a AS (
   SELECT ts, event_id,

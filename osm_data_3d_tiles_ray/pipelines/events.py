@@ -2500,3 +2500,172 @@ def session_paths(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# tumbling event-time windows with allowed lateness (session G)
+
+
+def tumbling_lateness(
+    sf_dir: str,
+    delay_minutes: int = 10,
+    lateness_minutes: int = 5,
+    jitter_minutes: int = 30,
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Tumbling 1-hour event-time windows under a watermark with ALLOWED
+    LATENESS (the Flink window-lifecycle semantics, batch-exact): an
+    event whose watermark-at-arrival has not yet passed its window end
+    is ON TIME; past the end but within the lateness allowance it is a
+    LATE UPDATE (the window re-fires); past end + allowance it is
+    DROPPED.  Arrival order is the deterministic keyed-jitter replay of
+    :func:`watermark_late_counts` (the raw table is time-sorted, so raw
+    order would make lateness structurally impossible).
+
+    Output per window: (window_us, n_on_time, n_late_accepted,
+    n_dropped, accepted_sum_micro) — accepted = on-time + late updates,
+    the value a correct streaming job would finally emit.
+
+    Scale shape: the same two-phase distributed prefix-max scan as
+    watermark_late_counts (arrival-range buckets → bounded bucket-max
+    relation → one bucket-keyed exchange with a seeded running max);
+    classification is vectorized inside the scan and only per-window
+    partial counters leave it."""
+    from .partition import map_key_partitions
+
+    delay_us = np.int64(delay_minutes) * 60_000_000
+    late_us = np.int64(lateness_minutes) * 60_000_000
+    jitter_us = np.int64(jitter_minutes) * 60_000_000
+    hour_us = np.int64(3_600_000_000)
+    ev = _events(sf_dir).select_columns(["event_id", "ts", "value"])
+    import pandas as pd
+
+    lo = np.int64(pd.Timestamp(ev.min("ts")).value)
+    hi = np.int64(pd.Timestamp(ev.max("ts")).value)
+    lo, hi = lo // 1000, hi // 1000 + int(jitter_us)
+    span = int(hi - lo + 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).view(np.int64)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        arr = ts + (eid * np.int64(2654435761)) % np.int64(4294967296) % jitter_us
+        b = np.clip(((arr - lo) * num_buckets) // span, 0, num_buckets - 1)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "event_id": pa.array(eid),
+                "arr": pa.array(arr),
+                "ts_us": pa.array(ts),
+                "v_e6": pa.array(np.floor(val * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_max_partial(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="stable")
+        bs, tss = b[order], ts[order]
+        starts = np.empty(len(bs), bool)
+        if len(bs):
+            starts[0] = True
+            starts[1:] = bs[1:] != bs[:-1]
+            mx = np.maximum.reduceat(tss, np.nonzero(starts)[0])
+        else:
+            mx = tss
+        return pa.table(
+            {"bucket": pa.array(bs[starts] if len(bs) else bs), "p_max": pa.array(mx)}
+        )
+
+    bmax = (
+        tagged.map_batches(bucket_max_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .max("p_max")
+    )
+    rows = bmax.to_pandas()  # <= num_buckets rows, the broadcast small side
+    carry = np.full(num_buckets, np.iinfo(np.int64).min, dtype=np.int64)
+    if len(rows):
+        carry[rows["bucket"].to_numpy()] = rows["max(p_max)"].to_numpy()
+    prefix = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(carry)[:-1]]
+    )
+
+    def scan_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_us": pa.array([], type=pa.int64()),
+                "p_on": pa.array([], type=pa.int64()),
+                "p_late": pa.array([], type=pa.int64()),
+                "p_drop": pa.array([], type=pa.int64()),
+                "p_vsum": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        b = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        arr = tbl.column("arr").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        v = tbl.column("v_e6").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, arr, b))
+        b, ts, v = b[order], ts[order], v[order]
+        starts = np.empty(len(b), bool)
+        starts[0] = True
+        starts[1:] = b[1:] != b[:-1]
+        first = np.nonzero(starts)[0]
+        prev = np.empty(len(ts), np.int64)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = ts[:-1]
+        seeded = np.where(starts, prefix[b], prev)
+        wm_max = np.concatenate(
+            [
+                np.maximum.accumulate(seeded[s:e])
+                for s, e in zip(first, np.append(first[1:], len(seeded)))
+            ]
+        )
+        sent = wm_max == np.iinfo(np.int64).min
+        wm = wm_max - delay_us  # the watermark at this event's arrival
+        window = (ts // hour_us) * hour_us
+        w_end = window + hour_us
+        on_time = sent | (wm < w_end)
+        dropped = (~sent) & (wm >= w_end + late_us)
+        late_acc = ~on_time & ~dropped
+        acc = on_time | late_acc
+        uniq = np.unique(window)
+        pos = np.searchsorted(uniq, window)
+        n = len(uniq)
+        # int64-exact accumulation (bincount weights sum in float64, which
+        # loses exactness past 2^53 at scale)
+        vsum = np.zeros(n, dtype=np.int64)
+        np.add.at(vsum, pos, np.where(acc, v, 0))
+        return pa.table(
+            {
+                "window_us": pa.array(uniq),
+                "p_on": pa.array(np.bincount(pos[on_time], minlength=n).astype(np.int64)),
+                "p_late": pa.array(np.bincount(pos[late_acc], minlength=n).astype(np.int64)),
+                "p_drop": pa.array(np.bincount(pos[dropped], minlength=n).astype(np.int64)),
+                "p_vsum": pa.array(vsum),
+            }
+        )
+
+    partials = map_key_partitions(tagged, ["bucket"], scan_bucket)
+
+    agg = (
+        partials.groupby("window_us")
+        .sum(["p_on", "p_late", "p_drop", "p_vsum"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": batch.column("window_us"),
+                "n_on_time": pc.cast(batch.column("sum(p_on)"), pa.int64()),
+                "n_late_accepted": pc.cast(batch.column("sum(p_late)"), pa.int64()),
+                "n_dropped": pc.cast(batch.column("sum(p_drop)"), pa.int64()),
+                "accepted_sum_micro": pc.cast(batch.column("sum(p_vsum)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -265,3 +265,30 @@ def test_embedding_near_dup_finds_planted_pairs(ray_session):
     assert (df.sim_pct >= 92).all()
     # planted trio must be ~100% similar
     assert set(df[df.dup_of == 0].sim_pct) == {100}
+
+
+def test_tumbling_lateness_partitions_every_event(ray_session):
+    """on_time + late_accepted + dropped must exactly partition each
+    window's events, and the lateness band must be non-trivial on the
+    jittered replay (both late updates AND drops occur)."""
+    import duckdb
+
+    from osm_data_3d_tiles_ray.pipelines.events import tumbling_lateness
+
+    sf = "/root/testdata/sf0.01"
+    df = tumbling_lateness(sf).to_pandas()
+    total = int((df.n_on_time + df.n_late_accepted + df.n_dropped).sum())
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert total == n_events
+    assert df.n_late_accepted.sum() > 0
+    assert df.n_dropped.sum() > 0
+    # a window's accepted sum never exceeds its full-window sum
+    full = duckdb.sql(f"""
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w,
+               SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS s
+        FROM read_parquet('{sf}/events.parquet') GROUP BY 1
+    """).df().set_index("w")["s"]
+    for row in df.itertuples():
+        assert row.accepted_sum_micro <= full[row.window_us]
