@@ -1666,6 +1666,70 @@ FROM embeddings e LEFT JOIN drop_min d ON d.vec_id = e.vec_id
 """
 
 
+def _span_invariant_sql() -> str:
+    """Oracle for ``geo.q_span_invariant``: the identical order-sensitive
+    span-sequence fold computed in SQL from the RAW synth files — char
+    powers and span powers as recursive mod-2^64 CTEs; the span-hash ×
+    span-power product uses the split multiply (both operands are full
+    64-bit columns)."""
+    # column×column mod-2^64 multiply: x*y = ((x>>32)*y mod 2^32)<<32 + (x&0xffffffff)*y
+    mul = (
+        f"(((sh2 % 4294967296) * pw2.p + "
+        f"((sh2 // 4294967296) * pw2.p % 4294967296) * 4294967296) % {_U64})"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, spans FROM read_parquet('{_SYNTH_001}/documents/*.parquet')
+),
+ix AS MATERIALIZED (
+  SELECT doc_id, len(spans) AS ns, CAST(i AS BIGINT) AS i,
+         spans[CAST(i AS INT)].kind || chr(1) ||
+         spans[CAST(i AS INT)].text || chr(1) ||
+         spans[CAST(i AS INT)].media_ref AS s,
+         CAST(spans[CAST(i AS INT)]."offset" AS BIGINT) AS off
+  FROM d, unnest(range(1, len(spans) + 1)) AS u(i)
+),
+pw AS (
+  WITH RECURSIVE pr(j, p) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL SELECT j + 1, (p * 257) % {_U64} FROM pr
+    WHERE j < (SELECT MAX(length(s)) FROM ix)
+  ) SELECT * FROM pr
+),
+ch AS MATERIALIZED (
+  SELECT doc_id, i, CAST(j AS BIGINT) AS j,
+         CAST(ord(substr(s, CAST(j AS INT), 1)) AS HUGEINT) AS b,
+         CAST(length(s) AS BIGINT) AS L
+  FROM ix, unnest(range(1, length(s) + 1)) AS u(j)
+),
+sh AS MATERIALIZED (
+  SELECT ch.doc_id, ch.i, SUM(ch.b * pw.p) % {_U64} AS h
+  FROM ch JOIN pw ON pw.j = ch.L - ch.j GROUP BY 1, 2
+),
+sh2t AS MATERIALIZED (
+  SELECT sh.doc_id, sh.i, ix.ns,
+         (sh.h + CAST(ix.off AS HUGEINT) * {_GOLD}) % {_U64} AS sh2
+  FROM sh JOIN ix ON ix.doc_id = sh.doc_id AND ix.i = sh.i
+),
+pw2 AS (
+  WITH RECURSIVE pr2(j, p) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL SELECT j + 1, (p * 257) % {_U64} FROM pr2
+    WHERE j < (SELECT MAX(ns) FROM ix)
+  ) SELECT * FROM pr2
+),
+fold AS (
+  SELECT t.doc_id, MAX(t.ns) AS ns,
+         SUM({mul}) % {_U64} AS h
+  FROM sh2t t JOIN pw2 ON pw2.j = t.ns - t.i
+  GROUP BY 1
+)
+SELECT doc_id, CAST(ns AS BIGINT) AS n_spans,
+       {_u2s('h')} AS seq_hash
+FROM fold
+"""
+
+
 def _q_embedding_near_dup(sf_dir: str) -> Any:
     """At the 0.92 threshold this corpus legitimately has zero pairs, and
     ``Dataset.to_pandas()`` on an empty dataset drops columns (CLAUDE.md
@@ -1784,6 +1848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_components": geo.q_tile_components,
         # bounded-horizon multi-source BFS (isochrone) from the densest tiles
         "geo_tile_bfs": geo.q_tile_bfs,
+        # the north rule's per-row span-sequence invariant, driver-gated
+        "geo_span_invariant": geo.q_span_invariant,
         "geo_height_median": geo.q_height_median,
         "geo_norm_params": geo.q_norm_params,
         "geo_cell_cover": geo.q_cell_cover,
@@ -2820,6 +2886,7 @@ FROM documents GROUP BY text
         "events_distinct_users_hll": _hll_sql(),
         "geo_tile_components": _tile_components_sql(),
         "geo_tile_bfs": _tile_bfs_sql(),
+        "geo_span_invariant": _span_invariant_sql(),
         "ann_lsh_topk": _ann_lsh_topk_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
         "semantic_dedup": _semantic_dedup_sql(),

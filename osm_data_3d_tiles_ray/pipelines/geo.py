@@ -3903,3 +3903,70 @@ def q_tile_bfs(
         )
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def q_span_invariant(sf_dir: str) -> "ray.data.Dataset":
+    """The north rule's per-row SPAN-SEQUENCE INVARIANT as a driver-gated
+    query: every document's interleaved span sequence — (kind, text,
+    media_ref, offset), in order — folds to one order-sensitive mod-2^64
+    hash computed from the spans AS PRESERVED THROUGH THE PARSE STAGE
+    (``keep_spans=True``), while the oracle computes the same fold in SQL
+    from the RAW files; equality proves the engine's batch path neither
+    reorders, drops, nor mutates a span anywhere between source and
+    consumer.
+
+    Hash: span_i → poly257(kind ∥ 0x01 ∥ text ∥ 0x01 ∥ media_ref) +
+    offset·GOLD; doc → Σ span_i · 257^(n−1−i)  (all mod 2^64 — the
+    ``doc_fingerprint`` HUGEINT-mirror conventions).
+
+    Output: (doc_id, n_spans, seq_hash).  Zero exchange — one vectorized
+    pass per batch."""
+    import pyarrow.compute as pc
+
+    from .partition import run_starts  # noqa: F401  (convention import)
+    from ..pipelines.textops import _poly257_u64
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        st = spans.flatten()  # slice-safe (``.values`` ignores offsets)
+        joined = pc.binary_join_element_wise(
+            st.field("kind"), st.field("text"), st.field("media_ref"), "\x01"
+        )
+        sh = _poly257_u64(joined) if len(joined) else np.zeros(0, np.uint64)
+        off = st.field("offset").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sh = sh + off * GOLD
+        ns = np.asarray(pc.list_value_length(spans)).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(ns)])
+        total = int(ns.sum())
+        starts = offs[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, ns)
+        exp = np.repeat(ns, ns) - 1 - within
+        maxn = int(ns.max()) if len(ns) else 1
+        pw = np.empty(max(maxn, 1), dtype=np.uint64)
+        pw[0] = 1
+        for k in range(1, maxn):
+            pw[k] = pw[k - 1] * np.uint64(257)
+        contrib = sh * pw[exp]
+        # paired reduceat: zero-span docs (none in this corpus, guarded
+        # anyway) reduce over an empty range → 0
+        h = np.zeros(len(ns), dtype=np.uint64)
+        has = ns > 0
+        if has.any():
+            ext = np.append(contrib, np.uint64(0))
+            bounds = np.column_stack([starts[has], offs[1:][has]]).ravel()
+            h[has] = np.add.reduceat(ext, bounds)[::2]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_spans": pa.array(ns),
+                "seq_hash": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    return parsed_ds(sf_dir, keep_spans=True).select_columns(
+        ["doc_id", "spans"]
+    ).map_batches(fold, batch_format="pyarrow")
