@@ -3818,6 +3818,24 @@ def dup_source_matrix(sf_dir: str) -> "ray.data.Dataset":
 # content-defined chunking (FastCDC-shape) + exact chunk dedup
 
 
+def _cdc_cut_positions(buf, offs, K, mask_mod):
+    """Global cut positions (byte indices into ``buf``) and their doc index
+    for the content-defined chunking rule: cut before 0-based within-doc
+    position i ∈ [1, L−K] when the K-byte rolling hash ≡ 0 (mod
+    ``mask_mod``).  Shared by the chunk and count paths so the rule can
+    never diverge between them."""
+    B = np.uint64(257)
+    if len(buf) < K:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    powers = (B ** np.arange(K, dtype=np.uint64))[::-1]
+    w = np.lib.stride_tricks.sliding_window_view(buf.astype(np.uint64), K)
+    h = (w * powers).sum(axis=1)
+    cand = np.flatnonzero(h % np.uint64(mask_mod) == 0)
+    d = np.searchsorted(offs, cand, side="right") - 1
+    keep = (cand - offs[d] >= 1) & (cand <= offs[d + 1] - K)
+    return cand[keep], d[keep]
+
+
 def cdc_chunk_dedup(sf_dir: str, window: int = 8, mask_mod: int = 64) -> "ray.data.Dataset":
     """Content-defined chunking dedup: split every document at positions
     where the ``window``-byte rolling hash ≡ 0 (mod ``mask_mod``) — the
@@ -3857,17 +3875,7 @@ def cdc_chunk_dedup(sf_dir: str, window: int = 8, mask_mod: int = 64) -> "ray.da
         offs = offs - offs[0]
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
         n = len(batch)
-        Lb = len(buf)
-        if Lb >= K:
-            powers = (B ** np.arange(K, dtype=np.uint64))[::-1]
-            w = np.lib.stride_tricks.sliding_window_view(buf.astype(np.uint64), K)
-            h = (w * powers).sum(axis=1)
-            cand = np.flatnonzero(h % np.uint64(mask_mod) == 0)
-            d = np.searchsorted(offs, cand, side="right") - 1
-            keep = (cand - offs[d] >= 1) & (cand <= offs[d + 1] - K)
-            cuts = cand[keep]
-        else:
-            cuts = np.zeros(0, dtype=np.int64)
+        cuts, _ = _cdc_cut_positions(buf, offs, K, mask_mod)
         bounds = np.unique(np.concatenate([offs, cuts]))
         starts = bounds[:-1]
         chunk_doc = np.searchsorted(offs, starts, side="right") - 1
@@ -3917,17 +3925,8 @@ def cdc_chunk_dedup(sf_dir: str, window: int = 8, mask_mod: int = 64) -> "ray.da
         buf = np.frombuffer(lb.buffers()[2], np.uint8)[offs[0] : offs[-1]]
         offs = offs - offs[0]
         n = len(batch)
-        Lb = len(buf)
-        if Lb >= K:
-            powers = (B ** np.arange(K, dtype=np.uint64))[::-1]
-            w = np.lib.stride_tricks.sliding_window_view(buf.astype(np.uint64), K)
-            h = (w * powers).sum(axis=1)
-            cand = np.flatnonzero(h % np.uint64(mask_mod) == 0)
-            d = np.searchsorted(offs, cand, side="right") - 1
-            keep = (cand - offs[d] >= 1) & (cand <= offs[d + 1] - K)
-            n_cuts = np.bincount(d[keep], minlength=n)
-        else:
-            n_cuts = np.zeros(n, dtype=np.int64)
+        _, cut_doc = _cdc_cut_positions(buf, offs, K, mask_mod)
+        n_cuts = np.bincount(cut_doc, minlength=n)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
