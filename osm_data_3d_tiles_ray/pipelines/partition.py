@@ -26,9 +26,18 @@ sampled quantile boundaries split ROWS evenly.  The earlier shape
 (``hash % P`` + ``groupby``) put only P distinct values under the
 boundary sampler, and boundary collisions yielded empty and many×-mean
 reduce blocks (observed 0–9,823 rows across 98 blocks for P=512).
+
+The never-splits-equal-keys behavior is an undocumented Ray invariant,
+so it is guarded at runtime by a once-per-session adversarial CANARY
+(:func:`_canary_check`, run before the first exchange of each Ray
+session): a Ray-version change that starts splitting key groups fails
+the first ``map_key_partitions`` call loudly instead of silently
+corrupting 76 call sites' group semantics.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -36,6 +45,111 @@ import pyarrow as pa
 import ray.data
 
 DEFAULT_PARTITIONS = 64
+
+_CANARY_STATE: dict = {"job": None}
+
+
+def _canary_check() -> None:
+    """Runtime guard for the sorted-exchange invariant (VERDICT r4 item
+    2): Ray's range partitioner must never split equal sort keys across
+    blocks — 76 ``map_key_partitions`` call sites build complete-group
+    segment logic on it, and a silent split after a Ray upgrade would
+    mean each half-group reduces independently (wrong answers, not a
+    crash).
+
+    Design note — why a per-session CANARY and not a per-block monitor:
+    a cross-task min/max-disjointness assert cannot distinguish a real
+    split from a lazy Dataset being executed twice (the second execution
+    re-sorts with freshly sampled boundaries, so its block intervals
+    legitimately overlap the first execution's), and Ray provides no
+    execution id inside a UDF to scope the check — the monitor
+    false-positives exactly on iterative pipelines (dedup_clusters).
+    The canary instead runs ONE adversarial exchange per Ray session
+    through the very same operator surface (``sort`` + per-block
+    ``map_batches``): a 60 %-hot-key corpus, 16 input blocks, under a
+    256 KB ``target_max_block_size`` so the hot key is ~7× the block
+    budget (exercises size-based splitting too).  Any Ray behavior
+    change that splits a key group fails the FIRST
+    ``map_key_partitions`` of the session, before any query result is
+    produced.  Zero per-block overhead, zero false positives.
+    ``OSM3D_MKP_GUARD=0`` disables it."""
+    if os.environ.get("OSM3D_MKP_GUARD", "1") == "0":
+        return
+    import ray
+
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        return  # no initialized session yet — Dataset will init lazily
+    if _CANARY_STATE["job"] == job:
+        return
+    _run_exchange_canary()
+    _CANARY_STATE["job"] = job
+
+
+def _run_exchange_canary(n: int = 200_000, hot_frac: float = 0.6) -> None:
+    """Adversarial hot-key exchange through the production operator shape
+    (``sort(key)`` + one audit call per sorted block) + verification."""
+    rng = np.random.default_rng(0xCA9A12)
+    keys = rng.integers(1_000_000, 2_000_000, n)
+    hot_n = int(n * hot_frac)
+    keys[:hot_n] = 42  # one key owns 60% of rows
+
+    def audit(part: pa.Table) -> pa.Table:
+        k = part.column("__part").to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+                "calls": pa.array(np.ones(len(u), np.int64)),
+            }
+        )
+
+    ctx = ray.data.DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 256 * 1024  # hot key ≈ 7× the block budget
+    try:
+        ds = (
+            ray.data.from_arrow(pa.table({"__part": keys}))
+            .repartition(16)
+            .sort("__part")
+            .map_batches(audit, batch_format="pyarrow", batch_size=None)
+        )
+        got = pa.concat_tables(
+            ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    finally:
+        ctx.target_max_block_size = old_target
+    _verify_canary_result(got, n_rows=n, hot_key=42, hot_n=hot_n)
+
+
+def _verify_canary_result(
+    got: pa.Table, n_rows: int, hot_key: int, hot_n: int
+) -> None:
+    """Raise loudly unless every key was processed in exactly one call
+    with its complete group (factored out so tests can feed a synthetic
+    split and assert the guard fires)."""
+    k = got.column("k").to_numpy(zero_copy_only=False)
+    n = got.column("n").to_numpy(zero_copy_only=False)
+    calls = got.column("calls").to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(k, return_inverse=True)
+    call_sum = np.zeros(len(uniq), np.int64)
+    np.add.at(call_sum, inv, calls)
+    row_sum = np.zeros(len(uniq), np.int64)
+    np.add.at(row_sum, inv, n)
+    split = uniq[call_sum > 1]
+    hot_rows = int(row_sum[np.searchsorted(uniq, hot_key)]) if hot_key in uniq else 0
+    if len(split) or int(row_sum.sum()) != n_rows or hot_rows != hot_n:
+        raise RuntimeError(
+            "map_key_partitions exchange canary FAILED: Ray's range "
+            f"partitioner split {len(split)} key group(s) across blocks "
+            f"(rows seen {int(row_sum.sum())}/{n_rows}, hot key rows "
+            f"{hot_rows}/{hot_n}) — the sorted-exchange complete-group "
+            "invariant no longer holds on this Ray version; every "
+            "map_key_partitions call site would silently reduce partial "
+            "groups (pipelines/partition.py)"
+        )
 
 
 def _key_hash(tbl: pa.Table, key_cols: list[str]) -> np.ndarray:
@@ -70,6 +184,9 @@ def map_key_partitions(
         return batch.append_column(
             "__part", pa.array(_key_hash(batch, key_cols))
         )
+
+    _canary_check()  # once per Ray session: fail loudly if the sorted-
+    # exchange invariant doesn't hold on this Ray version (see docstring)
 
     def run_part(part: pa.Table) -> pa.Table:
         return fn(part.drop_columns(["__part"]))

@@ -102,3 +102,45 @@ def test_empty_input(ray_session):
     )
     out = map_key_partitions(ds, ["k"], _make_group_audit_fn())
     assert out.count() == 0
+
+
+def test_exchange_canary_fires_on_synthetic_split():
+    """The guard's verifier must reject any result where a key group was
+    processed in more than one call (the split the Ray invariant
+    forbids), where rows went missing, or where the hot key lost rows."""
+    from osm_data_3d_tiles_ray.pipelines.partition import (
+        _verify_canary_result,
+    )
+
+    ok = pa.table(
+        {"k": [1, 42], "n": [4, 6], "calls": [1, 1]}
+    )
+    _verify_canary_result(ok, n_rows=10, hot_key=42, hot_n=6)  # no raise
+    # hot key split across two calls (3 + 3 rows)
+    split = pa.table(
+        {"k": [1, 42, 42], "n": [4, 3, 3], "calls": [1, 1, 1]}
+    )
+    with pytest.raises(RuntimeError, match="canary FAILED"):
+        _verify_canary_result(split, n_rows=10, hot_key=42, hot_n=6)
+    # rows silently dropped
+    dropped = pa.table({"k": [1, 42], "n": [4, 5], "calls": [1, 1]})
+    with pytest.raises(RuntimeError, match="canary FAILED"):
+        _verify_canary_result(dropped, n_rows=10, hot_key=42, hot_n=6)
+
+
+def test_exchange_canary_runs_once_per_session(ray_session):
+    """The real canary passes on this Ray version, is invoked by the
+    first map_key_partitions of the session, and is cached per job (no
+    per-exchange overhead afterwards)."""
+    import os
+
+    from osm_data_3d_tiles_ray.pipelines import partition
+
+    assert os.environ.get("OSM3D_MKP_GUARD", "1") != "0"
+    ds = ray.data.from_arrow(
+        pa.table({"k": np.arange(1000, dtype=np.int64) % 7})
+    ).repartition(4)
+    out = map_key_partitions(ds, ["k"], _make_group_audit_fn())
+    assert int(out.to_pandas()["n"].sum()) == 1000
+    job = ray.get_runtime_context().get_job_id()
+    assert partition._CANARY_STATE["job"] == job  # armed + cached
