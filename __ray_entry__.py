@@ -2048,7 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_join_sample": sampling.weighted_join_sample,
         "source_vocab_overlap": overlap.source_vocab_overlap,
         "events_decayed_score": events.decayed_user_score,
-        "curation_matrix": dsir.curation_matrix,
+        "curation_matrix": dsir.curation_matrix_checkpointed,
         "events_type_winsorized": events.type_winsorized,
         "rel_revenue_concentration": mining.revenue_concentration,
         "rel_spend_gini": mining.spend_gini,

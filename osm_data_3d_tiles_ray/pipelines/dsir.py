@@ -428,15 +428,62 @@ def curation_matrix(sf_dir: str) -> "ray.data.Dataset":
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def _matrix_checkpoint_dir(sf_dir: str) -> str:
+    """Deterministic checkpoint path for one corpus state: keyed by the
+    resolved corpus path + the documents file's (mtime_ns, size), so a
+    regenerated corpus invalidates the checkpoint automatically."""
+    import hashlib
+    import os
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    key = hashlib.sha256(
+        f"{os.path.realpath(doc_path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:24]
+    return f"/tmp/osm3d_ckpt/curation_matrix/{key}"
+
+
+def curation_matrix_checkpointed(sf_dir: str) -> "ray.data.Dataset":
+    """:func:`curation_matrix` through an on-disk parquet checkpoint
+    (VERDICT r4 item 3): the matrix is the shared input of the
+    ``curation_matrix`` AND ``curation_funnel`` queries, and recomputing
+    the four-stage fold for the funnel doubled the cost (14.1 s + 11.5 s
+    at sf0.1).  First caller materializes the narrow per-doc flag rows
+    to partitioned parquet (atomic ``_DONE`` marker commit); every later
+    caller streams the checkpoint.  Disk, not object store: the rows
+    are ~48 B/doc, which at 10^12 docs must not pin cluster memory, and
+    an on-disk checkpoint doubles as the resume point (the repo's
+    lineage discipline)."""
+    import os
+
+    out = _matrix_checkpoint_dir(sf_dir)
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        curation_matrix(sf_dir).write_parquet(tmp)
+        os.replace(tmp, out)
+        with open(done, "w") as f:
+            f.write("ok")
+    return ray.data.read_parquet(out)
+
+
 def curation_funnel(sf_dir: str) -> "pa.Table":
     """The funnel rollup of :func:`curation_matrix`: how many documents
     survive each curation stage and the final selection — the one-line
     health readout of the whole pipeline.
 
+    Reads the matrix through its checkpoint (shared with the
+    ``curation_matrix`` query), so the four-stage fold runs once per
+    corpus state, not once per consumer.
+
     Output one row: (n_docs, n_quality, n_keeper, n_contaminated,
     n_dsir, n_selected).
     """
-    m = curation_matrix(sf_dir)
+    m = curation_matrix_checkpointed(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
         def s(col: str) -> int:
