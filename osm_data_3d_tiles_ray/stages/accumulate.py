@@ -12,12 +12,14 @@ Two paths:
 * :func:`tile_geometry_stats` — scalable stats (batch_length, vertex sums,
   bbox union) via per-batch partial combine + small groupby, never moving
   the vertex payload through the shuffle;
-* :func:`accumulate_tiles` — the full payload merge, an explicit
-  ``groupby(cell_id)`` shuffle + ``map_groups`` producing one b3dm-style
-  row per tile (buffers + columnar batch-table equivalents).  At 100 TB the
-  groupby key is the uint64 Morton cell; skew from dense urban cells is
-  bounded by the z16 cell size, with salting (cell_id ⊕ salt of osm_id)
-  available for pathological cells (SURVEY.md §7.3).
+* :func:`accumulate_tiles` — the full payload merge: a cell-keyed
+  ``map_key_partitions`` hash exchange + one in-task pass per partition
+  producing one b3dm-style row per tile (buffers + columnar batch-table
+  equivalents) — bounded dispatch count, never one ``map_groups`` call
+  per cell.  At 100 TB the key is the uint64 Morton cell; skew from
+  dense urban cells is bounded by the z16 cell size, with salting
+  (cell_id ⊕ salt of osm_id) available for pathological cells
+  (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -515,21 +517,100 @@ def accumulate_tiles_compact(
     return map_key_partitions(compact, ["cell_id"], fn, **kw)
 
 
+_TILE_ROW_SCHEMA = pa.schema(
+    [
+        ("cell_id", pa.uint64()),
+        ("batch_length", pa.int32()),
+        ("vertex_count", pa.int64()),
+        ("osm_ids", pa.large_list(pa.int64())),
+        ("vertex_offsets", pa.large_list(pa.uint32())),
+        ("position", pa.large_list(pa.float32())),
+        ("uv", pa.large_list(pa.float32())),
+        ("normal", pa.large_list(pa.float32())),
+        ("texture_id", pa.large_list(pa.uint8())),
+        ("batch_id", pa.large_list(pa.uint16())),
+        ("min_x", pa.float64()),
+        ("min_y", pa.float64()),
+        ("min_z", pa.float64()),
+        ("max_x", pa.float64()),
+        ("max_y", pa.float64()),
+        ("max_z", pa.float64()),
+    ]
+)
+
+_PARTIAL_ROW_SCHEMA = pa.schema(
+    [
+        ("cell_id", pa.uint64()),
+        ("p_osm_ids", pa.large_list(pa.int64())),
+        ("p_vcounts", pa.large_list(pa.int64())),
+        ("p_min_x", pa.large_list(pa.float64())),
+        ("p_min_y", pa.large_list(pa.float64())),
+        ("p_min_z", pa.large_list(pa.float64())),
+        ("p_max_x", pa.large_list(pa.float64())),
+        ("p_max_y", pa.large_list(pa.float64())),
+        ("p_max_z", pa.large_list(pa.float64())),
+        ("position", pa.large_list(pa.float32())),
+        ("uv", pa.large_list(pa.float32())),
+        ("normal", pa.large_list(pa.float32())),
+        ("texture_id", pa.large_list(pa.uint8())),
+    ]
+)
+
+
+def _per_key_runs(part: pa.Table, key_cols, merge_one, empty_schema) -> pa.Table:
+    """One hash partition → sort by key, slice contiguous key runs, merge
+    each run with ``merge_one`` — the in-task replacement for one
+    ``map_groups`` DISPATCH per tiny group (~1 ms each; forbidden above
+    10k groups, CLAUDE.md).  The per-run Python call remains, but inside
+    one task over an already co-located partition its cost is a plain
+    function call, not a Ray dispatch."""
+    if len(part) == 0:
+        return empty_schema.empty_table()
+    part = part.sort_by([(c, "ascending") for c in key_cols])
+    keys = [part.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+    mask = np.zeros(len(part), dtype=bool)
+    mask[0] = True
+    for k in keys:
+        mask[1:] |= k[1:] != k[:-1]
+    bounds = np.append(np.flatnonzero(mask), len(part))
+    merged = [
+        merge_one(part.slice(s, e - s))
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ]
+    return pa.concat_tables(merged)
+
+
 def accumulate_tiles(
     built: "ray.data.Dataset", n_salt: int = 0
 ) -> "ray.data.Dataset":
-    """Shuffle #2: groupby(cell_id) → one merged b3dm-equivalent row per tile.
+    """Shuffle #2 (raw-buffer path): one merged b3dm-equivalent row per
+    tile.  The scale default is :func:`accumulate_tiles_compact`; this
+    variant keeps the raw float32 list columns (reference-parity encode,
+    serve's single-tile recompute, b3dm export).
+
+    Exchange shape matches the compact path since round 5: a cell-keyed
+    ``map_key_partitions`` hash exchange with one task per partition and
+    an in-task loop over contiguous cell runs — never one ``map_groups``
+    dispatch per z16 cell (cell count grows with data: millions at web
+    scale, the >10k-tiny-groups shape CLAUDE.md forbids; VERDICT r4
+    item 4).
 
     ``n_salt > 0`` enables the dense-urban-cell skew path (north rule): a
-    first ``groupby((cell_id, salt))`` merges bounded sub-groups (salt =
-    osm_id % n_salt, deterministic), then a second ``groupby(cell_id)``
+    first (cell, salt)-keyed exchange merges bounded sub-groups (salt =
+    osm_id % n_salt, deterministic), then a second cell-keyed exchange
     merges the ≤ n_salt partial payloads per cell — no single reduce task
     ever sees a whole hot cell's raw rows.  Output is identical to the
     unsalted path (buildings are re-sorted by osm_id at the final merge)."""
+    from ..pipelines.partition import map_key_partitions
+
     if n_salt <= 0:
-        return built.groupby("cell_id").map_groups(
-            _merge_tile_group, batch_format="pyarrow"
-        )
+
+        def merge_cells(part: pa.Table) -> pa.Table:
+            return _per_key_runs(
+                part, ["cell_id"], _merge_tile_group, _TILE_ROW_SCHEMA
+            )
+
+        return map_key_partitions(built, ["cell_id"], merge_cells)
 
     def add_salt(batch: pa.Table) -> pa.Table:
         osm = batch.column("osm_id").to_numpy(zero_copy_only=False)
@@ -537,17 +618,25 @@ def accumulate_tiles(
             "salt", pa.array((osm % n_salt).astype(np.int32))
         )
 
-    phase1 = (
-        built.map_batches(add_salt, batch_format="pyarrow")
-        .groupby(["cell_id", "salt"])
-        .map_groups(
+    def merge_partials(part: pa.Table) -> pa.Table:
+        return _per_key_runs(
+            part,
+            ["cell_id", "salt"],
             lambda g: _merge_partial_group(g.drop_columns(["salt"])),
-            batch_format="pyarrow",
+            _PARTIAL_ROW_SCHEMA,
         )
+
+    def merge_salted(part: pa.Table) -> pa.Table:
+        return _per_key_runs(
+            part, ["cell_id"], _merge_merged_group, _TILE_ROW_SCHEMA
+        )
+
+    phase1 = map_key_partitions(
+        built.map_batches(add_salt, batch_format="pyarrow"),
+        ["cell_id", "salt"],
+        merge_partials,
     )
-    return phase1.groupby("cell_id").map_groups(
-        _merge_merged_group, batch_format="pyarrow"
-    )
+    return map_key_partitions(phase1, ["cell_id"], merge_salted)
 
 
 def _merge_partial_group(group: pa.Table) -> pa.Table:
