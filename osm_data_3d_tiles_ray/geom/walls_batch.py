@@ -41,12 +41,15 @@ def build_walls_batch(
     tex_wall_r: np.ndarray,
     tex_win_r: np.ndarray,
     height_points: np.ndarray | None = None,
+    emit_attrs: bool = True,
 ) -> tuple[dict[str, np.ndarray], np.ndarray]:
     """Vectorized walls for R closed rings.
 
     Returns (SoA dict, per-ring output vertex counts).  Rings with
     ``levels_r <= 0`` or fewer than 3 distinct vertices produce no output.
-    """
+    ``emit_attrs=False`` (the stats-only fast path) skips the uv/normal/
+    texture assembly — positions and counts are unchanged; the attribute
+    arrays come back empty."""
     R = len(ring_offsets) - 1
     if R == 0 or len(verts) == 0:
         return _empty(), np.zeros(0, np.int64)
@@ -219,19 +222,24 @@ def build_walls_batch(
     pos[:, 5, :2] = p1
     pos[:, 5, 2] = y1t
 
-    uv = np.empty((S, 6, 2), dtype=np.float32)
-    uv[:, [1, 2, 4], 0] = f0[:, None]
-    uv[:, [0, 3, 5], 0] = f1[:, None]
-    uv[:, [0, 1, 3], 1] = 0.0
-    uv[:, [2, 4, 5], 1] = 1.0
+    if emit_attrs:
+        uv = np.empty((S, 6, 2), dtype=np.float32)
+        uv[:, [1, 2, 4], 0] = f0[:, None]
+        uv[:, [0, 3, 5], 0] = f1[:, None]
+        uv[:, [0, 1, 3], 1] = 0.0
+        uv[:, [2, 4, 5], 1] = 1.0
 
-    nrm2 = np.stack([-(seg_vec[:, 1]), seg_vec[:, 0]], axis=1) / seg_len[:, None]
-    normal = np.zeros((S, 6, 3), dtype=np.float32)
-    normal[:, :, 0] = nrm2[seg_i, 0][:, None]
-    normal[:, :, 1] = nrm2[seg_i, 1][:, None]
+        nrm2 = np.stack([-(seg_vec[:, 1]), seg_vec[:, 0]], axis=1) / seg_len[:, None]
+        normal = np.zeros((S, 6, 3), dtype=np.float32)
+        normal[:, :, 0] = nrm2[seg_i, 0][:, None]
+        normal[:, :, 1] = nrm2[seg_i, 1][:, None]
 
-    tex = np.where(has_window[seg_i], tex_win_r[ring_i], tex_wall_r[ring_i]).astype(np.uint8)
-    texture_id = np.repeat(tex, 6)
+        tex = np.where(has_window[seg_i], tex_win_r[ring_i], tex_wall_r[ring_i]).astype(np.uint8)
+        texture_id = np.repeat(tex, 6)
+    else:
+        uv = np.empty((0, 6, 2), dtype=np.float32)
+        normal = np.empty((0, 6, 3), dtype=np.float32)
+        texture_id = np.empty(0, np.uint8)
 
     # per-ring output vertex counts (6 per block)
     out_counts = np.zeros(R, dtype=np.int64)

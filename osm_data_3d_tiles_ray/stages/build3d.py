@@ -386,13 +386,37 @@ class Build3D:
         foot_tri_counts = np.zeros(n, dtype=np.int64)
         flat_z = np.empty(n)
 
+        # convex single-ring fans for the WHOLE batch in one ragged pass
+        # (the common case — most footprints are simple convex quads);
+        # values identical to the per-row np.stack fan it replaces, only
+        # the loop fetches a precomputed slice instead of rebuilding it
+        fan_rows = np.zeros(n, dtype=bool)
+        k_row = np.zeros(n, dtype=np.int64)
+        if n and len(ring_nverts):
+            # clamp: a trailing zero-ring row's first-ring index equals the
+            # ring count; it is masked out by rings_per_row > 0 below
+            gr0 = np.minimum(first_ring_of_row, len(ring_nverts) - 1)
+            k_row = np.where(
+                rings_per_row > 0, ring_nverts[gr0] - 1, 0
+            )
+            fan_rows = (rings_per_row == 1) & convex[gr0] & (k_row >= 3)
+        fan_counts = np.where(fan_rows, np.maximum(k_row - 2, 0), 0)
+        fan_offs = np.concatenate([[0], np.cumsum(fan_counts)])
+        if fan_counts.sum():
+            owner = np.repeat(np.arange(n), fan_counts)
+            j = (
+                np.arange(int(fan_counts.sum()), dtype=np.int64)
+                - np.repeat(fan_offs[:-1], fan_counts)
+                + 1
+            )
+            s_rep = g_ring_starts[gr0][owner]
+            fan_all = np.stack([s_rep, s_rep + j, s_rep + j + 1], axis=1)
+        else:
+            fan_all = np.empty((0, 3), dtype=np.int64)
+
         def footprint_tris(i: int) -> np.ndarray:
-            gr = first_ring_of_row[i]
-            s = g_ring_starts[gr]
-            k = ring_nverts[gr] - 1
-            if rings_per_row[i] == 1 and convex[gr] and k >= 3:
-                j = np.arange(1, k - 1, dtype=np.int64)
-                return np.stack([np.full(k - 2, s), s + j, s + j + 1], axis=1)
+            if fan_rows[i]:
+                return fan_all[fan_offs[i] : fan_offs[i + 1]]
             r0, r1 = ring_offs[i], ring_offs[i + 1]
             local_starts = flat_ring_starts[r0:r1].astype(np.int64)
             c0, c1 = vert_offs[i], vert_offs[i + 1]
@@ -486,14 +510,15 @@ class Build3D:
             )
             m = tri_pts.reshape(-1, 3)
             flat_roof_pos = m.astype(np.float32)
-            flat_roof_uv = (m[:, :2] * 0.1).astype(np.float32)
-            flat_roof_nrm = np.zeros((len(m), 3), np.float32)
-            flat_roof_nrm[:, 2] = 1.0
-            row_of_tri = np.repeat(np.arange(n), flat_tri_counts)
-            tid_row = np.array(
-                [ROOF_TEXTURE.get(mt, 13) for mt in roof_mats], dtype=np.uint8
-            )
-            flat_roof_tid = np.repeat(tid_row[row_of_tri], 3)
+            if self.emit_buffers:  # stats mode needs only positions (bbox)
+                flat_roof_uv = (m[:, :2] * 0.1).astype(np.float32)
+                flat_roof_nrm = np.zeros((len(m), 3), np.float32)
+                flat_roof_nrm[:, 2] = 1.0
+                row_of_tri = np.repeat(np.arange(n), flat_tri_counts)
+                tid_row = np.array(
+                    [ROOF_TEXTURE.get(mt, 13) for mt in roof_mats], dtype=np.uint8
+                )
+                flat_roof_tid = np.repeat(tid_row[row_of_tri], 3)
 
         # ---- G16 underside cap (flipped flat at minHeight when the building
         # floats) / G17 terrain mask otherwise
@@ -527,10 +552,13 @@ class Build3D:
                     axis=2,
                 ).reshape(-1, 3)
                 cap_pos = cm.astype(np.float32)
-                cap_uv = (cm[:, :2] * 0.1).astype(np.float32)
-                cap_nrm = np.zeros((len(cm), 3), np.float32)
-                cap_nrm[:, 2] = -1.0
-                cap_tid = np.full(len(cm), ROOF_TEXTURE["concrete"], dtype=np.uint8)
+                if self.emit_buffers:  # stats mode needs only positions
+                    cap_uv = (cm[:, :2] * 0.1).astype(np.float32)
+                    cap_nrm = np.zeros((len(cm), 3), np.float32)
+                    cap_nrm[:, 2] = -1.0
+                    cap_tid = np.full(
+                        len(cm), ROOF_TEXTURE["concrete"], dtype=np.uint8
+                    )
             if self.emit_buffers:
                 masked = (geom_valid & (min_heights <= 0))[row_of_foot]
                 mpts = coords[foot_tris_all[masked]].reshape(-1, 2) / TILE_SIZE_Z16
@@ -564,6 +592,7 @@ class Build3D:
             wall_tex[row_of_ring],
             win_tex[row_of_ring],
             height_points=height_points_flat,
+            emit_attrs=self.emit_buffers,
         )
         wall_counts = np.zeros(n, dtype=np.int64)
         np.add.at(wall_counts, row_of_ring, wall_counts_per_ring)
@@ -584,6 +613,7 @@ class Build3D:
             "vertex_count": pa.array(wall_counts + roof_counts + cap_counts),
         }
 
+        emit = self.emit_buffers
         pieces_pos: list[np.ndarray] = []
         pieces_uv: list[np.ndarray] = []
         pieces_nrm: list[np.ndarray] = []
@@ -593,26 +623,30 @@ class Build3D:
             w0, w1 = row_wall_start[i], row_wall_start[i + 1]
             if rg is not None and len(rg["position"]):
                 pieces_pos.append(rg["position"])
-                pieces_uv.append(rg["uv"])
-                pieces_nrm.append(rg["normal"])
-                pieces_tid.append(rg["texture_id"])
+                if emit:
+                    pieces_uv.append(rg["uv"])
+                    pieces_nrm.append(rg["normal"])
+                    pieces_tid.append(rg["texture_id"])
             elif flat_spans[i + 1] > flat_spans[i]:
                 f0, f1 = flat_spans[i], flat_spans[i + 1]
                 pieces_pos.append(flat_roof_pos[f0:f1])
-                pieces_uv.append(flat_roof_uv[f0:f1])
-                pieces_nrm.append(flat_roof_nrm[f0:f1])
-                pieces_tid.append(flat_roof_tid[f0:f1])
+                if emit:
+                    pieces_uv.append(flat_roof_uv[f0:f1])
+                    pieces_nrm.append(flat_roof_nrm[f0:f1])
+                    pieces_tid.append(flat_roof_tid[f0:f1])
             if w1 > w0:
                 pieces_pos.append(walls["position"][w0:w1])
-                pieces_uv.append(walls["uv"][w0:w1])
-                pieces_nrm.append(walls["normal"][w0:w1])
-                pieces_tid.append(walls["texture_id"][w0:w1])
+                if emit:
+                    pieces_uv.append(walls["uv"][w0:w1])
+                    pieces_nrm.append(walls["normal"][w0:w1])
+                    pieces_tid.append(walls["texture_id"][w0:w1])
             if cap_spans[i + 1] > cap_spans[i]:
                 k0, k1 = cap_spans[i], cap_spans[i + 1]
                 pieces_pos.append(cap_pos[k0:k1])
-                pieces_uv.append(cap_uv[k0:k1])
-                pieces_nrm.append(cap_nrm[k0:k1])
-                pieces_tid.append(cap_tid[k0:k1])
+                if emit:
+                    pieces_uv.append(cap_uv[k0:k1])
+                    pieces_nrm.append(cap_nrm[k0:k1])
+                    pieces_tid.append(cap_tid[k0:k1])
         flat_pos = (
             np.concatenate(pieces_pos) if pieces_pos else np.empty((0, 3), np.float32)
         )
