@@ -1914,7 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a value-exact oracle: unrolled SQL rounds mirror every iteration)
         "kmeans_exact": ann.kmeans_exact,
         "ann_lsh_topk": ann.ann_lsh_topk,
-        "ann_ivf_topk": ann.ann_ivf_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk_validated,
         "events_hourly": events.hourly_by_type,
         "events_user_daily": events.user_daily_activity,
         "events_sessionize": events.sessionize,
@@ -1945,7 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": ann.range_search,
         "semantic_dedup": ann.semantic_dedup,
         "embedding_random_projection": ann.random_projection,
-        "embedding_pq": ann.product_quantize,
+        "embedding_pq": ann.product_quantize_validated,
         "embedding_class_cohesion": ann.class_cohesion,
         "text_embedding_fusion": ann.text_embedding_fusion,
         "bm25_topk": textops.bm25_topk,
