@@ -1132,6 +1132,17 @@ def _mulmod_u64(x: str, c: int) -> str:
     )
 
 
+# --- ASCII-only corpus invariant (ADVICE r4) -------------------------------
+# The character-level text oracles below (the shingle CTE, the CDC rolling
+# hash, the poly257 base hash, the span-sequence fold) address text with
+# DuckDB's ``ord(substr(...))`` codepoints and ``length()`` CHARACTER
+# counts, while the engine hashes UTF-8 BYTES at byte offsets.  The two
+# agree iff every byte is a codepoint — i.e. the corpus is pure ASCII.
+# That invariant holds for the driver's testdata and the synth corpus by
+# construction and is ASSERTED by tests/test_corpus_ascii.py (DuckDB
+# ``strlen(text) = length(text)`` over every corpus at every SF);
+# a non-ASCII corpus must switch these oracles to byte addressing
+# (``encode(text)`` blobs) before trusting a hash compare.
 _SHINGLE_CTE = """
 sh AS (
   SELECT DISTINCT doc_id,
@@ -1401,9 +1412,9 @@ fin AS (
          {m} - n_occ AS zeros
   FROM agg
 )
-SELECT CAST(ROUND(CASE WHEN {alpha_est} <= {2.5 * m} AND zeros > 0
+SELECT CAST(FLOOR(CASE WHEN {alpha_est} <= {2.5 * m} AND zeros > 0
             THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
-            ELSE {alpha_est} END) AS BIGINT) AS n_users_hll
+            ELSE {alpha_est} END + 0.5) AS BIGINT) AS n_users_hll
 FROM fin
 """
 
@@ -1593,9 +1604,12 @@ def _embedding_pairs_ctes(
     """CTE chain ending in ``epairs(vec_id, dup_of, sim)`` — the exact
     sign-LSH bucket pairs of ``ann.embedding_near_dup`` (Jenkins ±1
     planes, same-bucket candidates, normalized-cosine verify ≥
-    ``threshold``).  Bucket signs come from the RAW vectors (positive
-    norms preserve sign), cosines from the normalized pair."""
+    ``threshold``).  Bucket signs come from the NORMALIZED vectors (like
+    the engine's ``mn @ planes.T``) on the e6-quantized grid; the verify
+    threshold and reported percentage are also integer-grid compares
+    (``floor(x*scale + 0.5)``, the repo's oracle float rule)."""
     mix, h = _jenkins_round_sql("a0", "m")
+    thr_e6 = round(threshold * 1e6)
     return f"""
 eu AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -1613,13 +1627,20 @@ es1 AS (SELECT b, d, {mix} FROM es0),
 esgn AS (SELECT b, d,
                 CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
          FROM es1),
+enrm AS (
+  SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM eu GROUP BY 1
+),
 edot AS (
-  SELECT eu.vec_id, s.b, SUM(eu.v * s.sign) AS dp
-  FROM eu JOIN esgn s USING (d) GROUP BY 1, 2
+  -- normalized dot, like the engine (mn @ planes.T); the sign compare
+  -- runs on the e6-quantized grid so DuckDB's sequential sum and
+  -- numpy's BLAS pairwise sum agree even ~1e-13 from zero (ADVICE r4)
+  SELECT eu.vec_id, s.b, SUM(eu.v / n.nrm * s.sign) AS dp
+  FROM eu JOIN esgn s USING (d) JOIN enrm n ON n.vec_id = eu.vec_id
+  GROUP BY 1, 2
 ),
 esig AS MATERIALIZED (
   SELECT vec_id,
-         CAST(SUM(CASE WHEN dp > 0
+         CAST(SUM(CASE WHEN FLOOR(dp * 1000000 + 0.5) > 0
                   THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
                   ELSE 0 END) AS BIGINT) AS sg
   FROM edot GROUP BY 1
@@ -1638,15 +1659,15 @@ epairs AS MATERIALIZED (
   SELECT vec_id, dup_of,
          SUM(va * vb) / (sqrt(SUM(va * va)) * sqrt(SUM(vb * vb))) AS sim
   FROM eun GROUP BY 1, 2
-  HAVING SUM(va * vb) / (sqrt(SUM(va * va)) * sqrt(SUM(vb * vb)))
-         >= {threshold}
+  HAVING FLOOR(SUM(va * vb) / (sqrt(SUM(va * va)) * sqrt(SUM(vb * vb)))
+               * 1000000 + 0.5) >= {thr_e6}
 )"""
 
 
 def _embedding_near_dup_sql(threshold: float = 0.92) -> str:
     return f"""
 WITH {_embedding_pairs_ctes(threshold)}
-SELECT vec_id, dup_of, CAST(ROUND(sim * 100) AS BIGINT) AS sim_pct
+SELECT vec_id, dup_of, CAST(FLOOR(sim * 100 + 0.5) AS BIGINT) AS sim_pct
 FROM epairs
 """
 
@@ -4799,14 +4820,21 @@ WITH p AS (
   FROM spans b JOIN documents d USING (doc_id) WHERE b.e IS NOT NULL
 ), dd AS (
   SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ck GROUP BY 1
+), fin AS (
+  SELECT ck.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+         CAST(COALESCE(SUM(CASE WHEN dd.nd >= 2 THEN length(ck.chunk) END), 0)
+             AS BIGINT) AS shared_chars
+  FROM ck JOIN dd USING (chunk)
+  GROUP BY 1
 )
-SELECT ck.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-       CAST(SUM(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_shared_chunks,
-       CAST(COALESCE(SUM(CASE WHEN dd.nd >= 2 THEN length(ck.chunk) END), 0)
-           AS BIGINT) AS shared_chars
-FROM ck JOIN dd USING (chunk)
-GROUP BY 1
+-- LEFT JOIN from documents: an empty-text doc has zero chunks but must
+-- still appear as (0, 0, 0) — the engine's convention (ADVICE r4)
+SELECT d.doc_id, CAST(COALESCE(f.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(f.n_shared_chunks, 0) AS BIGINT) AS n_shared_chunks,
+       CAST(COALESCE(f.shared_chars, 0) AS BIGINT) AS shared_chars
+FROM documents d LEFT JOIN fin f ON f.doc_id = d.doc_id
 """,
         "dup_span_coverage": """
 WITH t AS (

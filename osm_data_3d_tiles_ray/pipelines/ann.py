@@ -144,7 +144,13 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 8) 
             -1, dims
         )
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sig = ((mn @ planes.T) > 0) @ (1 << np.arange(n_planes))
+        # sign via the e6-quantized dot (floor(dp*1e6+0.5) > 0) so the
+        # oracle's sequential SUM and numpy's BLAS pairwise sum land in
+        # the same bucket even when a dot sits within ~1e-13 of zero
+        # (ADVICE r4: a hard dp > 0 compare can flip between engines)
+        sig = (np.floor((mn @ planes.T) * 1e6 + 0.5) > 0) @ (
+            1 << np.arange(n_planes)
+        )
         flat = pa.array(mn.reshape(-1), type=pa.float64())
         return pa.table(
             {
@@ -185,10 +191,18 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 8) 
                 continue
             mb, vb = m[s:e], vid[s:e]
             sims = mb @ mb.T
-            a, b = np.nonzero((sims >= threshold) & (vb[:, None] > vb[None, :]))
+            # threshold + report on the e6/e2-quantized grid (floor(x*k
+            # + 0.5), the repo's oracle float rule): np.round is
+            # half-even while SQL ROUND is half-away, and a BLAS sum vs
+            # a sequential SQL sum can straddle a hard >= threshold
+            sim_e6 = np.floor(sims * 1e6 + 0.5)
+            a, b = np.nonzero(
+                (sim_e6 >= round(threshold * 1e6))
+                & (vb[:, None] > vb[None, :])
+            )
             out_a.append(vb[a])
             out_b.append(vb[b])
-            out_s.append(np.round(sims[a, b] * 100).astype(np.int64))
+            out_s.append(np.floor(sims[a, b] * 100 + 0.5).astype(np.int64))
         if not out_a:
             return empty
         return pa.table(

@@ -399,14 +399,41 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> "pa.Table":
         np.maximum.at(regs, idx, rank.astype(np.int8))
         return pa.table({"regs": pa.array([regs], type=pa.large_list(pa.int8()))})
 
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        """Elementwise-MAX fold of ≤fan-in register rows into one —
+        runs in the combiner tree (the top_terms shape), so the
+        reduction is parallel in the block count, never a serial driver
+        loop; max is fully associative, any fold order identical."""
+        col = batch.column("regs")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = np.asarray(col.values).reshape(len(batch), -1)
+        return pa.table(
+            {
+                "regs": pa.array(
+                    [vals.max(axis=0)], type=pa.large_list(pa.int8())
+                )
+            }
+        )
+
     partials = (
         _events(sf_dir)
         .select_columns(["user_id"])
         .map_batches(partial, batch_format="pyarrow")
     )
+    merged = (
+        partials.map_batches(merge_rows, batch_size=64, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(merge_rows, batch_size=None, batch_format="pyarrow")
+    )
     regs = np.zeros(m, dtype=np.int8)
-    for row in partials.iter_rows():
-        regs = np.maximum(regs, np.asarray(row["regs"], dtype=np.int8))
+    for t in ray.get(merged.to_arrow_refs()):
+        if t.num_rows:
+            col = t.column("regs").combine_chunks()
+            regs = np.maximum(
+                regs,
+                np.asarray(col.values).reshape(t.num_rows, -1).max(axis=0),
+            )
 
     alpha = 0.7213 / (1.0 + 1.079 / m)
     # Z = Σ 2^-reg = S / 2^maxrank with S integer-EXACT (Python ints; the
@@ -420,7 +447,12 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> "pa.Table":
     zeros = int(hist[0])
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)  # linear counting
-    return pa.table({"n_users_hll": pa.array([int(round(est))], type=pa.int64())})
+    # floor(est + 0.5), not round(): Python/numpy round is half-even
+    # while the oracle's SQL ROUND is half-away (ADVICE r4) — both sides
+    # now share the explicit half-up rule
+    return pa.table(
+        {"n_users_hll": pa.array([int(np.floor(est + 0.5))], type=pa.int64())}
+    )
 
 
 def distinct_users_exact(sf_dir: str) -> "pa.Table":

@@ -4007,10 +4007,15 @@ def cdc_chunk_dedup(sf_dir: str, window: int = 8, mask_mod: int = 64) -> "ray.da
         n = len(batch)
         _, cut_doc = _cdc_cut_positions(buf, offs, K, mask_mod)
         n_cuts = np.bincount(cut_doc, minlength=n)
+        # empty-text convention (ADVICE r4): an empty document has ZERO
+        # chunks — aligned across engine, SQL oracle (LEFT JOIN from
+        # documents) and the test brute force, so an empty doc can never
+        # flip row counts or ride as a spurious "shared" empty chunk
+        lens = np.diff(offs)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_chunks": pa.array(n_cuts + 1),
+                "n_chunks": pa.array(np.where(lens > 0, n_cuts + 1, 0)),
                 "n_shared_chunks": pa.array(np.zeros(n, np.int64)),
                 "shared_chars": pa.array(np.zeros(n, np.int64)),
             }

@@ -9,6 +9,8 @@ def _cdc_chunks_bruteforce(text: str, K: int = 8, mod: int = 64) -> list[str]:
     """Per-doc reference: scalar rolling-hash cuts (independent reimpl)."""
     b = text.encode("utf-8")
     L = len(b)
+    if L == 0:
+        return []  # empty doc -> zero chunks (engine/oracle convention)
     cuts = []
     for i in range(1, L - K + 1):
         h = 0
@@ -292,3 +294,48 @@ def test_tumbling_lateness_partitions_every_event(ray_session):
     """).df().set_index("w")["s"]
     for row in df.itertuples():
         assert row.accepted_sum_micro <= full[row.window_us]
+
+
+def test_cdc_empty_doc_convention(ray_session, tmp_path):
+    """An empty-text document has ZERO chunks and still appears as
+    (0, 0, 0) — aligned across engine, SQL oracle and brute force
+    (ADVICE r4: the three previously disagreed, masked only because the
+    driver corpus has no empty docs)."""
+    import duckdb
+
+    from osm_data_3d_tiles_ray.pipelines.textops import cdc_chunk_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "",
+                "alpha beta gamma delta epsilon zeta eta theta " * 4,
+                "",
+            ],
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        cdc_chunk_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    assert got.loc[0, ["n_chunks", "n_shared_chunks", "shared_chars"]].tolist() == [0, 0, 0]
+    assert got.loc[2, ["n_chunks", "n_shared_chunks", "shared_chars"]].tolist() == [0, 0, 0]
+    assert got.loc[1, "n_chunks"] >= 1
+    # brute force agrees
+    assert _cdc_chunks_bruteforce("") == []
+    # oracle agrees row-for-row
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["cdc_chunk_dedup"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_chunks", "n_shared_chunks", "shared_chars"):
+        assert got[c].tolist() == ora[c].tolist(), c
