@@ -28,7 +28,7 @@ from ..stages.accumulate import (
     compact_before_shuffle,
     tile_geometry_stats,
 )
-from ..stages.build3d import Build3D, Build3DStats
+from ..stages.build3d import Build3D, Build3DCompact, Build3DStats
 from ..stages.parse import parse_documents
 
 
@@ -37,6 +37,7 @@ def built_ds(
     emit_buffers: bool = True,
     concurrency=None,
     batch_size: int = 1024,
+    compact: bool = False,
 ) -> "ray.data.Dataset":
     if concurrency is None:
         # fixed-size pool of (cluster CPUs - 1): leaves a core for the
@@ -49,8 +50,17 @@ def built_ds(
     parsed = documents.map_batches(
         functools.partial(parse_documents, keep_spans=False), batch_format="pyarrow"
     )
+    # compact=True fuses the quantizer into the actor (Build3DCompact):
+    # an actor pool cannot fuse with a downstream task pool, so a
+    # separate compact_before_shuffle stage would materialize the
+    # 35 B/vertex float buffers in the object store first
+    cls = (
+        Build3DCompact
+        if compact
+        else (Build3D if emit_buffers else Build3DStats)
+    )
     return parsed.map_batches(
-        Build3D if emit_buffers else Build3DStats,
+        cls,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
@@ -85,9 +95,10 @@ def tile_compression(documents: "ray.data.Dataset", **kw) -> "ray.data.Dataset":
     # vertex skew between codec tasks, and re-moved the full payload once
     # more; observed 2.3–32 s tasks there vs a level pool here)
     tiles = accumulate_tiles_compact(
-        built_ds(documents, emit_buffers=True, **kw),
+        built_ds(documents, compact=True, **kw),
         num_partitions=512,
         finish=encode_compact_tiles_compressed,
+        pre_compacted=True,
     )
     return tiles.select_columns(
         [
@@ -155,9 +166,9 @@ def seed_tiles(
     from ..state.lineage import PartitionWriter, finalize_manifest
 
     shift = LEAF_ZOOM - ROOT_ZOOM
-    built = built_ds(documents, emit_buffers=True, **kw)
-    if compact:
-        built = built.map_batches(compact_before_shuffle, batch_format="pyarrow")
+    # the compact path quantizes INSIDE the Build3D actor (Build3DCompact)
+    # so the float soup never materializes between the pools
+    built = built_ds(documents, emit_buffers=True, compact=compact, **kw)
     merge_one_cell = _merge_tile_group  # raw path only; compact merges whole-parent
 
     def add_parent(batch: pa.Table) -> pa.Table:

@@ -490,6 +490,7 @@ def accumulate_tiles_compact(
     built: "ray.data.Dataset",
     num_partitions: int | None = None,
     finish=None,
+    pre_compacted: bool = False,
 ) -> "ray.data.Dataset":
     """Scale-path tile merge: quantize per building → shuffle compact blobs →
     concatenate per tile (≈2.5× less shuffle volume than the raw-buffer
@@ -505,7 +506,11 @@ def accumulate_tiles_compact(
     merged payload blocks in the object store."""
     from ..pipelines.partition import map_key_partitions
 
-    compact = built.map_batches(compact_before_shuffle, batch_format="pyarrow")
+    compact = (
+        built
+        if pre_compacted
+        else built.map_batches(compact_before_shuffle, batch_format="pyarrow")
+    )
     if finish is None:
         fn = _merge_compact_partition
     else:

@@ -698,6 +698,22 @@ class Build3DStats(Build3D):
         super().__init__(emit_buffers=False, flat_uv_clip=flat_uv_clip)
 
 
+class Build3DCompact(Build3D):
+    """Build3D fused with the compact quantizer INSIDE the actor: emits
+    11 B/vertex quantized building records directly, so the 35 B/vertex
+    float soup never materializes in the object store between the actor
+    pool and the (unfusable) downstream task pool — at sf0.1 that is
+    ~1.3 GB written+read per run; at 100 TB it is the difference between
+    shuffling the corpus once and 3×.  Byte-identical to
+    ``compact_before_shuffle(Build3D()(batch))`` by construction (same
+    composition, same batch boundaries)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .accumulate import compact_before_shuffle
+
+        return compact_before_shuffle(super().__call__(batch))
+
+
 def _ring_areas(coords: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     """Signed areas for rings given [start, end) windows (reference formula)."""
     x = coords[:, 0]

@@ -605,12 +605,17 @@ def _encode_compact_slice(batch: pa.Table) -> pa.Table:
     N = int(verts.sum())
     v_off_rec = np.concatenate([[0], np.cumsum(verts)])  # vertex offset per record
 
-    qp_t = np.empty((N, 3), np.uint16)
-    qn = np.empty((N, 3), np.int8)
-    qu = np.empty((N, 2), np.uint16)
-    tid = np.empty(N, np.uint8)
-    bid = np.empty(N, np.uint16)
-    tile_of_v = np.empty(N, np.int32)
+    # N-sized working arrays come from per-process reusable scratch (the
+    # _KnnPartial pattern): numpy frees >128 KB blocks back to the OS, so
+    # per-task np.empty would first-touch fresh pages on EVERY partition
+    # task — measured as the dominant cost of the fused merge+codec stage
+    # at 32-way concurrency (concurrent faulting serializes host-wide)
+    qp_t = _varint_scratch("enc_qp_t", N * 3, np.uint16)[: N * 3].reshape(N, 3)
+    qn = _varint_scratch("enc_qn", N * 3, np.int8)[: N * 3].reshape(N, 3)
+    qu = _varint_scratch("enc_qu", N * 2, np.uint16)[: N * 2].reshape(N, 2)
+    tid = _varint_scratch("enc_tid", N, np.uint8)[:N]
+    bid = _varint_scratch("enc_bid", N, np.uint16)[:N]
+    tile_of_v = _varint_scratch("enc_tov", N, np.int32)[:N]
     mn_t = bounds[:, :3]
     ext_t = np.where(bounds[:, 3:] > mn_t, bounds[:, 3:] - mn_t, 1.0)
     rec_first = np.concatenate([[0], np.cumsum(n_rec)[:-1]])
@@ -624,10 +629,21 @@ def _encode_compact_slice(batch: pa.Table) -> pa.Table:
         vc = verts[r0:r1]
         v0, v1 = int(v_off_rec[r0]), int(v_off_rec[r1])
         bc = base[r0:r1]
-        qp_c = _seg_gather(raw, bc, vc * 6).view(np.uint16).reshape(-1, 3)
-        qn[v0:v1] = _seg_gather(raw, bc + vc * 6, vc * 3).view(np.int8).reshape(-1, 3)
-        qu[v0:v1] = _seg_gather(raw, bc + vc * 9, vc * 4).view(np.uint16).reshape(-1, 2)
-        tid[v0:v1] = _seg_gather(raw, bc + vc * 13, vc)
+        # attribute gathers land DIRECTLY in the preallocated arrays
+        # (uint8 views of the destination slices) — no fresh temporaries
+        qp_c = _seg_gather(
+            raw, bc, vc * 6,
+            out=_varint_scratch("enc_qp_c", (v1 - v0) * 6, np.uint8),
+        ).view(np.uint16).reshape(-1, 3)
+        _seg_gather(
+            raw, bc + vc * 6, vc * 3,
+            out=qn[v0:v1].reshape(-1).view(np.uint8),
+        )
+        _seg_gather(
+            raw, bc + vc * 9, vc * 4,
+            out=qu[v0:v1].reshape(-1).view(np.uint8),
+        )
+        _seg_gather(raw, bc + vc * 13, vc, out=tid[v0:v1])
         rec_of_c = np.repeat(np.arange(r0, r1), vc)
         tv = tile_of_rec[rec_of_c]
         tile_of_v[v0:v1] = tv
@@ -643,17 +659,22 @@ def _encode_compact_slice(batch: pa.Table) -> pa.Table:
         r0 = r1
 
     # --- global weld: one lexsort keyed (tile, packed 16-byte vertex)
-    rec16 = np.zeros(
-        N,
-        dtype=[
+    _rec16_dtype = np.dtype(
+        [
             ("p", np.uint16, 3),
             ("n", np.int8, 3),
             ("t", np.uint16, 2),
             ("x", np.uint8),
             ("b", np.uint16),
-        ],
+        ]
+    )
+    rec16 = (
+        _varint_scratch("enc_rec16", N * 16, np.uint8)[: N * 16]
+        .view(_rec16_dtype)
     )
     if N:
+        # every byte of the 16-B record is covered by a field assignment,
+        # so scratch reuse needs no zeroing (itemsize asserted below)
         rec16["p"], rec16["n"], rec16["t"] = qp_t, qn, qu
         rec16["x"], rec16["b"] = tid, bid
     keys = rec16.view(np.uint64).reshape(N, 2)
@@ -699,15 +720,20 @@ def _encode_compact_slice(batch: pa.Table) -> pa.Table:
     stream_bytes: list[memoryview] = []
     stream_boff: list[np.ndarray] = []
     for vals, off in streams:
-        s64 = vals.astype(np.int64)
-        d = s64.copy()
-        if len(d):
+        L = len(vals)
+        # delta buffers from scratch too: 11 streams × 2 int64 arrays per
+        # call would otherwise re-fault fresh pages on every task
+        s64 = _varint_scratch("enc_s64", L, np.int64)[:L]
+        np.copyto(s64, vals, casting="unsafe")
+        d = _varint_scratch("enc_dl", L, np.int64)[:L]
+        np.copyto(d, s64)
+        if L:
             d[1:] -= s64[:-1]
-            starts = off[:-1][off[:-1] < len(d)]
+            starts = off[:-1][off[:-1] < L]
             d[starts] = s64[starts]
-        nb = np.empty(len(d), np.int64)
+        nb = _varint_scratch("enc_nb", L, np.int64)[:L]
         parts = []
-        for o in range(0, len(d), _ENC_CHUNK):
+        for o in range(0, L, _ENC_CHUNK):
             bts, nbc = _varint_encode_arr(zigzag_encode(d[o : o + _ENC_CHUNK]))
             parts.append(bts)
             nb[o : o + len(nbc)] = nbc
@@ -752,14 +778,38 @@ def _encode_compact_slice(batch: pa.Table) -> pa.Table:
     )
 
 
-def _seg_gather(raw: np.ndarray, starts: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
-    """``raw[concat(arange(s, s+n) for s, n in zip(starts, nbytes))]``."""
+def _seg_gather(
+    raw: np.ndarray,
+    starts: np.ndarray,
+    nbytes: np.ndarray,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """``raw[concat(arange(s, s+n) for s, n in zip(starts, nbytes))]``.
+
+    Index construction is ONE reusable int64 scratch + an in-place
+    cumsum of per-byte steps (boundary jumps scattered at segment ends)
+    — the previous arange + double-repeat shape built three fresh int64
+    temporaries per gathered byte, ~288 B of first-touch traffic per
+    vertex across the four attribute gathers (the documented page-fault
+    killer).  ``out`` gathers straight into a caller buffer (e.g. a
+    preallocated attribute array viewed as uint8) instead of allocating."""
     total = int(nbytes.sum())
     if total == 0:
-        return np.empty(0, np.uint8)
-    cum = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
-    within = np.arange(total, dtype=np.int64) - np.repeat(cum, nbytes)
-    return raw[np.repeat(starts, nbytes) + within]
+        return np.empty(0, np.uint8) if out is None else out[:0]
+    if not (nbytes > 0).all():
+        keep = nbytes > 0
+        starts, nbytes = starts[keep], nbytes[keep]
+    idx = _varint_scratch("gather_idx", total, np.int64)[:total]
+    idx[:] = 1
+    ends = np.cumsum(nbytes)
+    idx[0] = starts[0]
+    if len(starts) > 1:
+        idx[ends[:-1]] = starts[1:] - (starts[:-1] + nbytes[:-1]) + 1
+    np.cumsum(idx, out=idx)
+    if out is None:
+        return raw[idx]
+    np.take(raw, idx, out=out[:total])
+    return out[:total]
 
 
 def _empty_compressed_table() -> pa.Table:
