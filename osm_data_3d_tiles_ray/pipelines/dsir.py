@@ -428,47 +428,23 @@ def curation_matrix(sf_dir: str) -> "ray.data.Dataset":
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
-def _matrix_checkpoint_dir(sf_dir: str) -> str:
-    """Deterministic checkpoint path for one corpus state: keyed by the
-    resolved corpus path + the documents file's (mtime_ns, size), so a
-    regenerated corpus invalidates the checkpoint automatically."""
-    import hashlib
-    import os
-
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(doc_path)
-    key = hashlib.sha256(
-        f"{os.path.realpath(doc_path)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:24]
-    return f"/tmp/osm3d_ckpt/curation_matrix/{key}"
-
-
 def curation_matrix_checkpointed(sf_dir: str) -> "ray.data.Dataset":
     """:func:`curation_matrix` through an on-disk parquet checkpoint
     (VERDICT r4 item 3): the matrix is the shared input of the
     ``curation_matrix`` AND ``curation_funnel`` queries, and recomputing
     the four-stage fold for the funnel doubled the cost (14.1 s + 11.5 s
     at sf0.1).  First caller materializes the narrow per-doc flag rows
-    to partitioned parquet (atomic ``_DONE`` marker commit); every later
-    caller streams the checkpoint.  Disk, not object store: the rows
-    are ~48 B/doc, which at 10^12 docs must not pin cluster memory, and
-    an on-disk checkpoint doubles as the resume point (the repo's
-    lineage discipline)."""
+    to partitioned parquet; every later caller streams the checkpoint
+    (``state/checkpoint.py`` — corpus-keyed, atomic commit, disk not
+    object store so 10^12-doc rows never pin cluster memory)."""
     import os
 
-    out = _matrix_checkpoint_dir(sf_dir)
-    done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
-        import shutil
+    from ..state.checkpoint import corpus_key, parquet_checkpoint
 
-        tmp = out + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
-        curation_matrix(sf_dir).write_parquet(tmp)
-        os.replace(tmp, out)
-        with open(done, "w") as f:
-            f.write("ok")
-    return ray.data.read_parquet(out)
+    key = corpus_key([os.path.join(sf_dir, "documents.parquet")])
+    return parquet_checkpoint(
+        "curation_matrix", key, lambda: curation_matrix(sf_dir)
+    )
 
 
 def curation_funnel(sf_dir: str) -> "pa.Table":

@@ -73,10 +73,32 @@ def q_assignments(sf_dir: str) -> "ray.data.Dataset":
     return ownership_assignments(ds).drop_columns(["cell_id"])
 
 
+
+def tile_counts_ds(sf_dir: str) -> "ray.data.Dataset":
+    """The A1 per-tile counts (``tile_stats(ownership_assignments(...))``)
+    through a corpus-keyed parquet checkpoint (``state/checkpoint.py``):
+    seven registered queries (tile_stats, smooth, local_moran, pagerank,
+    skew_audit, bfs, zoom_rollup) fold this same ~occupied-tiles relation
+    before diverging — in a sweep the parse + ownership exchange now runs
+    once per corpus state instead of once per consumer.  Results are
+    byte-stable through the parquet roundtrip (integer columns only)."""
+    from ..state.checkpoint import corpus_key, parquet_checkpoint
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+
+    def build() -> "ray.data.Dataset":
+        ds = parsed_ds(sf_dir).select_columns(
+            ["osm_id", "minx", "miny", "maxx", "maxy"]
+        )
+        return tile_stats(ownership_assignments(ds))
+
+    return parquet_checkpoint(
+        "geo_tile_counts", corpus_key([str(root / "documents")]), build
+    )
+
 def q_tile_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-tile batch_length (A1)."""
-    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
-    return tile_stats(ownership_assignments(ds)).drop_columns(["cell_id", "tile_z"])
+    return tile_counts_ds(sf_dir).drop_columns(["cell_id", "tile_z"])
 
 
 def q_norm_params(sf_dir: str) -> "ray.data.Dataset":
@@ -914,12 +936,7 @@ def q_tile_smooth(sf_dir: str) -> "ray.data.Dataset":
     Output: (tile_x, tile_y, n_buildings, smooth3x3)."""
     from .partition import stencil_3x3
 
-    ds = parsed_ds(sf_dir).select_columns(
-        ["osm_id", "minx", "miny", "maxx", "maxy"]
-    )
-    cells = tile_stats(ownership_assignments(ds)).drop_columns(
-        ["cell_id", "tile_z"]
-    )
+    cells = tile_counts_ds(sf_dir).drop_columns(["cell_id", "tile_z"])
     return stencil_3x3(cells, "tile_x", "tile_y", "batch_length").map_batches(
         lambda b: pa.table(
             {
@@ -1245,11 +1262,8 @@ def q_local_moran(sf_dir: str) -> "ray.data.Dataset":
     Output: (tile_x, tile_y, dev, nbr_dev_sum, n_nbrs)."""
     from .partition import stencil_3x3
 
-    ds = parsed_ds(sf_dir).select_columns(
-        ["osm_id", "minx", "miny", "maxx", "maxy"]
-    )
     cells = (
-        tile_stats(ownership_assignments(ds))
+        tile_counts_ds(sf_dir)
         .drop_columns(["cell_id", "tile_z"])
         .materialize()  # bounded (occupied tiles); consumed twice
     )
@@ -3414,13 +3428,11 @@ def q_tile_pagerank(sf_dir: str, iters: int = 5) -> "ray.data.Dataset":
     Output: (tile_x, tile_y, pr)."""
     from .partition import map_key_partitions, run_starts
 
-    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
     # block-count hygiene (the q_tile_components discipline): every
     # exchange below sorts its input, and Ray sort cost scales with the
-    # INPUT block count — the parse leaves ~200 blocks for ~13k aggregate
-    # rows, so cap once here before the replicate/exchange chain
+    # INPUT block count, so cap once before the replicate/exchange chain
     nodes = (
-        tile_stats(ownership_assignments(ds))
+        tile_counts_ds(sf_dir)
         .select_columns(["tile_x", "tile_y"])
         .repartition(8)
         .materialize()
@@ -3642,8 +3654,7 @@ def q_skew_audit(sf_dir: str) -> "ray.data.Dataset":
 
     Output: one row (n_tiles, total, max_count, p99_count, mean_e6,
     hot_tiles, salt_factor)."""
-    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
-    counts = tile_stats(ownership_assignments(ds)).select_columns(["batch_length"])
+    counts = tile_counts_ds(sf_dir).select_columns(["batch_length"])
 
     def audit(batch: pa.Table) -> pa.Table:
         c = np.sort(batch.column("batch_length").to_numpy(zero_copy_only=False))
@@ -3786,8 +3797,7 @@ def q_tile_bfs(
     SH = np.int64(1 << 42)
     SENT = np.int64(horizon + 1) * SH + PACK * PACK
 
-    ds = parsed_ds(sf_dir).select_columns(["osm_id", "minx", "miny", "maxx", "maxy"])
-    stats = tile_stats(ownership_assignments(ds))
+    stats = tile_counts_ds(sf_dir)
 
     def pack_nodes(b: pa.Table) -> pa.Table:
         tx = b.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)

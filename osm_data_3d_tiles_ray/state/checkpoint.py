@@ -1,0 +1,59 @@
+"""Corpus-keyed parquet checkpoints for shared intermediates.
+
+Several registered queries fold the same upstream relation (the per-tile
+counts; the curation decision matrix) before diverging — recomputing it
+per query multiplies the sweep cost by the consumer count.  A checkpoint
+here is an on-disk materialized view keyed by the CORPUS STATE (resolved
+paths + mtime_ns + size of the source files), so a regenerated corpus
+invalidates automatically and a warm sweep builds each shared relation
+once.
+
+Disk, not object store: the rows must not pin cluster memory at 10^12
+documents, the commit is atomic (tmp dir rename + ``_DONE`` marker), and
+the checkpoint doubles as a resume point — the repo's lineage
+discipline (``state/lineage.py``)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import ray.data
+
+CKPT_ROOT = "/tmp/osm3d_ckpt"
+
+
+def corpus_key(paths: list[str]) -> str:
+    """Deterministic key for the state of a set of source files (or
+    directories of parquet fragments)."""
+    parts = []
+    for p in sorted(paths):
+        rp = os.path.realpath(p)
+        if os.path.isdir(rp):
+            for f in sorted(os.listdir(rp)):
+                st = os.stat(os.path.join(rp, f))
+                parts.append(f"{rp}/{f}|{st.st_mtime_ns}|{st.st_size}")
+        else:
+            st = os.stat(rp)
+            parts.append(f"{rp}|{st.st_mtime_ns}|{st.st_size}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:24]
+
+
+def parquet_checkpoint(name: str, key: str, build) -> "ray.data.Dataset":
+    """Return the checkpointed Dataset for ``(name, key)``, building it
+    with ``build()`` (→ Dataset) on first use.  Atomic commit; readers
+    always see either nothing or a complete checkpoint."""
+    out = os.path.join(CKPT_ROOT, name, key)
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        build().write_parquet(tmp)
+        os.replace(tmp, out)
+        with open(done, "w") as f:
+            f.write("ok")
+    return ray.data.read_parquet(out)
