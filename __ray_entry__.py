@@ -1778,13 +1778,27 @@ def _q_embedding_near_dup(sf_dir: str) -> Any:
 
 
 def _q_geometry_stats(sf_dir: str) -> Any:
+    """Per-tile geometry stats through the corpus-keyed checkpoint
+    (VERDICT r4 item 5's reuse option): the full Build3D pass is the
+    single most expensive upstream in the sweep and its per-tile stats
+    rows are a pure function of the corpus, so they materialize once per
+    corpus state; the bench FLAGSHIP calls geometry_stats() directly (no
+    checkpoint) and keeps measuring the real build."""
     import ray.data
 
     from osm_data_3d_tiles_ray.pipelines.buildings import geometry_stats
+    from osm_data_3d_tiles_ray.state.checkpoint import (
+        corpus_key,
+        parquet_checkpoint,
+    )
     from osm_data_3d_tiles_ray.synth.generator import sf_from_dir
 
     root = ensure_synth(sf_from_dir(sf_dir))
-    return geometry_stats(ray.data.read_parquet(str(root / "documents")))
+    return parquet_checkpoint(
+        "geo_geometry_stats",
+        corpus_key([str(root / "documents")]),
+        lambda: geometry_stats(ray.data.read_parquet(str(root / "documents"))),
+    )
 
 
 def _q_tile_compression(sf_dir: str) -> Any:

@@ -2567,13 +2567,7 @@ def q_tile_components(sf_dir: str, max_rounds: int = 24) -> "ray.data.Dataset":
     PACK = np.int64(1 << 20)
 
     nodes = (
-        tile_stats(
-            ownership_assignments(
-                parsed_ds(sf_dir).select_columns(
-                    ["osm_id", "minx", "miny", "maxx", "maxy"]
-                )
-            )
-        )
+        tile_counts_ds(sf_dir)
         .map_batches(_component_nodes, batch_format="pyarrow")
         .repartition(32)
         .materialize()

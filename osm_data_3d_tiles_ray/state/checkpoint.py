@@ -48,12 +48,24 @@ def parquet_checkpoint(name: str, key: str, build) -> "ray.data.Dataset":
     if not os.path.exists(done):
         import shutil
 
-        tmp = out + ".tmp"
+        # per-process tmp name: two processes may race to build the same
+        # checkpoint; each writes its own tmp and the first rename wins
+        # (both produce identical content — the key pins the input state)
+        tmp = out + f".tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
+        if os.path.exists(out):
+            # a dir without _DONE is an unverified leftover (crash between
+            # rename and marker) — rebuild rather than trust it
+            shutil.rmtree(out, ignore_errors=True)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         build().write_parquet(tmp)
-        os.replace(tmp, out)
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(done):
+                raise  # a half-written dir is in the way — surface it
+        else:
+            with open(done, "w") as f:
+                f.write("ok")
     return ray.data.read_parquet(out)

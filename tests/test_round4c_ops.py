@@ -337,11 +337,9 @@ def test_tile_components_synthetic_shapes(ray_session):
     tiles = sorted(set(tiles))
     truth = _bfs_components(set(tiles))
 
-    real_parsed = geo_mod.parsed_ds
-    real_own = geo_mod.ownership_assignments
-    real_stats = geo_mod.tile_stats
+    real_counts = geo_mod.tile_counts_ds
 
-    def fake_stats(_):
+    def fake_counts(_sf):
         return __import__("ray").data.from_arrow(
             pa.table(
                 {
@@ -351,14 +349,11 @@ def test_tile_components_synthetic_shapes(ray_session):
             )
         )
 
-    geo_mod.tile_stats = fake_stats
-    geo_mod.ownership_assignments = lambda ds: ds
+    geo_mod.tile_counts_ds = fake_counts
     try:
         got_df = geo_mod.q_tile_components(SF).to_pandas()
     finally:
-        geo_mod.tile_stats = real_stats
-        geo_mod.ownership_assignments = real_own
-        geo_mod.parsed_ds = real_parsed
+        geo_mod.tile_counts_ds = real_counts
     got = {
         (int(r.tile_x) << 20) + int(r.tile_y): int(r.component_id)
         for r in got_df.itertuples()
@@ -387,10 +382,9 @@ def test_tile_components_cross_block(ray_session):
     tiles = sorted(set(tiles))
     truth = _bfs_components(set(tiles))
 
-    real_stats = geo_mod.tile_stats
-    real_own = geo_mod.ownership_assignments
+    real_counts = geo_mod.tile_counts_ds
 
-    def fake_stats(_):
+    def fake_counts(_sf):
         return __import__("ray").data.from_arrow(
             pa.table(
                 {
@@ -400,13 +394,11 @@ def test_tile_components_cross_block(ray_session):
             )
         )
 
-    geo_mod.tile_stats = fake_stats
-    geo_mod.ownership_assignments = lambda ds: ds
+    geo_mod.tile_counts_ds = fake_counts
     try:
         got_df = geo_mod.q_tile_components(SF).to_pandas()
     finally:
-        geo_mod.tile_stats = real_stats
-        geo_mod.ownership_assignments = real_own
+        geo_mod.tile_counts_ds = real_counts
     got = {
         (int(r.tile_x) << 20) + int(r.tile_y): int(r.component_id)
         for r in got_df.itertuples()
