@@ -656,16 +656,48 @@ def value_quantiles_tdigest(
             }
         )
 
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        """Fold ≤fan-in digest rows into one (concatenate centroids,
+        recompress) — the standard t-digest merge, run in the combiner
+        tree so the reduction is parallel in the block count (the
+        top_terms shape), never a serial driver loop.  Tree merging
+        recompresses intermediates, so centroids differ slightly from a
+        one-shot compress — within the digest's own accuracy bound
+        (tests assert 2% of range at p50/p95/p99)."""
+        mc = batch.column("means")
+        cc = batch.column("counts")
+        if isinstance(mc, pa.ChunkedArray):
+            mc = mc.combine_chunks()
+        if isinstance(cc, pa.ChunkedArray):
+            cc = cc.combine_chunks()
+        m_, c_ = _tdigest_compress(
+            np.asarray(mc.values), np.asarray(cc.values), delta_
+        )
+        return pa.table(
+            {
+                "means": pa.array([m_], type=pa.large_list(pa.float64())),
+                "counts": pa.array([c_], type=pa.large_list(pa.float64())),
+            }
+        )
+
     partials = (
         _events(sf_dir)
         .select_columns(["value"])
         .map_batches(partial, batch_format="pyarrow")
     )
+    merged = (
+        partials.map_batches(merge_rows, batch_size=64, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(merge_rows, batch_size=None, batch_format="pyarrow")
+    )
     all_m: list[np.ndarray] = []
     all_c: list[np.ndarray] = []
-    for row in partials.iter_rows():
-        all_m.append(np.asarray(row["means"]))
-        all_c.append(np.asarray(row["counts"]))
+    for t in ray.get(merged.to_arrow_refs()):
+        if t.num_rows:
+            mc = t.column("means").combine_chunks()
+            cc = t.column("counts").combine_chunks()
+            all_m.append(np.asarray(mc.values))
+            all_c.append(np.asarray(cc.values))
     m, c = _tdigest_compress(np.concatenate(all_m), np.concatenate(all_c), delta_)
     return pa.table(
         {
