@@ -1559,7 +1559,7 @@ dot AS (
 ),
 sig AS MATERIALIZED (
   SELECT vec_id,
-         CAST(SUM(CASE WHEN dp > 0
+         CAST(SUM(CASE WHEN FLOOR(dp * 1000000 + 0.5) > 0
                   THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
                   ELSE 0 END) AS BIGINT) AS sg
   FROM dot GROUP BY 1

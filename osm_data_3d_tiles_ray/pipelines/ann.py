@@ -263,7 +263,10 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = 12) -> "ray.data.Dataset":
     ).reshape(n_planes, dims)
 
     def signature(m: np.ndarray) -> np.ndarray:
-        bits = (m @ planes.T) > 0
+        # e6-quantized sign (floor(dp*1e6+0.5) > 0) so numpy's BLAS
+        # pairwise sum and the oracle's sequential SUM agree even when a
+        # dot sits within ~1e-13 of zero (the embedding_near_dup rule)
+        bits = np.floor((m @ planes.T) * 1e6 + 0.5) > 0
         return (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
 
     q_sig = signature(qmat)
