@@ -1940,7 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_cooccurrence": corpus_stats.media_cooccurrence,
         "span_transitions": corpus_stats.span_transitions,
         "span_gap_stats": corpus_stats.span_gap_stats,
-        "interleaved_pack": corpus_stats.interleaved_pack,
+        "interleaved_pack": corpus_stats.interleaved_pack_checkpointed,
         "pack_stats": corpus_stats.pack_stats,
         "span_dedup": corpus_stats.span_dedup,
         "media_context": corpus_stats.media_context,

@@ -983,6 +983,27 @@ def media_context(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def interleaved_pack_checkpointed(
+    sf_dir: str, budget: int = 256, media_cost: int = 64, n_ranges: int = 64
+) -> "ray.data.Dataset":
+    """:func:`interleaved_pack` through the corpus-keyed checkpoint
+    (``state/checkpoint.py``): the pack is the shared input of the
+    ``interleaved_pack`` AND ``pack_stats`` queries (the
+    curation_matrix/funnel shape — VERDICT r4 item 3); the two-phase
+    prefix scan runs once per corpus state and parameter set."""
+    from ..state.checkpoint import corpus_key, parquet_checkpoint
+    from ..synth.generator import ensure_synth, sf_from_dir
+
+    root = ensure_synth(sf_from_dir(sf_dir))
+    return parquet_checkpoint(
+        f"interleaved_pack_b{budget}_m{media_cost}_r{n_ranges}",
+        corpus_key([str(root / "documents")]),
+        lambda: interleaved_pack(
+            sf_dir, budget=budget, media_cost=media_cost, n_ranges=n_ranges
+        ),
+    )
+
+
 def pack_stats(
     sf_dir: str, budget: int = 256, media_cost: int = 64, n_ranges: int = 64
 ) -> "ray.data.Dataset":
@@ -1000,7 +1021,7 @@ def pack_stats(
     Output: (example_id, n_spans, n_docs, cost_sum, spill)."""
     from .partition import map_key_partitions, run_starts
 
-    pack = interleaved_pack(
+    pack = interleaved_pack_checkpointed(
         sf_dir, budget=budget, media_cost=media_cost, n_ranges=n_ranges
     )
 
