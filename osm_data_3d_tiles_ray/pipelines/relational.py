@@ -1830,7 +1830,11 @@ def volume_shipping(sf_dir: str) -> "ray.data.Dataset":
         )
 
     partials = map_key_partitions(with_cust.union(cust), ["key"], pair_partial)
-    merged = partials.groupby(["snat", "cnat", "l_year"]).aggregate(
+    # block-count hygiene (the q_tile_pagerank discipline): the exchange
+    # leaves ~100 tiny partial blocks and Ray's sort-based Aggregate cost
+    # scales with INPUT block count (measured 18.6 core-s over ~1.2k
+    # groups here; 1.4 after the cap) — cap blocks before the aggregate
+    merged = partials.repartition(8).groupby(["snat", "cnat", "l_year"]).aggregate(
         ray.data.aggregate.Sum("p_cent", alias_name="revenue_cent")
     )
 
