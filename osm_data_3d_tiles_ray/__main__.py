@@ -20,10 +20,21 @@ import sys
 
 
 def _ray_session():
+    """Attach to the ambient Ray cluster when launched via ``ray job
+    submit`` (RAY_ADDRESS / auto-detection — the north rule's launch
+    path against fixed N-node clusters); fall back to a local session
+    for standalone CLI runs.  A hardcoded ``address="local"`` here would
+    silently spin a one-node Ray INSIDE the cluster job."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+        addr = os.environ.get("RAY_ADDRESS")
+        try:
+            ray.init(address=addr or "auto", include_dashboard=False)
+        except ConnectionError:
+            ray.init(address="local", include_dashboard=False)
     return ray
 
 
