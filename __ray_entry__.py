@@ -1250,16 +1250,16 @@ FROM r
 """
 
 
-def _simhash_pairs_sql(max_hamming: int = 8) -> str:
-    """Oracle for ``textops.simhash_near_dup``: 64-bit SimHash over char
-    shingles (h = s·GOLD xor s>>13, signed bit votes), 4×16-bit band
-    buckets, pairwise Hamming ≤ ``max_hamming`` within buckets."""
+def _simhash_cand_ctes() -> str:
+    """The SimHash candidate CTE chain (shingles → signature → 4×16-bit
+    band buckets → within-bucket pairs with Hamming), ending in
+    ``pairs(doc_id, dup_of, hamming)`` — shared by the simhash_near_dup
+    oracle and the edit-distance verify oracle."""
     h = _xor_u(
         f"(CAST(s AS HUGEINT) * {_GOLD}) % {_U64}", "CAST(s // 8192 AS HUGEINT)"
     )
     # sig as unsigned HUGEINT from the 64 positive-vote bits
-    return f"""
-WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
 hv AS MATERIALIZED (SELECT doc_id, {h} AS h FROM sh),
 bits AS (
   SELECT doc_id, j,
@@ -1285,9 +1285,38 @@ pairs AS (
          bit_count(xor({_u2s('a.sig')}, {_u2s('b.sig')})) AS hamming
   FROM bk a JOIN bk b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id > b.doc_id
-)
+)"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    """Oracle for ``textops.simhash_near_dup``: 64-bit SimHash over char
+    shingles (h = s·GOLD xor s>>13, signed bit votes), 4×16-bit band
+    buckets, pairwise Hamming ≤ ``max_hamming`` within buckets."""
+    return f"""
+WITH {_simhash_cand_ctes()}
 SELECT doc_id, dup_of, CAST(hamming AS BIGINT) AS hamming
 FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _edit_distance_near_dup_sql(
+    max_hamming: int = 8, rel_permille: int = 200
+) -> str:
+    """Oracle for ``textops.edit_distance_near_dup``: the SimHash
+    candidate chain + DuckDB ``levenshtein`` under the identical integer
+    relative threshold (exact over the ASCII corpus — byte == char)."""
+    return f"""
+WITH {_simhash_cand_ctes()},
+cand AS (SELECT doc_id, dup_of FROM pairs WHERE hamming <= {max_hamming})
+SELECT c.doc_id, c.dup_of,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist,
+       CAST(length(da.text) AS BIGINT) AS len_a,
+       CAST(length(db.text) AS BIGINT) AS len_b
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_id
+JOIN documents db ON db.doc_id = c.dup_of
+WHERE levenshtein(da.text, db.text) * 1000
+      <= {rel_permille} * greatest(length(da.text), length(db.text), 1)
 """
 
 
@@ -1926,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality": textops.lang_quality,
         "minhash_near_dup": textops.minhash_near_dup,
         "simhash_near_dup": textops.simhash_near_dup,
+        "edit_distance_near_dup": textops.edit_distance_near_dup,
         "jaccard_ngram_pairs": textops.jaccard_ngram_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "doc_fingerprint": textops.doc_fingerprint,
@@ -2964,6 +2994,7 @@ FROM nx GROUP BY nt
 """,
         "jaccard_ngram_pairs": _jaccard_ngram_pairs_sql(),
         "simhash_near_dup": _simhash_pairs_sql(),
+        "edit_distance_near_dup": _edit_distance_near_dup_sql(),
         # Heaps-law vocabulary growth over word TRIGRAMS (hash identity on
         # the engine side ≡ string identity here, the decontaminate pattern)
         "vocab_growth": """

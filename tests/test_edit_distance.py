@@ -1,0 +1,70 @@
+"""Edit-distance near-dup (round 5): kernel parity + operator contract."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_levenshtein_kernel_matches_duckdb():
+    """The vectorized row-DP must equal DuckDB's unit-cost levenshtein on
+    random ASCII strings (including empty / equal / disjoint cases)."""
+    import duckdb
+
+    from osm_data_3d_tiles_ray.pipelines.textops import _levenshtein_bytes
+
+    rng = np.random.default_rng(7)
+    con = duckdb.connect()
+    cases = [("", ""), ("", "abc"), ("abc", "abc"), ("kitten", "sitting")]
+    for _ in range(60):
+        la, lb = rng.integers(0, 40, 2)
+        a = "".join(chr(c) for c in rng.integers(97, 102, la))  # a-e: dense
+        b = "".join(chr(c) for c in rng.integers(97, 102, lb))
+        cases.append((a, b))
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        got = _levenshtein_bytes(a.encode(), b.encode())
+        assert got == want, (a, b, got, want)
+
+
+def test_edit_distance_near_dup_subset_of_simhash(ray_session):
+    """Every emitted pair is a SimHash candidate, the relative-distance
+    contract holds row-by-row, and near-identical docs survive while the
+    coincidental-band pairs are filtered."""
+    from osm_data_3d_tiles_ray.pipelines.textops import (
+        edit_distance_near_dup,
+        simhash_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = edit_distance_near_dup(sf).to_pandas()
+    cand = simhash_near_dup(sf).to_pandas()
+    ck = set(map(tuple, cand[["doc_id", "dup_of"]].to_numpy()))
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert (r.doc_id, r.dup_of) in ck
+        assert r.lev_dist * 1000 <= 200 * max(r.len_a, r.len_b, 1)
+    assert len(got) < len(cand)  # the verify actually filters
+
+
+def test_edit_distance_near_dup_empty_candidates(ray_session, tmp_path):
+    """Zero candidates → a typed empty result (schema intact)."""
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.textops import edit_distance_near_dup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["alpha beta gamma delta", "zz yy xx ww vv uu tt"],
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ds = edit_distance_near_dup(str(tmp_path))
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {
+        "doc_id",
+        "dup_of",
+        "lev_dist",
+        "len_a",
+        "len_b",
+    }
