@@ -1627,6 +1627,83 @@ SELECT qid, vec_id, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 5
 """
 
 
+def _mmr_select_sql(k: int = 8, lam_pm: int = 500) -> str:
+    """Oracle for ``ann.mmr_select``: the identical greedy rounds unrolled
+    as CTE blocks (the ``kmeans_exact`` discipline) — normalized vectors,
+    e6-floored similarities, pure-integer scores, ties to smallest
+    vec_id.  ``m{r}`` accumulates the running max-sim to the selected
+    set; ``p{r}`` is round r's champion."""
+    lam, mu = int(lam_pm), 1000 - int(lam_pm)
+    ctes = [
+        """eu AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+),
+enrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM eu GROUP BY 1),
+en AS MATERIALIZED (
+  SELECT eu.vec_id, eu.d, eu.v / n.nrm AS v
+  FROM eu JOIN enrm n ON n.vec_id = eu.vec_id
+),
+qs AS (SELECT d, SUM(v) AS sv FROM en WHERE vec_id < 10 GROUP BY 1),
+qsn AS (SELECT sqrt(SUM(sv * sv)) AS nrm FROM qs),
+anc AS (SELECT qs.d, qs.sv / qsn.nrm AS v FROM qs CROSS JOIN qsn),
+rel AS MATERIALIZED (
+  SELECT en.vec_id,
+         CAST(FLOOR(SUM(en.v * anc.v) * 1000000 + 0.5) AS BIGINT) AS rel_e6
+  FROM en JOIN anc USING (d) GROUP BY 1
+)"""
+    ]
+    picked = []
+    for r in range(1, k + 1):
+        if r == 1:
+            ctes.append(
+                f"""p1 AS MATERIALIZED (
+  SELECT vec_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6,
+         {lam} * rel_e6 AS score
+  FROM rel ORDER BY score DESC, vec_id LIMIT 1
+)"""
+            )
+        else:
+            prev = r - 1
+            ctes.append(
+                f"""s{prev} AS MATERIALIZED (
+  SELECT en.vec_id,
+         CAST(FLOOR(SUM(en.v * pv.v) * 1000000 + 0.5) AS BIGINT) AS sim_e6
+  FROM en JOIN (SELECT d, v FROM en
+                WHERE vec_id = (SELECT vec_id FROM p{prev})) pv USING (d)
+  GROUP BY 1
+)"""
+            )
+            if prev == 1:
+                ctes.append(
+                    f"m{prev} AS MATERIALIZED (SELECT vec_id, sim_e6 AS ms FROM s{prev})"
+                )
+            else:
+                ctes.append(
+                    f"""m{prev} AS MATERIALIZED (
+  SELECT a.vec_id, GREATEST(a.ms, b.sim_e6) AS ms
+  FROM m{prev - 1} a JOIN s{prev} b USING (vec_id)
+)"""
+                )
+            excl = " UNION ALL ".join(
+                f"SELECT vec_id FROM p{i}" for i in range(1, r)
+            )
+            ctes.append(
+                f"""p{r} AS MATERIALIZED (
+  SELECT rel.vec_id, rel.rel_e6, m.ms AS maxsim_e6,
+         {lam} * rel.rel_e6 - {mu} * m.ms AS score
+  FROM rel JOIN m{r - 1} m USING (vec_id)
+  WHERE rel.vec_id NOT IN ({excl})
+  ORDER BY score DESC, vec_id LIMIT 1
+)"""
+            )
+        picked.append(
+            f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, rel_e6, maxsim_e6 FROM p{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(picked)
+
+
 def _embedding_pairs_ctes(
     threshold: float, n_planes: int = 8, tag: int = 0xE4B000
 ) -> str:
@@ -1979,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a value-exact oracle: unrolled SQL rounds mirror every iteration)
         "kmeans_exact": ann.kmeans_exact,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_mmr_select": ann.mmr_select,
         "ann_ivf_topk": ann.ann_ivf_topk_validated,
         "events_hourly": events.hourly_by_type,
         "events_user_daily": events.user_daily_activity,
@@ -2953,6 +3031,7 @@ FROM documents GROUP BY text
         "geo_tile_bfs": _tile_bfs_sql(),
         "geo_span_invariant": _span_invariant_sql(),
         "ann_lsh_topk": _ann_lsh_topk_sql(),
+        "ann_mmr_select": _mmr_select_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "delta_dedup": f"""

@@ -568,6 +568,131 @@ def ann_ivf_topk_validated(
     return approx
 
 
+def mmr_select(
+    sf_dir: str, k: int = 8, lam_pm: int = 500
+) -> "pa.Table":
+    """Maximal-Marginal-Relevance subset selection (Carbonell & Goldstein
+    1998) over the embedding table — the diversity-aware data-curation
+    pick: greedily select ``k`` vectors maximizing
+    ``lam·relevance − (1−lam)·max-sim-to-selected``, the filter that
+    keeps an instruction-tuning subset from collapsing onto one dense
+    mode.  Relevance is cosine to the normalized MEAN of the query set
+    (vec_id < N_QUERIES); every similarity quantizes to
+    ``floor(sim·1e6 + 0.5)`` BEFORE the max/argmax, and the score is the
+    pure-integer ``lam_pm·rel_e6 − (1000−lam_pm)·maxsim_e6`` with ties
+    to the smallest vec_id — so the greedy argmax is bit-reproducible
+    and the DuckDB oracle unrolls the same ``k`` rounds exactly (the
+    ``kmeans_exact`` discipline).
+
+    Scale shape: each round is ONE shuffle-free ``map_batches`` pass
+    emitting a single per-block champion row (vec_id, score) — the
+    selected set (≤ k normalized vectors) broadcasts via closure, the
+    gather is bounded by the block count, and the chosen vector's
+    embedding is pushdown-read by id.  k passes total; embeddings never
+    shuffle, nothing all-pairs.
+
+    Output: (rank 1..k, vec_id, rel_e6, maxsim_e6) — maxsim_e6 is 0 for
+    the first pick (empty selected set, by convention on both sides)."""
+    import pyarrow.parquet as pq
+
+    qid, qmat = _load_queries(sf_dir)
+    # anchor = normalized MEAN of the query set (not a member vector: a
+    # member anchor makes every round-2 score degenerate to 0, since
+    # maxsim-to-selected == relevance once the anchor itself is picked)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    anchor = qn[np.argsort(qid)].sum(axis=0)
+    anchor = anchor / np.linalg.norm(anchor)
+    lam = int(lam_pm)
+
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    out_rows: list[tuple[int, int, int, int]] = []
+
+    for rank in range(1, k + 1):
+        S = np.stack(sel_vecs) if sel_vecs else None
+        sel_arr = np.asarray(sorted(sel_ids), dtype=np.int64)
+
+        def champion(batch: pa.Table, S=S, sel_arr=sel_arr) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.int64()),
+                    "rel_e6": pa.array([], type=pa.int64()),
+                    "maxsim_e6": pa.array([], type=pa.int64()),
+                }
+            )
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(vid) == 0:
+                return empty
+            dims = len(emb[0])
+            m = np.asarray(
+                emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+            ).reshape(-1, dims)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            rel_e6 = np.floor(mn @ anchor * 1e6 + 0.5).astype(np.int64)
+            if S is None:
+                maxsim_e6 = np.zeros(len(vid), dtype=np.int64)
+            else:
+                sims_e6 = np.floor(mn @ S.T * 1e6 + 0.5).astype(np.int64)
+                maxsim_e6 = sims_e6.max(axis=1)
+            score = lam * rel_e6 - (1000 - lam) * maxsim_e6
+            if len(sel_arr):
+                # exclusion sentinel must survive negation in the lexsort
+                # below: -int64.min overflows to itself and would sort
+                # the excluded row FIRST — use min//2
+                score[np.isin(vid, sel_arr)] = np.iinfo(np.int64).min // 2
+            # block champion: max score, ties to smallest vec_id — a
+            # TOTAL order, so the two-level reduce is partition-blind
+            order = np.lexsort((vid, -score))
+            b = order[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(vid[b])], type=pa.int64()),
+                    "score": pa.array([int(score[b])], type=pa.int64()),
+                    "rel_e6": pa.array([int(rel_e6[b])], type=pa.int64()),
+                    "maxsim_e6": pa.array(
+                        [int(maxsim_e6[b])], type=pa.int64()
+                    ),
+                }
+            )
+
+        parts = (
+            _embeddings(sf_dir)
+            .select_columns(["vec_id", "embedding"])
+            .map_batches(champion, batch_format="pyarrow")
+            .to_pandas()
+        )
+        parts = parts.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pick = parts.iloc[0]
+        pid = int(pick["vec_id"])
+        out_rows.append(
+            (rank, pid, int(pick["rel_e6"]), int(pick["maxsim_e6"]))
+        )
+        sel_ids.append(pid)
+        vec = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "=", pid)],
+        ).column("embedding")[0].values.to_numpy(zero_copy_only=False)
+        v = np.asarray(vec, dtype=np.float64)
+        sel_vecs.append(v / np.linalg.norm(v))
+
+    c = list(zip(*out_rows))
+    return pa.table(
+        {
+            "rank": pa.array(c[0], type=pa.int64()),
+            "vec_id": pa.array(c[1], type=pa.int64()),
+            "rel_e6": pa.array(c[2], type=pa.int64()),
+            "maxsim_e6": pa.array(c[3], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-label centroid similarity (embedding outlier scoring)
 

@@ -68,3 +68,41 @@ def test_edit_distance_near_dup_empty_candidates(ray_session, tmp_path):
         "len_a",
         "len_b",
     }
+
+
+def test_mmr_select_contract(ray_session):
+    """MMR picks are distinct, rank-1 is the max-relevance vector, every
+    later pick's reported maxsim matches a recomputed max over the
+    selected prefix, and the integer score order is respected."""
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.ann import mmr_select
+
+    sf = "/root/testdata/sf0.01"
+    got = mmr_select(sf).to_pandas().sort_values("rank").reset_index(drop=True)
+    assert got["rank"].tolist() == list(range(1, 9))
+    assert got["vec_id"].is_unique
+    assert int(got.loc[0, "maxsim_e6"]) == 0
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy()
+    emb = t.column("embedding").combine_chunks()
+    d = len(emb[0])
+    m = np.asarray(
+        emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+    ).reshape(-1, d)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qsel = vid < 10
+    anchor = mn[qsel][np.argsort(vid[qsel])].sum(axis=0)
+    anchor /= np.linalg.norm(anchor)
+    rel = np.floor(mn @ anchor * 1e6 + 0.5).astype(np.int64)
+    # rank 1 = global argmax relevance (ties to smallest id)
+    best = np.lexsort((vid, -rel))[0]
+    assert int(got.loc[0, "vec_id"]) == int(vid[best])
+    # maxsim of each pick matches a recompute over the selected prefix
+    pos = {int(v): i for i, v in enumerate(vid)}
+    for r in range(1, len(got)):
+        pick = mn[pos[int(got.loc[r, "vec_id"])]]
+        prefix = np.stack([mn[pos[int(v)]] for v in got.loc[: r - 1, "vec_id"]])
+        ms = int(np.floor(prefix @ pick * 1e6 + 0.5).max())
+        assert ms == int(got.loc[r, "maxsim_e6"]), r
