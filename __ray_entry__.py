@@ -1704,6 +1704,65 @@ rel AS MATERIALIZED (
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(picked)
 
 
+def _kcenter_select_sql(k: int = 8) -> str:
+    """Oracle for ``ann.kcenter_select``: the identical greedy Gonzalez
+    rounds unrolled as MATERIALIZED CTE blocks — seed = MIN(vec_id),
+    each round picks the candidate minimizing the e6-floored max-sim to
+    the selected set, ties to smallest vec_id."""
+    ctes = [
+        """eu AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+),
+enrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM eu GROUP BY 1),
+en AS MATERIALIZED (
+  SELECT eu.vec_id, eu.d, eu.v / n.nrm AS v
+  FROM eu JOIN enrm n ON n.vec_id = eu.vec_id
+),
+p1 AS MATERIALIZED (
+  SELECT MIN(vec_id) AS vec_id, CAST(1000000 AS BIGINT) AS maxsim_e6
+  FROM en
+)"""
+    ]
+    picked = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id, maxsim_e6 FROM p1"]
+    for r in range(2, k + 1):
+        prev = r - 1
+        ctes.append(
+            f"""s{prev} AS MATERIALIZED (
+  SELECT en.vec_id,
+         CAST(FLOOR(SUM(en.v * pv.v) * 1000000 + 0.5) AS BIGINT) AS sim_e6
+  FROM en JOIN (SELECT d, v FROM en
+                WHERE vec_id = (SELECT vec_id FROM p{prev})) pv USING (d)
+  GROUP BY 1
+)"""
+        )
+        if prev == 1:
+            ctes.append(
+                f"m{prev} AS MATERIALIZED (SELECT vec_id, sim_e6 AS ms FROM s{prev})"
+            )
+        else:
+            ctes.append(
+                f"""m{prev} AS MATERIALIZED (
+  SELECT a.vec_id, GREATEST(a.ms, b.sim_e6) AS ms
+  FROM m{prev - 1} a JOIN s{prev} b USING (vec_id)
+)"""
+            )
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM p{i}" for i in range(1, r))
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT vec_id, ms AS maxsim_e6
+  FROM m{prev}
+  WHERE vec_id NOT IN ({excl})
+  ORDER BY ms, vec_id LIMIT 1
+)"""
+        )
+        picked.append(
+            f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, maxsim_e6 FROM p{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(picked)
+
+
 def _embedding_pairs_ctes(
     threshold: float, n_planes: int = 8, tag: int = 0xE4B000
 ) -> str:
@@ -2057,6 +2116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_exact": ann.kmeans_exact,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_mmr_select": ann.mmr_select,
+        "ann_kcenter_select": ann.kcenter_select,
         "ann_ivf_topk": ann.ann_ivf_topk_validated,
         "events_hourly": events.hourly_by_type,
         "events_user_daily": events.user_daily_activity,
@@ -3032,6 +3092,7 @@ FROM documents GROUP BY text
         "geo_span_invariant": _span_invariant_sql(),
         "ann_lsh_topk": _ann_lsh_topk_sql(),
         "ann_mmr_select": _mmr_select_sql(),
+        "ann_kcenter_select": _kcenter_select_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "delta_dedup": f"""

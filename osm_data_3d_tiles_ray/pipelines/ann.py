@@ -693,6 +693,109 @@ def mmr_select(
     )
 
 
+def kcenter_select(sf_dir: str, k: int = 8) -> "pa.Table":
+    """Greedy k-center (Gonzalez 1985) coreset selection over the
+    embedding table — the geometric-coverage data-pruning pick (active
+    learning / dataset distillation): seed with the smallest vec_id,
+    then repeatedly take the vector FARTHEST from the selected set
+    (cosine distance ⇒ argmin over candidates of max-sim-to-selected),
+    ties to the smallest vec_id.  Guarantees a 2-approximation of the
+    optimal k-center cover.  Similarities quantize to ``floor(sim·1e6 +
+    0.5)`` before the min/argmin, so the greedy trace is
+    bit-reproducible and the DuckDB oracle unrolls the identical rounds
+    (the ``mmr_select`` discipline).
+
+    Scale shape: one shuffle-free per-round ``map_batches`` champion
+    pass; the ≤k selected vectors broadcast by closure; embeddings never
+    shuffle.  Output: (rank 1..k, vec_id, maxsim_e6) — maxsim_e6 is
+    1e6 for the seed by convention (distance 0 to itself)."""
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+    seed_id = int(t0.column("vec_id").to_numpy().min())
+
+    def read_vec(pid: int) -> np.ndarray:
+        v = (
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+                filters=[("vec_id", "=", pid)],
+            )
+            .column("embedding")[0]
+            .values.to_numpy(zero_copy_only=False)
+        )
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    sel_ids = [seed_id]
+    sel_vecs = [read_vec(seed_id)]
+    out_rows = [(1, seed_id, 1_000_000)]
+
+    for rank in range(2, k + 1):
+        S = np.stack(sel_vecs)
+        sel_arr = np.asarray(sorted(sel_ids), dtype=np.int64)
+
+        def champion(batch: pa.Table, S=S, sel_arr=sel_arr) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "maxsim_e6": pa.array([], type=pa.int64()),
+                }
+            )
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(vid) == 0:
+                return empty
+            dims = len(emb[0])
+            m = np.asarray(
+                emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+            ).reshape(-1, dims)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            maxsim = (
+                np.floor(mn @ S.T * 1e6 + 0.5).astype(np.int64).max(axis=1)
+            )
+            # exclusion sentinel must survive lexsort (no negation here,
+            # but keep selected rows from ever winning the argmin)
+            maxsim_m = maxsim.copy()
+            maxsim_m[np.isin(vid, sel_arr)] = np.iinfo(np.int64).max // 2
+            b = np.lexsort((vid, maxsim_m))[0]  # min maxsim, ties min id
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(vid[b])], type=pa.int64()),
+                    "maxsim_e6": pa.array(
+                        [int(maxsim[b])], type=pa.int64()
+                    ),
+                }
+            )
+
+        parts = (
+            _embeddings(sf_dir)
+            .select_columns(["vec_id", "embedding"])
+            .map_batches(champion, batch_format="pyarrow")
+            .to_pandas()
+        )
+        parts = parts.sort_values(
+            ["maxsim_e6", "vec_id"], ascending=[True, True]
+        ).reset_index(drop=True)
+        pid = int(parts.iloc[0]["vec_id"])
+        out_rows.append((rank, pid, int(parts.iloc[0]["maxsim_e6"])))
+        sel_ids.append(pid)
+        sel_vecs.append(read_vec(pid))
+
+    c = list(zip(*out_rows))
+    return pa.table(
+        {
+            "rank": pa.array(c[0], type=pa.int64()),
+            "vec_id": pa.array(c[1], type=pa.int64()),
+            "maxsim_e6": pa.array(c[2], type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-label centroid similarity (embedding outlier scoring)
 

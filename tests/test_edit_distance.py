@@ -106,3 +106,37 @@ def test_mmr_select_contract(ray_session):
         prefix = np.stack([mn[pos[int(v)]] for v in got.loc[: r - 1, "vec_id"]])
         ms = int(np.floor(prefix @ pick * 1e6 + 0.5).max())
         assert ms == int(got.loc[r, "maxsim_e6"]), r
+
+
+def test_kcenter_select_contract(ray_session):
+    """k-center picks are distinct, the seed is the min vec_id, each
+    later pick's maxsim matches a recompute over the prefix, and the
+    greedy min-max property holds (no unpicked vector was strictly
+    farther at pick time)."""
+    import pyarrow.parquet as pq
+
+    from osm_data_3d_tiles_ray.pipelines.ann import kcenter_select
+
+    sf = "/root/testdata/sf0.01"
+    got = kcenter_select(sf).to_pandas().sort_values("rank").reset_index(drop=True)
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy()
+    emb = t.column("embedding").combine_chunks()
+    d = len(emb[0])
+    m = np.asarray(
+        emb.values.to_numpy(zero_copy_only=False), dtype=np.float64
+    ).reshape(-1, d)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assert got["vec_id"].is_unique
+    assert int(got.loc[0, "vec_id"]) == int(vid.min())
+    pos = {int(v): i for i, v in enumerate(vid)}
+    for r in range(1, len(got)):
+        prefix = np.stack([mn[pos[int(v)]] for v in got.loc[: r - 1, "vec_id"]])
+        allsim = np.floor(mn @ prefix.T * 1e6 + 0.5).astype(np.int64).max(axis=1)
+        picked_before = {int(v) for v in got.loc[: r - 1, "vec_id"]}
+        mask = np.array([int(v) not in picked_before for v in vid])
+        # engine's reported maxsim matches, and is the global candidate min
+        assert int(got.loc[r, "maxsim_e6"]) == int(
+            allsim[pos[int(got.loc[r, "vec_id"])]]
+        )
+        assert int(got.loc[r, "maxsim_e6"]) == int(allsim[mask].min())
