@@ -2090,7 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": textops.text_stats,
         "lang_quality": textops.lang_quality,
         "minhash_near_dup": textops.minhash_near_dup,
-        "simhash_near_dup": textops.simhash_near_dup,
+        "simhash_near_dup": textops.simhash_near_dup_checkpointed,
         "edit_distance_near_dup": textops.edit_distance_near_dup,
         "jaccard_ngram_pairs": textops.jaccard_ngram_pairs,
         "embedding_near_dup": _q_embedding_near_dup,

@@ -490,7 +490,9 @@ def edit_distance_near_dup(
             "len_b": pa.array([], type=pa.int64()),
         }
     )
-    cand = simhash_near_dup(sf_dir, max_hamming=max_hamming).to_pandas()
+    cand = simhash_near_dup_checkpointed(
+        sf_dir, max_hamming=max_hamming
+    ).to_pandas()
     if len(cand) == 0:
         return ray.data.from_arrow(empty)
     ids = np.unique(
@@ -555,6 +557,35 @@ def edit_distance_near_dup(
     if out.count() == 0:  # typed empty (to_pandas drops empty schemas)
         return ray.data.from_arrow(empty)
     return out
+
+
+def simhash_near_dup_checkpointed(
+    sf_dir: str, max_hamming: int = 8
+) -> "ray.data.Dataset":
+    """:func:`simhash_near_dup` through the corpus-keyed checkpoint
+    (``state/checkpoint.py``): the banded pair relation is the shared
+    input of the ``simhash_near_dup`` query AND the edit-distance verify
+    (the curation_matrix/funnel shape), so the full-corpus sketch runs
+    once per corpus state."""
+    import os
+
+    from ..state.checkpoint import corpus_key, parquet_checkpoint
+
+    key = corpus_key([os.path.join(sf_dir, "documents.parquet")])
+    return parquet_checkpoint(
+        f"simhash_pairs_h{max_hamming}",
+        key,
+        lambda: simhash_near_dup(sf_dir, max_hamming=max_hamming),
+        # Ray drops the schema of a fully-empty Dataset (CLAUDE.md), so
+        # a no-pairs corpus needs the schema stated for the empty commit
+        empty_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("dup_of", pa.int64()),
+                ("hamming", pa.int64()),
+            ]
+        ),
+    )
 
 
 def _shingle_set_u32(texts: np.ndarray) -> list[np.ndarray]:

@@ -39,10 +39,15 @@ def corpus_key(paths: list[str]) -> str:
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:24]
 
 
-def parquet_checkpoint(name: str, key: str, build) -> "ray.data.Dataset":
+def parquet_checkpoint(
+    name: str, key: str, build, empty_schema=None
+) -> "ray.data.Dataset":
     """Return the checkpointed Dataset for ``(name, key)``, building it
     with ``build()`` (→ Dataset) on first use.  Atomic commit; readers
-    always see either nothing or a complete checkpoint."""
+    always see either nothing or a complete checkpoint.  A legitimately
+    EMPTY relation still commits (one zero-row parquet file —
+    ``write_parquet`` of an empty Dataset writes nothing at all), using
+    ``empty_schema`` when given, else the Dataset's own schema."""
     out = os.path.join(CKPT_ROOT, name, key)
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
@@ -58,7 +63,29 @@ def parquet_checkpoint(name: str, key: str, build) -> "ray.data.Dataset":
             # rename and marker) — rebuild rather than trust it
             shutil.rmtree(out, ignore_errors=True)
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        build().write_parquet(tmp)
+        ds = build()
+        ds.write_parquet(tmp)
+        if not os.path.isdir(tmp) or not any(
+            f.endswith(".parquet") for f in os.listdir(tmp)
+        ):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = empty_schema
+            if schema is None:
+                s = ds.schema(fetch_if_missing=True)
+                schema = pa.schema(
+                    list(zip(s.names, s.types))
+                ) if s is not None else None
+            if schema is None:
+                raise ValueError(
+                    f"checkpoint {name}/{key}: empty relation with no "
+                    "recoverable schema — pass empty_schema"
+                )
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(
+                schema.empty_table(), os.path.join(tmp, "empty.parquet")
+            )
         try:
             os.replace(tmp, out)
         except OSError:
