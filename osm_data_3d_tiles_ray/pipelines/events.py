@@ -404,6 +404,8 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> "pa.Table":
         runs in the combiner tree (the top_terms shape), so the
         reduction is parallel in the block count, never a serial driver
         loop; max is fully associative, any fold order identical."""
+        if len(batch) == 0:  # empty repartition block: keep the schema
+            return batch
         col = batch.column("regs")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -664,6 +666,8 @@ def value_quantiles_tdigest(
         recompresses intermediates, so centroids differ slightly from a
         one-shot compress — within the digest's own accuracy bound
         (tests assert 2% of range at p50/p95/p99)."""
+        if len(batch) == 0:  # empty repartition block: keep the schema
+            return batch
         mc = batch.column("means")
         cc = batch.column("counts")
         if isinstance(mc, pa.ChunkedArray):

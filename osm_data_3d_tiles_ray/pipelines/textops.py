@@ -1483,6 +1483,8 @@ def term_counts_cms(
         the combiner tree so the reduction is parallel in the block
         count, never a serial driver loop (VERDICT r4 item 1).  Integer
         sum is fully associative, so any fold order is identical."""
+        if len(batch) == 0:  # empty repartition block: keep the schema
+            return batch
         col = batch.column("cms")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
